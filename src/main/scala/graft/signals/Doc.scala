@@ -1,0 +1,35 @@
+package graft.signals
+
+import graft.text.{Lines, Normalizer, PyCompat, TextSlice, WordPunct}
+
+/** Precomputed views of one document — the Spark-side equivalent of the
+  * reference's `core/document.py:40-178`. All views are lazy so a query that
+  * touches only a few signals doesn't pay for the rest; within one fused
+  * mapPartitions pass everything is computed exactly once per document.
+  */
+final class Doc(val rawContent: String, val domain: String = "") {
+  def length: Int = PyCompat.cpLength(rawContent)
+
+  /** normalization.py order: punct→lower→strip/squash→NFD. */
+  lazy val normalizedContent: String = Normalizer.normalize(rawContent)
+
+  /** Lines keep trailing \n; offsets refer to raw text (document.py:62-69). */
+  lazy val rawLines: Array[TextSlice] = Lines.splitRaw(rawContent)
+  lazy val normalizedLines: Array[TextSlice] = Lines.splitNormalized(rawContent)
+
+  /** NLTK WordPunctTokenizer over the raw content (document.py:72). */
+  lazy val rawWords: Array[String] = WordPunct.tokenize(rawContent)
+
+  /** Whitespace split of the normalized content (document.py:75). */
+  lazy val normalizedWords: Array[String] = PyCompat.split(normalizedContent)
+
+  def numRawWords: Int = rawWords.length
+  def numNormalizedWords: Int = normalizedWords.length
+
+  /** Sum of normalized word lengths, shared by several signals. */
+  lazy val normalizedWordChars: Long = {
+    var s = 0L; var i = 0
+    while (i < normalizedWords.length) { s += PyCompat.cpLength(normalizedWords(i)); i += 1 }
+    s
+  }
+}

@@ -1,0 +1,303 @@
+package graft.signals
+
+import graft.text.{NGrams, PyCompat, TextSlice}
+import PyCompat.round8
+
+import scala.collection.mutable
+
+/** Per-line signal value: (start, end) are raw-text char offsets
+  * (core/data_types.py:7-8). Document-level signals span (0, doc.length).
+  */
+final case class LineScore(start: Int, end: Int, score: Option[Double])
+
+/** The reference's ~30 heuristic quality signals, transliterated exactly
+  * (names = lowercased reference class names; null semantics, rounding
+  * half-even to 8 decimals, tokenizer choices all match). Each cites its
+  * source in /root/reference/app/src/core/quality_signals/.
+  *
+  * These are the *executable spec*; the Spark pipeline computes all of them
+  * in one fused pass (SignalPass) and the scalatest suites pin goldens.
+  */
+object Signals {
+
+  // ----------------------------------------------------------------- content
+
+  /** content.py:49-100 — count of doc n-grams present in the blocklist,
+    * over normalized words, for each distinct gram size in the list.
+    */
+  def ldnoobwWords(doc: Doc, blockWords: Set[String]): Double = {
+    if (doc.normalizedContent.isEmpty) return 0.0
+    val gramVals = blockWords.iterator.map(w => 1 + PyCompat.countOf(w, ' ')).toSet
+    var numDirty = 0
+    gramVals.foreach { n =>
+      if (n == 1) {
+        doc.normalizedWords.foreach(w => if (blockWords.contains(w)) numDirty += 1)
+      } else {
+        NGrams.foreachNGram(doc.normalizedWords, n)((_, g) =>
+          if (blockWords.contains(g)) numDirty += 1)
+      }
+    }
+    numDirty.toDouble
+  }
+
+  /** content.py:103-126 — #"lorem ipsum" / len(normalized content). */
+  def loremIpsum(doc: Doc): Double = {
+    val nc = doc.normalizedContent
+    if (nc.isEmpty) 0.0
+    else {
+      val n = PyCompat.countOf(nc, "lorem ipsum")
+      if (n == 0) 0.0 else round8(n.toDouble / PyCompat.cpLength(nc))
+    }
+  }
+
+  /** content.py:129-150 — (#'{' + #'}') / len(raw content). */
+  def curlyBracket(doc: Doc): Double = {
+    val rc = doc.rawContent
+    if (rc.isEmpty) 0.0
+    else {
+      val n = PyCompat.countOf(rc, '{') + PyCompat.countOf(rc, '}')
+      if (n == 0) 0.0 else round8(n.toDouble / PyCompat.cpLength(rc))
+    }
+  }
+
+  /** content.py:153-165 — UT1 category id of the domain, None if absent. */
+  def ut1Blacklist(doc: Doc, ut1: Map[String, Int]): Option[Double] =
+    ut1.get(doc.domain).map(_.toDouble)
+
+  /** content.py:168-188 — #(raw_words in stop set)/num_raw_words; membership
+    * is tested on RAW (case-sensitive) words; 0.0 if no normalized words.
+    * NB the reference guards on normalized_words but divides by raw count.
+    */
+  def stopWordFraction(doc: Doc, stopWords: Set[String]): Double = {
+    if (doc.numNormalizedWords == 0) return 0.0
+    var hits = 0
+    doc.rawWords.foreach(w => if (stopWords.contains(w)) hits += 1)
+    round8(hits.toDouble / doc.numRawWords)
+  }
+
+  // ------------------------------------------------------- natural language
+
+  /** natural_language.py:37-47 — len(findall(r'\b[^.!?]+[.!?]*')). */
+  private val sentPattern = java.util.regex.Pattern
+    .compile("\\b[^.!?]+[.!?]*", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  def numSentences(doc: Doc): Double = {
+    val m = sentPattern.matcher(doc.rawContent)
+    var n = 0
+    while (m.find()) n += 1
+    n.toDouble
+  }
+
+  /** natural_language.py:50-55. */
+  def wordCount(doc: Doc): Double = doc.numNormalizedWords.toDouble
+
+  /** natural_language.py:58-69 — None if 0 normalized words. */
+  def meanWordLength(doc: Doc): Option[Double] = {
+    val n = doc.numNormalizedWords
+    if (n == 0) None
+    else Some(round8(doc.normalizedWordChars.toDouble / n))
+  }
+
+  /** natural_language.py:72-92 — (#'#' + #'...' + #'…')/num_raw_words;
+    * None if 0 raw words. "..." counted non-overlapping.
+    */
+  def symbolToWordRatio(doc: Doc): Option[Double] = {
+    val n = doc.numRawWords
+    if (n == 0) None
+    else {
+      val sym = PyCompat.countOf(doc.rawContent, '#') +
+        PyCompat.countOf(doc.rawContent, "...") +
+        PyCompat.countOf(doc.rawContent, "…")
+      Some(round8(sym.toDouble / n))
+    }
+  }
+
+  /** natural_language.py:95-115 — fraction of raw lines whose rstrip() ends
+    * with "..." or "…"; None if 0 lines.
+    */
+  def fracLinesEndWithEllipsis(doc: Doc): Option[Double] = {
+    val lines = doc.rawLines
+    if (lines.isEmpty) None
+    else {
+      var n = 0
+      lines.foreach { l =>
+        val t = PyCompat.stripRight(l.text)
+        if (t.endsWith("...") || t.endsWith("…")) n += 1
+      }
+      Some(round8(n.toDouble / lines.length))
+    }
+  }
+
+  /** natural_language.py:118-138 — 1 - #(raw words containing [a-zA-Z])/n;
+    * ASCII letters only; None if 0 raw words.
+    */
+  def fracNoAlphWords(doc: Doc): Option[Double] = {
+    val n = doc.numRawWords
+    if (n == 0) None
+    else {
+      var withAlpha = 0
+      doc.rawWords.foreach { w =>
+        var i = 0
+        var found = false
+        while (i < w.length && !found) {
+          val c = w.charAt(i)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) found = true
+          i += 1
+        }
+        if (found) withAlpha += 1
+      }
+      Some(round8(1.0 - withAlpha.toDouble / n))
+    }
+  }
+
+  /** natural_language.py:141-155 — #distinct(normalized words)/n; None if 0. */
+  def fracUniqueWords(doc: Doc): Option[Double] = {
+    val n = doc.numNormalizedWords
+    if (n == 0) None
+    else {
+      val set = mutable.Set.empty[String]
+      doc.normalizedWords.foreach(set += _)
+      Some(round8(set.size.toDouble / n))
+    }
+  }
+
+  /** natural_language.py:158-181 — unigram entropy sum(-c/T ln(c/T)); None
+    * if 0 normalized words.
+    */
+  def unigramEntropy(doc: Doc): Option[Double] = {
+    val words = doc.normalizedWords
+    if (words.isEmpty) None
+    else {
+      val counts = mutable.HashMap.empty[String, Int]
+      words.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+      val total = words.length.toDouble
+      var entropy = 0.0
+      counts.valuesIterator.foreach { c =>
+        if (c > 0) entropy += -c / total * math.log(c / total)
+      }
+      Some(round8(entropy))
+    }
+  }
+
+  /** natural_language.py:184-197 — #(str.isupper(w))/num_raw_words; None if 0. */
+  def fracAllCapsWords(doc: Doc): Option[Double] = {
+    val n = doc.numRawWords
+    if (n == 0) None
+    else {
+      var caps = 0
+      doc.rawWords.foreach(w => if (PyCompat.isUpperString(w)) caps += 1)
+      Some(round8(caps.toDouble / n))
+    }
+  }
+
+  // ------------------------------------------------------------ repetitions
+
+  /** repetitions.py:37-71 — chars in the most common normalized n-gram ×
+    * count / total word chars; 0.0 if top count <= 1 or no ngrams.
+    * Most-common tie-break: Counter.most_common picks first-encountered —
+    * we replicate by tracking insertion order.
+    */
+  def fracCharsInTopNgram(doc: Doc, n: Int): Double = {
+    val words = doc.normalizedWords
+    val counts = mutable.LinkedHashMap.empty[String, Int]
+    NGrams.foreachNGram(words, n)((_, g) => counts.update(g, counts.getOrElse(g, 0) + 1))
+    if (counts.isEmpty) return 0.0
+    var topGram: String = null
+    var topCount = -1
+    counts.foreach { case (g, c) => if (c > topCount) { topGram = g; topCount = c } }
+    if (topCount <= 1) return 0.0
+    val totalChars = doc.normalizedWordChars
+    // chars in the ngram = sum of word lengths = key length minus (n-1) joins
+    val gramChars = PyCompat.cpLength(topGram) - (n - 1)
+    round8(gramChars.toDouble * topCount / totalChars)
+  }
+
+  /** repetitions.py:95-145 — fraction of word chars covered by any n-gram
+    * occurring >= 2 times; overlapping positions counted once (position
+    * bitmap marks [i, i+n) for every duplicate occurrence start i).
+    */
+  def fracCharsInDupeNgrams(doc: Doc, n: Int): Double = {
+    val words = doc.normalizedWords
+    if (words.length < n) return 0.0
+    val grams = NGrams.ngrams(words, n)
+    val counts = mutable.HashMap.empty[String, Int]
+    grams.foreach(g => counts.update(g, counts.getOrElse(g, 0) + 1))
+    val marked = new Array[Boolean](words.length)
+    var i = 0
+    while (i < grams.length) {
+      if (counts(grams(i)) > 1) {
+        var j = i
+        val end = math.min(i + n, words.length)
+        while (j < end) { marked(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var duped = 0L
+    var total = 0L
+    i = 0
+    while (i < words.length) {
+      val len = PyCompat.cpLength(words(i))
+      total += len
+      if (marked(i)) duped += len
+      i += 1
+    }
+    if (total == 0) 0.0 else round8(duped.toDouble / total)
+  }
+
+  // ------------------------------------------------------------------ lines
+
+  /** lines.py:33-49 — per normalized line: # whitespace tokens == "javascript". */
+  def linesJavascriptCounts(doc: Doc): Array[LineScore] =
+    doc.normalizedLines.map { l =>
+      val score =
+        if (l.text.isEmpty) 0.0
+        else PyCompat.split(l.text).count(_ == "javascript").toDouble
+      LineScore(l.start, l.end, Some(score))
+    }
+
+  /** lines.py:52-67 — raw line rstrip ends with . ! ? ” → 1.0 else 0.0. */
+  def linesEndingWithTerminalPunctuationMark(doc: Doc): Array[LineScore] =
+    doc.rawLines.map { l =>
+      val t = PyCompat.stripRight(l.text)
+      val hit = t.endsWith(".") || t.endsWith("!") || t.endsWith("?") || t.endsWith("”")
+      LineScore(l.start, l.end, Some(if (hit) 1.0 else 0.0))
+    }
+
+  /** lines.py:70-81 — len(normalized line .split()). */
+  def linesNumWords(doc: Doc): Array[LineScore] =
+    doc.normalizedLines.map(l =>
+      LineScore(l.start, l.end, Some(PyCompat.split(l.text).length.toDouble)))
+
+  /** lines.py:84-98 — #isupper chars / len, per raw line; 0.0 for empty. */
+  def linesUppercaseLetterFraction(doc: Doc): Array[LineScore] =
+    doc.rawLines.map { l =>
+      val score =
+        if (l.text.isEmpty) 0.0
+        else round8(PyCompat.countUpperCp(l.text).toDouble / PyCompat.cpLength(l.text))
+      LineScore(l.start, l.end, Some(score))
+    }
+
+  /** lines.py:101-116 — #isnumeric chars / len, per normalized line. */
+  def linesNumericalCharsFraction(doc: Doc): Array[LineScore] =
+    doc.normalizedLines.map { l =>
+      val score =
+        if (l.text.isEmpty) 0.0
+        else round8(PyCompat.countNumericCp(l.text).toDouble / PyCompat.cpLength(l.text))
+      LineScore(l.start, l.end, Some(score))
+    }
+
+  /** lines.py:119-153 — raw line lstrip starts with a bullet codepoint;
+    * whole-doc [(0,len,None)] if 0 lines.
+    */
+  private val bulletPoints = Array('•', '‣', '▶', '◀',
+    '◦', '■', '□', '▪', '▫', '–')
+
+  def linesStartWithBulletpoint(doc: Doc): Array[LineScore] = {
+    if (doc.rawLines.isEmpty) return Array(LineScore(0, doc.length, None))
+    doc.rawLines.map { l =>
+      val t = PyCompat.stripLeft(l.text)
+      val hit = t.nonEmpty && bulletPoints.contains(t.charAt(0))
+      LineScore(l.start, l.end, Some(if (hit) 1.0 else 0.0))
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.text
+
+import java.util.regex.Pattern
+
+/** Text normalization with the exact semantics of the reference's
+  * `utilities/text/normalization.py:8-32` (order matters):
+  *   1. remove ASCII punctuation (Python `string.punctuation`)
+  *   2. lowercase
+  *   3. strip, then squash whitespace runs to a single space
+  *   4. NFD unicode normalization
+  */
+object Normalizer {
+
+  /** Python string.punctuation — the 32 ASCII punctuation chars. */
+  final val AsciiPunctuation = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  private val isPunct: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    AsciiPunctuation.foreach(c => a(c.toInt) = true)
+    a
+  }
+
+  def removePunct(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 128 || !isPunct(c.toInt)) sb.append(c)
+      i += 1
+    }
+    if (sb.length == s.length) s else sb.toString
+  }
+
+  /** Squash runs of (Python-regex) `\s` to single spaces. The reference
+    * strips first, then substitutes (normalization.py:24-25).
+    */
+  private def squashWhitespace(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var inRun = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (PyCompat.isSpace(c)) {
+        if (!inRun) sb.append(' ')
+        inRun = true
+      } else {
+        sb.append(c)
+        inRun = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def nfd(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+
+  /** Full normalize(): normalization.py:8-32 with all flags default-true. */
+  def normalize(text: String): String = {
+    var t = removePunct(text)
+    t = PyCompat.lower(t)
+    t = PyCompat.strip(t)
+    t = squashWhitespace(t)
+    nfd(t)
+  }
+}
+
+/** NLTK `WordPunctTokenizer` — regex `\w+|[^\w\s]+` with Python unicode
+  * semantics (core/document.py:9,72). Java's UNICODE_CHARACTER_CLASS makes
+  * `\w`/`\s` match the same unicode categories CPython's re module uses.
+  */
+object WordPunct {
+  private val pattern: Pattern =
+    Pattern.compile("\\w+|[^\\w\\s]+", Pattern.UNICODE_CHARACTER_CLASS)
+
+  def tokenize(s: String): Array[String] = {
+    val m = pattern.matcher(s)
+    val out = Array.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+}
+
+/** A slice of the original text with raw char offsets —
+  * `core/data_types.py:11-18`.
+  */
+final case class TextSlice(text: String, start: Int, end: Int) {
+  def length: Int = text.length
+}
+
+/** Line splitting per `core/document.py:16-37` (`split_paragraphs`): regex
+  * `[^\n]*\n|[^\n]+$` — each line keeps its trailing `\n`; a final segment
+  * without `\n` only matches if non-empty; the empty string has no lines.
+  * Offsets always refer to the RAW text even when the text is normalized.
+  */
+object Lines {
+  def splitRaw(text: String): Array[TextSlice] = split(text, identity)
+
+  def splitNormalized(text: String): Array[TextSlice] =
+    split(text, Normalizer.normalize)
+
+  def split(text: String, normalizer: String => String): Array[TextSlice] = {
+    val out = Array.newBuilder[TextSlice]
+    var start = 0
+    var cpStart = 0
+    val n = text.length
+    while (start < n) {
+      val nl = text.indexOf('\n', start)
+      val end = if (nl >= 0) nl + 1 else n
+      val cpEnd = cpStart + text.codePointCount(start, end)
+      out += TextSlice(normalizer(text.substring(start, end)), cpStart, cpEnd)
+      start = end
+      cpStart = cpEnd
+    }
+    out.result()
+  }
+}
+
+/** Sliding word n-grams (utilities/text/ngrams.py). Keys are the words
+  * joined by a single space — words can never contain whitespace (they come
+  * from whitespace-splitting or `\w+|[^\w\s]+`), so the join is injective.
+  */
+object NGrams {
+  def count(words: Array[String], n: Int): Int =
+    math.max(0, words.length - n + 1)
+
+  def foreachNGram(words: Array[String], n: Int)(f: (Int, String) => Unit): Unit = {
+    var i = 0
+    val last = words.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      f(i, sb.toString)
+      i += 1
+    }
+  }
+
+  def ngrams(words: Array[String], n: Int): Array[String] = {
+    val out = new Array[String](count(words, n))
+    foreachNGram(words, n)((i, g) => out(i) = g)
+    out
+  }
+
+  /** Distinct n-gram shingles, as used for MinHash (dedupe/utils.py:107). */
+  def shingleSet(words: Array[String], n: Int): scala.collection.mutable.Set[String] = {
+    val set = scala.collection.mutable.Set.empty[String]
+    foreachNGram(words, n)((_, g) => set += g)
+    set
+  }
+}

@@ -1,0 +1,167 @@
+package graft.text
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+/** Transliterations of CPython string/number semantics that the reference
+  * pipeline depends on. Each method documents the reference call site.
+  *
+  * Reference: togethercomputer/RedPajama-Data (read-only snapshot at
+  * /root/reference); see SURVEY.md §1.1 / §7.4.
+  */
+object PyCompat {
+
+  /** Python `round(x, 8)`: correctly-rounded half-even on the exact binary
+    * value of the double (core/constants.py:1 PRECISION=8; used throughout
+    * core/quality_signals). `new JBigDecimal(double)` is the exact binary
+    * expansion, so HALF_EVEN on it reproduces CPython.
+    */
+  def round8(x: Double): Double = {
+    if (x.isNaN || x.isInfinite) x
+    else new JBigDecimal(x).setScale(8, RoundingMode.HALF_EVEN).doubleValue()
+  }
+
+  def roundN(x: Double, n: Int): Double = {
+    if (x.isNaN || x.isInfinite) x
+    else new JBigDecimal(x).setScale(n, RoundingMode.HALF_EVEN).doubleValue()
+  }
+
+  /** Python `str.isspace` per-char / the whitespace set used by str.strip()
+    * and str.split(): Unicode space separators plus the control/format
+    * characters CPython special-cases.
+    */
+  def isSpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000b' | '\f' | '\r' | '\u001c' | '\u001d' |
+        '\u001e' | '\u001f' | '\u0085' =>
+      true
+    case _ =>
+      val t = Character.getType(c)
+      t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+      t == Character.PARAGRAPH_SEPARATOR
+  }
+
+  /** Python `str.strip()` (no args): strip chars where isSpace. */
+  def strip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isSpace(s.charAt(i))) i += 1
+    while (j > i && isSpace(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  def stripLeft(s: String): String = {
+    var i = 0
+    while (i < s.length && isSpace(s.charAt(i))) i += 1
+    if (i == 0) s else s.substring(i)
+  }
+
+  def stripRight(s: String): String = {
+    var j = s.length
+    while (j > 0 && isSpace(s.charAt(j - 1))) j -= 1
+    if (j == s.length) s else s.substring(0, j)
+  }
+
+  /** Python `str.split()` (no args): split on runs of whitespace, no empty
+    * tokens. Used for normalized_words (core/document.py:75) and the
+    * per-line word counts (lines.py:77).
+    */
+  def split(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isSpace(s.charAt(i))) i += 1
+        out += s.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  /** Python single-char `str.isupper()` truth for one char: the char is
+    * cased and uppercase (Lu or Other_Uppercase). Used by
+    * lines.py:92 `sum(map(str.isupper, text))`.
+    */
+  def isUpperChar(c: Char): Boolean = Character.isUpperCase(c)
+
+  /** Python `str.isupper()` on a whole string: >=1 cased char and no
+    * lowercase/titlecase cased chars (natural_language.py:195).
+    */
+  def isUpperString(s: String): Boolean = {
+    var hasCased = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLowerCase(cp) || Character.getType(cp) == Character.TITLECASE_LETTER)
+        return false
+      if (Character.isUpperCase(cp)) hasCased = true
+      i += Character.charCount(cp)
+    }
+    hasCased
+  }
+
+  /** Python `str.isnumeric()` truth for one char: Numeric_Type is
+    * Decimal/Digit/Numeric, i.e. gc in {Nd, Nl, No} (lines.py:110).
+    */
+  def isNumericChar(c: Char): Boolean = {
+    val t = Character.getType(c)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+    t == Character.OTHER_NUMBER
+  }
+
+  /** Python `str.lower()` (normalization.py:22). Locale-insensitive. */
+  def lower(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Count non-overlapping occurrences of `sub` — Python `str.count`
+    * (content.py:140, natural_language.py:88).
+    */
+  def countOf(s: String, sub: String): Int = {
+    if (sub.isEmpty) return s.length + 1
+    var count = 0
+    var from = 0
+    var idx = s.indexOf(sub, from)
+    while (idx >= 0) {
+      count += 1
+      from = idx + sub.length
+      idx = s.indexOf(sub, from)
+    }
+    count
+  }
+
+  def countOf(s: String, c: Char): Int = {
+    var count = 0
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) count += 1; i += 1 }
+    count
+  }
+
+  /** Python `len(str)` counts codepoints, not UTF-16 units. */
+  def cpLength(s: String): Int = s.codePointCount(0, s.length)
+
+  /** # codepoints where Python str.isupper is true (lines.py:92). */
+  def countUpperCp(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isUpperCase(cp)) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** # codepoints where Python str.isnumeric is true (lines.py:110). */
+  def countNumericCp(s: String): Int = {
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+          t == Character.OTHER_NUMBER) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+}

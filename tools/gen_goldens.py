@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Golden-fixture generator: independent transliteration of the reference
+semantics (normalization.py, document.py, content.py, natural_language.py,
+lines.py, repetitions.py) used to pin the Scala implementation.
+Run: python3 tools/gen_goldens.py > src/test/resources/goldens.json
+"""
+import json, math, re, string, sys, unicodedata
+from collections import Counter
+
+TT = str.maketrans("", "", string.punctuation)
+
+def normalize(text, remove_punct=True, lowercase=True, nfd=True, ws=True):
+    if remove_punct: text = text.translate(TT)
+    if lowercase: text = text.lower()
+    if ws:
+        text = text.strip()
+        text = re.sub(r"\s+", " ", text)
+    if nfd: text = unicodedata.normalize("NFD", text)
+    return text
+
+WORDPUNCT = re.compile(r"\w+|[^\w\s]+")
+LINE_RE = re.compile(r"([^\n]*\n|[^\n]+$)")
+
+def raw_lines(text):
+    return [(m.group(0), m.start(), m.end()) for m in LINE_RE.finditer(text)]
+
+def norm_lines(text):
+    return [(normalize(t), s, e) for t, s, e in raw_lines(text)]
+
+def ngrams(seq, n):
+    return [tuple(seq[i:i+n]) for i in range(len(seq)-n+1)]
+
+def doc_views(text):
+    return dict(
+        normalized_content=normalize(text),
+        raw_words=WORDPUNCT.findall(text),
+        normalized_words=normalize(text).split(),
+    )
+
+def compute(text, stop_words, block_words):
+    d = doc_views(text)
+    rw, nw, nc = d["raw_words"], d["normalized_words"], d["normalized_content"]
+    L = len(text)
+    out = {}
+    def r8(x): return round(x, 8)
+    # content
+    block = set(block_words)
+    gram_vals = set(1 + w.count(" ") for w in block)
+    if len(nc) == 0:
+        out["ldnoobw_words"] = 0.0
+    else:
+        nd = 0
+        for n in gram_vals:
+            if n == 1: nd += sum(1 for w in nw if w in block)
+            else: nd += sum(1 for t in ngrams(nw, n) if " ".join(t) in block)
+        out["ldnoobw_words"] = float(nd)
+    out["lorem_ipsum"] = 0.0 if len(nc)==0 or "lorem ipsum" not in nc else r8(len(re.findall(r"lorem ipsum", nc, re.IGNORECASE))/len(nc))
+    out["curly_bracket"] = 0.0 if L==0 or ("{" not in text and "}" not in text) else r8(float(text.count("{")+text.count("}"))/L)
+    out["stop_word_fraction"] = 0.0 if len(nw)==0 else r8(sum(1 for w in rw if w in stop_words)/len(rw))
+    # natural language
+    out["num_sentences"] = float(len(re.findall(r'\b[^.!?]+[.!?]*', text)))
+    out["word_count"] = float(len(nw))
+    out["mean_word_length"] = None if len(nw)==0 else r8(sum(map(len,nw))/len(nw))
+    out["symbol_to_word_ratio"] = None if len(rw)==0 else r8(float(text.count("#")+text.count("...")+text.count("…"))/len(rw))
+    rl = raw_lines(text)
+    out["frac_lines_end_with_ellipsis"] = None if len(rl)==0 else r8(float(sum(t.rstrip().endswith(("...","…")) for t,_,_ in rl))/len(rl))
+    alph = re.compile(r"[a-zA-Z]")
+    out["frac_no_alph_words"] = None if len(rw)==0 else r8(1.0 - float(sum(1 for w in rw if alph.search(w)))/len(rw))
+    out["frac_unique_words"] = None if len(nw)==0 else r8(float(len(set(nw)))/len(nw))
+    if len(nw)==0: out["unigram_entropy"] = None
+    else:
+        c = Counter(nw); T = sum(c.values())
+        out["unigram_entropy"] = r8(sum(-x/T*math.log(x/T) for x in c.values() if x>0))
+    out["frac_all_caps_words"] = None if len(rw)==0 else r8(float(sum(map(str.isupper, rw)))/len(rw))
+    # repetitions
+    for n in (2,3,4):
+        mc = Counter(ngrams(nw, n)).most_common(1)
+        if not mc: out[f"frac_chars_top_{n}gram"] = 0.0
+        else:
+            g, cnt = mc[0]
+            if cnt <= 1: out[f"frac_chars_top_{n}gram"] = 0.0
+            else:
+                tot = sum(len(w) for w in nw)
+                out[f"frac_chars_top_{n}gram"] = r8(sum(len(w) for w in g)*cnt/tot)
+    for n in range(5, 11):
+        if len(nw) < n: out[f"frac_chars_dupe_{n}grams"] = 0.0; continue
+        gs = ngrams(nw, n)
+        dupes = {g for g,c in Counter(gs).items() if c>1}
+        mark = [0]*len(nw)
+        for i,g in enumerate(gs):
+            if g in dupes:
+                for j in range(i, min(i+n, len(nw))): mark[j]=1
+        tot = sum(len(w) for w in nw)
+        duped = sum(len(w) for w,m in zip(nw,mark) if m)
+        out[f"frac_chars_dupe_{n}grams"] = 0.0 if tot==0 else r8(duped/tot)
+    # lines
+    nl = norm_lines(text)
+    out["lines_javascript_counts"] = [[s,e, 0.0 if len(t)==0 else float(sum(1 for w in t.split() if w=="javascript"))] for t,s,e in nl]
+    out["lines_ending_with_terminal_punctution_mark"] = [[s,e,float(t.rstrip().endswith((".","!","?","”")))] for t,s,e in rl]
+    out["lines_num_words"] = [[s,e,float(len(t.split()))] for t,s,e in nl]
+    out["lines_uppercase_letter_fraction"] = [[s,e, 0.0 if len(t)==0 else r8(sum(map(str.isupper,t))/len(t))] for t,s,e in rl]
+    out["lines_numerical_chars_fraction"] = [[s,e, 0.0 if len(t)==0 else r8(sum(map(str.isnumeric,t))/len(t))] for t,s,e in nl]
+    if len(rl)==0: out["lines_start_with_bulletpoint"] = [[0,L,None]]
+    else:
+        bullets = ("•","‣","▶","◀","◦","■","□","▪","▫","–")
+        out["lines_start_with_bulletpoint"] = [[s,e,float(t.lstrip().startswith(bullets))] for t,s,e in rl]
+    # views for tokenizer/normalizer tests
+    out["_normalized_content"] = nc
+    out["_raw_words"] = rw
+    out["_normalized_words"] = nw
+    out["_raw_lines"] = [[t,s,e] for t,s,e in rl]
+    return out
+
+STOP = ["the","a","an","and","of","to","in","is","that","it","for","on","with","as"]
+BLOCK = ["badword", "damn", "very bad phrase", "hell"]
+
+DOCS = [
+    "",
+    "Hello, world!\n• foo…\nBAR baz QUX.\n",
+    "the the the the fast dog the the the the fast dog jumps over",
+    "lorem ipsum Lorem Ipsum LOREM IPSUM dolor { sit } amet...",
+    "ONE TWO Three fOur FIVE6 7EIGHT #tag ...... ……",
+    "café naïve ÉCOLE 中文文本 123 １２３ ½",
+    "a b c d e a b c d e a b c d e f g h i j k l m n o p",
+    "  \t leading and trailing \n\n\nmany blank lines\n \n",
+    "damn hell badword very bad phrase damn",
+    "x" * 5 + " " + "y"*3 + "\n" + "javascript javascript code\n12345\n...",
+    "word " * 30 + "tail",
+    "No newline at end",
+    "\n",
+    "\n\n\n",
+    "A.\nB!\nC?\nD”\nE\n",
+    "repeat me five times ok repeat me five times ok repeat me five times ok now unique words follow here one two three",
+    "\U0001d518\U0001d52b\U0001d526 astral \U0001d7cf\U0001d7d0 digits 𝔘𝔫 𝔘𝔫\nplain line...\n\U0001f600{}",
+    "𝔘𝔫𝔦 𝔘𝔫𝔦 𝔘𝔫𝔦 word word word 𝔘𝔫𝔦 𝔘𝔫𝔦",
+]
+
+res = {"stop_words": STOP, "block_words": BLOCK,
+       "docs": [{"text": t, "signals": compute(t, set(STOP), set(BLOCK))} for t in DOCS]}
+json.dump(res, sys.stdout, ensure_ascii=False, indent=1)
