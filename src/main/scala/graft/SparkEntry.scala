@@ -1,13 +1,379 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.pipeline.{CodeFiles, FilterPolicy, SignalPass}
+import graft.scrub.Scrubber
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per implemented operator (SURVEY.md §2),
+  * each with a DuckDB oracle on the same parquet tables. Column names are
+  * aligned between the Spark result and the oracle SQL; every query ends
+  * with a deterministic ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full quality-filter pipeline on sf0.001 — signals →
+    * keep/drop + drop_reason → PII scrub. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipeline.QualityFilterJob.run(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- helpers
+
+  /** Corpus with exact duplicates injected (ids offset by 100000). */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+    cf.unionAll(
+      cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 100000).as("id"), col("content")))
+  }
+
+  /** (id, shingle) pairs: distinct word n-gram shingles of the normalized
+    * content; near-duplicate variants (one appended token) injected for
+    * ids ≡ 7 (mod 10), offset by 100000.
+    */
+  private def shingled(s: SparkSession, dir: String, n: Int): DataFrame = {
+    import s.implicits._
+    val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+    val withVariants = cf.unionAll(
+      cf.filter(col("id") % 10 === 7)
+        .select((col("id") + 100000).as("id"),
+          concat(col("content"), lit(" extra trailing token")).as("content")))
+    withVariants.as[(Long, String)].flatMap { case (id, content) =>
+      val words = graft.text.PyCompat.split(
+        graft.text.Normalizer.normalize(content))
+      graft.text.NGrams.shingleSet(words, n).iterator.map(sh => (id, sh))
+    }.toDF("id", "shingle")
+  }
+
+  private val statsCols = Seq(
+    "doc_id", "n_chars", "word_count", "n_unique_words", "sum_word_chars",
+    "n_stop_words_norm", "n_tokens")
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2/S4 scan + fused signal pass (P3 projection; §2.9 scalar functions)
+    "q01_text_stats" -> ((s, dir) => {
+      SignalPass.statsFromDir(s, dir)
+        .select(statsCols.map(col): _*)
+        .withColumnRenamed("n_stop_words_norm", "n_stop_words")
+        .orderBy("doc_id")
+    }),
+
+    // Keep/drop policy over integer facts (Gopher+C4 subset, SQL-checkable)
+    "q02_quality_filter" -> ((s, dir) => {
+      val st = SignalPass.statsFromDir(s, dir)
+      val wc = col("word_count")
+      val reason =
+        when(wc < 50 || wc > 100000, "word_count")
+          .when(col("sum_word_chars") < wc * 3 || col("sum_word_chars") > wc * 10,
+            "mean_word_length")
+          .when(col("n_ellipsis_lines") * 10 > col("n_lines") * 3, "ellipsis_lines")
+          .when(col("n_stop_words_norm") < 2, "stop_words")
+          .when(col("n_lorem") > 0, "lorem_ipsum")
+          .when(col("n_curly") > 0, "curly_bracket")
+          .otherwise("")
+      st.select(col("doc_id"), reason.as("drop_reason"))
+        .withColumn("keep", col("drop_reason") === "")
+        .select("doc_id", "keep", "drop_reason")
+        .orderBy("doc_id")
+    }),
+
+    // Line-level signals aggregated per doc (§2.9 lines family)
+    "q03_line_stats" -> ((s, dir) => {
+      SignalPass.statsFromDir(s, dir)
+        .select("doc_id", "n_lines", "n_terminal_lines", "n_ellipsis_lines",
+          "sum_line_words")
+        .orderBy("doc_id")
+    }),
+
+    // D7/D8 exact dedup: digest window, duplicates = row_number > 1
+    "q04_exact_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("digest").orderBy("id")
+      dupCorpus(s, dir)
+        .withColumn("digest", sha2(col("content"), 256))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1)
+        .select("id", "digest")
+        .orderBy("id")
+    }),
+
+    // A3-style dup-count summary
+    "q05_dup_groups" -> ((s, dir) => {
+      dupCorpus(s, dir)
+        .groupBy(sha2(col("content"), 256).as("digest"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("digest")
+    }),
+
+    // N-gram Jaccard near-dup: explode shingles → self-join → set algebra
+    "q06_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingled(s, dir, 3).cache()
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val a = sh.toDF("id_a", "shingle")
+      val b = sh.toDF("id_b", "shingle")
+      val inter = a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select("id_a", "id_b", "inter", "uni")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // T3 top-ngram as a relational op (explode → groupBy → rank window)
+    "q07_top_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val bigrams = CodeFiles(s, dir)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .flatMap { case (id, content) =>
+          val words = graft.text.PyCompat.split(
+            graft.text.Normalizer.normalize(content))
+          graft.text.NGrams.ngrams(words, 2).iterator.map(g => (id, g))
+        }.toDF("doc_id", "gram")
+      val counts = bigrams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("cnt").desc, col("gram").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("gram").as("top_bigram"), col("cnt"))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub with per-row digest (north-rule invariant surface)
+    "q08_pii_scrub" -> ((s, dir) => {
+      val scrubUdf = udf((c: String) => Scrubber.scrub(c))
+      CodeFiles(s, dir)
+        .select(col("doc_id"), scrubUdf(col("content")).as("scrubbed"))
+        .select(col("doc_id"), sha2(col("scrubbed"), 256).as("scrubbed_digest"),
+          length(col("scrubbed")).cast("long").as("scrubbed_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k over embeddings (similarity-search baseline)
+    "q09_ann_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val dot: (Column, Column) => Column = (x, y) =>
+        aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+      val withNorm = emb.withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+      val q = withNorm.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+          col("nrm").as("qnrm"))
+      val scored = withNorm.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // -------------------------------------------------------------- oracles
+
+  private val cte = CodeFiles.oracleCte
+  private def nrm(c: String) = CodeFiles.normSql(c)
+
+  /** Words CTE shared by several oracles. */
+  private val wordsCte =
+    s"""w AS (
+       |  SELECT doc_id, ${nrm("content")} AS nc FROM code_files
+       |), words AS (
+       |  SELECT doc_id, nc,
+       |         CASE WHEN nc = '' THEN CAST([] AS VARCHAR[])
+       |              ELSE string_split(nc, ' ') END AS ws
+       |  FROM w
+       |)""".stripMargin
+
+  private val dupCorpusCte =
+    s"""corpus AS (
+       |  SELECT doc_id AS id, content FROM code_files
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS id, content FROM code_files
+       |  WHERE doc_id % 10 = 3
+       |)""".stripMargin
+
+  private val shingleCte =
+    s"""variants AS (
+       |  SELECT doc_id AS id, content FROM code_files
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS id, content || ' extra trailing token'
+       |  FROM code_files WHERE doc_id % 10 = 7
+       |), vwords AS (
+       |  SELECT id, string_split(${nrm("content")}, ' ') AS ws FROM variants
+       |), sh AS (
+       |  SELECT id, unnest(list_distinct(list_transform(
+       |           list_slice(list_zip(ws, ws[2:], ws[3:]), 1, len(ws) - 2),
+       |           x -> x[1] || ' ' || x[2] || ' ' || x[3]))) AS shingle
+       |  FROM vwords WHERE len(ws) >= 3
+       |)""".stripMargin
+
+  // Python-rstrip whitespace set for ASCII lines (no \n inside split lines)
+  private val rtrimSet = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_text_stats" ->
+      s"""WITH $cte, $wordsCte
+         |SELECT doc_id,
+         |       CAST(length(content) AS BIGINT) AS n_chars,
+         |       CAST(len(ws) AS BIGINT) AS word_count,
+         |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_words,
+         |       CAST(length(replace(nc, ' ', '')) AS BIGINT) AS sum_word_chars,
+         |       CAST(len(list_filter(ws, x -> list_contains(
+         |         ['the','a','an','and','of','to','in','is','that','it','for','on',
+         |          'with','as','at','by','be','this','was','are','or','from','but',
+         |          'not','have','has','had','they','you','we'], x))) AS BIGINT)
+         |         AS n_stop_words,
+         |       CAST(len(regexp_extract_all(content,
+         |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+         |FROM words JOIN code_files USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q02_quality_filter" ->
+      s"""WITH $cte, $wordsCte, facts AS (
+         |  SELECT doc_id,
+         |         len(ws) AS wc,
+         |         length(replace(nc, ' ', '')) AS sc,
+         |         len(list_filter(ws, x -> list_contains(
+         |           ['the','a','an','and','of','to','in','is','that','it','for','on',
+         |            'with','as','at','by','be','this','was','are','or','from','but',
+         |            'not','have','has','had','they','you','we'], x))) AS n_stop,
+         |         (length(content) - length(replace(content, '{', '')))
+         |           + (length(content) - length(replace(content, '}', ''))) AS n_curly,
+         |         CASE WHEN nc = '' THEN 0
+         |              ELSE (length(nc) - length(replace(nc, 'lorem ipsum', '')))
+         |                   / length('lorem ipsum') END AS n_lorem,
+         |         len(string_split(content, chr(10)))
+         |           - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END AS n_lines,
+         |         len(list_filter(
+         |           list_slice(string_split(content, chr(10)), 1,
+         |             len(string_split(content, chr(10)))
+         |               - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END),
+         |           l -> rtrim(l, $rtrimSet) LIKE '%...'
+         |             OR rtrim(l, $rtrimSet) LIKE '%…')) AS n_ellipsis
+         |  FROM words JOIN code_files USING (doc_id)
+         |)
+         |SELECT doc_id, drop_reason = '' AS keep, drop_reason FROM (
+         |  SELECT doc_id,
+         |         CASE WHEN wc < 50 OR wc > 100000 THEN 'word_count'
+         |              WHEN sc < wc * 3 OR sc > wc * 10 THEN 'mean_word_length'
+         |              WHEN n_ellipsis * 10 > n_lines * 3 THEN 'ellipsis_lines'
+         |              WHEN n_stop < 2 THEN 'stop_words'
+         |              WHEN n_lorem > 0 THEN 'lorem_ipsum'
+         |              WHEN n_curly > 0 THEN 'curly_bracket'
+         |              ELSE '' END AS drop_reason
+         |  FROM facts)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q03_line_stats" ->
+      s"""WITH $cte, lines AS (
+         |  SELECT doc_id,
+         |         list_slice(string_split(content, chr(10)), 1,
+         |           len(string_split(content, chr(10)))
+         |             - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END) AS ls
+         |  FROM code_files
+         |)
+         |SELECT doc_id,
+         |       CAST(len(ls) AS BIGINT) AS n_lines,
+         |       CAST(len(list_filter(ls, l ->
+         |         rtrim(l, $rtrimSet) LIKE '%.' OR rtrim(l, $rtrimSet) LIKE '%!'
+         |         OR rtrim(l, $rtrimSet) LIKE '%?'
+         |         OR rtrim(l, $rtrimSet) LIKE '%”')) AS BIGINT) AS n_terminal_lines,
+         |       CAST(len(list_filter(ls, l ->
+         |         rtrim(l, $rtrimSet) LIKE '%...' OR rtrim(l, $rtrimSet) LIKE '%…'))
+         |         AS BIGINT) AS n_ellipsis_lines,
+         |       CAST(list_sum(list_transform(ls, l ->
+         |         CASE WHEN ${nrm("l")} = '' THEN 0
+         |              ELSE len(string_split(${nrm("l")}, ' ')) END)) AS BIGINT)
+         |         AS sum_line_words
+         |FROM lines
+         |ORDER BY doc_id""".stripMargin,
+
+    "q04_exact_dedup" ->
+      s"""WITH $cte, $dupCorpusCte
+         |SELECT id, digest FROM (
+         |  SELECT id, sha256(content) AS digest,
+         |         row_number() OVER (PARTITION BY sha256(content) ORDER BY id) AS rn
+         |  FROM corpus)
+         |WHERE rn > 1
+         |ORDER BY id""".stripMargin,
+
+    "q05_dup_groups" ->
+      s"""WITH $cte, $dupCorpusCte
+         |SELECT sha256(content) AS digest, count(*) AS cnt
+         |FROM corpus GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY digest""".stripMargin,
+
+    "q06_ngram_jaccard" ->
+      s"""WITH $cte, $shingleCte, sizes AS (
+         |  SELECT id, count(*) AS sz FROM sh GROUP BY id
+         |), inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE inter * 2 >= sa.sz + sb.sz - inter
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q07_top_ngram" ->
+      s"""WITH $cte, $wordsCte, bi AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    list_slice(list_zip(ws, ws[2:]), 1, len(ws) - 1),
+         |    x -> x[1] || ' ' || x[2])) AS gram
+         |  FROM words WHERE len(ws) >= 2
+         |), c AS (
+         |  SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2
+         |)
+         |SELECT doc_id, gram AS top_bigram, CAST(cnt AS BIGINT) AS cnt FROM (
+         |  SELECT doc_id, gram, cnt,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY cnt DESC, gram ASC) AS rn
+         |  FROM c)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q08_pii_scrub" ->
+      s"""WITH $cte
+         |SELECT doc_id,
+         |       sha256(${Scrubber.scrubSql("content")}) AS scrubbed_digest,
+         |       CAST(length(${Scrubber.scrubSql("content")}) AS BIGINT)
+         |         AS scrubbed_len
+         |FROM code_files
+         |ORDER BY doc_id""".stripMargin,
+
+    "q09_ann_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         list_cosine_similarity(e.vec, q.qvec) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's input table per BASELINE input_hint:
+  * `(repo, path, commit, lang, content)` — an Iceberg-shaped corpus of
+  * source-code files. In this sandbox it is synthesized deterministically
+  * from the driver-generated `documents.parquet` (TESTDATA.md); the
+  * enrichment below injects the constructs the reference's signals exist
+  * for (lines, punctuation, PII-looking strings, lorem ipsum, ellipses) so
+  * every operator has non-degenerate inputs. The SQL twin `oracleCte`
+  * builds the byte-identical table in DuckDB for the driver's oracle.
+  */
+object CodeFiles {
+
+  /** Spark-side view. Pure Column expressions — fully Catalyst-visible. */
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id"),
+      col("source").as("repo"),
+      concat(lit("src/"), col("lang"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
+      sha2(col("doc_id").cast("string"), 256).as("commit"),
+      col("lang"),
+      enrich(col("doc_id"), col("text")).as("content")
+    )
+  }
+
+  /** Deterministic content enrichment; MUST stay in lock-step with
+    * `enrichSql`. ASCII-only so DuckDB's lack of NFD can't matter.
+    */
+  private def enrich(docId: org.apache.spark.sql.Column,
+                     text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      lit("\nContact user"), docId, lit("@example.org or 10."),
+      docId % 200, lit(".0."), docId % 250, lit(" or call 555-"),
+      (docId % 9000) + 1000, lit(" for details.\n"),
+      when(docId % 7 === 0, lit("{ lorem ipsum dolor sit }"))
+        .otherwise(lit("A clean line of prose.")),
+      when(docId % 11 === 0, lit("\nto be continued...")).otherwise(lit("")),
+      lit("\n")
+    )
+
+  /** DuckDB CTE producing the identical table. Interpolate into oracle SQL
+    * as `WITH $codeFilesCte SELECT ...`.
+    */
+  val oracleCte: String =
+    """code_files AS (
+      |  SELECT doc_id,
+      |         source AS repo,
+      |         'src/' || lang || '/doc_' || doc_id || '.txt' AS path,
+      |         sha256(CAST(doc_id AS VARCHAR)) AS commit,
+      |         lang,
+      |         text ||
+      |           chr(10) || 'Contact user' || doc_id || '@example.org or 10.' ||
+      |           (doc_id % 200) || '.0.' || (doc_id % 250) || ' or call 555-' ||
+      |           ((doc_id % 9000) + 1000) || ' for details.' || chr(10) ||
+      |           CASE WHEN doc_id % 7 = 0 THEN '{ lorem ipsum dolor sit }'
+      |                ELSE 'A clean line of prose.' END ||
+      |           CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...'
+      |                ELSE '' END ||
+      |           chr(10) AS content
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB expression for the reference normalization of an ASCII column:
+    * remove ASCII punctuation, lowercase, strip, squash whitespace. (NFD is
+    * a no-op on ASCII; the exact unicode path lives in graft.text.)
+    */
+  def normSql(colName: String): String =
+    s"trim(regexp_replace(translate(lower($colName), " +
+      "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~', ''), '\\s+', ' ', 'g'))"
+}

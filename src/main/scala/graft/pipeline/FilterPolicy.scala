@@ -1,0 +1,70 @@
+package graft.pipeline
+
+/** Frozen keep/drop thresholds — the acceptance spec (SURVEY.md §7.1.2).
+  * Gopher rules (Rae et al. 2021, Table A1 — the signals' cited source,
+  * reference README.md:182-206) + C4 rules (Raffel et al. 2020). The
+  * reference computes signals and defers thresholding to consumers; these
+  * published rule sets are the semantics its signal suite was built for.
+  */
+final case class FilterThresholds(
+  minWordCount: Long = 50,
+  maxWordCount: Long = 100000,
+  minMeanWordLength: Double = 3.0,
+  maxMeanWordLength: Double = 10.0,
+  maxSymbolToWordRatio: Double = 0.1,
+  maxEllipsisLineFraction: Double = 0.3,
+  maxNoAlphFraction: Double = 0.2,   // ≥80% of words must contain a letter
+  minStopWordHits: Long = 2,         // Gopher: ≥2 stop words in the doc
+  maxTop2GramFraction: Double = 0.20,
+  maxTop3GramFraction: Double = 0.18,
+  maxTop4GramFraction: Double = 0.16,
+  maxDupe5GramFraction: Double = 0.15,
+  maxDupe6GramFraction: Double = 0.14,
+  maxDupe7GramFraction: Double = 0.13,
+  maxDupe8GramFraction: Double = 0.12,
+  maxDupe9GramFraction: Double = 0.11,
+  maxDupe10GramFraction: Double = 0.10,
+  // C4
+  maxLoremIpsum: Double = 0.0,
+  maxCurlyBracket: Double = 0.0,
+  maxJavascriptLines: Double = 0.0,
+  maxLdnoobwWords: Double = 0.0
+)
+
+object FilterPolicy {
+  val Default: FilterThresholds = FilterThresholds()
+
+  /** Evaluate in a fixed order; the first failing rule names the
+    * drop_reason (metrics-table convention). Empty reason = kept.
+    */
+  def evaluate(s: DocStats, t: FilterThresholds = Default): (Boolean, String) = {
+    def fail(reason: String): (Boolean, String) = (false, reason)
+    if (s.word_count < t.minWordCount || s.word_count > t.maxWordCount)
+      return fail("word_count")
+    val mwl = s.rps_doc_mean_word_length.getOrElse(0.0)
+    if (mwl < t.minMeanWordLength || mwl > t.maxMeanWordLength)
+      return fail("mean_word_length")
+    if (s.rps_doc_symbol_to_word_ratio.exists(_ > t.maxSymbolToWordRatio))
+      return fail("symbol_to_word_ratio")
+    if (s.rps_doc_frac_lines_end_with_ellipsis.exists(_ > t.maxEllipsisLineFraction))
+      return fail("ellipsis_lines")
+    if (s.rps_doc_frac_no_alph_words.exists(_ > t.maxNoAlphFraction))
+      return fail("no_alph_words")
+    if (s.n_stop_words_norm < t.minStopWordHits)
+      return fail("stop_words")
+    if (s.rps_doc_frac_chars_top_2gram > t.maxTop2GramFraction) return fail("top_2gram")
+    if (s.rps_doc_frac_chars_top_3gram > t.maxTop3GramFraction) return fail("top_3gram")
+    if (s.rps_doc_frac_chars_top_4gram > t.maxTop4GramFraction) return fail("top_4gram")
+    if (s.rps_doc_frac_chars_dupe_5grams > t.maxDupe5GramFraction) return fail("dupe_5grams")
+    if (s.rps_doc_frac_chars_dupe_6grams > t.maxDupe6GramFraction) return fail("dupe_6grams")
+    if (s.rps_doc_frac_chars_dupe_7grams > t.maxDupe7GramFraction) return fail("dupe_7grams")
+    if (s.rps_doc_frac_chars_dupe_8grams > t.maxDupe8GramFraction) return fail("dupe_8grams")
+    if (s.rps_doc_frac_chars_dupe_9grams > t.maxDupe9GramFraction) return fail("dupe_9grams")
+    if (s.rps_doc_frac_chars_dupe_10grams > t.maxDupe10GramFraction) return fail("dupe_10grams")
+    if (s.rps_doc_lorem_ipsum > t.maxLoremIpsum) return fail("lorem_ipsum")
+    if (s.rps_doc_curly_bracket > t.maxCurlyBracket) return fail("curly_bracket")
+    if (s.rps_lines_javascript_count_total > t.maxJavascriptLines) return fail("javascript")
+    if (s.rps_doc_ldnoobw_words > t.maxLdnoobwWords) return fail("toxicity")
+    (true, "")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.scrub.Scrubber
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The flagship job (north rule): corpus scan → fused signal pass →
+  * Gopher/C4 keep/drop with drop_reason → PII scrub → output rows carrying
+  * the per-row sha256 invariant. One shuffle-free distributed pass; the
+  * write side (snapshot catalog, lineage/metrics tables) lives in
+  * CorpusCatalog.
+  *
+  * Spark shape per SURVEY.md §3.1: read → salted repartition (skew defuse,
+  * only when writing) → mapPartitions(Document + all signals once) →
+  * keep/drop → scrub → sinks.
+  */
+object QualityFilterJob {
+
+  /** Signals + decision + scrub for one corpus directory. */
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val files = CodeFiles(spark, sfDir).as[CodeFile]
+    decide(spark, files.toDF())
+  }
+
+  /** Same pipeline over an arbitrary (doc_id, repo, path, commit, lang,
+    * content) DataFrame.
+    */
+  def decide(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decided = files.as[CodeFile].mapPartitions { it =>
+      it.map { cf =>
+        val st = SignalPass.compute(cf)
+        val (keep, reason) = FilterPolicy.evaluate(st)
+        val scrubbed = if (keep) Scrubber.scrub(cf.content) else ""
+        (cf.doc_id, cf.repo, cf.path, cf.lang, keep, reason,
+          st.word_count, st.n_tokens, scrubbed)
+      }
+    }.toDF("doc_id", "repo", "path", "lang", "keep", "drop_reason",
+      "word_count", "n_tokens", "scrubbed")
+    decided
+      .withColumn("scrubbed_digest",
+        when(col("keep"), sha2(col("scrubbed"), 256)).otherwise(lit(null)))
+      .drop("scrubbed")
+  }
+}

@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import graft.signals.{Doc, Signals}
+import graft.text.{NGrams, PyCompat}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One input row of the corpus (BASELINE input_hint shape + doc_id). */
+final case class CodeFile(doc_id: Long, repo: String, path: String,
+                          commit: String, lang: String, content: String)
+
+/** Everything the engine derives from one document in a single fused pass.
+  * Integer counts power the SQL-oracle queries (hash-exact across engines);
+  * the doubles are the reference-exact signals (worker.py's 45-signal set)
+  * that drive FilterPolicy.
+  *
+  * Mirrors the reference's precompute-once Document design
+  * (core/document.py:49-107): Catalyst cannot CSE across 30 independent
+  * UDFs, so all signals are computed from one `Doc` inside one
+  * mapPartitions — the only UDF island the north rule allows.
+  */
+final case class DocStats(
+  doc_id: Long, repo: String, path: String, lang: String,
+  // integer facts (exact, SQL-checkable)
+  n_chars: Long,
+  word_count: Long,
+  n_unique_words: Long,
+  sum_word_chars: Long,
+  n_raw_words: Long,
+  n_lines: Long,
+  n_terminal_lines: Long,
+  n_ellipsis_lines: Long,
+  sum_line_words: Long,
+  n_curly: Long,
+  n_lorem: Long,
+  n_stop_words_norm: Long,
+  n_tokens: Long,
+  n_sentences: Long,
+  n_alpha_words: Long,
+  n_all_caps_words: Long,
+  // reference-exact doubles (round8, null semantics as in the reference)
+  rps_doc_word_count: Double,
+  rps_doc_mean_word_length: Option[Double],
+  rps_doc_frac_unique_words: Option[Double],
+  rps_doc_unigram_entropy: Option[Double],
+  rps_doc_frac_all_caps_words: Option[Double],
+  rps_doc_frac_no_alph_words: Option[Double],
+  rps_doc_symbol_to_word_ratio: Option[Double],
+  rps_doc_frac_lines_end_with_ellipsis: Option[Double],
+  rps_doc_stop_word_fraction: Double,
+  rps_doc_ldnoobw_words: Double,
+  rps_doc_lorem_ipsum: Double,
+  rps_doc_curly_bracket: Double,
+  rps_doc_num_sentences: Double,
+  rps_doc_frac_chars_top_2gram: Double,
+  rps_doc_frac_chars_top_3gram: Double,
+  rps_doc_frac_chars_top_4gram: Double,
+  rps_doc_frac_chars_dupe_5grams: Double,
+  rps_doc_frac_chars_dupe_6grams: Double,
+  rps_doc_frac_chars_dupe_7grams: Double,
+  rps_doc_frac_chars_dupe_8grams: Double,
+  rps_doc_frac_chars_dupe_9grams: Double,
+  rps_doc_frac_chars_dupe_10grams: Double,
+  rps_lines_javascript_count_total: Double
+)
+
+object SignalPass {
+
+  /** Default English stop words used by the RAW-word stop fraction signal
+    * (reference loads per-language lists, utils/stop_words.py; ours is a
+    * pinned subset — the list is a parameter of the engine, not a semantic).
+    */
+  val StopWords: Set[String] = Set(
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "was", "are",
+    "or", "from", "but", "not", "have", "has", "had", "they", "you", "we")
+
+  /** Pinned toxicity blocklist (LDNOOBW-shaped; content.py:49-100 counts
+    * doc n-grams present in the set). Parameterizable per language.
+    */
+  val BlockWords: Set[String] = Set(
+    "badword", "damnword", "obscene phrase", "slurword", "nsfw token")
+
+  /** BPE-ish token pattern shared with the SQL oracle: ASCII letter runs,
+    * digit runs, single non-alnum-non-space chars.
+    */
+  private val TokenPattern =
+    java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  def countTokens(s: String): Int = {
+    val m = TokenPattern.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  def compute(cf: CodeFile,
+              stopWords: Set[String] = StopWords,
+              blockWords: Set[String] = BlockWords): DocStats = {
+    val doc = new Doc(cf.content)
+    val nw = doc.normalizedWords
+    val rawLines = doc.rawLines
+
+    var terminal = 0L
+    var ellipsis = 0L
+    rawLines.foreach { l =>
+      val t = PyCompat.stripRight(l.text)
+      if (t.endsWith(".") || t.endsWith("!") || t.endsWith("?") || t.endsWith("”"))
+        terminal += 1
+      if (t.endsWith("...") || t.endsWith("…")) ellipsis += 1
+    }
+    var sumLineWords = 0L
+    doc.normalizedLines.foreach(l => sumLineWords += PyCompat.split(l.text).length)
+
+    val unique = {
+      val s = scala.collection.mutable.Set.empty[String]
+      nw.foreach(s += _)
+      s.size
+    }
+    var stopNorm = 0L
+    nw.foreach(w => if (stopWords.contains(w)) stopNorm += 1)
+    var alphaWords = 0L
+    var allCaps = 0L
+    doc.rawWords.foreach { w =>
+      var i = 0
+      var found = false
+      while (i < w.length && !found) {
+        val c = w.charAt(i)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) found = true
+        i += 1
+      }
+      if (found) alphaWords += 1
+      if (PyCompat.isUpperString(w)) allCaps += 1
+    }
+
+    DocStats(
+      doc_id = cf.doc_id, repo = cf.repo, path = cf.path, lang = cf.lang,
+      n_chars = doc.length.toLong,
+      word_count = nw.length.toLong,
+      n_unique_words = unique.toLong,
+      sum_word_chars = doc.normalizedWordChars,
+      n_raw_words = doc.numRawWords.toLong,
+      n_lines = rawLines.length.toLong,
+      n_terminal_lines = terminal,
+      n_ellipsis_lines = ellipsis,
+      sum_line_words = sumLineWords,
+      n_curly = (PyCompat.countOf(cf.content, '{') + PyCompat.countOf(cf.content, '}')).toLong,
+      n_lorem = PyCompat.countOf(doc.normalizedContent, "lorem ipsum").toLong,
+      n_stop_words_norm = stopNorm,
+      n_tokens = countTokens(cf.content).toLong,
+      n_sentences = Signals.numSentences(doc).toLong,
+      n_alpha_words = alphaWords,
+      n_all_caps_words = allCaps,
+      rps_doc_word_count = Signals.wordCount(doc),
+      rps_doc_mean_word_length = Signals.meanWordLength(doc),
+      rps_doc_frac_unique_words = Signals.fracUniqueWords(doc),
+      rps_doc_unigram_entropy = Signals.unigramEntropy(doc),
+      rps_doc_frac_all_caps_words = Signals.fracAllCapsWords(doc),
+      rps_doc_frac_no_alph_words = Signals.fracNoAlphWords(doc),
+      rps_doc_symbol_to_word_ratio = Signals.symbolToWordRatio(doc),
+      rps_doc_frac_lines_end_with_ellipsis = Signals.fracLinesEndWithEllipsis(doc),
+      rps_doc_stop_word_fraction = Signals.stopWordFraction(doc, stopWords),
+      rps_doc_ldnoobw_words = Signals.ldnoobwWords(doc, blockWords),
+      rps_doc_lorem_ipsum = Signals.loremIpsum(doc),
+      rps_doc_curly_bracket = Signals.curlyBracket(doc),
+      rps_doc_num_sentences = Signals.numSentences(doc),
+      rps_doc_frac_chars_top_2gram = Signals.fracCharsInTopNgram(doc, 2),
+      rps_doc_frac_chars_top_3gram = Signals.fracCharsInTopNgram(doc, 3),
+      rps_doc_frac_chars_top_4gram = Signals.fracCharsInTopNgram(doc, 4),
+      rps_doc_frac_chars_dupe_5grams = Signals.fracCharsInDupeNgrams(doc, 5),
+      rps_doc_frac_chars_dupe_6grams = Signals.fracCharsInDupeNgrams(doc, 6),
+      rps_doc_frac_chars_dupe_7grams = Signals.fracCharsInDupeNgrams(doc, 7),
+      rps_doc_frac_chars_dupe_8grams = Signals.fracCharsInDupeNgrams(doc, 8),
+      rps_doc_frac_chars_dupe_9grams = Signals.fracCharsInDupeNgrams(doc, 9),
+      rps_doc_frac_chars_dupe_10grams = Signals.fracCharsInDupeNgrams(doc, 10),
+      rps_lines_javascript_count_total =
+        Signals.linesJavascriptCounts(doc).flatMap(_.score).sum
+    )
+  }
+
+  /** The fused signal pass: one Document per row, all signals in one go.
+    * No shuffle; parallelism = input partitions. At 100 TB this is the
+    * embarrassingly-parallel stage — scale comes from input splits.
+    */
+  def stats(files: Dataset[CodeFile]): Dataset[DocStats] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(cf => compute(cf)))
+  }
+
+  def statsFromDir(spark: SparkSession, sfDir: String): Dataset[DocStats] = {
+    import spark.implicits._
+    stats(CodeFiles(spark, sfDir).as[CodeFile])
+  }
+}

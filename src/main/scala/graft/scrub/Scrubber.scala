@@ -1,0 +1,38 @@
+package graft.scrub
+
+/** Deterministic regex PII masking. The reference lists `scrubadub` in
+  * requirements.txt:13 but never imports it (verified by grep — SURVEY.md
+  * header); the scrub stage is therefore spec'd here and pinned by per-row
+  * sha256 golden tests, per the north rule.
+  *
+  * Patterns are RE2-compatible (no lookaround/backrefs) so the DuckDB
+  * oracle can execute the identical scrub; application order is part of
+  * the spec: email → ipv4 → phone.
+  */
+object Scrubber {
+  final val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  final val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  final val EmailTag = "<EMAIL>"
+  final val IpTag = "<IP>"
+  final val PhoneTag = "<PHONE>"
+
+  private val email = java.util.regex.Pattern.compile(EmailPattern)
+  private val ipv4 = java.util.regex.Pattern.compile(Ipv4Pattern)
+  private val phone = java.util.regex.Pattern.compile(PhonePattern)
+
+  def scrub(s: String): String = {
+    var t = email.matcher(s).replaceAll(EmailTag)
+    t = ipv4.matcher(t).replaceAll(IpTag)
+    t = phone.matcher(t).replaceAll(PhoneTag)
+    t
+  }
+
+  /** The identical scrub as a DuckDB SQL expression over `col`. */
+  def scrubSql(col: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($col, " +
+      s"'$EmailPattern', '$EmailTag', 'g'), " +
+      s"'$Ipv4Pattern', '$IpTag', 'g'), " +
+      s"'$PhonePattern', '$PhoneTag', 'g')"
+}

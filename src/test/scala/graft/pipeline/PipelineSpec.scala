@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkEntry
+import graft.scrub.Scrubber
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-layer smoke + invariants on the deterministic sf0.001 testdata. */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("entry() produces rows with keep/drop + scrubbed digest") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"policy should split the corpus, kept=$kept")
+    // every kept row carries a 64-hex sha256 of the scrubbed content
+    rows.filter(_.getAs[Boolean]("keep")).foreach { r =>
+      assert(r.getAs[String]("scrubbed_digest").matches("[0-9a-f]{64}"))
+    }
+    // every dropped row names its reason
+    rows.filterNot(_.getAs[Boolean]("keep")).foreach { r =>
+      assert(r.getAs[String]("drop_reason").nonEmpty)
+    }
+  }
+
+  test("exact dedup finds exactly the injected duplicates at sf0.001") {
+    val dups = SparkEntry.queries("q04_exact_dedup")(spark, sfDir).collect()
+    // ids ≡3 (mod 10) are duplicated with offset 100000; the copy (higher
+    // id) is always the flagged row
+    assert(dups.nonEmpty)
+    assert(dups.forall(_.getAs[Long]("id") >= 100000))
+    assert(dups.length == 50)
+  }
+
+  test("ngram jaccard flags every injected near-duplicate pair") {
+    val pairs = SparkEntry.queries("q06_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = (0 until 500).filter(_ % 10 == 7)
+      .map(i => (i.toLong, i + 100000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing ${(expected -- pairs).take(5)}")
+  }
+
+  test("scrubber masks all injected PII") {
+    val s = "mail user7@example.org or 10.1.0.2 or call 555-1234 end"
+    assert(Scrubber.scrub(s) == "mail <EMAIL> or <IP> or call <PHONE> end")
+    // idempotence: scrubbing scrubbed text is a no-op
+    assert(Scrubber.scrub(Scrubber.scrub(s)) == Scrubber.scrub(s))
+  }
+
+  test("quality filter: drop reasons are the expected ones") {
+    val reasons = SparkEntry.queries("q02_quality_filter")(spark, sfDir)
+      .collect().map(_.getAs[String]("drop_reason")).toSet
+    assert(reasons.contains("")) // some kept
+    // injected lorem ipsum (doc_id % 7 == 0) must surface as a reason
+    assert(reasons.contains("lorem_ipsum") || reasons.contains("word_count"))
+  }
+}
