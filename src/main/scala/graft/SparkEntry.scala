@@ -47,6 +47,24 @@ object SparkEntry {
     }.toDF("id", "shingle")
   }
 
+  /** (id, normalized words) with near-duplicate variants injected —
+    * shared input for minhash-LSH and simhash.
+    */
+  private def variantWords(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[String])] = {
+    import s.implicits._
+    val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+    val withVariants = cf
+      .unionAll(cf.filter(col("id") % 10 === 7)
+        .select((col("id") + 100000).as("id"),
+          concat(col("content"), lit(" extra trailing token")).as("content")))
+      .unionAll(cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 200000).as("id"), col("content")))
+    withVariants.as[(Long, String)].map { case (id, content) =>
+      (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(content)))
+    }
+  }
+
   private val statsCols = Seq(
     "doc_id", "n_chars", "word_count", "n_unique_words", "sum_word_chars",
     "n_stop_words_norm", "n_tokens")
@@ -177,6 +195,21 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
         .orderBy("query_id", "rank")
+    }),
+
+    // D1-D6 MinHash+LSH fuzzy dedup → connected components → clusters
+    // (non-SQL-expressible: driver records rows-only; invariants pinned in
+    // DedupeSpec/PipelineSpec)
+    "q10_lsh_clusters" -> ((s, dir) => {
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      graft.dedupe.Lsh.clusters(variantWords(s, dir), hasher, 0.7)
+        .orderBy("id")
+    }),
+
+    // SimHash near-dup candidate pairs (banded) verified by hamming ≤ 3
+    "q11_simhash_pairs" -> ((s, dir) => {
+      graft.dedupe.SimHash.nearDuplicates(variantWords(s, dir), 3)
+        .orderBy("id_a", "id_b")
     })
   )
 

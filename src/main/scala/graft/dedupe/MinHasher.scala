@@ -1,0 +1,157 @@
+package graft.dedupe
+
+import graft.text.NGrams
+import graft.util.SplitMix64
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** MinHash with the reference's exact arithmetic
+  * (dedupe/utils.py:73-121, dedupe/minhash.py):
+  *
+  *   - shingles = distinct `ngramSize`-word n-grams joined by spaces
+  *   - h = sha1_hash32(shingle utf8) — first 4 bytes of sha1, little-endian
+  *   - per permutation k: ((a_k * h + b_k) mod 2^64) mod (2^61-1), masked
+  *     to 32 bits. NB numpy uint64 arithmetic WRAPS mod 2^64 before the
+  *     mersenne reduction — Long two's-complement reproduces this exactly.
+  *   - signature = column-wise min, uint32 per permutation
+  *   - bands: r consecutive values per band, each serialized big-endian
+  *     (`.byteswap().data`, minhash.py:87-95)
+  *
+  * Permutations: the reference seeds numpy RandomState (not portable); we
+  * pin our own SplitMix64 stream (SURVEY.md D1) and log a sha256 checksum
+  * of the permutation matrix like worker.py:103-104.
+  */
+final class MinHasher(
+    val numPermutations: Int = 128,
+    val ngramSize: Int = 13,
+    val seed: Long = 42L) extends Serializable {
+
+  import MinHasher._
+
+  /** a ∈ [1, p), b ∈ [0, p) per permutation, a-array then b-array. */
+  val (permA, permB): (Array[Long], Array[Long]) = {
+    val rng = new SplitMix64(seed)
+    val a = Array.fill(numPermutations)(1L + rng.nextBounded(MersennePrime - 1))
+    val b = Array.fill(numPermutations)(rng.nextBounded(MersennePrime))
+    (a, b)
+  }
+
+  /** sha256 of the permutation matrix bytes (operational invariant). */
+  lazy val checksum: String = {
+    val bb = java.nio.ByteBuffer.allocate(numPermutations * 16)
+    permA.foreach(bb.putLong)
+    permB.foreach(bb.putLong)
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(bb.array()).map("%02x".format(_)).mkString
+  }
+
+  /** Raw 128-value signature, or null when fewer than ngramSize words
+    * (minhash.py:83-84 returns None signatures).
+    */
+  def signature(words: Array[String]): Array[Int] = {
+    if (words.length < ngramSize) return null
+    val mins = Array.fill(numPermutations)(MaxHash)
+    val seen = new java.util.HashSet[String]()
+    NGrams.foreachNGram(words, ngramSize) { (_, shingle) =>
+      if (seen.add(shingle)) {
+        val h = sha1Hash32(shingle)
+        var k = 0
+        while (k < numPermutations) {
+          // uint64 wrap then mersenne mod then 32-bit mask — numpy parity
+          val phv = java.lang.Long.remainderUnsigned(
+            permA(k) * h + permB(k), MersennePrime) & MaxHash
+          if (phv < mins(k)) mins(k) = phv
+          k += 1
+        }
+      }
+    }
+    mins.map(_.toInt) // values are ≤ 0xFFFFFFFF; stored as raw uint32 bits
+  }
+
+  /** Band byte-arrays for one threshold's (b, r): big-endian uint32s. */
+  def bands(sig: Array[Int], numBands: Int, rows: Int): Array[Array[Byte]] = {
+    if (sig == null) return null
+    val out = new Array[Array[Byte]](numBands)
+    var bIdx = 0
+    while (bIdx < numBands) {
+      val bytes = new Array[Byte](rows * 4)
+      var r = 0
+      while (r < rows) {
+        val v = sig(bIdx * rows + r)
+        bytes(r * 4) = (v >>> 24).toByte
+        bytes(r * 4 + 1) = (v >>> 16).toByte
+        bytes(r * 4 + 2) = (v >>> 8).toByte
+        bytes(r * 4 + 3) = v.toByte
+        r += 1
+      }
+      out(bIdx) = bytes
+      bIdx += 1
+    }
+    out
+  }
+}
+
+object MinHasher {
+  final val MersennePrime: Long = (1L << 61) - 1
+  final val MaxHash: Long = (1L << 32) - 1
+
+  /** First 4 bytes of sha1(utf8), little-endian unsigned
+    * (dedupe/utils.py:57-71 `struct.unpack("<I", ...)`).
+    */
+  def sha1Hash32(s: String): Long = {
+    val md = MessageDigest.getInstance("SHA-1")
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    (d(0) & 0xFFL) | (d(1) & 0xFFL) << 8 | (d(2) & 0xFFL) << 16 |
+      (d(3) & 0xFFL) << 24
+  }
+
+  /** The reference's published band/row choices per similarity threshold
+    * (README.md:209-212; validated against OptimalParam in tests).
+    */
+  val BandsRows: Map[Double, (Int, Int)] = Map(
+    0.7 -> (14, 9), 0.8 -> (9, 13), 0.9 -> (5, 25), 1.0 -> (1, 128))
+}
+
+/** `optimal_param` — choose (b, r) minimizing weighted FP+FN probability
+  * via numeric integration of the LSH S-curves (dedupe/utils.py:15-54,
+  * adapted from datasketch). Trapezoidal integration replaces scipy quad;
+  * resolution is ample for the discrete argmin.
+  */
+object OptimalParam {
+  private def integrate(f: Double => Double, a: Double, b: Double): Double = {
+    val n = 2000
+    val h = (b - a) / n
+    var s = (f(a) + f(b)) / 2
+    var i = 1
+    while (i < n) { s += f(a + i * h); i += 1 }
+    s * h
+  }
+
+  def falsePositive(threshold: Double, b: Int, r: Int): Double =
+    integrate(s => 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble),
+      0.0, threshold)
+
+  def falseNegative(threshold: Double, b: Int, r: Int): Double =
+    integrate(s => 1.0 - (1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)),
+      threshold, 1.0)
+
+  def apply(threshold: Double, numPerm: Int,
+            fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    var minError = Double.MaxValue
+    var opt = (0, 0)
+    var b = 1
+    while (b <= numPerm) {
+      val maxR = numPerm / b
+      var r = 1
+      while (r <= maxR) {
+        val err = falsePositive(threshold, b, r) * fpWeight +
+          falseNegative(threshold, b, r) * fnWeight
+        if (err < minError) { minError = err; opt = (b, r) }
+        r += 1
+      }
+      b += 1
+    }
+    opt
+  }
+}

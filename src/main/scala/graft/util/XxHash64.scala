@@ -1,0 +1,106 @@
+package graft.util
+
+/** XXH64 — public algorithm (Yann Collet, BSD), implemented from the public
+  * spec. Used for DSIR feature hashing and SimHash (SURVEY.md §7.4 pins
+  * xxhash64 as the portable substitute for CPython's PYTHONHASHSEED-bound
+  * `hash()`, utils/dsir.py:5-7).
+  */
+object XxHash64 {
+  private final val P1 = -7046029288634856825L // 11400714785074694791
+  private final val P2 = -4417276706812531889L // 14029467366897019727
+  private final val P3 = 1609587929392839161L
+  private final val P4 = -8796714831421723037L // 9650029242287828579
+  private final val P5 = 2870177450012600261L
+
+  def hash(data: Array[Byte], seed: Long = 0L): Long = {
+    val len = data.length
+    var h: Long = 0L
+    var i = 0
+    if (len >= 32) {
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      while (i <= len - 32) {
+        v1 = round(v1, getLong(data, i))
+        v2 = round(v2, getLong(data, i + 8))
+        v3 = round(v3, getLong(data, i + 16))
+        v4 = round(v4, getLong(data, i + 24))
+        i += 32
+      }
+      h = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      h = mergeRound(h, v1); h = mergeRound(h, v2)
+      h = mergeRound(h, v3); h = mergeRound(h, v4)
+    } else {
+      h = seed + P5
+    }
+    h += len
+    while (i <= len - 8) {
+      h ^= round(0L, getLong(data, i))
+      h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+      i += 8
+    }
+    if (i <= len - 4) {
+      h ^= (getInt(data, i) & 0xFFFFFFFFL) * P1
+      h = java.lang.Long.rotateLeft(h, 23) * P2 + P3
+      i += 4
+    }
+    while (i < len) {
+      h ^= (data(i) & 0xFFL) * P5
+      h = java.lang.Long.rotateLeft(h, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 33
+    h *= P2
+    h ^= h >>> 29
+    h *= P3
+    h ^= h >>> 32
+    h
+  }
+
+  def hashString(s: String, seed: Long = 0L): Long =
+    hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  @inline private def round(acc: Long, input: Long): Long =
+    java.lang.Long.rotateLeft(acc + input * P2, 31) * P1
+
+  @inline private def mergeRound(acc: Long, v: Long): Long =
+    (acc ^ round(0L, v)) * P1 + P4
+
+  @inline private def getLong(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | (b(i + 1) & 0xFFL) << 8 | (b(i + 2) & 0xFFL) << 16 |
+      (b(i + 3) & 0xFFL) << 24 | (b(i + 4) & 0xFFL) << 32 |
+      (b(i + 5) & 0xFFL) << 40 | (b(i + 6) & 0xFFL) << 48 |
+      (b(i + 7) & 0xFFL) << 56
+
+  @inline private def getInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | (b(i + 1) & 0xFF) << 8 | (b(i + 2) & 0xFF) << 16 |
+      (b(i + 3) & 0xFF) << 24
+}
+
+/** SplitMix64 — public-domain seeded PRNG (Steele/Lea/Flood 2014). Our
+  * pinned permutation seed stream for MinHash (the reference uses numpy
+  * RandomState, minhash.py:35-57; SURVEY.md D1 allows pinning our own
+  * stream, checksum-logged).
+  */
+final class SplitMix64(seed: Long) {
+  private var state = seed
+
+  def nextLong(): Long = {
+    state += -7046029254386353131L // 0x9E3779B97F4A7C15
+    var z = state
+    z = (z ^ (z >>> 30)) * -4658895280553007687L // 0xBF58476D1CE4E5B9
+    z = (z ^ (z >>> 27)) * -7723592293110705685L // 0x94D049BB133111EB
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform in [0, bound) via rejection sampling (no modulo bias). */
+  def nextBounded(bound: Long): Long = {
+    require(bound > 0)
+    var r = nextLong() >>> 1 // non-negative 63-bit
+    val max = Long.MaxValue - (Long.MaxValue % bound)
+    while (r >= max) { r = nextLong() >>> 1 }
+    r % bound
+  }
+}

@@ -1,0 +1,84 @@
+package graft.dedupe
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MinHash/LSH unit goldens — pinned from an independent Python
+  * transliteration of the reference arithmetic (dedupe/utils.py,
+  * minhash.py) over our SplitMix64 permutation stream.
+  */
+class DedupeSpec extends AnyFunSuite {
+
+  private val hasher = new MinHasher(128, 13, 42L)
+
+  test("permutation stream and checksum are pinned") {
+    assert(hasher.permA.take(4).toSeq == Seq(
+      2228042747950249807L, 1474913046063446146L,
+      263798865017687980L, 868756020915433933L))
+    assert(hasher.permB.take(4).toSeq == Seq(
+      395595017899936898L, 81365011733266485L,
+      131121159007475838L, 1803790989549302143L))
+    assert(hasher.checksum ==
+      "cf407d0b11b79644ef83c8b1fdac86eddc82e8c704aa02f4ae55b507240f3700")
+  }
+
+  test("sha1_hash32 matches struct.unpack('<I', sha1[:4])") {
+    assert(MinHasher.sha1Hash32("a b c") == 2620604267L)
+  }
+
+  test("signature matches the Python transliteration") {
+    val words = Array.tabulate(20)(i => s"w$i")
+    val sig = hasher.signature(words)
+    assert(sig.take(8).map(_ & 0xFFFFFFFFL).toSeq == Seq(
+      1173715628L, 273927691L, 159310488L, 93281945L,
+      14766481L, 58089992L, 581169768L, 118391829L))
+    assert(sig.takeRight(4).map(_ & 0xFFFFFFFFL).toSeq == Seq(
+      1211176532L, 401321201L, 677703023L, 135361333L))
+  }
+
+  test("banding produces big-endian uint32 bytes") {
+    val words = Array.tabulate(20)(i => s"w$i")
+    val sig = hasher.signature(words)
+    val bands = hasher.bands(sig, 9, 13) // threshold 0.8
+    assert(bands.length == 9)
+    assert(bands(0).length == 52)
+    val hex = bands(0).take(16).map("%02x".format(_)).mkString
+    assert(hex == "45f57aac1053ce0b097ee298058f5e99")
+  }
+
+  test("short docs yield null signature (reference None semantics)") {
+    assert(hasher.signature(Array.tabulate(12)(i => s"w$i")) == null)
+  }
+
+  test("optimal_param reproduces the reference's published band choices") {
+    assert(OptimalParam(0.8, 128) == (9, 13))
+    assert(OptimalParam(0.9, 128) == (5, 25))
+    assert(OptimalParam(0.7, 128) == (14, 9))
+  }
+
+  test("signature agreement estimates jaccard (statistical)") {
+    val base = Array.tabulate(100)(i => s"tok$i")
+    val variant = base.dropRight(5) ++ Array.tabulate(5)(i => s"new$i")
+    val s1 = hasher.signature(base)
+    val s2 = hasher.signature(variant)
+    val agree = s1.zip(s2).count { case (a, b) => a == b } / 128.0
+    // true shingle jaccard: shared = 88-13+1... compute exactly
+    val sh1 = graft.text.NGrams.shingleSet(base, 13)
+    val sh2 = graft.text.NGrams.shingleSet(variant, 13)
+    val inter = sh1.intersect(sh2).size.toDouble
+    val uni = sh1.union(sh2).size.toDouble
+    val j = inter / uni
+    assert(math.abs(agree - j) < 0.12, s"estimate $agree vs true $j")
+  }
+
+  test("simhash: identical docs→0 hamming, near docs→small, far→large") {
+    val a = Array.tabulate(60)(i => s"tok$i")
+    val b = a.dropRight(2) ++ Array("x", "y")
+    val c = Array.tabulate(60)(i => s"other$i")
+    val fa = SimHash.fingerprint(a)
+    val fb = SimHash.fingerprint(b)
+    val fc = SimHash.fingerprint(c)
+    assert(java.lang.Long.bitCount(fa ^ fa) == 0)
+    assert(java.lang.Long.bitCount(fa ^ fb) < 12)
+    assert(java.lang.Long.bitCount(fa ^ fc) > 20)
+  }
+}

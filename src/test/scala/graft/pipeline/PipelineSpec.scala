@@ -62,6 +62,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Scrubber.scrub(Scrubber.scrub(s)) == Scrubber.scrub(s))
   }
 
+  test("lsh clusters put injected near- and exact-dup pairs together") {
+    val rows = SparkEntry.queries("q10_lsh_clusters")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // exact copies (J=1) must always co-cluster
+    (0 until 500).filter(_ % 10 == 3).foreach { i =>
+      val (a, b) = (rows.get(i.toLong), rows.get(i + 200000L))
+      assert(a.isDefined && a == b, s"exact pair $i not co-clustered")
+    }
+    // near-dups at threshold 0.7: a pair is owed detection when its true
+    // 13-shingle jaccard is ≥ the threshold's design point (short docs
+    // legitimately fall below). Detection P at J≥0.8 is ≥1-3e-7 per pair.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    (0 until 500).filter(_ % 10 == 7).foreach { i =>
+      // jaccard over the same 13-shingles LSH uses (base vs +3 tokens);
+      // the enrichment suffix is shared so compare enriched variants
+      val base = graft.text.PyCompat.split(graft.text.Normalizer.normalize(docs(i.toLong)))
+      val j = {
+        val a = graft.text.NGrams.shingleSet(base, 13)
+        val b = graft.text.NGrams.shingleSet(base ++ Array("x", "y", "z"), 13)
+        if (a.isEmpty) 0.0
+        else a.intersect(b).size.toDouble / a.union(b).size
+      }
+      if (j >= 0.8) {
+        val (x, y) = (rows.get(i.toLong), rows.get(i + 100000L))
+        assert(x.isDefined && x == y, s"pair $i (J≈$j) not co-clustered")
+      }
+    }
+  }
+
+  test("simhash pairs: exact dups always found; all results sound") {
+    val res = SparkEntry.queries("q11_simhash_pairs")(spark, sfDir).collect()
+    val pairs = res.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical docs → hamming 0 → guaranteed by any band
+    val expected = (0 until 500).filter(_ % 10 == 3)
+      .map(i => (i.toLong, i + 200000L)).toSet
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(5)}")
+    // soundness: the operator's own invariant
+    assert(res.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
   test("quality filter: drop reasons are the expected ones") {
     val reasons = SparkEntry.queries("q02_quality_filter")(spark, sfDir)
       .collect().map(_.getAs[String]("drop_reason")).toSet
