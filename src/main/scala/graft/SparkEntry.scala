@@ -210,6 +210,78 @@ object SparkEntry {
     "q11_simhash_pairs" -> ((s, dir) => {
       graft.dedupe.SimHash.nearDuplicates(variantWords(s, dir), 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // fastText-style language ID: broadcast model, batched inference in
+    // mapPartitions (the north rule's forced-UDF island; rows-only check)
+    "q12_langid" -> ((s, dir) => {
+      import s.implicits._
+      val model = s.sparkContext.broadcast(
+        graft.models.Artifacts.trainFor(s, dir).langId)
+      CodeFiles(s, dir).select(col("doc_id"), col("content"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = model.value
+          it.map { case (id, content) =>
+            val words = graft.text.PyCompat.split(
+              graft.text.Normalizer.normalize(content))
+            (id, m.predict(words).map(_._1).getOrElse(""))
+          }
+        }.toDF("doc_id", "pred_lang").orderBy("doc_id")
+    }),
+
+    // KenLM-style perplexity + head/middle/tail bucketing
+    "q13_perplexity" -> ((s, dir) => {
+      import s.implicits._
+      val models = graft.models.Artifacts.trainFor(s, dir)
+      val lm = s.sparkContext.broadcast(models.lm)
+      val cutoffs = models.pplCutoffs
+      CodeFiles(s, dir).select(col("doc_id"), col("content"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = lm.value
+          it.map { case (id, content) =>
+            val words = graft.text.PyCompat.split(
+              graft.text.Normalizer.normalize(content))
+            val ppl = m.perplexity(words).getOrElse(Double.NaN)
+            (id, math.round(ppl * 10000),
+              graft.models.Artifacts.bucketOf(ppl, cutoffs))
+          }
+        }.toDF("doc_id", "ppl_e4", "bucket").orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (xxhash64 features, Poisson length correction)
+    "q14_dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val dsir = s.sparkContext.broadcast(
+        graft.models.Artifacts.trainFor(s, dir).dsir)
+      CodeFiles(s, dir).select(col("doc_id"), col("content"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = dsir.value
+          it.map { case (id, content) =>
+            val raw = graft.text.WordPunct.tokenize(content)
+            (id, math.round(m.weight(raw) * 1e6),
+              math.round(m.weightLengthCorrected(raw) * 1e6))
+          }
+        }.toDF("doc_id", "weight_e6", "weight_lc_e6").orderBy("doc_id")
+    }),
+
+    // ML quality score with the reference's __label__cc flip
+    "q15_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val model = s.sparkContext.broadcast(
+        graft.models.Artifacts.trainFor(s, dir).quality)
+      CodeFiles(s, dir).select(col("doc_id"), col("content"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = model.value
+          it.map { case (id, content) =>
+            val words = graft.text.PyCompat.split(
+              graft.text.Normalizer.normalize(content))
+            (id, graft.models.Artifacts.qualityScore(m, words).getOrElse(-1.0))
+          }
+        }.toDF("doc_id", "ml_quality_score").orderBy("doc_id")
     })
   )
 

@@ -1,0 +1,86 @@
+package graft.models
+
+import graft.text.{Normalizer, PyCompat, WordPunct}
+import org.apache.spark.sql.SparkSession
+
+/** Artifact-prep stage (the reference's `prep_artifacts.py` — fastText
+  * models, DSIR hash distributions) re-expressed deterministically: train
+  * once driver-side on a seeded sample, broadcast to executors. At corpus
+  * scale the sample is a pushed-down filter (doc_id-hash sample), never a
+  * full collect; the trained models are megabytes.
+  */
+final case class Models(
+    langId: FastTextLite,
+    quality: FastTextLite,
+    lm: NGramLM,
+    pplCutoffs: (Double, Double), // head/middle and middle/tail perplexity
+    dsir: DsirModel) extends Serializable
+
+object Artifacts {
+
+  /** fastText label the quality score flips on (constants.py:2). */
+  final val CcLabel = "__label__cc"
+  final val HqLabel = "__label__hq"
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Models]()
+
+  /** Deterministic training corpus: the SAME enriched code_files rows the
+    * pipeline scores (models must be fit on the scored distribution —
+    * cutoffs from raw text would mis-bucket enriched content). Ordered by
+    * doc_id; 500 docs at every sf — a fixed-size artifact sample.
+    */
+  def trainFor(spark: SparkSession, sfDir: String): Models =
+    cache.computeIfAbsent(sfDir, _ => {
+      val rows = graft.pipeline.CodeFiles(spark, sfDir)
+        .select("doc_id", "content", "lang", "repo")
+        .orderBy("doc_id")
+        .collect()
+      val docs = rows.map { r =>
+        val text = r.getAs[String]("content")
+        (r.getAs[Long]("doc_id"), text, r.getAs[String]("lang"),
+          r.getAs[String]("repo"),
+          PyCompat.split(Normalizer.normalize(text)),
+          WordPunct.tokenize(text))
+      }
+
+      val langId = FastTextLite.train(
+        docs.map(d => (d._5, d._3)), dim = 16, epochs = 8, seed = 42L)
+
+      // binary quality model: deterministic stand-in targets (first half of
+      // sources = "high quality" pages, rest = common-crawl-like) — the
+      // flip semantics on CcLabel are what matters (classifiers.py:60-80)
+      val quality = FastTextLite.train(
+        docs.map(d => (d._5,
+          if (d._4.stripPrefix("src").toInt < 10) HqLabel else CcLabel)),
+        dim = 16, epochs = 8, seed = 43L)
+
+      val lm = NGramLM.train(docs.iterator.map(_._5))
+
+      val ppls = docs.flatMap(d => lm.perplexity(d._5)).sorted
+      val cutoffs =
+        if (ppls.isEmpty) (0.0, 0.0)
+        else (ppls((ppls.length / 3).min(ppls.length - 1)),
+          ppls((2 * ppls.length / 3).min(ppls.length - 1)))
+
+      val dsir = DsirModel.train(
+        target = docs.filter(_._3 == "en").map(_._6).toSeq,
+        source = docs.map(_._6).toSeq)
+
+      Models(langId, quality, lm, cutoffs, dsir)
+    })
+
+  /** head/middle/tail bucket from perplexity (worker.py:40-49 maps the
+    * upstream CCNet bucket; ours is derived from LM terciles).
+    */
+  def bucketOf(ppl: Double, cutoffs: (Double, Double)): String =
+    if (ppl <= cutoffs._1) "head" else if (ppl <= cutoffs._2) "middle" else "tail"
+
+  /** Quality score with the reference's CC flip: p(label) if argmax label
+    * is not __label__cc else 1-p; round8; None for empty docs
+    * (classifiers.py:60-80, utils/classifiers.py:4-15).
+    */
+  def qualityScore(model: FastTextLite, words: Array[String]): Option[Double] =
+    model.predict(words).map { case (label, p) =>
+      PyCompat.round8(if (label == CcLabel) 1.0 - p else p)
+    }
+}

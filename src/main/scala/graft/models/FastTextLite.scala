@@ -1,0 +1,182 @@
+package graft.models
+
+import graft.util.{SplitMix64, XxHash64}
+
+/** A linear bag-of-features text classifier reproducing fastText's
+  * *inference semantics* (hashed word + char-ngram features → mean
+  * embedding → linear → softmax) without the C++ dependency. The reference
+  * loads fastText .bin models and broadcasts them per worker
+  * (core/worker.py:96-215, classifiers.py:50-114); here the model is a flat
+  * serializable object we `broadcast`, trained by a seeded SGD so every
+  * artifact is reproducible from (data, seed).
+  */
+final class FastTextLite(
+    val labels: Array[String],
+    val dim: Int,
+    val buckets: Int,
+    val minn: Int,
+    val maxn: Int,
+    val embeddings: Array[Double], // buckets x dim
+    val output: Array[Double]      // labels x dim
+) extends Serializable {
+
+  import FastTextLite.features
+
+  /** Mean feature embedding → logits → softmax. Returns (label, prob) of
+    * the argmax, or None for featureless input.
+    */
+  def predict(words: Array[String]): Option[(String, Double)] = {
+    val probs = predictProbs(words)
+    if (probs == null) None
+    else {
+      var best = 0
+      var i = 1
+      while (i < probs.length) { if (probs(i) > probs(best)) best = i; i += 1 }
+      Some((labels(best), probs(best)))
+    }
+  }
+
+  def predictProbs(words: Array[String]): Array[Double] = {
+    val fs = features(words, buckets, minn, maxn)
+    if (fs.isEmpty) return null
+    val hidden = new Array[Double](dim)
+    fs.foreach { f =>
+      val off = f * dim
+      var d = 0
+      while (d < dim) { hidden(d) += embeddings(off + d); d += 1 }
+    }
+    var d = 0
+    while (d < dim) { hidden(d) /= fs.length; d += 1 }
+    val logits = new Array[Double](labels.length)
+    var c = 0
+    while (c < labels.length) {
+      var s = 0.0
+      var k = 0
+      while (k < dim) { s += output(c * dim + k) * hidden(k); k += 1 }
+      logits(c) = s
+      c += 1
+    }
+    softmax(logits)
+  }
+
+  private def softmax(z: Array[Double]): Array[Double] = {
+    var mx = z(0)
+    var i = 1
+    while (i < z.length) { if (z(i) > mx) mx = z(i); i += 1 }
+    var sum = 0.0
+    val out = new Array[Double](z.length)
+    i = 0
+    while (i < z.length) { out(i) = math.exp(z(i) - mx); sum += out(i); i += 1 }
+    i = 0
+    while (i < z.length) { out(i) /= sum; i += 1 }
+    out
+  }
+}
+
+object FastTextLite {
+
+  /** Hashed features: each word + its boundary-marked char n-grams
+    * (fastText convention: "<word>" substrings of length minn..maxn).
+    */
+  def features(words: Array[String], buckets: Int, minn: Int, maxn: Int): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    words.foreach { w =>
+      out += bucket(w, buckets)
+      if (maxn >= minn && minn > 0) {
+        val marked = "<" + w + ">"
+        var n = minn
+        while (n <= maxn) {
+          var i = 0
+          while (i + n <= marked.length) {
+            out += bucket(marked.substring(i, i + n), buckets)
+            i += 1
+          }
+          n += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def bucket(s: String, buckets: Int): Int =
+    ((XxHash64.hashString(s) % buckets + buckets) % buckets).toInt
+
+  /** Seeded softmax SGD. Deterministic for a fixed (examples order, seed).
+    * lr decays linearly to 0 over epochs (fastText default schedule).
+    */
+  def train(examples: Array[(Array[String], String)],
+            dim: Int = 16, buckets: Int = 1 << 12,
+            minn: Int = 2, maxn: Int = 4,
+            epochs: Int = 8, lr0: Double = 0.3,
+            seed: Long = 42L): FastTextLite = {
+    val labels = examples.map(_._2).distinct.sorted
+    val labelIdx = labels.zipWithIndex.toMap
+    val rng = new SplitMix64(seed)
+    def uniform(): Double = (rng.nextLong() >>> 11) * (1.0 / (1L << 53)) // [0,1)
+    val emb = Array.fill(buckets * dim)((uniform() * 2 - 1) / dim)
+    val out = new Array[Double](labels.length * dim)
+
+    val featCache = examples.map { case (ws, _) => features(ws, buckets, minn, maxn) }
+    val total = (epochs.toLong * examples.length).toDouble
+    var step = 0L
+    var e = 0
+    while (e < epochs) {
+      var i = 0
+      while (i < examples.length) {
+        val fs = featCache(i)
+        if (fs.nonEmpty) {
+          val y = labelIdx(examples(i)._2)
+          val lr = lr0 * (1.0 - step / total)
+          // forward
+          val hidden = new Array[Double](dim)
+          fs.foreach { f =>
+            val off = f * dim
+            var d = 0
+            while (d < dim) { hidden(d) += emb(off + d); d += 1 }
+          }
+          var d = 0
+          while (d < dim) { hidden(d) /= fs.length; d += 1 }
+          val logits = new Array[Double](labels.length)
+          var c = 0
+          while (c < labels.length) {
+            var s = 0.0
+            var k = 0
+            while (k < dim) { s += out(c * dim + k) * hidden(k); k += 1 }
+            logits(c) = s
+            c += 1
+          }
+          var mx = logits(0); c = 1
+          while (c < logits.length) { if (logits(c) > mx) mx = logits(c); c += 1 }
+          var z = 0.0; c = 0
+          val p = new Array[Double](labels.length)
+          while (c < logits.length) { p(c) = math.exp(logits(c) - mx); z += p(c); c += 1 }
+          c = 0
+          while (c < logits.length) { p(c) /= z; c += 1 }
+          // backward: grad_logits = p - onehot(y)
+          val gHidden = new Array[Double](dim)
+          c = 0
+          while (c < labels.length) {
+            val g = p(c) - (if (c == y) 1.0 else 0.0)
+            var k = 0
+            while (k < dim) {
+              gHidden(k) += g * out(c * dim + k)
+              out(c * dim + k) -= lr * g * hidden(k)
+              k += 1
+            }
+            c += 1
+          }
+          val scale = lr / fs.length
+          fs.foreach { f =>
+            val off = f * dim
+            var k = 0
+            while (k < dim) { emb(off + k) -= scale * gHidden(k); k += 1 }
+          }
+        }
+        step += 1
+        i += 1
+      }
+      e += 1
+    }
+    new FastTextLite(labels, dim, buckets, minn, maxn, emb, out)
+  }
+}

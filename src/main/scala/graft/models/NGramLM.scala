@@ -1,0 +1,148 @@
+package graft.models
+
+import scala.collection.mutable
+
+/** KenLM-style word n-gram language model with stupid backoff
+  * (Brants et al. 2007) — supplies the `ccnet_perplexity` /
+  * `ccnet_bucket` signals the reference passes through from upstream CCNet
+  * (worker.py:260-282). Trigram counts with backoff factor 0.4; perplexity
+  * = exp(-mean ln p). A laplace floor handles OOV.
+  */
+final class NGramLM(
+    val unigrams: Map[String, Int],
+    val bigrams: Map[String, Int],
+    val trigrams: Map[String, Int],
+    val totalUnigrams: Long,
+    val vocabSize: Int,
+    val backoff: Double = 0.4) extends Serializable {
+
+  import NGramLM.Sep
+
+  private def pUnigram(w: String): Double =
+    (unigrams.getOrElse(w, 0) + 1.0) / (totalUnigrams + vocabSize + 1.0)
+
+  private def p(w2: String, w1: String, w0: String): Double = {
+    val tri = trigrams.getOrElse(w2 + Sep + w1 + Sep + w0, 0)
+    if (tri > 0) {
+      tri.toDouble / bigrams(w2 + Sep + w1)
+    } else {
+      val bi = bigrams.getOrElse(w1 + Sep + w0, 0)
+      if (bi > 0) backoff * bi / unigrams(w1)
+      else backoff * backoff * pUnigram(w0)
+    }
+  }
+
+  def logProb(words: Array[String]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < words.length) {
+      val pi =
+        if (i == 0) pUnigram(words(0))
+        else if (i == 1) {
+          val bi = bigrams.getOrElse(words(0) + Sep + words(1), 0)
+          if (bi > 0) bi.toDouble / unigrams(words(0)) else backoff * pUnigram(words(1))
+        } else p(words(i - 2), words(i - 1), words(i))
+      s += math.log(pi)
+      i += 1
+    }
+    s
+  }
+
+  /** exp(-mean ln p); +inf-safe; None for empty docs. */
+  def perplexity(words: Array[String]): Option[Double] =
+    if (words.isEmpty) None
+    else Some(math.exp(-logProb(words) / words.length))
+}
+
+object NGramLM {
+  private[models] final val Sep: String = 1.toChar.toString
+
+  def train(corpus: Iterator[Array[String]], backoff: Double = 0.4): NGramLM = {
+    val uni = mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    val bi = mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    val tri = mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    var total = 0L
+    corpus.foreach { ws =>
+      var i = 0
+      while (i < ws.length) {
+        uni(ws(i)) += 1
+        total += 1
+        if (i >= 1) bi(ws(i - 1) + Sep + ws(i)) += 1
+        if (i >= 2) tri(ws(i - 2) + Sep + ws(i - 1) + Sep + ws(i)) += 1
+        i += 1
+      }
+    }
+    new NGramLM(uni.toMap, bi.toMap, tri.toMap, total, uni.size, backoff)
+  }
+}
+
+/** DSIR importance weights (Xie et al. 2023) — importance_weights.py:52-303:
+  * score = ⟨hashed uni+bigram counts, log(p_tgt+1e-8) − log(p_src+1e-8)⟩,
+  * optionally plus the Poisson length correction
+  * log Poisson(n|λ_tgt) − log Poisson(n|λ_src). Feature hashing uses
+  * xxhash64 instead of CPython's seed-bound hash() (documented deviation,
+  * SURVEY.md §7.4; utils/dsir.py:5-20).
+  */
+final class DsirModel(
+    val logRatio: Array[Double],
+    val lambdaTgt: Double,
+    val lambdaSrc: Double) extends Serializable {
+
+  def buckets: Int = logRatio.length
+
+  def weight(rawWords: Array[String]): Double = {
+    var s = 0.0
+    DsirModel.foreachFeature(rawWords, buckets)(b => s += logRatio(b))
+    s
+  }
+
+  /** log Poisson(n|λt) − log Poisson(n|λs) = n ln(λt/λs) − (λt−λs). */
+  def lengthCorrection(numWords: Int): Double =
+    numWords * math.log(lambdaTgt / lambdaSrc) - (lambdaTgt - lambdaSrc)
+
+  def weightLengthCorrected(rawWords: Array[String]): Double =
+    weight(rawWords) + lengthCorrection(rawWords.length)
+}
+
+object DsirModel {
+  /** abs(hash(gram)) % buckets with xxhash64 (utils/dsir.py:5-7 shape). */
+  @inline def bucketOf(gram: String, buckets: Int): Int =
+    ((graft.util.XxHash64.hashString(gram) & Long.MaxValue) % buckets).toInt
+
+  /** Uni+bigram features over RAW words (document.py:99-107). */
+  def foreachFeature(rawWords: Array[String], buckets: Int)(f: Int => Unit): Unit = {
+    var i = 0
+    while (i < rawWords.length) {
+      f(bucketOf(rawWords(i), buckets))
+      if (i >= 1) f(bucketOf(rawWords(i - 1) + " " + rawWords(i), buckets))
+      i += 1
+    }
+  }
+
+  /** Fit log-ratio vector + Poisson λs from target/source corpora
+    * (artifacts/hash_dist.py:77-105: global sums + mean length MLE).
+    */
+  def train(target: Seq[Array[String]], source: Seq[Array[String]],
+            buckets: Int = 10000): DsirModel = {
+    def dist(corpus: Seq[Array[String]]): (Array[Double], Double) = {
+      val counts = new Array[Double](buckets)
+      var totalLen = 0L
+      corpus.foreach { ws =>
+        foreachFeature(ws, buckets)(b => counts(b) += 1)
+        totalLen += ws.length
+      }
+      val sum = counts.sum
+      if (sum > 0) { var i = 0; while (i < buckets) { counts(i) /= sum; i += 1 } }
+      (counts, if (corpus.nonEmpty) totalLen.toDouble / corpus.size else 1.0)
+    }
+    val (pt, lt) = dist(target)
+    val (ps, ls) = dist(source)
+    val ratio = new Array[Double](buckets)
+    var i = 0
+    while (i < buckets) {
+      ratio(i) = math.log(pt(i) + 1e-8) - math.log(ps(i) + 1e-8)
+      i += 1
+    }
+    new DsirModel(ratio, math.max(lt, 1e-9), math.max(ls, 1e-9))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.models
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ModelsSpec extends AnyFunSuite {
+
+  test("FastTextLite learns a separable task perfectly and deterministically") {
+    val rng = new graft.util.SplitMix64(7)
+    // two classes with disjoint vocabularies
+    def doc(prefix: String): Array[String] =
+      Array.tabulate(10)(_ => s"$prefix${rng.nextBounded(30)}")
+    val examples = Array.tabulate(200) { i =>
+      if (i % 2 == 0) (doc("alpha"), "__label__a") else (doc("beta"), "__label__b")
+    }
+    val m1 = FastTextLite.train(examples, epochs = 5)
+    val m2 = FastTextLite.train(examples, epochs = 5)
+    assert(m1.embeddings.toSeq == m2.embeddings.toSeq, "training not deterministic")
+    val acc = examples.count { case (ws, y) => m1.predict(ws).exists(_._1 == y) }
+    assert(acc == examples.length, s"separable task accuracy $acc/200")
+    // probabilities are a distribution
+    val probs = m1.predictProbs(examples(0)._1)
+    assert(math.abs(probs.sum - 1.0) < 1e-9)
+    // featureless input → None (classifiers.py null-score semantics)
+    assert(m1.predict(Array.empty[String]).isEmpty)
+  }
+
+  test("NGramLM assigns lower perplexity to in-domain text") {
+    val corpus = Array.tabulate(200)(i =>
+      Array("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"))
+    val lm = NGramLM.train(corpus.iterator)
+    val seen = lm.perplexity(Array("the", "quick", "brown", "fox")).get
+    val unseen = lm.perplexity(Array("zeta", "omega", "gamma", "delta")).get
+    assert(seen < unseen, s"seen $seen !< unseen $unseen")
+    assert(lm.perplexity(Array.empty).isEmpty)
+    // deterministic
+    assert(lm.perplexity(Array("the", "quick")).get ==
+      NGramLM.train(corpus.iterator).perplexity(Array("the", "quick")).get)
+  }
+
+  test("DSIR weights rank target-like docs above source-like docs") {
+    val rng = new graft.util.SplitMix64(11)
+    def doc(prefix: String): Array[String] =
+      Array.tabulate(20)(_ => s"$prefix${rng.nextBounded(50)}")
+    val target = Seq.fill(100)(doc("tgt"))
+    val source = Seq.fill(100)(doc("src")) ++ Seq.fill(20)(doc("tgt"))
+    val m = DsirModel.train(target, source)
+    val wTgt = m.weight(doc("tgt"))
+    val wSrc = m.weight(doc("src"))
+    assert(wTgt > wSrc, s"target weight $wTgt !> source $wSrc")
+    // Poisson length correction is finite and deterministic
+    assert(!m.lengthCorrection(20).isNaN)
+  }
+
+  test("quality score flips on __label__cc (classifiers.py:60-80)") {
+    val examples = Array.tabulate(100) { i =>
+      if (i % 2 == 0) (Array("good", "clean", "page"), Artifacts.HqLabel)
+      else (Array("spam", "junk", "noise"), Artifacts.CcLabel)
+    }
+    val m = FastTextLite.train(examples, epochs = 5)
+    val hq = Artifacts.qualityScore(m, Array("good", "clean", "page")).get
+    val cc = Artifacts.qualityScore(m, Array("spam", "junk", "noise")).get
+    // both are expressed as "probability of high quality"
+    assert(hq > 0.5 && cc < 0.5, s"hq=$hq cc=$cc")
+    assert(Artifacts.qualityScore(m, Array.empty).isEmpty)
+  }
+}
