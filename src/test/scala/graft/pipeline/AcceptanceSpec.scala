@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** North-rule acceptance: keep/drop decisions and scrubbed-content sha256
+  * must match the independently-computed reference-semantics labels
+  * (tools/gen_labels.py — a Python transliteration of the full Gopher+C4
+  * policy over the reference-exact signal definitions). Required: F1 ≥
+  * 0.99 + per-row sha256 equality; we assert exact agreement (F1 = 1.0).
+  */
+class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-acceptance")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("keep/drop F1 and scrubbed sha256 vs reference-semantics labels") {
+    val fixture = new ObjectMapper()
+      .readTree(getClass.getResourceAsStream("/labels_sf0001.json"))
+    val expected = fixture.get("rows").elements().asScala.map { n =>
+      n.get("doc_id").asLong() -> (
+        n.get("keep").asBoolean(),
+        n.get("drop_reason").asText(),
+        Option(n.get("scrubbed_sha256")).map(_.asText()))
+    }.toMap
+
+    val got = QualityFilterJob.run(spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == expected.size)
+
+    var tp = 0; var fp = 0; var fn = 0
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (expKeep, expReason, expSha) = expected(id)
+      val keep = r.getAs[Boolean]("keep")
+      if (keep && expKeep) tp += 1
+      else if (keep && !expKeep) fp += 1
+      else if (!keep && expKeep) fn += 1
+      assert(keep == expKeep, s"doc $id keep=$keep expected=$expKeep " +
+        s"(reason=${r.getAs[String]("drop_reason")} vs $expReason)")
+      assert(r.getAs[String]("drop_reason") == expReason, s"doc $id reason")
+      if (expKeep)
+        assert(Option(r.getAs[String]("scrubbed_digest")) == expSha,
+          s"doc $id scrubbed sha256 mismatch")
+    }
+    val precision = tp.toDouble / (tp + fp)
+    val recall = tp.toDouble / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    info(f"keep/drop F1 = $f1%.4f (tp=$tp fp=$fp fn=$fn)")
+    assert(f1 >= 0.99)
+  }
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Acceptance-label fixture: independent Python transliteration of the full
+FilterPolicy (Gopher+C4 thresholds over the reference-exact signals) plus
+the PII scrub, applied to the enriched sf0.001 corpus. The Scala pipeline
+must reproduce every label, drop_reason, and scrubbed-content sha256
+(north-rule acceptance: F1>=0.99 + per-row sha256 equality).
+Run: python3 tools/gen_labels.py > src/test/resources/labels_sf0001.json
+"""
+import json, hashlib, re, sys
+import pyarrow.parquet as pq
+
+src = open(__file__.replace('gen_labels.py', 'gen_goldens.py')).read()
+ns = {}
+exec(src[:src.index('STOP = ')], ns)
+compute = ns['compute']
+
+STOP = ["the","a","an","and","of","to","in","is","that","it","for","on",
+        "with","as","at","by","be","this","was","are","or","from","but",
+        "not","have","has","had","they","you","we"]
+BLOCK = ["badword","damnword","obscene phrase","slurword","nsfw token"]
+
+def enrich(doc_id, text):
+    c = (text + "\nContact user%d@example.org or 10.%d.0.%d or call 555-%d for details.\n"
+         % (doc_id, doc_id % 200, doc_id % 250, (doc_id % 9000) + 1000))
+    c += "{ lorem ipsum dolor sit }" if doc_id % 7 == 0 else "A clean line of prose."
+    if doc_id % 11 == 0: c += "\nto be continued..."
+    return c + "\n"
+
+def scrub(s):
+    s = re.sub(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", s)
+    s = re.sub(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>", s)
+    s = re.sub(r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>", s)
+    return s
+
+def evaluate(sig, n_stop_norm, js_total):
+    wc = sig["word_count"]
+    if wc < 50 or wc > 100000: return "word_count"
+    mwl = sig["mean_word_length"] or 0.0
+    if mwl < 3.0 or mwl > 10.0: return "mean_word_length"
+    if (sig["symbol_to_word_ratio"] or 0.0) > 0.1: return "symbol_to_word_ratio"
+    if (sig["frac_lines_end_with_ellipsis"] or 0.0) > 0.3: return "ellipsis_lines"
+    if (sig["frac_no_alph_words"] or 0.0) > 0.2: return "no_alph_words"
+    if n_stop_norm < 2: return "stop_words"
+    if sig["frac_chars_top_2gram"] > 0.20: return "top_2gram"
+    if sig["frac_chars_top_3gram"] > 0.18: return "top_3gram"
+    if sig["frac_chars_top_4gram"] > 0.16: return "top_4gram"
+    for n, t in zip(range(5,11), [0.15,0.14,0.13,0.12,0.11,0.10]):
+        if sig[f"frac_chars_dupe_{n}grams"] > t: return f"dupe_{n}grams"
+    if sig["lorem_ipsum"] > 0.0: return "lorem_ipsum"
+    if sig["curly_bracket"] > 0.0: return "curly_bracket"
+    if js_total > 0.0: return "javascript"
+    if sig["ldnoobw_words"] > 0.0: return "toxicity"
+    return ""
+
+rows = pq.read_table('/root/testdata/sf0.001/documents.parquet').to_pylist()
+out = []
+for r in rows:
+    content = enrich(r['doc_id'], r['text'])
+    sig = compute(content, set(STOP), set(BLOCK))
+    n_stop_norm = sum(1 for w in sig["_normalized_words"] if w in STOP)
+    js_total = sum(x[2] for x in sig["lines_javascript_counts"] if x[2])
+    reason = evaluate(sig, n_stop_norm, js_total)
+    row = {"doc_id": r['doc_id'], "keep": reason == "", "drop_reason": reason}
+    if reason == "":
+        row["scrubbed_sha256"] = hashlib.sha256(scrub(content).encode()).hexdigest()
+    out.append(row)
+keep = sum(1 for r in out if r['keep'])
+json.dump({"keep_count": keep, "rows": out}, sys.stdout, indent=0)
+print(f"\n", file=sys.stderr)
+import collections
+print("reasons:", collections.Counter(r['drop_reason'] for r in out), file=sys.stderr)
