@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-shaped snapshot catalog (SURVEY.md §7.1.6). No Iceberg runtime
+  * jar ships in this sandbox, so snapshot/commit semantics are provided by
+  * a parquet layout + atomic commit markers; the surface (`readTable`,
+  * `commitPartition`, `snapshots`) mirrors what
+  * `spark.read.table` / `writeTo(...).append()` would give, so a real
+  * `iceberg-spark-runtime` drops in unchanged.
+  *
+  * Layout under `root/<table>/`:
+  *   part=<key>/...parquet      per-partition data (written via temp dir +
+  *                              atomic rename)
+  *   _commits/<key>.json        commit marker (files, rows, wall time)
+  *   _metrics/...parquet        lineage/metrics rows (appended per commit)
+  *
+  * Resume = skip partitions that already have a commit marker — the
+  * reference's SUCCESS/FAIL ledger (worker.py:119-126, 375-394) made
+  * table-native. Each partition commit is atomic (marker written last via
+  * temp-file + ATOMIC_MOVE), so a killed job re-processes only
+  * uncommitted partitions and the output is idempotent.
+  */
+final class CorpusCatalog(val root: String, spark: SparkSession) {
+
+  private def tableDir(table: String): Path = Paths.get(root, table)
+  private def commitDir(table: String): Path = tableDir(table).resolve("_commits")
+  private def markerFile(table: String, key: String): Path =
+    commitDir(table).resolve(s"$key.json")
+
+  def committedPartitions(table: String): Set[String] = {
+    val d = commitDir(table)
+    if (!Files.exists(d)) Set.empty
+    else Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json"))
+      .toSet
+  }
+
+  def isCommitted(table: String, key: String): Boolean =
+    Files.exists(markerFile(table, key))
+
+  /** Write one partition's rows and commit atomically. No-op if already
+    * committed (resume semantics).
+    */
+  def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
+    if (isCommitted(table, key)) return false
+    val partPath = tableDir(table).resolve(s"part=$key")
+    val rows = df.count()
+    df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
+    Files.createDirectories(commitDir(table))
+    val tmp = Files.createTempFile(commitDir(table), s".$key", ".tmp")
+    Files.writeString(tmp,
+      s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}""")
+    Files.move(tmp, markerFile(table, key), StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** Read all committed partitions of a table (uncommitted part dirs —
+    * from a killed writer — are invisible, like an Iceberg snapshot read).
+    */
+  def readTable(table: String): DataFrame = {
+    val keys = committedPartitions(table)
+    require(keys.nonEmpty, s"no committed partitions in $table")
+    val paths = keys.toSeq.sorted
+      .map(k => tableDir(table).resolve(s"part=$k").toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Append lineage/metrics rows (files_in/files_out/drop-reason counts per
+    * stage per partition — the north rule's metrics table).
+    */
+  def appendMetrics(table: String, df: DataFrame): Unit = {
+    val d = tableDir(table).resolve("_metrics")
+    df.write.mode(SaveMode.Append).parquet(d.toString)
+  }
+
+  def readMetrics(table: String): DataFrame =
+    spark.read.parquet(tableDir(table).resolve("_metrics").toString)
+}
+
+/** The full write-side job: salted repartition → per-partition pipeline →
+  * snapshot commits + metrics. Partition key = repo salted by path-hash
+  * (north rule: defuse mega-repo skew — one giant repo spreads over
+  * `saltBuckets` independent partitions).
+  */
+object CheckpointedRun {
+
+  def saltedKey(saltBuckets: Int) =
+    concat_ws("_", col("repo"), pmod(xxhash64(col("path")), lit(saltBuckets)))
+
+  /** Test hook: process only every `keepEvery`-th partition (simulates a
+    * job killed mid-run — some partitions committed, the rest absent).
+    */
+  def runPartial(spark: SparkSession, sfDir: String, catalog: CorpusCatalog,
+                 keepEvery: Int, saltBuckets: Int = 4): (Int, Int) =
+    runImpl(spark, sfDir, catalog, saltBuckets, Some(keepEvery))
+
+  /** Run the quality filter over the corpus, committing per salted
+    * partition; returns (partitions written, partitions skipped).
+    */
+  def run(spark: SparkSession, sfDir: String, catalog: CorpusCatalog,
+          saltBuckets: Int = 4): (Int, Int) =
+    runImpl(spark, sfDir, catalog, saltBuckets, None)
+
+  private def runImpl(spark: SparkSession, sfDir: String, catalog: CorpusCatalog,
+                      saltBuckets: Int, keepEvery: Option[Int]): (Int, Int) = {
+    val files = CodeFiles(spark, sfDir)
+      .withColumn("pkey", saltedKey(saltBuckets))
+    val keys = files.select("pkey").distinct().collect()
+      .map(_.getString(0)).sorted
+    var written = 0
+    var skipped = 0
+    val selected = keepEvery match {
+      case Some(k) => keys.zipWithIndex.collect { case (key, i) if i % k == 0 => key }
+      case None => keys
+    }
+    selected.foreach { key =>
+      if (catalog.isCommitted("filtered", key)) skipped += 1
+      else {
+        val part = files.filter(col("pkey") === key).drop("pkey")
+        val decided = QualityFilterJob.decide(spark, part)
+        catalog.commitPartition("filtered", key, decided)
+        val metrics = decided
+          .groupBy("drop_reason")
+          .agg(count(lit(1)).as("n_files"))
+          .withColumn("partition", lit(key))
+          .withColumn("stage", lit("quality_filter"))
+        catalog.appendMetrics("filtered", metrics)
+        written += 1
+      }
+    }
+    (written, skipped)
+  }
+}

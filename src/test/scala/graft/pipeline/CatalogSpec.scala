@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Snapshot-catalog semantics: atomic per-partition commits, resume
+  * skipping, idempotent output, metrics conservation (SURVEY.md §5.4).
+  */
+class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-catalog-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("checkpointed run: kill/resume is idempotent, metrics conserve files") {
+    import org.apache.spark.sql.functions._
+    val rootA = Files.createTempDirectory("graft_cat_a").toString
+    val rootB = Files.createTempDirectory("graft_cat_b").toString
+
+    // full run in one go
+    val catA = new CorpusCatalog(rootA, spark)
+    val (wA, sA) = CheckpointedRun.run(spark, sfDir, catA)
+    assert(wA > 0 && sA == 0)
+
+    // simulated kill: pre-commit a strict subset into a fresh catalog by
+    // copying half the partitions' markers+data, then resume
+    val catB = new CorpusCatalog(rootB, spark)
+    val (w1, _) = CheckpointedRun.runPartial(spark, sfDir, catB, keepEvery = 2)
+    assert(w1 > 0 && w1 < wA, s"partial run wrote $w1 of $wA")
+    val (w2, s2) = CheckpointedRun.run(spark, sfDir, catB)
+    assert(s2 == w1, s"resume should skip the $w1 committed partitions, skipped $s2")
+    assert(w1 + w2 == wA)
+
+    // outputs identical
+    val a = catA.readTable("filtered").orderBy("doc_id").collect()
+    val b = catB.readTable("filtered").orderBy("doc_id").collect()
+    assert(a.length == 500 && a.toSeq == b.toSeq)
+
+    // metrics conservation: files_in == sum over drop reasons (incl. kept)
+    val total = catA.readMetrics("filtered")
+      .agg(sum("n_files")).collect()(0).getLong(0)
+    assert(total == 500, s"metrics rows should conserve files, got $total")
+  }
+}
