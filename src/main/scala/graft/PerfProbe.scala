@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.{CodeFiles, QualityFilterJob, SignalPass, CodeFile}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-isolation perf probe: times replication, raw scan+enrich,
+  * signal-only pass, and the full decide pipeline separately at the given
+  * core count. Not part of the driver contract — a tuning tool.
+  */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICAS", "200").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def rep() = CodeFiles(spark, sfDir)
+      .repartition(cores * 3, col("repo"), pmod(xxhash64(col("path")), lit(64)))
+      .crossJoin(broadcast(spark.range(replicas).toDF("rep")))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"))
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name%-28s $dt%8.2fs  rows=$n  (${n / dt}%.0f/s)")
+    }
+
+    time("replicate+count")(rep().count())
+    time("replicate+count (2nd)")(rep().count())
+    time("signal pass only") {
+      rep().as[CodeFile].mapPartitions(_.map(cf => SignalPass.compute(cf).word_count))
+        .agg(sum("value")).collect(); replicas.toLong * 0
+    }
+    time("full decide") {
+      QualityFilterJob.decide(spark, rep())
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    time("decide minus scrub") {
+      rep().as[CodeFile].mapPartitions(_.map { cf =>
+        val st = SignalPass.compute(cf)
+        graft.pipeline.FilterPolicy.evaluate(st)._1
+      }).filter(col("value")).count()
+    }
+    spark.stop()
+  }
+}

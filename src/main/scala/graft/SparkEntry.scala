@@ -128,18 +128,35 @@ object SparkEntry {
         .orderBy("digest")
     }),
 
-    // N-gram Jaccard near-dup: explode shingles → self-join → set algebra
+    // N-gram Jaccard near-dup with PPJoin prefix filtering (Xiao et al.
+    // 2008): a pair with J ≥ 0.5 must share a shingle within each doc's
+    // (|d| - ceil(0.5|d|) + 1)-prefix in rarest-first order — so the join
+    // only touches rare shingles and hot-shingle blowup disappears while
+    // results stay EXACTLY the naive oracle's.
     "q06_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir, 3).cache()
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      val a = sh.toDF("id_a", "shingle")
-      val b = sh.toDF("id_b", "shingle")
-      val inter = a.join(b, "shingle")
+      val sh = shingled(s, dir, 3)
+      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+      val sized = sh.join(freq, "shingle")
+        .withColumn("pos", row_number().over(w))
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+      val prefixes = sized
+        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
+        .select("id", "shingle", "sz")
+        .cache()
+      val candidates = prefixes.toDF("id_a", "shingle", "sz_a")
+        .join(prefixes.toDF("id_b", "shingle", "sz_b"), "shingle")
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("id_a", "sz_a"), "id_a")
-        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        // size filter: J ≥ 0.5 ⇒ |A| ≥ |B|/2 and |B| ≥ |A|/2
+        .filter(col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
+        .select("id_a", "id_b", "sz_a", "sz_b")
+        .distinct()
+      val sets = shingled(s, dir, 3)
+        .groupBy("id").agg(collect_set("shingle").as("sh"))
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
         .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
         .filter(col("inter") * 2 >= col("uni"))
         .select("id_a", "id_b", "inter", "uni")

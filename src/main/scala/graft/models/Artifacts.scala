@@ -31,9 +31,12 @@ object Artifacts {
     */
   def trainFor(spark: SparkSession, sfDir: String): Models =
     cache.computeIfAbsent(sfDir, _ => {
+      // fixed-size artifact sample: deterministic doc_id prefix (at corpus
+      // scale this is a pushed-down sampled scan, never a full collect)
       val rows = graft.pipeline.CodeFiles(spark, sfDir)
         .select("doc_id", "content", "lang", "repo")
         .orderBy("doc_id")
+        .limit(1000)
         .collect()
       val docs = rows.map { r =>
         val text = r.getAs[String]("content")

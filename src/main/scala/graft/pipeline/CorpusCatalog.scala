@@ -124,7 +124,7 @@ object CheckpointedRun {
       if (catalog.isCommitted("filtered", key)) skipped += 1
       else {
         val part = files.filter(col("pkey") === key).drop("pkey")
-        val decided = QualityFilterJob.decide(spark, part)
+        val decided = QualityFilterJob.decide(spark, part, includeScrubbed = true)
         catalog.commitPartition("filtered", key, decided)
         val metrics = decided
           .groupBy("drop_reason")

@@ -24,23 +24,35 @@ object QualityFilterJob {
   }
 
   /** Same pipeline over an arbitrary (doc_id, repo, path, commit, lang,
-    * content) DataFrame.
+    * content) DataFrame. The sha256 of the scrubbed content (the per-row
+    * acceptance invariant) is computed inside the fused pass so the
+    * scrubbed text never crosses row-encoding unless the sink asks for it
+    * (`includeScrubbed` — the catalog write path does; counting/metrics
+    * paths don't).
     */
-  def decide(spark: SparkSession, files: DataFrame): DataFrame = {
+  def decide(spark: SparkSession, files: DataFrame,
+             includeScrubbed: Boolean = false): DataFrame = {
     import spark.implicits._
-    val decided = files.as[CodeFile].mapPartitions { it =>
+    files.as[CodeFile].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { cf =>
         val st = SignalPass.compute(cf)
         val (keep, reason) = FilterPolicy.evaluate(st)
-        val scrubbed = if (keep) Scrubber.scrub(cf.content) else ""
+        val scrubbed = if (keep) Scrubber.scrub(cf.content) else null
+        val digest = if (keep) {
+          md.reset()
+          val d = md.digest(scrubbed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(64)
+          d.foreach(b => sb.append(Character.forDigit((b >> 4) & 0xF, 16))
+            .append(Character.forDigit(b & 0xF, 16)))
+          sb.toString
+        } else null
         (cf.doc_id, cf.repo, cf.path, cf.lang, keep, reason,
-          st.word_count, st.n_tokens, scrubbed)
+          st.word_count, st.n_tokens, digest,
+          if (includeScrubbed) scrubbed else null)
       }
     }.toDF("doc_id", "repo", "path", "lang", "keep", "drop_reason",
-      "word_count", "n_tokens", "scrubbed")
-    decided
-      .withColumn("scrubbed_digest",
-        when(col("keep"), sha2(col("scrubbed"), 256)).otherwise(lit(null)))
-      .drop("scrubbed")
+      "word_count", "n_tokens", "scrubbed_digest", "scrubbed")
+      .drop(if (includeScrubbed) "" else "scrubbed")
   }
 }

@@ -83,6 +83,20 @@ object SignalPass {
   /** BPE-ish token pattern shared with the SQL oracle: ASCII letter runs,
     * digit runs, single non-alnum-non-space chars.
     */
+  private[pipeline] val One: Integer = Integer.valueOf(1)
+
+  @volatile private var stopCache: (Set[String], Array[Array[String]]) = null
+
+  private[pipeline] def stopsByLen(stops: Set[String]): Array[Array[String]] = {
+    val c = stopCache
+    if (c != null && (c._1 eq stops)) c._2
+    else {
+      val built = graft.text.WordPunct.stopsByLength(stops)
+      stopCache = (stops, built)
+      built
+    }
+  }
+
   private val TokenPattern =
     java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
@@ -111,26 +125,58 @@ object SignalPass {
     var sumLineWords = 0L
     doc.normalizedLines.foreach(l => sumLineWords += PyCompat.split(l.text).length)
 
-    val unique = {
-      val s = scala.collection.mutable.Set.empty[String]
-      nw.foreach(s += _)
-      s.size
-    }
-    var stopNorm = 0L
-    nw.foreach(w => if (stopWords.contains(w)) stopNorm += 1)
-    var alphaWords = 0L
-    var allCaps = 0L
-    doc.rawWords.foreach { w =>
+    // one counting pass over normalized words serves unique-fraction,
+    // entropy, normalized stop hits, and the ldnoobw unigram membership
+    val wordCounts = new java.util.HashMap[String, Integer](nw.length * 2)
+    locally {
       var i = 0
-      var found = false
-      while (i < w.length && !found) {
-        val c = w.charAt(i)
-        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) found = true
+      while (i < nw.length) {
+        val w = nw(i)
+        val prev = wordCounts.get(w)
+        wordCounts.put(w, if (prev == null) SignalPass.One
+                          else Integer.valueOf(prev.intValue() + 1))
         i += 1
       }
-      if (found) alphaWords += 1
-      if (PyCompat.isUpperString(w)) allCaps += 1
     }
+    val unique = wordCounts.size
+    var stopNorm = 0L
+    var entropy = 0.0
+    var ldnoobwCount = 0L
+    val blockGramSizes = blockWords.map(w => 1 + PyCompat.countOf(w, ' '))
+    locally {
+      val total = nw.length.toDouble
+      val it = wordCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue()
+        if (stopWords.contains(e.getKey)) stopNorm += c
+        if (blockGramSizes.contains(1) && blockWords.contains(e.getKey))
+          ldnoobwCount += c
+        if (c > 0) entropy += -c / total * math.log(c / total)
+      }
+    }
+    // multi-word block phrases: scan positions (no n-gram string building)
+    blockGramSizes.filter(_ > 1).foreach { n =>
+      val parts = blockWords.filter(w => 1 + PyCompat.countOf(w, ' ') == n)
+        .map(_.split(' '))
+      var i = 0
+      while (i + n <= nw.length) {
+        parts.foreach { p =>
+          var j = 0
+          var ok = true
+          while (ok && j < n) { ok = nw(i + j) == p(j); j += 1 }
+          if (ok) ldnoobwCount += 1
+        }
+        i += 1
+      }
+    }
+    val rep = graft.signals.Repetitions.compute(nw)
+    val nSentences = Signals.numSentences(doc)
+    // raw-word stats in one substring-free scan (tokenize() semantics)
+    val raw = graft.text.WordPunct.rawScan(cf.content, SignalPass.stopsByLen(stopWords))
+    val alphaWords = raw.alphaWords.toLong
+    val allCaps = raw.allCapsWords.toLong
+    val nRawWords = raw.numWords
 
     DocStats(
       doc_id = cf.doc_id, repo = cf.repo, path = cf.path, lang = cf.lang,
@@ -138,7 +184,7 @@ object SignalPass {
       word_count = nw.length.toLong,
       n_unique_words = unique.toLong,
       sum_word_chars = doc.normalizedWordChars,
-      n_raw_words = doc.numRawWords.toLong,
+      n_raw_words = nRawWords.toLong,
       n_lines = rawLines.length.toLong,
       n_terminal_lines = terminal,
       n_ellipsis_lines = ellipsis,
@@ -147,31 +193,44 @@ object SignalPass {
       n_lorem = PyCompat.countOf(doc.normalizedContent, "lorem ipsum").toLong,
       n_stop_words_norm = stopNorm,
       n_tokens = countTokens(cf.content).toLong,
-      n_sentences = Signals.numSentences(doc).toLong,
+      n_sentences = nSentences.toLong,
       n_alpha_words = alphaWords,
       n_all_caps_words = allCaps,
       rps_doc_word_count = Signals.wordCount(doc),
       rps_doc_mean_word_length = Signals.meanWordLength(doc),
-      rps_doc_frac_unique_words = Signals.fracUniqueWords(doc),
-      rps_doc_unigram_entropy = Signals.unigramEntropy(doc),
-      rps_doc_frac_all_caps_words = Signals.fracAllCapsWords(doc),
-      rps_doc_frac_no_alph_words = Signals.fracNoAlphWords(doc),
-      rps_doc_symbol_to_word_ratio = Signals.symbolToWordRatio(doc),
+      rps_doc_frac_unique_words =
+        if (nw.isEmpty) None else Some(PyCompat.round8(unique.toDouble / nw.length)),
+      rps_doc_unigram_entropy =
+        if (nw.isEmpty) None else Some(PyCompat.round8(entropy)),
+      rps_doc_frac_all_caps_words =
+        if (nRawWords == 0) None
+        else Some(PyCompat.round8(allCaps.toDouble / nRawWords)),
+      rps_doc_frac_no_alph_words =
+        if (nRawWords == 0) None
+        else Some(PyCompat.round8(1.0 - alphaWords.toDouble / nRawWords)),
+      rps_doc_symbol_to_word_ratio =
+        if (nRawWords == 0) None
+        else Some(PyCompat.round8((PyCompat.countOf(cf.content, '#') +
+          PyCompat.countOf(cf.content, "...") +
+          PyCompat.countOf(cf.content, "…")).toDouble / nRawWords)),
       rps_doc_frac_lines_end_with_ellipsis = Signals.fracLinesEndWithEllipsis(doc),
-      rps_doc_stop_word_fraction = Signals.stopWordFraction(doc, stopWords),
-      rps_doc_ldnoobw_words = Signals.ldnoobwWords(doc, blockWords),
+      rps_doc_stop_word_fraction =
+        if (nw.isEmpty) 0.0
+        else PyCompat.round8(raw.stopHits.toDouble / nRawWords),
+      rps_doc_ldnoobw_words =
+        if (doc.normalizedContent.isEmpty) 0.0 else ldnoobwCount.toDouble,
       rps_doc_lorem_ipsum = Signals.loremIpsum(doc),
       rps_doc_curly_bracket = Signals.curlyBracket(doc),
-      rps_doc_num_sentences = Signals.numSentences(doc),
-      rps_doc_frac_chars_top_2gram = Signals.fracCharsInTopNgram(doc, 2),
-      rps_doc_frac_chars_top_3gram = Signals.fracCharsInTopNgram(doc, 3),
-      rps_doc_frac_chars_top_4gram = Signals.fracCharsInTopNgram(doc, 4),
-      rps_doc_frac_chars_dupe_5grams = Signals.fracCharsInDupeNgrams(doc, 5),
-      rps_doc_frac_chars_dupe_6grams = Signals.fracCharsInDupeNgrams(doc, 6),
-      rps_doc_frac_chars_dupe_7grams = Signals.fracCharsInDupeNgrams(doc, 7),
-      rps_doc_frac_chars_dupe_8grams = Signals.fracCharsInDupeNgrams(doc, 8),
-      rps_doc_frac_chars_dupe_9grams = Signals.fracCharsInDupeNgrams(doc, 9),
-      rps_doc_frac_chars_dupe_10grams = Signals.fracCharsInDupeNgrams(doc, 10),
+      rps_doc_num_sentences = nSentences,
+      rps_doc_frac_chars_top_2gram = rep.top2,
+      rps_doc_frac_chars_top_3gram = rep.top3,
+      rps_doc_frac_chars_top_4gram = rep.top4,
+      rps_doc_frac_chars_dupe_5grams = rep.dupe5,
+      rps_doc_frac_chars_dupe_6grams = rep.dupe6,
+      rps_doc_frac_chars_dupe_7grams = rep.dupe7,
+      rps_doc_frac_chars_dupe_8grams = rep.dupe8,
+      rps_doc_frac_chars_dupe_9grams = rep.dupe9,
+      rps_doc_frac_chars_dupe_10grams = rep.dupe10,
       rps_lines_javascript_count_total =
         Signals.linesJavascriptCounts(doc).flatMap(_.score).sum
     )

@@ -1,0 +1,188 @@
+package graft.signals
+
+import graft.text.PyCompat
+
+/** Allocation-light exact computation of the 9 repetition signals
+  * (frac_chars_top_{2,3,4}gram, frac_chars_dupe_{5..10}grams) — semantics
+  * identical to Signals.fracCharsInTopNgram / fracCharsInDupeNgrams
+  * (repetitions.py), verified by RepetitionsFastSpec's differential fuzz.
+  *
+  * Words are interned to int ids once; n-grams are counted in an
+  * open-addressing table keyed by id-sequence equality (no string keys, no
+  * boxing). Char counts come from codepoint-length prefix sums. This is
+  * the hot path of the fused signal pass — at 10^12 files the per-doc
+  * constant is the whole game.
+  */
+object Repetitions {
+
+  final case class Result(
+    top2: Double, top3: Double, top4: Double,
+    dupe5: Double, dupe6: Double, dupe7: Double,
+    dupe8: Double, dupe9: Double, dupe10: Double)
+
+  /** One reusable (per-thread) workspace to keep the pass zero-alloc. */
+  final class Workspace {
+    var ids: Array[Int] = new Array[Int](256)
+    var cpPrefix: Array[Long] = new Array[Long](257)
+    var marked: Array[Boolean] = new Array[Boolean](256)
+    // open addressing: slot -> first ngram start index (-1 empty), count
+    var slots: Array[Int] = new Array[Int](1024)
+    var counts: Array[Int] = new Array[Int](1024)
+    val intern = new java.util.HashMap[String, Integer](256)
+
+    def ensure(nWords: Int): Unit = {
+      if (ids.length < nWords) {
+        ids = new Array[Int](nWords * 2)
+        cpPrefix = new Array[Long](nWords * 2 + 1)
+        marked = new Array[Boolean](nWords * 2)
+      }
+    }
+
+    def ensureTable(nGrams: Int): Int = {
+      var cap = 16
+      while (cap < nGrams * 2) cap <<= 1
+      if (slots.length < cap) {
+        slots = new Array[Int](cap)
+        counts = new Array[Int](cap)
+      } else {
+        cap = Integer.highestOneBit(slots.length)
+      }
+      java.util.Arrays.fill(slots, 0, cap, -1)
+      cap
+    }
+  }
+
+  private val tls = ThreadLocal.withInitial[Workspace](() => new Workspace)
+
+  def compute(words: Array[String]): Result = compute(words, tls.get())
+
+  def compute(words: Array[String], ws: Workspace): Result = {
+    val n = words.length
+    ws.ensure(n)
+    ws.intern.clear()
+    var i = 0
+    var nextId = 0
+    while (i < n) {
+      val w = words(i)
+      val existing = ws.intern.get(w)
+      if (existing == null) {
+        ws.intern.put(w, nextId)
+        ws.ids(i) = nextId
+        nextId += 1
+      } else ws.ids(i) = existing
+      ws.cpPrefix(i + 1) = ws.cpPrefix(i) + PyCompat.cpLength(w)
+      i += 1
+    }
+    ws.cpPrefix(0) = 0L
+    val totalChars = if (n == 0) 0L else ws.cpPrefix(n)
+
+    Result(
+      topFrac(ws, n, 2, totalChars),
+      topFrac(ws, n, 3, totalChars),
+      topFrac(ws, n, 4, totalChars),
+      dupeFrac(ws, n, 5, totalChars),
+      dupeFrac(ws, n, 6, totalChars),
+      dupeFrac(ws, n, 7, totalChars),
+      dupeFrac(ws, n, 8, totalChars),
+      dupeFrac(ws, n, 9, totalChars),
+      dupeFrac(ws, n, 10, totalChars))
+  }
+
+  @inline private def gramHash(ids: Array[Int], start: Int, ng: Int): Int = {
+    var h = -2128831035 // FNV offset basis (32-bit)
+    var j = 0
+    while (j < ng) {
+      h = (h ^ ids(start + j)) * 16777619
+      j += 1
+    }
+    h & 0x7FFFFFFF
+  }
+
+  @inline private def gramEq(ids: Array[Int], a: Int, b: Int, ng: Int): Boolean = {
+    var j = 0
+    while (j < ng) {
+      if (ids(a + j) != ids(b + j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Count n-grams into ws.slots/counts; returns table capacity mask+1. */
+  private def countGrams(ws: Workspace, n: Int, ng: Int): Int = {
+    val nGrams = n - ng + 1
+    val cap = ws.ensureTable(nGrams)
+    val mask = cap - 1
+    var i = 0
+    while (i < nGrams) {
+      var slot = gramHash(ws.ids, i, ng) & mask
+      var done = false
+      while (!done) {
+        val s = ws.slots(slot)
+        if (s == -1) {
+          ws.slots(slot) = i
+          ws.counts(slot) = 1
+          done = true
+        } else if (gramEq(ws.ids, s, i, ng)) {
+          ws.counts(slot) += 1
+          done = true
+        } else slot = (slot + 1) & mask
+      }
+      i += 1
+    }
+    cap
+  }
+
+  /** repetitions.py:37-71 semantics; Counter.most_common(1) tie-break =
+    * first-inserted, i.e. smallest first-occurrence start index.
+    */
+  private def topFrac(ws: Workspace, n: Int, ng: Int, totalChars: Long): Double = {
+    if (n - ng + 1 <= 0) return 0.0
+    val cap = countGrams(ws, n, ng)
+    var bestCount = -1
+    var bestStart = Int.MaxValue
+    var slot = 0
+    while (slot < cap) {
+      val s = ws.slots(slot)
+      if (s != -1) {
+        val c = ws.counts(slot)
+        if (c > bestCount || (c == bestCount && s < bestStart)) {
+          bestCount = c
+          bestStart = s
+        }
+      }
+      slot += 1
+    }
+    if (bestCount <= 1) return 0.0
+    val gramChars = ws.cpPrefix(bestStart + ng) - ws.cpPrefix(bestStart)
+    PyCompat.round8(gramChars.toDouble * bestCount / totalChars)
+  }
+
+  /** repetitions.py:95-145 semantics: mark [i, i+ng) for every occurrence
+    * of a gram with count > 1; fraction of marked word chars.
+    */
+  private def dupeFrac(ws: Workspace, n: Int, ng: Int, totalChars: Long): Double = {
+    if (n < ng) return 0.0
+    val nGrams = n - ng + 1
+    val cap = countGrams(ws, n, ng)
+    val mask = cap - 1
+    java.util.Arrays.fill(ws.marked, 0, n, false)
+    var i = 0
+    while (i < nGrams) {
+      var slot = gramHash(ws.ids, i, ng) & mask
+      while (!gramEq(ws.ids, ws.slots(slot), i, ng)) slot = (slot + 1) & mask
+      if (ws.counts(slot) > 1) {
+        var j = i
+        val end = math.min(i + ng, n)
+        while (j < end) { ws.marked(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var duped = 0L
+    i = 0
+    while (i < n) {
+      if (ws.marked(i)) duped += ws.cpPrefix(i + 1) - ws.cpPrefix(i)
+      i += 1
+    }
+    if (totalChars == 0) 0.0 else PyCompat.round8(duped.toDouble / totalChars)
+  }
+}

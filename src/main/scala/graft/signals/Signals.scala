@@ -77,15 +77,34 @@ object Signals {
 
   // ------------------------------------------------------- natural language
 
-  /** natural_language.py:37-47 — len(findall(r'\b[^.!?]+[.!?]*')). */
-  private val sentPattern = java.util.regex.Pattern
-    .compile("\\b[^.!?]+[.!?]*", java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
-
+  /** natural_language.py:37-47 — len(findall(r'\b[^.!?]+[.!?]*')),
+    * scanned by hand with CPython's \b (WordPunct.isWordCp on both
+    * neighbors) so word-boundary semantics match Python exactly.
+    */
   def numSentences(doc: Doc): Double = {
-    val m = sentPattern.matcher(doc.rawContent)
-    var n = 0
-    while (m.find()) n += 1
-    n.toDouble
+    val s = doc.rawContent
+    val n = s.length
+    @inline def isWordAt(i: Int): Boolean =
+      i >= 0 && i < n && graft.text.WordPunct.isWordCp(s.codePointAt(i))
+    @inline def boundary(i: Int): Boolean = {
+      val before = i > 0 && {
+        val prev = s.codePointBefore(i)
+        graft.text.WordPunct.isWordCp(prev)
+      }
+      before != isWordAt(i)
+    }
+    @inline def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (boundary(i) && !isTerm(s.charAt(i))) {
+        // match: [^.!?]+ then [.!?]*
+        while (i < n && !isTerm(s.charAt(i))) i += 1
+        while (i < n && isTerm(s.charAt(i))) i += 1
+        count += 1
+      } else i += 1
+    }
+    count.toDouble
   }
 
   /** natural_language.py:50-55. */

@@ -55,28 +55,166 @@ object Normalizer {
   def nfd(s: String): String =
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
 
-  /** Full normalize(): normalization.py:8-32 with all flags default-true. */
+  /** Full normalize(): normalization.py:8-32 with all flags default-true.
+    * ASCII fast path: punct-drop + lower + strip/squash fused into one
+    * scan, NFD skipped (a no-op on ASCII). Non-ASCII falls back to the
+    * literal staged pipeline.
+    */
   def normalize(text: String): String = {
-    var t = removePunct(text)
-    t = PyCompat.lower(t)
-    t = PyCompat.strip(t)
-    t = squashWhitespace(t)
-    nfd(t)
+    var ascii = true
+    var i = 0
+    while (ascii && i < text.length) {
+      if (text.charAt(i) >= 128) ascii = false
+      i += 1
+    }
+    if (!ascii) {
+      var t = removePunct(text)
+      t = PyCompat.lower(t)
+      t = PyCompat.strip(t)
+      t = squashWhitespace(t)
+      nfd(t)
+    } else {
+      val sb = new java.lang.StringBuilder(text.length)
+      var pendingSpace = false
+      var sawNonSpace = false
+      i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (!isPunct(c.toInt)) {
+          if (PyCompat.isSpace(c)) {
+            if (sawNonSpace) pendingSpace = true
+          } else {
+            if (pendingSpace) { sb.append(' '); pendingSpace = false }
+            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+            sawNonSpace = true
+          }
+        }
+        i += 1
+      }
+      sb.toString
+    }
   }
 }
 
-/** NLTK `WordPunctTokenizer` — regex `\w+|[^\w\s]+` with Python unicode
-  * semantics (core/document.py:9,72). Java's UNICODE_CHARACTER_CLASS makes
-  * `\w`/`\s` match the same unicode categories CPython's re module uses.
+/** NLTK `WordPunctTokenizer` — regex `\w+|[^\w\s]+` with EXACT CPython
+  * semantics (core/document.py:9,72), hand-rolled over codepoints. Java's
+  * own `\w`/`\s` (even with UNICODE_CHARACTER_CLASS) disagree with
+  * CPython on combining marks (Mn ∈ Java \w, ∉ Python) and the \x1c-\x1f
+  * separators (Python \s, Java neither) — caught by the golden suite.
+  *
+  * CPython: \w = underscore | isalpha (gc L*) | isdecimal/isdigit/
+  * isnumeric (gc Nd, Nl, No); \s = str.isspace (PyCompat.isSpace).
   */
 object WordPunct {
-  private val pattern: Pattern =
-    Pattern.compile("\\w+|[^\\w\\s]+", Pattern.UNICODE_CHARACTER_CLASS)
 
+  @inline def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+    }
+
+  @inline private def isSpaceCp(cp: Int): Boolean =
+    if (cp <= 0xFFFF) PyCompat.isSpace(cp.toChar) else false
+
+  /** Raw-word statistics in ONE pass with zero substring allocation:
+    * token count, #tokens containing an ASCII letter, #tokens satisfying
+    * Python str.isupper, #tokens in the stop set (case-sensitive region
+    * compare). Token segmentation identical to tokenize().
+    */
+  final case class RawStats(numWords: Int, alphaWords: Int,
+                            allCapsWords: Int, stopHits: Int)
+
+  def rawScan(s: String, stopsByLen: Array[Array[String]]): RawStats = {
+    val n = s.length
+    var i = 0
+    var words = 0
+    var alpha = 0
+    var caps = 0
+    var stops = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isSpaceCp(cp)) { i += Character.charCount(cp) }
+      else {
+        val wordRun = isWordCp(cp)
+        val start = i
+        i += Character.charCount(cp)
+        var done = false
+        while (i < n && !done) {
+          val c = s.codePointAt(i)
+          if (isSpaceCp(c) || (isWordCp(c) != wordRun)) done = true
+          else i += Character.charCount(c)
+        }
+        words += 1
+        // per-token predicates over [start, i) without materializing it
+        var j = start
+        var hasAlpha = false
+        var hasCased = false
+        var allUpper = true
+        while (j < i) {
+          val c = s.codePointAt(j)
+          if (!hasAlpha && ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+            hasAlpha = true
+          if (Character.isLowerCase(c) || Character.getType(c) == Character.TITLECASE_LETTER)
+            allUpper = false
+          else if (Character.isUpperCase(c)) hasCased = true
+          j += Character.charCount(c)
+        }
+        if (hasAlpha) alpha += 1
+        if (hasCased && allUpper) caps += 1
+        val len = i - start
+        if (len < stopsByLen.length) {
+          val cands = stopsByLen(len)
+          if (cands != null) {
+            var k = 0
+            while (k < cands.length) {
+              if (s.regionMatches(start, cands(k), 0, len)) { stops += 1; k = cands.length }
+              else k += 1
+            }
+          }
+        }
+      }
+    }
+    RawStats(words, alpha, caps, stops)
+  }
+
+  /** Group a stop set by UTF-16 length for rawScan. */
+  def stopsByLength(stops: Set[String]): Array[Array[String]] = {
+    if (stops.isEmpty) return Array.empty
+    val maxLen = stops.map(_.length).max
+    val out = new Array[Array[String]](maxLen + 1)
+    stops.groupBy(_.length).foreach { case (l, ws) => out(l) = ws.toArray.sorted }
+    out
+  }
+
+  /** `\w+|[^\w\s]+`: maximal runs of word chars, or of chars that are
+    * neither word nor whitespace.
+    */
   def tokenize(s: String): Array[String] = {
-    val m = pattern.matcher(s)
     val out = Array.newBuilder[String]
-    while (m.find()) out += m.group()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isWordCp(cp)) {
+        val start = i
+        i += Character.charCount(cp)
+        while (i < n && isWordCp(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+        out += s.substring(start, i)
+      } else if (isSpaceCp(cp)) {
+        i += Character.charCount(cp)
+      } else {
+        val start = i
+        i += Character.charCount(cp)
+        var done = false
+        while (i < n && !done) {
+          val c = s.codePointAt(i)
+          if (isWordCp(c) || isSpaceCp(c)) done = true
+          else i += Character.charCount(c)
+        }
+        out += s.substring(start, i)
+      }
+    }
     out.result()
   }
 }

@@ -16,8 +16,21 @@ object PyCompat {
     * expansion, so HALF_EVEN on it reproduces CPython.
     */
   def round8(x: Double): Double = {
-    if (x.isNaN || x.isInfinite) x
-    else new JBigDecimal(x).setScale(8, RoundingMode.HALF_EVEN).doubleValue()
+    if (x.isNaN || x.isInfinite) return x
+    // fast path: when the 8-decimal fraction is clearly away from the
+    // half-even boundary, nearest-integer rounding of x*1e8 equals the
+    // exact decimal rounding (scaled repr error < 1e-5 for |x| < 1e4,
+    // guard 1e-3). Ambiguous or large values take the exact BigDecimal
+    // path. Kills the BigInteger churn that dominated allocation profiles.
+    val ax = if (x < 0) -x else x
+    if (ax < 1e4) {
+      val y = x * 1e8
+      val fl = Math.floor(y)
+      val f = y - fl
+      if (f > 0.5 + 1e-3) return (fl + 1.0) / 1e8
+      if (f < 0.5 - 1e-3) return fl / 1e8
+    }
+    new JBigDecimal(x).setScale(8, RoundingMode.HALF_EVEN).doubleValue()
   }
 
   def roundN(x: Double, n: Int): Double = {

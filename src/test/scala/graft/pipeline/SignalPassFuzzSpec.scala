@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.signals.{Doc, Signals}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz: the fused/optimized SignalPass must equal the naive
+  * reference transliteration (Signals.*) field by field, over generated
+  * documents including unicode, control chars, astral planes, and PII
+  * shapes.
+  */
+class SignalPassFuzzSpec extends AnyFunSuite {
+
+  private val pieces = Array(
+    "word", "the", "a", "of", "BADWORD", "badword", "obscene", "phrase",
+    "ALLCAPS", "MiXeD", "123", "１２３", "¼", "𝔘𝔫𝔦", "café", "naïve",
+    "{", "}", "lorem ipsum", "...", "…", "#", "x@y.zz", "10.1.2.3",
+    "555-1234", "\n", "\n\n", "•", " ", "\t", "", "é́",
+    "под", "中文", "_under_", "damnword", "javascript")
+
+  private def gen(rng: graft.util.SplitMix64): String = {
+    val n = rng.nextBounded(120).toInt
+    val sb = new StringBuilder
+    (0 until n).foreach { _ =>
+      sb.append(pieces(rng.nextBounded(pieces.length).toInt))
+      if (rng.nextBounded(3) != 0) sb.append(' ')
+    }
+    sb.toString
+  }
+
+  test("fused pass equals naive signals on 300 fuzzed unicode docs") {
+    val rng = new graft.util.SplitMix64(123)
+    val stops = SignalPass.StopWords
+    val blocks = SignalPass.BlockWords
+    (1 to 300).foreach { k =>
+      val content = gen(rng)
+      val st = SignalPass.compute(CodeFile(k, "r", "p", "c", "en", content))
+      val doc = new Doc(content)
+      def ctx = s"doc#$k: ${content.take(60).replace("\n", "\\n")}"
+      assert(st.rps_doc_stop_word_fraction == Signals.stopWordFraction(doc, stops), ctx)
+      assert(st.rps_doc_ldnoobw_words == Signals.ldnoobwWords(doc, blocks), ctx)
+      assert(st.rps_doc_frac_unique_words == Signals.fracUniqueWords(doc), ctx)
+      assert(st.rps_doc_unigram_entropy == Signals.unigramEntropy(doc), ctx)
+      assert(st.rps_doc_frac_all_caps_words == Signals.fracAllCapsWords(doc), ctx)
+      assert(st.rps_doc_frac_no_alph_words == Signals.fracNoAlphWords(doc), ctx)
+      assert(st.rps_doc_symbol_to_word_ratio == Signals.symbolToWordRatio(doc), ctx)
+      assert(st.rps_doc_frac_lines_end_with_ellipsis ==
+        Signals.fracLinesEndWithEllipsis(doc), ctx)
+      assert(st.rps_doc_mean_word_length == Signals.meanWordLength(doc), ctx)
+      assert(st.rps_doc_num_sentences == Signals.numSentences(doc), ctx)
+      assert(st.rps_doc_lorem_ipsum == Signals.loremIpsum(doc), ctx)
+      assert(st.rps_doc_curly_bracket == Signals.curlyBracket(doc), ctx)
+      assert(st.n_raw_words == doc.numRawWords, ctx)
+      assert(st.rps_doc_frac_chars_top_2gram == Signals.fracCharsInTopNgram(doc, 2), ctx)
+      assert(st.rps_doc_frac_chars_dupe_5grams == Signals.fracCharsInDupeNgrams(doc, 5), ctx)
+      assert(st.rps_doc_frac_chars_dupe_10grams == Signals.fracCharsInDupeNgrams(doc, 10), ctx)
+    }
+  }
+}

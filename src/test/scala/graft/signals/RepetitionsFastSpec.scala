@@ -1,0 +1,42 @@
+package graft.signals
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzz: the allocation-free repetition path must equal the
+  * naive reference transliteration on arbitrary word sequences, including
+  * tie-break and overlap-marking corners.
+  */
+class RepetitionsFastSpec extends AnyFunSuite {
+
+  private def naive(words: Array[String]): Repetitions.Result = {
+    val doc = new Doc(words.mkString(" "))
+    // build a Doc whose normalized words are exactly `words`: our word
+    // generator uses lowercase alphanumerics so normalization is identity
+    assert(doc.normalizedWords.toSeq == words.toSeq)
+    Repetitions.Result(
+      Signals.fracCharsInTopNgram(doc, 2), Signals.fracCharsInTopNgram(doc, 3),
+      Signals.fracCharsInTopNgram(doc, 4), Signals.fracCharsInDupeNgrams(doc, 5),
+      Signals.fracCharsInDupeNgrams(doc, 6), Signals.fracCharsInDupeNgrams(doc, 7),
+      Signals.fracCharsInDupeNgrams(doc, 8), Signals.fracCharsInDupeNgrams(doc, 9),
+      Signals.fracCharsInDupeNgrams(doc, 10))
+  }
+
+  test("fast path equals naive on 500 fuzzed docs") {
+    val rng = new graft.util.SplitMix64(99)
+    (1 to 500).foreach { _ =>
+      val n = 1 + rng.nextBounded(120).toInt
+      val vocab = 1 + rng.nextBounded(12).toInt // tiny vocab → many dupes
+      val words = Array.tabulate(n)(_ => s"w${rng.nextBounded(vocab)}x" * (1 + rng.nextBounded(3).toInt))
+      val fast = Repetitions.compute(words)
+      val slow = naive(words)
+      assert(fast == slow, s"mismatch on ${words.take(20).mkString(" ")} …")
+    }
+  }
+
+  test("degenerate inputs") {
+    assert(Repetitions.compute(Array.empty[String]) ==
+      Repetitions.Result(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(Repetitions.compute(Array("a")) ==
+      Repetitions.Result(0, 0, 0, 0, 0, 0, 0, 0, 0))
+  }
+}

@@ -1,0 +1,30 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** round8 fast path must equal the exact BigDecimal path everywhere,
+  * including boundary values (x.xxxxxxxx5 patterns, halves, negatives).
+  */
+class PyCompatSpec extends AnyFunSuite {
+  private def exact(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else new java.math.BigDecimal(x)
+      .setScale(8, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  test("round8 differential fuzz incl. boundaries") {
+    val rng = new graft.util.SplitMix64(5)
+    (1 to 200000).foreach { _ =>
+      val x = (rng.nextLong() >>> 11) * (1.0 / (1L << 53)) * 100.0 - 50.0
+      assert(PyCompat.round8(x) == exact(x), s"x=$x")
+    }
+    Seq(0.000000005, 0.000000015, 0.125000005, 1.234567895, 2.5e-8, 3.5e-8,
+      -0.000000005, -1.234567895, 12345.000000005, 1e15, 0.1 + 0.2)
+      .foreach(x => assert(PyCompat.round8(x) == exact(x), s"x=$x"))
+    (1 to 2000).foreach { i =>
+      (1 to 40).foreach { j =>
+        val x = i.toDouble / j
+        assert(PyCompat.round8(x) == exact(x), s"x=$i/$j")
+      }
+    }
+  }
+}

@@ -133,6 +133,11 @@ DOCS = [
     "repeat me five times ok repeat me five times ok repeat me five times ok now unique words follow here one two three",
     "\U0001d518\U0001d52b\U0001d526 astral \U0001d7cf\U0001d7d0 digits 𝔘𝔫 𝔘𝔫\nplain line...\n\U0001f600{}",
     "𝔘𝔫𝔦 𝔘𝔫𝔦 𝔘𝔫𝔦 word word word 𝔘𝔫𝔦 𝔘𝔫𝔦",
+    "ctrl\x1cchars\x1d here\x85and\xa0nbsp \x1e\x1f mix",
+    "combining: cafe\u0301 naive\u0308 a\u0301b\u0300c mark\u0327s",
+    "under_score _lead trail_ 1_2 a_b_c",
+    "Sent one. Sent two! three? no end",
+    "..!? .x! !!y?? ...",
 ]
 
 res = {"stop_words": STOP, "block_words": BLOCK,
