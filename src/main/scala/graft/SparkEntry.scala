@@ -284,6 +284,41 @@ object SparkEntry {
         }.toDF("doc_id", "weight_e6", "weight_lc_e6").orderBy("doc_id")
     }),
 
+    // RP_SIGNAL_SCHEMA output table: nested quality_signals struct with
+    // (start,end,score) triples, sha1-derived id_int (§1.4)
+    "q16_signals_table" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.SignalsTable(CodeFiles(s, dir).as[graft.pipeline.CodeFile])
+        .toDF().orderBy("id")
+    }),
+
+    // MinHash signature table: banded big-endian signatures per threshold
+    "q17_minhash_table" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.MinHashTable(
+        CodeFiles(s, dir).as[graft.pipeline.CodeFile],
+        new graft.dedupe.MinHasher(128, 13, 42L))
+        .toDF().orderBy("id")
+    }),
+
+    // ANN over embeddings: random-hyperplane LSH buckets + multiprobe —
+    // the scale path beside brute-force q09
+    "q18_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      graft.similarity.AnnLsh.topK(emb, col("vec_id") < 5, 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal plumbing: opaque binary payloads, batched (stubbed)
+    // decode/frame-sample inside mapPartitions
+    "q19_multimodal" -> ((s, dir) => {
+      graft.multimodal.Multimodal
+        .extract(graft.multimodal.Multimodal.mediaTable(s, dir))
+        .orderBy("media_id")
+    }),
+
     // ML quality score with the reference's __label__cc flip
     "q15_quality_score" -> ((s, dir) => {
       import s.implicits._

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract / frame-sample run
+  * as batched functions inside mapPartitions (the JVM analogue of
+  * `mapInPandas` — same batch shape: iterator of row batches in, iterator
+  * out). The actual codec is STUBBED with a deterministic fake (no
+  * image/audio libraries ship in this sandbox); everything Spark-side —
+  * schema, partitioning, batch shape, null handling — is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 n_frames: Long, features: Array[Float])
+
+  /** ===== STUBBED DECODER =====
+    * Stands in for an image/audio decode. Deterministic: a 16-bin byte
+    * histogram normalized to unit L1 — shape-compatible with a real
+    * embedding extractor (fixed-length Array[Float]).
+    */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= payload.length; j += 1 }
+    }
+    hist
+  }
+
+  /** ===== STUBBED FRAME SAMPLER =====
+    * Stands in for video frame sampling: every `stride`-th 16-byte block
+    * counts as one "frame".
+    */
+  def fakeFrameCount(payload: Array[Byte], stride: Int): Long =
+    if (payload.isEmpty) 0L else (payload.length / 16 + stride - 1) / stride
+
+  /** Synthesize a deterministic media table from the documents corpus:
+    * payload = utf-8 bytes of the text (an opaque blob as far as the
+    * pipeline is concerned), kind cycling over image/audio/video.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** The extract job: batched per-partition decode with executor-side
+    * reusable state (the model/codec handle a real decoder would hold).
+    */
+  def extract(media: DataFrame, frameStride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      // executor-side "codec" init would happen here, once per partition
+      batch.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          fakeFrameCount(m.payload, frameStride),
+          fakeDecodeFeatures(m.payload))
+      }
+    }.toDF()
+  }
+}

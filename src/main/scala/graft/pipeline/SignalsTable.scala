@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import graft.signals.{Doc, LineScore, Signals}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** One (start, end, score) triple — the reference's ScoreType
+  * (core/data_types.py:7-8). Document-level signals emit a single triple
+  * spanning (0, len); line signals one per line with raw char offsets.
+  */
+final case class Score(start: Long, end: Long, score: Option[Double])
+
+/** The nested quality_signals struct — a StructType (one field per signal),
+  * NOT a MapType, so Catalyst prunes unread signal columns for free
+  * (SURVEY.md §1.5). Field names = the reference's lowercased class names
+  * (core/schema/rp.py:17-48).
+  */
+final case class QualitySignals(
+  rps_doc_word_count: Array[Score],
+  rps_doc_mean_word_length: Array[Score],
+  rps_doc_frac_unique_words: Array[Score],
+  rps_doc_unigram_entropy: Array[Score],
+  rps_doc_frac_all_caps_words: Array[Score],
+  rps_doc_frac_no_alph_words: Array[Score],
+  rps_doc_symbol_to_word_ratio: Array[Score],
+  rps_doc_frac_lines_end_with_ellipsis: Array[Score],
+  rps_doc_stop_word_fraction: Array[Score],
+  rps_doc_ldnoobw_words: Array[Score],
+  rps_doc_lorem_ipsum: Array[Score],
+  rps_doc_curly_bracket: Array[Score],
+  rps_doc_num_sentences: Array[Score],
+  rps_doc_frac_chars_top_2gram: Array[Score],
+  rps_doc_frac_chars_top_3gram: Array[Score],
+  rps_doc_frac_chars_top_4gram: Array[Score],
+  rps_doc_frac_chars_dupe_5grams: Array[Score],
+  rps_doc_frac_chars_dupe_6grams: Array[Score],
+  rps_doc_frac_chars_dupe_7grams: Array[Score],
+  rps_doc_frac_chars_dupe_8grams: Array[Score],
+  rps_doc_frac_chars_dupe_9grams: Array[Score],
+  rps_doc_frac_chars_dupe_10grams: Array[Score],
+  rps_lines_javascript_counts: Array[Score],
+  rps_lines_ending_with_terminal_punctution_mark: Array[Score],
+  rps_lines_num_words: Array[Score],
+  rps_lines_uppercase_letter_fraction: Array[Score],
+  rps_lines_numerical_chars_fraction: Array[Score],
+  rps_lines_start_with_bulletpoint: Array[Score])
+
+final case class SignalMeta(
+  url: String, source_domain: String, language: String, snapshot_id: String)
+
+/** RP_SIGNAL_SCHEMA row (§1.4): id = "<uri_id>/<row_idx>", id_int = first
+  * 8 bytes of sha1(id) in native (little-endian x86) byte order, unsigned,
+  * carried bit-exactly in a signed LongType (worker.py:37, 240-244).
+  */
+final case class SignalRow(
+  id: String, id_int: Long, metadata: SignalMeta,
+  quality_signals: QualitySignals)
+
+object SignalsTable {
+
+  /** worker.py:240-244: `int.from_bytes(sha1(id)[:8], sys.byteorder)` on
+    * x86 = little-endian; unsigned uint64 reinterpreted as Long.
+    */
+  def idInt(id: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xFFL) | (d(1) & 0xFFL) << 8 | (d(2) & 0xFFL) << 16 |
+      (d(3) & 0xFFL) << 24 | (d(4) & 0xFFL) << 32 | (d(5) & 0xFFL) << 40 |
+      (d(6) & 0xFFL) << 48 | (d(7) & 0xFFL) << 56
+  }
+
+  private def docScore(doc: Doc, v: Option[Double]): Array[Score] =
+    Array(Score(0L, doc.length.toLong, v))
+
+  private def lineScores(ls: Array[LineScore]): Array[Score] =
+    ls.map(l => Score(l.start.toLong, l.end.toLong, l.score))
+
+  def signalRow(cf: CodeFile,
+                stopWords: Set[String] = SignalPass.StopWords,
+                blockWords: Set[String] = SignalPass.BlockWords): SignalRow = {
+    val doc = new Doc(cf.content)
+    val st = SignalPass.compute(cf, stopWords, blockWords)
+    def d(v: Double): Array[Score] = docScore(doc, Some(v))
+    def o(v: Option[Double]): Array[Score] = docScore(doc, v)
+    val id = s"${cf.repo}/${cf.doc_id}"
+    SignalRow(
+      id = id,
+      id_int = idInt(id),
+      metadata = SignalMeta(cf.path, cf.repo, cf.lang, cf.commit.take(8)),
+      quality_signals = QualitySignals(
+        rps_doc_word_count = d(st.rps_doc_word_count),
+        rps_doc_mean_word_length = o(st.rps_doc_mean_word_length),
+        rps_doc_frac_unique_words = o(st.rps_doc_frac_unique_words),
+        rps_doc_unigram_entropy = o(st.rps_doc_unigram_entropy),
+        rps_doc_frac_all_caps_words = o(st.rps_doc_frac_all_caps_words),
+        rps_doc_frac_no_alph_words = o(st.rps_doc_frac_no_alph_words),
+        rps_doc_symbol_to_word_ratio = o(st.rps_doc_symbol_to_word_ratio),
+        rps_doc_frac_lines_end_with_ellipsis = o(st.rps_doc_frac_lines_end_with_ellipsis),
+        rps_doc_stop_word_fraction = d(st.rps_doc_stop_word_fraction),
+        rps_doc_ldnoobw_words = d(st.rps_doc_ldnoobw_words),
+        rps_doc_lorem_ipsum = d(st.rps_doc_lorem_ipsum),
+        rps_doc_curly_bracket = d(st.rps_doc_curly_bracket),
+        rps_doc_num_sentences = d(st.rps_doc_num_sentences),
+        rps_doc_frac_chars_top_2gram = d(st.rps_doc_frac_chars_top_2gram),
+        rps_doc_frac_chars_top_3gram = d(st.rps_doc_frac_chars_top_3gram),
+        rps_doc_frac_chars_top_4gram = d(st.rps_doc_frac_chars_top_4gram),
+        rps_doc_frac_chars_dupe_5grams = d(st.rps_doc_frac_chars_dupe_5grams),
+        rps_doc_frac_chars_dupe_6grams = d(st.rps_doc_frac_chars_dupe_6grams),
+        rps_doc_frac_chars_dupe_7grams = d(st.rps_doc_frac_chars_dupe_7grams),
+        rps_doc_frac_chars_dupe_8grams = d(st.rps_doc_frac_chars_dupe_8grams),
+        rps_doc_frac_chars_dupe_9grams = d(st.rps_doc_frac_chars_dupe_9grams),
+        rps_doc_frac_chars_dupe_10grams = d(st.rps_doc_frac_chars_dupe_10grams),
+        rps_lines_javascript_counts = lineScores(Signals.linesJavascriptCounts(doc)),
+        rps_lines_ending_with_terminal_punctution_mark =
+          lineScores(Signals.linesEndingWithTerminalPunctuationMark(doc)),
+        rps_lines_num_words = lineScores(Signals.linesNumWords(doc)),
+        rps_lines_uppercase_letter_fraction =
+          lineScores(Signals.linesUppercaseLetterFraction(doc)),
+        rps_lines_numerical_chars_fraction =
+          lineScores(Signals.linesNumericalCharsFraction(doc)),
+        rps_lines_start_with_bulletpoint =
+          lineScores(Signals.linesStartWithBulletpoint(doc))))
+  }
+
+  def apply(files: Dataset[CodeFile]): Dataset[SignalRow] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(cf => signalRow(cf)))
+  }
+}
+
+/** The reference's MinHash parquet table (§1.4, worker.py:156-166):
+  * shard_id, id, id_int, signature_sim{0.7,0.8,0.9,1.0}: list<binary>,
+  * one big-endian band per element; null when the doc has < 13 words.
+  */
+final case class MinHashRow(
+  shard_id: String, id: String, id_int: Long,
+  signature_sim0_7: Array[Array[Byte]],
+  signature_sim0_8: Array[Array[Byte]],
+  signature_sim0_9: Array[Array[Byte]],
+  signature_sim1_0: Array[Array[Byte]])
+
+object MinHashTable {
+  def apply(files: Dataset[CodeFile],
+            hasher: graft.dedupe.MinHasher): Dataset[MinHashRow] = {
+    import files.sparkSession.implicits._
+    import graft.dedupe.MinHasher.BandsRows
+    files.mapPartitions(_.map { cf =>
+      val words = graft.text.PyCompat.split(
+        graft.text.Normalizer.normalize(cf.content))
+      val sig = hasher.signature(words)
+      def bands(t: Double): Array[Array[Byte]] = {
+        val (b, r) = BandsRows(t)
+        hasher.bands(sig, b, r)
+      }
+      val id = s"${cf.repo}/${cf.doc_id}"
+      MinHashRow(cf.repo, id, SignalsTable.idInt(id),
+        bands(0.7), bands(0.8), bands(0.9), bands(1.0))
+    })
+  }
+}

@@ -1,0 +1,85 @@
+package graft.similarity
+
+import graft.util.SplitMix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest neighbours over an embedding column: random
+  * hyperplane LSH (Charikar 2002) with multiprobe. The scale path next to
+  * the brute-force cosine baseline (q09): candidates come from a
+  * bucket-equi-join instead of a cross join, so work is
+  * O(n·probes·bucket_size) — at 10^9 vectors the cross join is impossible,
+  * the bucket join is a plain shuffled equi-join.
+  */
+object AnnLsh {
+
+  /** Seeded hyperplanes: `bits` × `dim`, entries uniform [-1, 1). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new SplitMix64(seed)
+    Array.fill(bits)(Array.fill(dim)(
+      (rng.nextLong() >>> 11) * (2.0 / (1L << 53)) - 1.0))
+  }
+
+  /** Sign-pattern bucket id of one vector. */
+  def bucketOf(vec: Array[Double], planes: Array[Array[Double]]): Int = {
+    var code = 0
+    var b = 0
+    while (b < planes.length) {
+      var s = 0.0
+      val p = planes(b)
+      var i = 0
+      while (i < p.length && i < vec.length) { s += p(i) * vec(i); i += 1 }
+      if (s >= 0) code |= (1 << b)
+      b += 1
+    }
+    code
+  }
+
+  /** Top-k by cosine for the query vectors, candidates restricted to
+    * vectors sharing the query's bucket or any 1-bit-flip probe bucket.
+    * Exact cosine is computed only on candidates.
+    *
+    * @param emb (vec_id: Long, vec: Array[Double]) dataframe
+    * @param queryFilter which vec_ids are queries
+    */
+  def topK(emb: DataFrame, queryFilter: Column, k: Int,
+           bitsOpt: Option[Int] = None, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // bucket width targets ~64 vectors/bucket: bits = log2(n/64). At 10^9
+    // vectors that's ~24 bits; here a handful. Caller can pin `bitsOpt`.
+    val bits = bitsOpt.getOrElse {
+      val n = emb.count()
+      math.max(3, (math.log(math.max(n / 64.0, 2.0)) / math.log(2)).floor.toInt)
+    }
+    val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim, seed))
+
+    val bucketUdf = udf((v: Seq[Double]) => bucketOf(v.toArray, planes.value))
+    val probesUdf = udf((v: Seq[Double]) => {
+      val c = bucketOf(v.toArray, planes.value)
+      c +: Array.tabulate(planes.value.length)(b => c ^ (1 << b))
+    })
+
+    val dot: (Column, Column) => Column = (x, y) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+    val data = emb.withColumn("bucket", bucketUdf(col("vec")))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val queries = data.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), explode(probesUdf(col("vec"))).as("bucket"))
+
+    val candidates = queries.join(data, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "qvec", "qnrm", "vec_id", "vec", "nrm")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-tables-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("id_int matches int.from_bytes(sha1(id)[:8], 'little')") {
+    // golden from python: int.from_bytes(hashlib.sha1(b'src0/0').digest()[:8],'little')
+    assert(SignalsTable.idInt("src0/0") == java.lang.Long.parseUnsignedLong(
+      "18022519671513463215"))
+  }
+
+  test("signals table has the nested RP schema and consistent values") {
+    val df = SparkEntry.queries("q16_signals_table")(spark, sfDir)
+    val schema = df.schema
+    assert(schema.fieldNames.toSet == Set("id", "id_int", "metadata", "quality_signals"))
+    val qs = schema("quality_signals").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(qs.fieldNames.length == 28)
+    assert(qs.fieldNames.contains("rps_lines_ending_with_terminal_punctution_mark"))
+    val rows = df.limit(50).collect()
+    rows.foreach { r =>
+      val sig = r.getAs[org.apache.spark.sql.Row]("quality_signals")
+      val wc = sig.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rps_doc_word_count")
+      assert(wc.length == 1 && wc.head.getLong(0) == 0L)
+      val lines = sig.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rps_lines_num_words")
+      assert(lines.nonEmpty)
+      // line offsets tile the doc: starts are non-decreasing, end of doc
+      assert(lines.head.getLong(0) == 0L)
+    }
+  }
+
+  test("minhash table bands have the published shapes; short docs null") {
+    val rows = SparkEntry.queries("q17_minhash_table")(spark, sfDir)
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val s07 = r.getAs[scala.collection.Seq[Array[Byte]]]("signature_sim0_7")
+      val s10 = r.getAs[scala.collection.Seq[Array[Byte]]]("signature_sim1_0")
+      if (s07 != null) {
+        assert(s07.length == 14 && s07.forall(_.length == 36)) // 14 bands x 9 rows
+        assert(s10.length == 1 && s10.head.length == 512) // 1 band x 128 rows
+      } else assert(s10 == null)
+    }
+    assert(rows.exists(_.getAs[Seq[Array[Byte]]]("signature_sim0_7") != null))
+  }
+
+  test("ann lsh achieves useful recall vs brute force") {
+    val exact = SparkEntry.queries("q09_ann_cosine")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val approx = SparkEntry.queries("q18_ann_lsh")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      val hit = approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+      hit.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"ANN mean recall@10 = $mean%.2f over ${recalls.length} queries")
+    assert(mean >= 0.3, s"recall $mean too low — buckets broken?")
+  }
+
+  test("multimodal features have the contracted shape") {
+    val rows = SparkEntry.queries("q19_multimodal")(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0f) < 1e-3 || r.getAs[Long]("n_bytes") == 0)
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+    }
+  }
+}
