@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the properties that make the engine scale are
+  * pinned here so a refactor can't silently regress them
+  * (SURVEY.md §4; .explain-driven design).
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-plan-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("flagship pipeline is a single shuffle-free scan") {
+    val p = plan(QualityFilterJob.run(spark, sfDir))
+    assert(!p.contains("Exchange"), s"flagship plan gained a shuffle:\n$p")
+    assert(p.contains("Scan parquet") && p.contains("MapPartitions"))
+  }
+
+  test("predicate pushdown and column pruning reach the parquet scan") {
+    val df = CodeFiles(spark, sfDir).filter(col("lang") === "en")
+      .select("doc_id", "lang")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("brute-force cosine top-k broadcasts the query side") {
+    val p = plan(SparkEntry.queries("q09_ann_cosine")(spark, sfDir))
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    // Spark 4 group-limit pushdown keeps the rank filter pre-shuffle
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+  }
+
+  test("decision columns prune through the typed mapPartitions") {
+    val df = SparkEntry.queries("q02_quality_filter")(spark, sfDir)
+    val p = plan(df)
+    // SerializeFromObject must extract only the fields q02 consumes (8 of
+    // DocStats' 40) — Catalyst's nested-field pruning through the object
+    // boundary; regression = shipping every signal for a 3-column query
+    val ser = p.linesIterator.find(_.contains("SerializeFromObject")).get
+    val extracted = "invoke[(]".r.findAllIn(ser).length
+    assert(extracted <= 10, s"SerializeFromObject ships $extracted fields: $ser")
+    // codegen shows up once AQE finalizes the plan
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(400))
+    assert(finalPlan.contains("*(") || finalPlan.contains("WholeStageCodegen"),
+      finalPlan.take(2000))
+  }
+
+  test("exact dedup is one hash-partitioned window, no extra shuffles") {
+    val p = plan(SparkEntry.queries("q04_exact_dedup")(spark, sfDir))
+    // exactly 2 exchanges: the digest window partition + the final orderBy
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
+  }
+}
