@@ -319,6 +319,41 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // J2: UT1-style blocklist lookup = broadcast left join on domain;
+    // category id or null (content.py:153-165)
+    "q20_ut1_lookup" -> ((s, dir) => {
+      val ut1 = s.createDataFrame(Seq(
+        ("src1", 3L), ("src4", 7L), ("src7", 3L), ("src11", 12L),
+        ("src17", 7L))).toDF("repo", "ut1_category")
+      CodeFiles(s, dir)
+        .join(broadcast(ut1), Seq("repo"), "left")
+        .select(col("doc_id"), col("repo"), col("ut1_category"))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup application: keep first occurrence per digest, drop the rest —
+    // the left-anti join consumers run on the reference's dup lists
+    "q21_dedup_apply" -> ((s, dir) => {
+      val corpus = dupCorpus(s, dir)
+        .withColumn("digest", sha2(col("content"), 256))
+      val w = Window.partitionBy("digest").orderBy("id")
+      val dups = corpus.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("id")
+      corpus.join(dups, Seq("id"), "left_anti")
+        .select(col("id"), col("digest"))
+        .orderBy("id")
+    }),
+
+    // A6: per-repo token totals (groupBy aggregation over the fused stats)
+    "q22_token_totals" -> ((s, dir) => {
+      SignalPass.statsFromDir(s, dir)
+        .groupBy("repo")
+        .agg(sum("n_tokens").as("total_tokens"),
+          count(lit(1)).as("n_files"),
+          sum("word_count").as("total_words"))
+        .orderBy("repo")
+    }),
+
     // ML quality score with the reference's __label__cc flip
     "q15_quality_score" -> ((s, dir) => {
       import s.implicits._
@@ -514,6 +549,36 @@ object SparkEntry {
          |         AS scrubbed_len
          |FROM code_files
          |ORDER BY doc_id""".stripMargin,
+
+    "q20_ut1_lookup" ->
+      s"""WITH $cte, ut1(repo, ut1_category) AS (
+         |  VALUES ('src1', CAST(3 AS BIGINT)), ('src4', 7), ('src7', 3),
+         |         ('src11', 12), ('src17', 7)
+         |)
+         |SELECT doc_id, cf.repo, ut1_category
+         |FROM code_files cf LEFT JOIN ut1 ON cf.repo = ut1.repo
+         |ORDER BY doc_id""".stripMargin,
+
+    "q21_dedup_apply" ->
+      s"""WITH $cte, $dupCorpusCte, d AS (
+         |  SELECT id, sha256(content) AS digest,
+         |         row_number() OVER (PARTITION BY sha256(content)
+         |                            ORDER BY id) AS rn
+         |  FROM corpus)
+         |SELECT id, digest FROM d WHERE rn = 1
+         |ORDER BY id""".stripMargin,
+
+    "q22_token_totals" ->
+      s"""WITH $cte, $wordsCte
+         |SELECT repo,
+         |       CAST(sum(len(regexp_extract_all(content,
+         |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         |         AS total_tokens,
+         |       count(*) AS n_files,
+         |       CAST(sum(len(ws)) AS BIGINT) AS total_words
+         |FROM words JOIN code_files USING (doc_id)
+         |GROUP BY repo
+         |ORDER BY repo""".stripMargin,
 
     "q09_ann_cosine" ->
       s"""WITH e AS (

@@ -23,7 +23,7 @@ object CodeFiles {
       concat(lit("src/"), col("lang"), lit("/doc_"), col("doc_id"), lit(".txt")).as("path"),
       sha2(col("doc_id").cast("string"), 256).as("commit"),
       col("lang"),
-      enrich(col("doc_id"), col("text")).as("content")
+      enrich(col("doc_id"), coalesce(col("text"), lit(""))).as("content")
     )
   }
 
@@ -53,7 +53,7 @@ object CodeFiles {
       |         'src/' || lang || '/doc_' || doc_id || '.txt' AS path,
       |         sha256(CAST(doc_id AS VARCHAR)) AS commit,
       |         lang,
-      |         text ||
+      |         coalesce(text, '') ||
       |           chr(10) || 'Contact user' || doc_id || '@example.org or 10.' ||
       |           (doc_id % 200) || '.0.' || (doc_id % 250) || ' or call 555-' ||
       |           ((doc_id % 9000) + 1000) || ' for details.' || chr(10) ||

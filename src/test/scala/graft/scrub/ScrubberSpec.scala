@@ -1,0 +1,22 @@
+package graft.scrub
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Scrub parity: Java regex must agree with Python re (and DuckDB RE2) on
+  * every crafted edge case — boundary \b around IPs/phones, overlapping
+  * PII, degenerate inputs. Goldens from tools-side Python re.
+  */
+class ScrubberSpec extends AnyFunSuite {
+  test("scrub matches Python re on edge cases") {
+    val root = new ObjectMapper()
+      .readTree(getClass.getResourceAsStream("/scrub_goldens.json"))
+    root.elements().asScala.foreach { n =>
+      val in = n.get("in").asText()
+      val want = n.get("out").asText()
+      assert(Scrubber.scrub(in) == want,
+        s"input ${in.take(50)}: got ${Scrubber.scrub(in)} want $want")
+    }
+  }
+}
