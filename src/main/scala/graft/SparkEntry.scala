@@ -354,6 +354,35 @@ object SparkEntry {
         .orderBy("repo")
     }),
 
+    // Hourly event rollup: time bucketing + grouped aggregation over the
+    // events table (epoch-hour buckets keep the oracle hash-exact)
+    "q23_events_hourly" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600).as("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .orderBy("event_type", "hour_bucket")
+    }),
+
+    // Sessionization: lag window + cumulative gap counting (30-min gap
+    // starts a new session); outputs sessions per user
+    "q24_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // ML quality score with the reference's __label__cc flip
     "q15_quality_score" -> ((s, dir) => {
       import s.implicits._
@@ -579,6 +608,33 @@ object SparkEntry {
          |FROM words JOIN code_files USING (doc_id)
          |GROUP BY repo
          |ORDER BY repo""".stripMargin,
+
+    "q23_events_hourly" ->
+      s"""SELECT event_type,
+         |       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+         |       count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       min(event_id) AS first_event,
+         |       max(event_id) AS last_event
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY event_type, hour_bucket""".stripMargin,
+
+    "q24_sessionize" ->
+      s"""WITH lagged AS (
+         |  SELECT user_id,
+         |         CASE WHEN prev_ts IS NULL
+         |                   OR epoch(ts) - epoch(prev_ts) > 1800
+         |              THEN 1 ELSE 0 END AS new_session
+         |  FROM (SELECT user_id, ts,
+         |               lag(ts) OVER (PARTITION BY user_id
+         |                             ORDER BY ts, event_id) AS prev_ts
+         |        FROM events))
+         |SELECT user_id,
+         |       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+         |       count(*) AS n_events
+         |FROM lagged GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
 
     "q09_ann_cosine" ->
       s"""WITH e AS (

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object Lsh {
 
+  /** uint64 ids (e.g. RP-table id_int, sha1-derived) must be min'd as
+    * UNSIGNED (cluster_id = unsigned-min of the component, run_lsh.py:324-
+    * 338 on numpy uint64). Flipping the sign bit is order-preserving
+    * between uint64 and int64, so wrap min/groupBy keys in this before and
+    * after (SURVEY.md §7.4 watch item 3).
+    */
+  def toUnsignedOrder(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.bitwiseXOR(Long.MinValue)
+
+  def fromUnsignedOrder(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.bitwiseXOR(Long.MinValue)
+
   /** (id, words) → (id, band_idx, band_bytes), null signatures dropped
     * (P4, run_lsh.py:256-259).
     */
