@@ -85,6 +85,25 @@ object SignalPass {
     */
   private[pipeline] val One: Integer = Integer.valueOf(1)
 
+  /** Precomputed blocklist shape (cached by Set identity). */
+  final class BlockStructs(words: Set[String]) {
+    val hasUnigrams: Boolean = words.exists(!_.contains(' '))
+    val phrases: Array[Array[String]] =
+      words.filter(_.contains(' ')).map(_.split(' ')).toArray
+  }
+
+  @volatile private var blockCache: (Set[String], BlockStructs) = null
+
+  private[pipeline] def blockStructs(words: Set[String]): BlockStructs = {
+    val c = blockCache
+    if (c != null && (c._1 eq words)) c._2
+    else {
+      val built = new BlockStructs(words)
+      blockCache = (words, built)
+      built
+    }
+  }
+
   @volatile private var stopCache: (Set[String], Array[Array[String]]) = null
 
   private[pipeline] def stopsByLen(stops: Set[String]): Array[Array[String]] = {
@@ -100,6 +119,25 @@ object SignalPass {
   private val TokenPattern =
     java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
 
+  /** # whitespace tokens of `s` equal to `tok` — region compare, no alloc
+    * (lines.py:33-49 javascript counts).
+    */
+  def countTokenEquals(s: String, tok: String): Int = {
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && PyCompat.isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !PyCompat.isSpace(s.charAt(i))) i += 1
+        if (i - start == tok.length && s.regionMatches(start, tok, 0, tok.length))
+          count += 1
+      }
+    }
+    count
+  }
+
   def countTokens(s: String): Int = {
     val m = TokenPattern.matcher(s)
     var n = 0
@@ -107,11 +145,14 @@ object SignalPass {
     n
   }
 
+  private val regionTls =
+    ThreadLocal.withInitial[PyCompat.RegionHolder](() => new PyCompat.RegionHolder)
+
   def compute(cf: CodeFile,
               stopWords: Set[String] = StopWords,
               blockWords: Set[String] = BlockWords): DocStats = {
     val doc = new Doc(cf.content)
-    val nw = doc.normalizedWords
+    val nc = doc.normalizedContent
     val rawLines = doc.rawLines
 
     var terminal = 0L
@@ -123,54 +164,61 @@ object SignalPass {
       if (t.endsWith("...") || t.endsWith("…")) ellipsis += 1
     }
     var sumLineWords = 0L
-    doc.normalizedLines.foreach(l => sumLineWords += PyCompat.split(l.text).length)
-
-    // one counting pass over normalized words serves unique-fraction,
-    // entropy, normalized stop hits, and the ldnoobw unigram membership
-    val wordCounts = new java.util.HashMap[String, Integer](nw.length * 2)
-    locally {
-      var i = 0
-      while (i < nw.length) {
-        val w = nw(i)
-        val prev = wordCounts.get(w)
-        wordCounts.put(w, if (prev == null) SignalPass.One
-                          else Integer.valueOf(prev.intValue() + 1))
-        i += 1
-      }
+    var javascriptTotal = 0.0
+    doc.normalizedLines.foreach { l =>
+      sumLineWords += PyCompat.countSplit(l.text)
+      javascriptTotal += countTokenEquals(l.text, "javascript")
     }
-    val unique = wordCounts.size
+
+    // normalized words as REGIONS over nc — no per-token substrings; one
+    // String materialized per DISTINCT word by the region interner
+    val regions = regionTls.get()
+    val nWords = PyCompat.splitRegions(nc, regions)
+    val rr = graft.signals.Repetitions.computeRegions(
+      nc, regions.starts, regions.ends, nWords)
+    val rep = rr.result
+    val unique = rep.numDistinct
     var stopNorm = 0L
     var entropy = 0.0
     var ldnoobwCount = 0L
-    val blockGramSizes = blockWords.map(w => 1 + PyCompat.countOf(w, ' '))
+    val blocks = SignalPass.blockStructs(blockWords)
     locally {
-      val total = nw.length.toDouble
-      val it = wordCounts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e.getValue.intValue()
-        if (stopWords.contains(e.getKey)) stopNorm += c
-        if (blockGramSizes.contains(1) && blockWords.contains(e.getKey))
-          ldnoobwCount += c
+      val total = nWords.toDouble
+      var id = 0
+      while (id < rep.numDistinct) {
+        val c = rep.idCounts(id)
+        val w = rr.idWords(id)
+        if (stopWords.contains(w)) stopNorm += c
+        if (blocks.hasUnigrams && blockWords.contains(w)) ldnoobwCount += c
         if (c > 0) entropy += -c / total * math.log(c / total)
+        id += 1
       }
     }
-    // multi-word block phrases: scan positions (no n-gram string building)
-    blockGramSizes.filter(_ > 1).foreach { n =>
-      val parts = blockWords.filter(w => 1 + PyCompat.countOf(w, ' ') == n)
-        .map(_.split(' '))
-      var i = 0
-      while (i + n <= nw.length) {
-        parts.foreach { p =>
+    // multi-word block phrases: positional region compare, zero alloc
+    locally {
+      val phrases = blocks.phrases
+      var p = 0
+      while (p < phrases.length) {
+        val parts = phrases(p)
+        val n = parts.length
+        var i = 0
+        val last = nWords - n
+        while (i <= last) {
           var j = 0
           var ok = true
-          while (ok && j < n) { ok = nw(i + j) == p(j); j += 1 }
+          while (ok && j < n) {
+            val st = regions.starts(i + j)
+            val part = parts(j)
+            ok = regions.ends(i + j) - st == part.length &&
+              nc.regionMatches(st, part, 0, part.length)
+            j += 1
+          }
           if (ok) ldnoobwCount += 1
+          i += 1
         }
-        i += 1
+        p += 1
       }
     }
-    val rep = graft.signals.Repetitions.compute(nw)
     val nSentences = Signals.numSentences(doc)
     // raw-word stats in one substring-free scan (tokenize() semantics)
     val raw = graft.text.WordPunct.rawScan(cf.content, SignalPass.stopsByLen(stopWords))
@@ -181,27 +229,29 @@ object SignalPass {
     DocStats(
       doc_id = cf.doc_id, repo = cf.repo, path = cf.path, lang = cf.lang,
       n_chars = doc.length.toLong,
-      word_count = nw.length.toLong,
+      word_count = nWords.toLong,
       n_unique_words = unique.toLong,
-      sum_word_chars = doc.normalizedWordChars,
+      sum_word_chars = rr.totalWordChars,
       n_raw_words = nRawWords.toLong,
       n_lines = rawLines.length.toLong,
       n_terminal_lines = terminal,
       n_ellipsis_lines = ellipsis,
       sum_line_words = sumLineWords,
       n_curly = (PyCompat.countOf(cf.content, '{') + PyCompat.countOf(cf.content, '}')).toLong,
-      n_lorem = PyCompat.countOf(doc.normalizedContent, "lorem ipsum").toLong,
+      n_lorem = PyCompat.countOf(nc, "lorem ipsum").toLong,
       n_stop_words_norm = stopNorm,
       n_tokens = countTokens(cf.content).toLong,
       n_sentences = nSentences.toLong,
       n_alpha_words = alphaWords,
       n_all_caps_words = allCaps,
-      rps_doc_word_count = Signals.wordCount(doc),
-      rps_doc_mean_word_length = Signals.meanWordLength(doc),
+      rps_doc_word_count = nWords.toDouble,
+      rps_doc_mean_word_length =
+        if (nWords == 0) None
+        else Some(PyCompat.round8(rr.totalWordChars.toDouble / nWords)),
       rps_doc_frac_unique_words =
-        if (nw.isEmpty) None else Some(PyCompat.round8(unique.toDouble / nw.length)),
+        if (nWords == 0) None else Some(PyCompat.round8(unique.toDouble / nWords)),
       rps_doc_unigram_entropy =
-        if (nw.isEmpty) None else Some(PyCompat.round8(entropy)),
+        if (nWords == 0) None else Some(PyCompat.round8(entropy)),
       rps_doc_frac_all_caps_words =
         if (nRawWords == 0) None
         else Some(PyCompat.round8(allCaps.toDouble / nRawWords)),
@@ -215,10 +265,9 @@ object SignalPass {
           PyCompat.countOf(cf.content, "…")).toDouble / nRawWords)),
       rps_doc_frac_lines_end_with_ellipsis = Signals.fracLinesEndWithEllipsis(doc),
       rps_doc_stop_word_fraction =
-        if (nw.isEmpty) 0.0
+        if (nWords == 0) 0.0
         else PyCompat.round8(raw.stopHits.toDouble / nRawWords),
-      rps_doc_ldnoobw_words =
-        if (doc.normalizedContent.isEmpty) 0.0 else ldnoobwCount.toDouble,
+      rps_doc_ldnoobw_words = if (nc.isEmpty) 0.0 else ldnoobwCount.toDouble,
       rps_doc_lorem_ipsum = Signals.loremIpsum(doc),
       rps_doc_curly_bracket = Signals.curlyBracket(doc),
       rps_doc_num_sentences = nSentences,
@@ -231,8 +280,7 @@ object SignalPass {
       rps_doc_frac_chars_dupe_8grams = rep.dupe8,
       rps_doc_frac_chars_dupe_9grams = rep.dupe9,
       rps_doc_frac_chars_dupe_10grams = rep.dupe10,
-      rps_lines_javascript_count_total =
-        Signals.linesJavascriptCounts(doc).flatMap(_.score).sum
+      rps_lines_javascript_count_total = javascriptTotal
     )
   }
 

@@ -18,7 +18,13 @@ object Repetitions {
   final case class Result(
     top2: Double, top3: Double, top4: Double,
     dupe5: Double, dupe6: Double, dupe7: Double,
-    dupe8: Double, dupe9: Double, dupe10: Double)
+    dupe8: Double, dupe9: Double, dupe10: Double,
+    /** # distinct words (intern table size) */
+    numDistinct: Int,
+    /** count per word id (length numDistinct) */
+    idCounts: Array[Int],
+    /** first occurrence position per word id (word = words(firstPos(id))) */
+    idFirstPos: Array[Int])
 
   /** One reusable (per-thread) workspace to keep the pass zero-alloc. */
   final class Workspace {
@@ -29,6 +35,9 @@ object Repetitions {
     var slots: Array[Int] = new Array[Int](1024)
     var counts: Array[Int] = new Array[Int](1024)
     val intern = new java.util.HashMap[String, Integer](256)
+    var wSlots: Array[Int] = new Array[Int](1024)
+    var idWords: Array[String] = new Array[String](256)
+    var idFirst: Array[Int] = new Array[Int](256)
 
     def ensure(nWords: Int): Unit = {
       if (ids.length < nWords) {
@@ -56,6 +65,80 @@ object Repetitions {
 
   def compute(words: Array[String]): Result = compute(words, tls.get())
 
+  /** Extended result of the region path: Result plus the materialized
+    * distinct words (one String per DISTINCT word, in id order) and total
+    * word chars (codepoints).
+    */
+  final case class RegionResult(result: Result, idWords: Array[String],
+                                totalWordChars: Long)
+
+  def computeRegions(nc: String, starts: Array[Int], ends: Array[Int],
+                     n: Int): RegionResult = {
+    val ws = tls.get()
+    ws.ensure(n)
+    // region-keyed interning: open addressing over (start,end) slices of
+    // nc, comparing chars; substring materialized once per distinct word
+    var cap = 16
+    while (cap < n * 2) cap <<= 1
+    if (ws.wSlots.length < cap) ws.wSlots = new Array[Int](cap)
+    else cap = Integer.highestOneBit(ws.wSlots.length)
+    java.util.Arrays.fill(ws.wSlots, 0, cap, -1)
+    val mask = cap - 1
+    if (ws.idWords.length < n) ws.idWords = new Array[String](n * 2)
+    if (ws.idFirst.length < n) ws.idFirst = new Array[Int](n * 2)
+    var nextId = 0
+    var i = 0
+    while (i < n) {
+      val st = starts(i)
+      val en = ends(i)
+      var h = -2128831035
+      var k = st
+      while (k < en) { h = (h ^ nc.charAt(k)) * 16777619; k += 1 }
+      var slot = (h & 0x7FFFFFFF) & mask
+      var id = -1
+      while (id == -1) {
+        val existing = ws.wSlots(slot)
+        if (existing == -1) {
+          ws.wSlots(slot) = nextId
+          ws.idWords(nextId) = nc.substring(st, en)
+          ws.idFirst(nextId) = i
+          id = nextId
+          nextId += 1
+        } else {
+          val w = ws.idWords(existing)
+          if (w.length == en - st && nc.regionMatches(st, w, 0, w.length))
+            id = existing
+          else slot = (slot + 1) & mask
+        }
+      }
+      ws.ids(i) = id
+      ws.cpPrefix(i + 1) = ws.cpPrefix(i) + nc.codePointCount(st, en)
+      i += 1
+    }
+    ws.cpPrefix(0) = 0L
+    val totalChars = if (n == 0) 0L else ws.cpPrefix(n)
+
+    val idCounts = new Array[Int](nextId)
+    val idFirstPos = new Array[Int](nextId)
+    i = 0
+    while (i < nextId) { idFirstPos(i) = ws.idFirst(i); i += 1 }
+    i = 0
+    while (i < n) { idCounts(ws.ids(i)) += 1; i += 1 }
+
+    val res = Result(
+      topFrac(ws, n, 2, totalChars),
+      topFrac(ws, n, 3, totalChars),
+      topFrac(ws, n, 4, totalChars),
+      dupeFrac(ws, n, 5, totalChars),
+      dupeFrac(ws, n, 6, totalChars),
+      dupeFrac(ws, n, 7, totalChars),
+      dupeFrac(ws, n, 8, totalChars),
+      dupeFrac(ws, n, 9, totalChars),
+      dupeFrac(ws, n, 10, totalChars),
+      nextId, idCounts, idFirstPos)
+    RegionResult(res, java.util.Arrays.copyOf(ws.idWords, nextId), totalChars)
+  }
+
   def compute(words: Array[String], ws: Workspace): Result = {
     val n = words.length
     ws.ensure(n)
@@ -76,6 +159,19 @@ object Repetitions {
     ws.cpPrefix(0) = 0L
     val totalChars = if (n == 0) 0L else ws.cpPrefix(n)
 
+    // per-id counts + first positions (serves unique/entropy/stop/blocklist
+    // downstream without a second word-keyed hash map)
+    val idCounts = new Array[Int](nextId)
+    val idFirstPos = new Array[Int](nextId)
+    java.util.Arrays.fill(idFirstPos, -1)
+    i = 0
+    while (i < n) {
+      val id = ws.ids(i)
+      idCounts(id) += 1
+      if (idFirstPos(id) < 0) idFirstPos(id) = i
+      i += 1
+    }
+
     Result(
       topFrac(ws, n, 2, totalChars),
       topFrac(ws, n, 3, totalChars),
@@ -85,7 +181,8 @@ object Repetitions {
       dupeFrac(ws, n, 7, totalChars),
       dupeFrac(ws, n, 8, totalChars),
       dupeFrac(ws, n, 9, totalChars),
-      dupeFrac(ws, n, 10, totalChars))
+      dupeFrac(ws, n, 10, totalChars),
+      nextId, idCounts, idFirstPos)
   }
 
   @inline private def gramHash(ids: Array[Int], start: Int, ng: Int): Int = {

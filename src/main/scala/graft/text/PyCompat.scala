@@ -78,18 +78,77 @@ object PyCompat {
     * per-line word counts (lines.py:77).
     */
   def split(s: String): Array[String] = {
-    val out = Array.newBuilder[String]
-    var i = 0
     val n = s.length
+    // pass 1: count tokens (avoids builder growth copies)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isSpace(s.charAt(i))) i += 1
+      }
+    }
+    val out = new Array[String](count)
+    var k = 0
+    i = 0
     while (i < n) {
       while (i < n && isSpace(s.charAt(i))) i += 1
       if (i < n) {
         val start = i
         while (i < n && !isSpace(s.charAt(i))) i += 1
-        out += s.substring(start, i)
+        out(k) = s.substring(start, i)
+        k += 1
       }
     }
-    out.result()
+    out
+  }
+
+  /** Python `str.split()` as token REGIONS into reusable arrays — no
+    * substring allocation. Returns the token count; starts/ends hold
+    * UTF-16 offsets into `s` (resized copies returned via the holder).
+    */
+  def splitRegions(s: String, holder: RegionHolder): Int = {
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isSpace(s.charAt(i))) i += 1
+        holder.ensure(count + 1)
+        holder.starts(count) = start
+        holder.ends(count) = i
+        count += 1
+      }
+    }
+    count
+  }
+
+  /** Token count of Python str.split() without any allocation. */
+  def countSplit(s: String): Int = {
+    val n = s.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpace(s.charAt(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isSpace(s.charAt(i))) i += 1
+      }
+    }
+    count
+  }
+
+  final class RegionHolder {
+    var starts: Array[Int] = new Array[Int](256)
+    var ends: Array[Int] = new Array[Int](256)
+    def ensure(n: Int): Unit =
+      if (starts.length < n) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+      }
   }
 
   /** Python single-char `str.isupper()` truth for one char: the char is

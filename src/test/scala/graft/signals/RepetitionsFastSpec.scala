@@ -8,18 +8,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RepetitionsFastSpec extends AnyFunSuite {
 
-  private def naive(words: Array[String]): Repetitions.Result = {
+  private def naive(words: Array[String]): Seq[Double] = {
     val doc = new Doc(words.mkString(" "))
     // build a Doc whose normalized words are exactly `words`: our word
     // generator uses lowercase alphanumerics so normalization is identity
     assert(doc.normalizedWords.toSeq == words.toSeq)
-    Repetitions.Result(
+    Seq(
       Signals.fracCharsInTopNgram(doc, 2), Signals.fracCharsInTopNgram(doc, 3),
       Signals.fracCharsInTopNgram(doc, 4), Signals.fracCharsInDupeNgrams(doc, 5),
       Signals.fracCharsInDupeNgrams(doc, 6), Signals.fracCharsInDupeNgrams(doc, 7),
       Signals.fracCharsInDupeNgrams(doc, 8), Signals.fracCharsInDupeNgrams(doc, 9),
       Signals.fracCharsInDupeNgrams(doc, 10))
   }
+
+  private def fracs(r: Repetitions.Result): Seq[Double] =
+    Seq(r.top2, r.top3, r.top4, r.dupe5, r.dupe6, r.dupe7, r.dupe8, r.dupe9,
+      r.dupe10)
 
   test("fast path equals naive on 500 fuzzed docs") {
     val rng = new graft.util.SplitMix64(99)
@@ -28,15 +32,20 @@ class RepetitionsFastSpec extends AnyFunSuite {
       val vocab = 1 + rng.nextBounded(12).toInt // tiny vocab → many dupes
       val words = Array.tabulate(n)(_ => s"w${rng.nextBounded(vocab)}x" * (1 + rng.nextBounded(3).toInt))
       val fast = Repetitions.compute(words)
-      val slow = naive(words)
-      assert(fast == slow, s"mismatch on ${words.take(20).mkString(" ")} …")
+      assert(fracs(fast) == naive(words), s"mismatch on ${words.take(20).mkString(" ")} …")
+      // intern-derived counts must reconcile with the doc
+      assert(fast.idCounts.sum == words.length)
+      assert(fast.numDistinct == words.distinct.length)
+      (0 until fast.numDistinct).foreach { id =>
+        val w = words(fast.idFirstPos(id))
+        assert(fast.idCounts(id) == words.count(_ == w))
+      }
     }
   }
 
   test("degenerate inputs") {
-    assert(Repetitions.compute(Array.empty[String]) ==
-      Repetitions.Result(0, 0, 0, 0, 0, 0, 0, 0, 0))
-    assert(Repetitions.compute(Array("a")) ==
-      Repetitions.Result(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(fracs(Repetitions.compute(Array.empty[String])) == Seq.fill(9)(0.0))
+    val one = Repetitions.compute(Array("a"))
+    assert(fracs(one) == Seq.fill(9)(0.0) && one.numDistinct == 1)
   }
 }
