@@ -1,0 +1,63 @@
+package graft.dedupe
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components on adversarial graph shapes — correctness vs a
+  * driver-side union-find oracle, and logarithmic convergence on the
+  * worst case (a long path).
+  */
+class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-cc-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    val got = Lsh.connectedComponents(df).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val want = unionFind(edges.length, edges)
+    assert(got == want, s"CC mismatch: ${got.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+  }
+
+  test("path graph of 400 nodes (worst case for plain propagation)") {
+    check((0L until 399L).map(i => (i, i + 1)))
+  }
+
+  test("random graph with many components matches union-find") {
+    val rng = new graft.util.SplitMix64(17)
+    val edges = (1 to 600).map(_ =>
+      (rng.nextBounded(500), rng.nextBounded(500))).filter(e => e._1 != e._2)
+    check(edges.distinct)
+  }
+
+  test("star + chain + isolated pairs") {
+    val star = (1L to 30L).map(i => (0L, i))
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val pairs = Seq((500L, 501L), (600L, 601L))
+    check(star ++ chain ++ pairs)
+  }
+}
