@@ -1,0 +1,75 @@
+package graft.signals
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** Large randomized cross-language differential: 400 seeded unicode-heavy
+  * documents (astral, RTL, CJK, control chars, combining marks, NBSP,
+  * injected repetition blocks) with every signal value computed by the
+  * Python transliteration. Both the naive Signals path AND the fused
+  * SignalPass must reproduce them.
+  */
+class FuzzGoldensSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private val root: JsonNode = mapper.readTree(
+    getClass.getResourceAsStream("/fuzz_goldens.json"))
+  private val stopWords = root.get("stop_words").elements().asScala.map(_.asText()).toSet
+  private val blockWords = root.get("block_words").elements().asScala.map(_.asText()).toSet
+
+  private def optD(n: JsonNode): Option[Double] =
+    if (n == null || n.isNull) None else Some(n.asDouble())
+
+  private def close(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+    case (None, None) => true
+    case (Some(x), Some(y)) => math.abs(x - y) <= 1e-9
+    case _ => false
+  }
+
+  test("fused SignalPass reproduces Python on 400 random unicode docs") {
+    var i = 0
+    root.get("docs").elements().asScala.foreach { dn =>
+      val text = dn.get("text").asText()
+      val sig = dn.get("signals")
+      val st = graft.pipeline.SignalPass.compute(
+        graft.pipeline.CodeFile(i, "r", "p", "c", "en", text),
+        stopWords, blockWords)
+      def ctx(name: String) =
+        s"doc#$i $name on ${text.take(50).replace("\n", "\\n").replace("\t", "\\t")}"
+      def chk(name: String, got: Option[Double]): Unit =
+        assert(close(got, optD(sig.get(name))),
+          s"${ctx(name)}: got $got want ${optD(sig.get(name))}")
+      chk("word_count", Some(st.rps_doc_word_count))
+      chk("mean_word_length", st.rps_doc_mean_word_length)
+      chk("frac_unique_words", st.rps_doc_frac_unique_words)
+      chk("unigram_entropy", st.rps_doc_unigram_entropy)
+      chk("frac_all_caps_words", st.rps_doc_frac_all_caps_words)
+      chk("frac_no_alph_words", st.rps_doc_frac_no_alph_words)
+      chk("symbol_to_word_ratio", st.rps_doc_symbol_to_word_ratio)
+      chk("frac_lines_end_with_ellipsis", st.rps_doc_frac_lines_end_with_ellipsis)
+      chk("stop_word_fraction", Some(st.rps_doc_stop_word_fraction))
+      chk("ldnoobw_words", Some(st.rps_doc_ldnoobw_words))
+      chk("lorem_ipsum", Some(st.rps_doc_lorem_ipsum))
+      chk("curly_bracket", Some(st.rps_doc_curly_bracket))
+      chk("num_sentences", Some(st.rps_doc_num_sentences))
+      chk("frac_chars_top_2gram", Some(st.rps_doc_frac_chars_top_2gram))
+      chk("frac_chars_top_3gram", Some(st.rps_doc_frac_chars_top_3gram))
+      chk("frac_chars_top_4gram", Some(st.rps_doc_frac_chars_top_4gram))
+      (5 to 10).foreach { n =>
+        val got = n match {
+          case 5 => st.rps_doc_frac_chars_dupe_5grams
+          case 6 => st.rps_doc_frac_chars_dupe_6grams
+          case 7 => st.rps_doc_frac_chars_dupe_7grams
+          case 8 => st.rps_doc_frac_chars_dupe_8grams
+          case 9 => st.rps_doc_frac_chars_dupe_9grams
+          case _ => st.rps_doc_frac_chars_dupe_10grams
+        }
+        chk(s"frac_chars_dupe_${n}grams", Some(got))
+      }
+      i += 1
+    }
+    info(s"$i docs verified against Python")
+  }
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Randomized differential corpus: 400 unicode-heavy documents with signals
+computed by the Python transliteration (gen_goldens.compute). Seeded, so
+regeneration is stable. Run:
+  python3 tools/gen_fuzz_corpus.py > src/test/resources/fuzz_goldens.json
+"""
+import json, random, sys
+
+src = open(__file__.replace('gen_fuzz_corpus.py', 'gen_goldens.py')).read()
+ns = {}
+exec(src[:src.index('STOP = ')], ns)
+compute = ns['compute']
+
+rng = random.Random(20260816)
+
+PIECES = [
+    "word", "the", "a", "of", "and", "repeat", "block", "x",
+    "ALLCAPS", "MiXeD", "Title", "123", "0042", "3.14",
+    "１２３", "¼", "½", "Ⅻ", "²", "³",
+    "\U0001d518\U0001d52b\U0001d526", "\U0001d7d8\U0001d7d9",
+    "\U0001f600", "\U0001f389",
+    "café", "naïve", "ÉCOLE", "café", "é̂",
+    "中文", "日本語", "한국어",
+    "русский",
+    "العربية",
+    "{", "}", "{}", "(", ")", "...", "…", "#", "##", "!?", ".",
+    "•", "‣", "–", "■", "”", "“",
+    "lorem", "ipsum", "lorem ipsum", "Lorem Ipsum",
+    "badword", "damnword", "obscene phrase", "slurword",
+    "a@b.cc", "user7@example.org", "10.1.2.3", "555-1234",
+    "_under_", "__dunder__", "snake_case", "kebab-case",
+    "\x1c", "\x1d", "\x85", "\xa0", "\x0b", "\x0c",
+    "javascript", "JavaScript", "JAVASCRIPT",
+]
+SEPS = [" ", " ", " ", "  ", "\t", "\n", "\n\n", "", " \n "]
+
+def gen_doc():
+    n = rng.randrange(0, 150)
+    parts = []
+    for _ in range(n):
+        parts.append(rng.choice(PIECES))
+        parts.append(rng.choice(SEPS))
+    if rng.random() < 0.3 and parts:
+        block = "".join(parts[:min(20, len(parts))])
+        parts = parts + [block] * rng.randrange(1, 4)
+    return "".join(parts)
+
+STOP = ["the","a","an","and","of","to","in","is","that","it","for","on",
+        "with","as","at","by","be","this","was","are","or","from","but",
+        "not","have","has","had","they","you","we"]
+BLOCK = ["badword","damnword","obscene phrase","slurword","nsfw token"]
+
+docs = []
+for _ in range(400):
+    t = gen_doc()
+    docs.append({"text": t, "signals": compute(t, set(STOP), set(BLOCK))})
+json.dump({"stop_words": STOP, "block_words": BLOCK, "docs": docs},
+          sys.stdout, ensure_ascii=False)
