@@ -134,7 +134,7 @@ object SparkEntry {
     // only touches rare shingles and hot-shingle blowup disappears while
     // results stay EXACTLY the naive oracle's.
     "q06_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir, 3)
+      val sh = shingled(s, dir, 3).cache()
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
       val sized = sh.join(freq, "shingle")
@@ -142,17 +142,24 @@ object SparkEntry {
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
       val prefixes = sized
         .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
-        .select("id", "shingle", "sz")
+        .select("id", "shingle", "sz", "pos")
         .cache()
-      val candidates = prefixes.toDF("id_a", "shingle", "sz_a")
-        .join(prefixes.toDF("id_b", "shingle", "sz_b"), "shingle")
+      val candidates = prefixes.toDF("id_a", "shingle", "sz_a", "pos_a")
+        .join(prefixes.toDF("id_b", "shingle", "sz_b", "pos_b"), "shingle")
         .filter(col("id_a") < col("id_b"))
         // size filter: J ≥ 0.5 ⇒ |A| ≥ |B|/2 and |B| ≥ |A|/2
         .filter(col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
+        // PPJoin positional filter: a match at (rare-first) positions
+        // (pa, pb) bounds the intersection by 1 + min(sz_a-pa, sz_b-pb);
+        // J ≥ 0.5 needs inter ≥ (sz_a+sz_b)/3, so prune pairs whose best
+        // match can't reach it — kills most low-overlap candidates before
+        // the expensive verification join
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(max(least(col("sz_a") - col("pos_a"),
+          col("sz_b") - col("pos_b"))).as("ub"))
+        .filter((col("ub") + 1) * 3 >= col("sz_a") + col("sz_b"))
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .distinct()
-      val sets = shingled(s, dir, 3)
-        .groupBy("id").agg(collect_set("shingle").as("sh"))
+      val sets = sh.groupBy("id").agg(collect_set("shingle").as("sh"))
       candidates
         .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
