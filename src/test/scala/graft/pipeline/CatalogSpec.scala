@@ -22,6 +22,25 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("salted partitioning spreads a mega-repo over many partitions") {
+    import org.apache.spark.sql.functions._
+    // adversarial corpus: one repo owns 90% of files
+    val spark2 = spark
+    import spark2.implicits._
+    val files = (0 until 1000).map { i =>
+      val repo = if (i < 900) "mega/repo" else s"small/repo${i % 7}"
+      (i.toLong, repo, s"src/f$i.txt")
+    }.toDF("doc_id", "repo", "path")
+    val keyed = files.withColumn("pkey", CheckpointedRun.saltedKey(8))
+    val megaParts = keyed.filter(col("repo") === "mega/repo")
+      .select("pkey").distinct().count()
+    assert(megaParts == 8, s"mega-repo should spread over all 8 salt buckets, got $megaParts")
+    // and the largest partition holds far less than the whole repo
+    val maxPart = keyed.groupBy("pkey").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxPart < 300, s"largest salted partition still skewed: $maxPart files")
+  }
+
   test("checkpointed run: kill/resume is idempotent, metrics conserve files") {
     import org.apache.spark.sql.functions._
     val rootA = Files.createTempDirectory("graft_cat_a").toString
