@@ -72,7 +72,47 @@ object Lsh {
     * ~20 rounds, not a million. DataFrame-only; survives any scale the
     * shuffle survives.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          maxDriverEdges: Long = 2000000L): DataFrame = {
+    // adaptive small-side path (SURVEY.md D5): below the threshold a
+    // driver union-find beats ~log(diameter) Spark rounds by seconds of
+    // scheduling alone; above it, the iterative DataFrame path runs
+    val edgeCount = edges.count()
+    if (edgeCount <= maxDriverEdges) return driverUnionFind(edges)
+    distributedComponents(edges, maxIter)
+  }
+
+  /** Collect → union-find with path halving → parallelize. Exact same
+    * (id, cluster_id = min of component) contract.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    spark.createDataset(nodes.toSeq.map(v => (v, find(v))))
+      .toDF("id", "cluster_id")
+  }
+
+  /** The scale path: iterative neighbor-min + pointer jumping. */
+  private[dedupe] def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

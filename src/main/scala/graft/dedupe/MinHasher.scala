@@ -96,11 +96,16 @@ object MinHasher {
   final val MersennePrime: Long = (1L << 61) - 1
   final val MaxHash: Long = (1L << 32) - 1
 
+  private val sha1Tls = ThreadLocal.withInitial[MessageDigest](
+    () => MessageDigest.getInstance("SHA-1"))
+
   /** First 4 bytes of sha1(utf8), little-endian unsigned
-    * (dedupe/utils.py:57-71 `struct.unpack("<I", ...)`).
+    * (dedupe/utils.py:57-71 `struct.unpack("<I", ...)`). Thread-local
+    * digest instance — this runs once per shingle.
     */
   def sha1Hash32(s: String): Long = {
-    val md = MessageDigest.getInstance("SHA-1")
+    val md = sha1Tls.get()
+    md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     (d(0) & 0xFFL) | (d(1) & 0xFFL) << 8 | (d(2) & 0xFFL) << 16 |
       (d(3) & 0xFFL) << 24

@@ -37,10 +37,16 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val df = edges.toDF("src", "dst")
-    val got = Lsh.connectedComponents(df).collect()
-      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     val want = unionFind(edges.length, edges)
-    assert(got == want, s"CC mismatch: ${got.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+    // both paths must agree with the oracle: the adaptive driver-side
+    // union-find AND the distributed pointer-jumping loop
+    val viaDriver = Lsh.connectedComponents(df).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(viaDriver == want, s"driver path mismatch: ${viaDriver.toSeq.sorted.take(5)}")
+    val viaDistributed = Lsh.distributedComponents(df, 30).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(viaDistributed == want,
+      s"distributed path mismatch: ${viaDistributed.toSeq.sorted.take(5)}")
   }
 
   test("path graph of 400 nodes (worst case for plain propagation)") {
