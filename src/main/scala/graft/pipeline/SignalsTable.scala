@@ -15,6 +15,7 @@ final case class Score(start: Long, end: Long, score: Option[Double])
   * (core/schema/rp.py:17-48).
   */
 final case class QualitySignals(
+  rps_doc_ut1_blacklist: Array[Score],
   rps_doc_word_count: Array[Score],
   rps_doc_mean_word_length: Array[Score],
   rps_doc_frac_unique_words: Array[Score],
@@ -74,9 +75,17 @@ object SignalsTable {
   private def lineScores(ls: Array[LineScore]): Array[Score] =
     ls.map(l => Score(l.start.toLong, l.end.toLong, l.score))
 
+  /** UT1-style category map: domain (repo here) -> category id
+    * (content.py:153-165; id construction update_resources.py:18-56).
+    * A parameter of the engine; this deterministic demo map matches q20.
+    */
+  val DefaultUt1: Map[String, Int] = Map(
+    "src1" -> 3, "src4" -> 7, "src7" -> 3, "src11" -> 12, "src17" -> 7)
+
   def signalRow(cf: CodeFile,
                 stopWords: Set[String] = SignalPass.StopWords,
-                blockWords: Set[String] = SignalPass.BlockWords): SignalRow = {
+                blockWords: Set[String] = SignalPass.BlockWords,
+                ut1: Map[String, Int] = DefaultUt1): SignalRow = {
     val doc = new Doc(cf.content)
     val st = SignalPass.compute(cf, stopWords, blockWords)
     def d(v: Double): Array[Score] = docScore(doc, Some(v))
@@ -87,6 +96,7 @@ object SignalsTable {
       id_int = idInt(id),
       metadata = SignalMeta(cf.path, cf.repo, cf.lang, cf.commit.take(8)),
       quality_signals = QualitySignals(
+        rps_doc_ut1_blacklist = o(ut1.get(cf.repo).map(_.toDouble)),
         rps_doc_word_count = d(st.rps_doc_word_count),
         rps_doc_mean_word_length = o(st.rps_doc_mean_word_length),
         rps_doc_frac_unique_words = o(st.rps_doc_frac_unique_words),

@@ -30,7 +30,7 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(schema.fieldNames.toSet == Set("id", "id_int", "metadata", "quality_signals"))
     val qs = schema("quality_signals").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    assert(qs.fieldNames.length == 28)
+    assert(qs.fieldNames.length == 29)
     assert(qs.fieldNames.contains("rps_lines_ending_with_terminal_punctution_mark"))
     val rows = df.limit(50).collect()
     rows.foreach { r =>

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property suite over generated unicode text (SURVEY.md 5.2):
+  * algebraic invariants of the text primitives on ANY input.
+  */
+class TextPropsSpec extends AnyFunSuite {
+
+  private val unicodeChar: Gen[Char] = Gen.frequency(
+    10 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', '\t', '\n', '.', '!', '?', '{', '}',
+      '\u2026', '\u2022'),
+    2 -> Gen.oneOf('\u00e9', '\u00df', '\u4e2d', '\u042f',
+      '\u0661', '\u00a0', '\u000b', '\u001c'),
+    1 -> Gen.choose(Char.MinValue, Char.MaxValue).suchThat(c =>
+      !Character.isSurrogate(c)))
+
+  private val textGen: Gen[String] = Gen.listOf(unicodeChar).map(_.mkString)
+
+  private def check(name: String)(prop: Prop): Unit = test(name) {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, s"$name: $result")
+  }
+
+  check("normalize is idempotent")(Prop.forAll(textGen) { s =>
+    val once = Normalizer.normalize(s)
+    Normalizer.normalize(once) == once
+  })
+
+  check("normalized content has no ASCII punct/uppercase/space runs")(
+    Prop.forAll(textGen) { s =>
+      val n = Normalizer.normalize(s)
+      !n.exists(c => c < 128 && Normalizer.AsciiPunctuation.contains(c)) &&
+      !n.exists(c => c >= 'A' && c <= 'Z') &&
+      !n.contains("  ") && n == PyCompat.strip(n)
+    })
+
+  check("split tokens reassemble to the non-space characters")(
+    Prop.forAll(textGen) { s =>
+      val tokens = PyCompat.split(s)
+      tokens.forall(t => t.nonEmpty && !t.exists(PyCompat.isSpace)) &&
+      tokens.mkString == s.filterNot(PyCompat.isSpace) &&
+      PyCompat.countSplit(s) == tokens.length
+    })
+
+  check("splitRegions agrees with split")(Prop.forAll(textGen) { s =>
+    val holder = new PyCompat.RegionHolder
+    val n = PyCompat.splitRegions(s, holder)
+    val words = PyCompat.split(s)
+    n == words.length && (0 until n).forall(i =>
+      s.substring(holder.starts(i), holder.ends(i)) == words(i))
+  })
+
+  check("wordpunct tokens partition non-space text, never mix classes")(
+    Prop.forAll(textGen) { s =>
+      val tokens = WordPunct.tokenize(s)
+      tokens.mkString == s.filterNot(c => PyCompat.isSpace(c)) &&
+      tokens.forall(t =>
+        t.codePoints().toArray.map(WordPunct.isWordCp).distinct.length == 1)
+    })
+
+  check("line slices tile the document exactly")(Prop.forAll(textGen) { s =>
+    val ls = Lines.splitRaw(s)
+    ls.map(_.text).mkString == s && (ls.isEmpty || (
+      ls.head.start == 0 && ls.last.end == PyCompat.cpLength(s) &&
+      ls.sliding(2).forall {
+        case Array(x, y) => x.end == y.start
+        case _ => true
+      }))
+  })
+
+  check("round8 is idempotent and order-preserving")(
+    Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6)) { (x, y) =>
+      PyCompat.round8(PyCompat.round8(x)) == PyCompat.round8(x) &&
+      (x > y || PyCompat.round8(x) <= PyCompat.round8(y))
+    })
+}
