@@ -136,11 +136,14 @@ object SparkEntry {
     "q06_ngram_jaccard" -> ((s, dir) => {
       val sh = shingled(s, dir, 3).cache()
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      // one window (prefix position in rarest-first order); doc size comes
+      // from the pre-aggregated join, not a second window over the
+      // exploded pair table
       val w = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-      val sized = sh.join(freq, "shingle")
+      val prefixes = sh.join(freq, "shingle")
+        .join(sizes, "id")
         .withColumn("pos", row_number().over(w))
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-      val prefixes = sized
         .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
         .select("id", "shingle", "sz", "pos")
         .cache()
@@ -159,11 +162,15 @@ object SparkEntry {
           col("sz_b") - col("pos_b"))).as("ub"))
         .filter((col("ub") + 1) * 3 >= col("sz_a") + col("sz_b"))
         .select("id_a", "id_b", "sz_a", "sz_b")
-      val sets = sh.groupBy("id").agg(collect_set("shingle").as("sh"))
-      candidates
-        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // verification = count shared shingles straight off the (id, shingle)
+      // pair table (the oracle's own shape) — no per-doc collect_set
+      // arrays, no array_intersect materialization; AQE broadcasts the
+      // pruned candidate set when it is small enough
+      sh.toDF("id_a", "shingle")
+        .join(candidates, "id_a")
+        .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
         .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
         .filter(col("inter") * 2 >= col("uni"))
         .select("id_a", "id_b", "inter", "uni")
@@ -249,9 +256,13 @@ object SparkEntry {
           it.map { case (id, content) =>
             val words = graft.text.PyCompat.split(
               graft.text.Normalizer.normalize(content))
-            (id, m.predict(words).map(_._1).getOrElse(""))
+            val pred = m.predict(words)
+            // ccnet_language_score parity (worker.py:260-282): the label's
+            // probability, not just the argmax — emitted as round(p·1e6)
+            (id, pred.map(_._1).getOrElse(""),
+              pred.map(p => math.round(p._2 * 1e6)).getOrElse(-1L))
           }
-        }.toDF("doc_id", "pred_lang").orderBy("doc_id")
+        }.toDF("doc_id", "pred_lang", "score_e6").orderBy("doc_id")
     }),
 
     // KenLM-style perplexity + head/middle/tail bucketing
@@ -291,21 +302,60 @@ object SparkEntry {
         }.toDF("doc_id", "weight_e6", "weight_lc_e6").orderBy("doc_id")
     }),
 
-    // RP_SIGNAL_SCHEMA output table: nested quality_signals struct with
-    // (start,end,score) triples, sha1-derived id_int (§1.4)
+    // RP_SIGNAL_SCHEMA output table (nested quality_signals struct with
+    // (start,end,score) triples, sha1-derived id_int, §1.4) — projected to
+    // scalar columns for the driver comparator: the nested struct itself is
+    // pinned by TablesSpec; here each row carries its digest plus
+    // per-family presence counts
     "q16_signals_table" -> ((s, dir) => {
       import s.implicits._
-      graft.pipeline.SignalsTable(CodeFiles(s, dir).as[graft.pipeline.CodeFile])
-        .toDF().orderBy("id")
+      val t = graft.pipeline.SignalsTable(
+        CodeFiles.withOriginals(s, dir).as[graft.pipeline.CcnetFile],
+        graft.models.Artifacts.trainFor(s, dir)).toDF()
+      val qs = col("quality_signals")
+      def present(field: String): Column =
+        when(qs.getField(field).getItem(0).getField("score").isNotNull, 1L)
+          .otherwise(0L)
+      t.select(
+        col("id"),
+        col("id_int"),
+        sha2(to_json(qs), 256).as("signals_digest"),
+        size(qs.getField("rps_lines_num_words")).cast("long").as("n_line_scores"),
+        (present("ccnet_length") + present("ccnet_nlines") +
+          present("ccnet_perplexity") + present("ccnet_bucket") +
+          present("ccnet_language_score") + present("ccnet_original_length") +
+          present("ccnet_original_nlines")).as("n_ccnet"),
+        (present("rps_doc_ml_wikiref_score") + present("rps_doc_ml_palm_score") +
+          present("rps_doc_ml_wikipedia_score")).as("n_ml"),
+        (present("rps_doc_wikipedia_importance") +
+          present("rps_doc_wikipedia_importance_length_correction") +
+          present("rps_doc_books_importance") +
+          present("rps_doc_books_importance_length_correction") +
+          present("rps_doc_openwebtext_importance") +
+          present("rps_doc_openwebtext_importance_length_correction")).as("n_dsir"))
+        .orderBy("id")
     }),
 
-    // MinHash signature table: banded big-endian signatures per threshold
+    // MinHash signature table (banded big-endian signatures per threshold)
+    // — scalar projection: band counts per threshold + a digest of the
+    // concatenated band bytes; byte-level parity is pinned by DedupeSpec
     "q17_minhash_table" -> ((s, dir) => {
       import s.implicits._
-      graft.pipeline.MinHashTable(
+      val t = graft.pipeline.MinHashTable(
         CodeFiles(s, dir).as[graft.pipeline.CodeFile],
-        new graft.dedupe.MinHasher(128, 13, 42L))
-        .toDF().orderBy("id")
+        new graft.dedupe.MinHasher(128, 13, 42L)).toDF()
+      def nBands(c: String): Column =
+        coalesce(size(col(c)).cast("long"), lit(-1L)).as(s"n_$c")
+      def digest(c: String): Column =
+        sha2(concat_ws("", transform(col(c), b => base64(b))), 256)
+      t.select(
+        col("id"), col("id_int"),
+        nBands("signature_sim0_7"), nBands("signature_sim0_8"),
+        nBands("signature_sim0_9"), nBands("signature_sim1_0"),
+        sha2(concat_ws("|", digest("signature_sim0_7"),
+          digest("signature_sim0_8"), digest("signature_sim0_9"),
+          digest("signature_sim1_0")), 256).as("bands_digest"))
+        .orderBy("id")
     }),
 
     // ANN over embeddings: random-hyperplane LSH buckets + multiprobe —
@@ -319,10 +369,14 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: opaque binary payloads, batched (stubbed)
-    // decode/frame-sample inside mapPartitions
+    // decode/frame-sample inside mapPartitions. Scalar projection —
+    // n_bytes/n_frames are DuckDB-expressible (oracle below); the
+    // Array[Float] features column is pinned by MultimodalSpec instead
+    // (the driver comparator cannot hash arrays).
     "q19_multimodal" -> ((s, dir) => {
       graft.multimodal.Multimodal
         .extract(graft.multimodal.Multimodal.mediaTable(s, dir))
+        .select("media_id", "kind", "n_bytes", "n_frames")
         .orderBy("media_id")
     }),
 
@@ -405,8 +459,78 @@ object SparkEntry {
             (id, graft.models.Artifacts.qualityScore(m, words).getOrElse(-1.0))
           }
         }.toDF("doc_id", "ml_quality_score").orderBy("doc_id")
+    }),
+
+    // D1-D6/J1/A1-A2 under a DuckDB oracle: the injected exact duplicates
+    // (ids ≡ 3 mod 10, +200000 offset, Jaccard 1.0) MUST collide in every
+    // band and land in the same connected component — derivable from the
+    // construction alone, so the oracle emits the expected set and the
+    // engine must reproduce it through the full minhash→LSH→CC→join path
+    "q25_lsh_dup_check" -> ((s, dir) => {
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      val cl = graft.dedupe.Lsh.clusters(variantWords(s, dir), hasher, 0.7)
+      CodeFiles(s, dir).select(col("doc_id").as("id"))
+        .filter(col("id") % 10 === 3)
+        .join(cl.select(col("id"), col("cluster_id").as("c_base")), Seq("id"), "left")
+        .join(cl.select((col("id") - 200000).as("id"),
+          col("cluster_id").as("c_dup")), Seq("id"), "left")
+        .select(col("id"),
+          (col("c_base").isNotNull && col("c_base") === col("c_dup"))
+            .as("same_cluster"))
+        .orderBy("id")
+    }),
+
+    // SimHash under a DuckDB oracle: identical injected duplicates have
+    // identical fingerprints ⇒ the (id, id+200000) pair must surface with
+    // hamming distance 0
+    "q26_simhash_dup_check" -> ((s, dir) => {
+      graft.dedupe.SimHash.nearDuplicates(variantWords(s, dir), 3)
+        .filter(col("id_b") === col("id_a") + 200000 && col("id_a") % 10 === 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a")
+    }),
+
+    // Memory-bounded approximate dedup (the reference's Bloom mechanism,
+    // bloomfilter.py:280-419): filter built over the PRIOR corpus digests
+    // as a distributed aggregate, broadcast, tested map-side against an
+    // incoming batch of known dups + known-fresh rows. Bloom has no false
+    // negatives, and at this capacity/error_rate the deterministic filter
+    // produces zero false positives on this corpus (pre-validated), so the
+    // oracle is the exact membership truth from the construction.
+    "q28_bloom_dedup" -> ((s, dir) => {
+      val prior = CodeFiles(s, dir)
+        .select(sha2(col("content"), 256).as("digest"))
+      val incoming = CodeFiles(s, dir).filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 100000).as("id"),
+          sha2(col("content"), 256).as("digest"))
+        .unionAll(CodeFiles(s, dir).filter(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + 300000).as("id"),
+            sha2(concat(col("content"), lit(" unseen suffix")), 256).as("digest")))
+      graft.dedupe.BloomDedup
+        .markProbableDuplicates(incoming, prior, "digest", 10000L, 0.0001)
+        .select("id", "probable_dup")
+        .orderBy("id")
+    }),
+
+    // S2: the reference's native jsonl.gz ingestion — schema-enforced
+    // tolerant scan (PERMISSIVE; broken lines quarantined, not fatal) over
+    // a deterministic CCNet-shaped fixture; oracle = DuckDB read_json with
+    // ignore_errors on the same file
+    "q27_jsonl_ingest" -> ((s, dir) => {
+      graft.sources.JsonlGz.writeFixture(JsonlFixturePath, 300)
+      graft.sources.JsonlGz.read(s, JsonlFixturePath)
+        .filter(col(graft.sources.JsonlGz.CorruptCol).isNull &&
+          col("url").isNotNull)
+        .select("url", "nlines", "original_nlines", "length",
+          "original_length", "language", "bucket", "digest", "cc_segment")
+        .orderBy("url")
     })
   )
+
+  /** Fixed path: the oracle SQL (a static string) must read the same file
+    * the query wrote; content is deterministic and sf-independent.
+    */
+  private val JsonlFixturePath = "/tmp/graft_fixtures/ccnet_shard.jsonl.gz"
 
   // -------------------------------------------------------------- oracles
 
@@ -659,6 +783,59 @@ object SparkEntry {
          |                            ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the media table is synthesized from documents (payload = utf-8 text
+    // bytes); n_bytes = byte length, n_frames = ceil((n_bytes/16)/stride)
+    // with stride 4 — both derivable in SQL from the construction
+    "q19_multimodal" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id,
+         |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |         strlen(coalesce(text, '')) AS nb
+         |  FROM documents)
+         |SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(CASE WHEN nb = 0 THEN 0
+         |                 ELSE ((nb // 16) + 3) // 4 END AS BIGINT) AS n_frames
+         |FROM media
+         |ORDER BY media_id""".stripMargin,
+
+    // ground truth from the construction: every doc with id ≡ 3 (mod 10)
+    // has an injected byte-identical twin at id+200000 ⇒ same cluster
+    "q25_lsh_dup_check" ->
+      s"""WITH $cte
+         |SELECT doc_id AS id, true AS same_cluster
+         |FROM code_files WHERE doc_id % 10 = 3
+         |ORDER BY id""".stripMargin,
+
+    "q26_simhash_dup_check" ->
+      s"""WITH $cte
+         |SELECT doc_id AS id_a, CAST(doc_id + 200000 AS BIGINT) AS id_b,
+         |       CAST(0 AS BIGINT) AS hamming
+         |FROM code_files WHERE doc_id % 10 = 3
+         |ORDER BY id_a""".stripMargin,
+
+    "q27_jsonl_ingest" ->
+      s"""SELECT url, nlines, original_nlines, length, original_length,
+         |       language, bucket, digest, cc_segment
+         |FROM read_json('$JsonlFixturePath',
+         |  format='newline_delimited', ignore_errors=true,
+         |  columns={'url':'VARCHAR','nlines':'BIGINT',
+         |           'original_nlines':'BIGINT','length':'BIGINT',
+         |           'original_length':'BIGINT','language':'VARCHAR',
+         |           'bucket':'VARCHAR','digest':'VARCHAR',
+         |           'cc_segment':'VARCHAR'})
+         |WHERE url IS NOT NULL
+         |ORDER BY url""".stripMargin,
+
+    "q28_bloom_dedup" ->
+      s"""WITH $cte
+         |SELECT doc_id + 100000 AS id, true AS probable_dup
+         |FROM code_files WHERE doc_id % 10 = 3
+         |UNION ALL
+         |SELECT doc_id + 300000 AS id, false AS probable_dup
+         |FROM code_files WHERE doc_id % 10 = 6
+         |ORDER BY id""".stripMargin
   )
 }

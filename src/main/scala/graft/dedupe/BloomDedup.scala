@@ -1,0 +1,32 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Memory-bounded approximate dedup — the reference's own exact-dedup
+  * mechanism (bloomfilter.py:133-143, 280-419): a Bloom filter over content
+  * digests with the published guarantee "FP rate ≤ error_rate while
+  * count ≤ capacity", no false negatives. In Spark the default exact path
+  * is the digest window (D7) since the shuffle removes the single-machine
+  * memory constraint; this variant exists for constrained sinks /
+  * incremental runs against a prior corpus too big to join:
+  * `df.stat.bloomFilter` builds the filter as a distributed aggregate, the
+  * ~bytes-sized sketch broadcasts, and membership is a map-side test —
+  * no shuffle of the incoming data at all.
+  */
+object BloomDedup {
+
+  /** Flag rows of `incoming` whose `column` value probably occurs in
+    * `prior` (definitely-new rows are never flagged — Bloom has no false
+    * negatives). `expected`/`fpp` = the reference's capacity/error_rate.
+    */
+  def markProbableDuplicates(incoming: DataFrame, prior: DataFrame,
+                             column: String, expected: Long,
+                             fpp: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    val bf = prior.stat.bloomFilter(column, expected, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((v: String) => bc.value.mightContainString(v))
+    incoming.withColumn("probable_dup", mightContain(col(column)))
+  }
+}

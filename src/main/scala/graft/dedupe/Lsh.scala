@@ -51,12 +51,15 @@ object Lsh {
   /** LSH edge building (run_lsh.py:244-293): groups with >1 member emit
     * (member, min_member) edges. Window-min avoids materializing
     * collect_list per group (the polars agg(list) becomes a partial-agg
-    * friendly min + count).
+    * friendly min + count). The group min is taken in UNSIGNED order —
+    * sha1-derived id_int has the sign bit set for ~half of real ids
+    * (run_lsh.py:273-280 runs on numpy uint64).
     */
   def edges(banded: DataFrame): DataFrame = {
     val w = Window.partitionBy("band", "sig")
     banded
-      .withColumn("min_node", min("id").over(w))
+      .withColumn("min_node",
+        fromUnsignedOrder(min(toUnsignedOrder(col("id"))).over(w)))
       .withColumn("grp_size", count(lit(1)).over(w))
       .filter(col("grp_size") > 1 && col("id") =!= col("min_node"))
       .select(col("id").as("src"), col("min_node").as("dst"))
@@ -74,12 +77,30 @@ object Lsh {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30,
                           maxDriverEdges: Long = 2000000L): DataFrame = {
-    // adaptive small-side path (SURVEY.md D5): below the threshold a
-    // driver union-find beats ~log(diameter) Spark rounds by seconds of
-    // scheduling alone; above it, the iterative DataFrame path runs
-    val edgeCount = edges.count()
-    if (edgeCount <= maxDriverEdges) return driverUnionFind(edges)
-    distributedComponents(edges, maxIter)
+    // ids enter the component search in UNSIGNED order space (sign bit
+    // flipped) so every min/compare below — signed Long ops — yields the
+    // unsigned min the reference computes on numpy uint64
+    // (run_lsh.py:324-338); flipped back on exit.
+    val uEdges = edges.select(
+      toUnsignedOrder(col("src")).as("src"),
+      toUnsignedOrder(col("dst")).as("dst"))
+      // persist: the adaptive count() below and the chosen traversal path
+      // must not each recompute the whole upstream LSH pipeline
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // adaptive small-side path (SURVEY.md D5): below the threshold a
+      // driver union-find beats ~log(diameter) Spark rounds by seconds of
+      // scheduling alone; above it, the iterative DataFrame path runs
+      val edgeCount = uEdges.count()
+      val labeled =
+        if (edgeCount <= maxDriverEdges) driverUnionFind(uEdges)
+        else distributedComponents(uEdges, maxIter)
+      labeled.select(
+        fromUnsignedOrder(col("id")).as("id"),
+        fromUnsignedOrder(col("cluster_id")).as("cluster_id"))
+        // materialize before unpersisting the input in finally
+        .localCheckpoint()
+    } finally uEdges.unpersist(blocking = false)
   }
 
   /** Collect → union-find with path halving → parallelize. Exact same
@@ -205,7 +226,9 @@ object SimHash {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is per-row and cheap; distinct is a
+      // shuffle — dedup only the pairs that survive
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

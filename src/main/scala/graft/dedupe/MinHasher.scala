@@ -48,25 +48,97 @@ final class MinHasher(
 
   /** Raw 128-value signature, or null when fewer than ngramSize words
     * (minhash.py:83-84 returns None signatures).
+    *
+    * Zero-string hot path: the shingle string `" ".join(gram)` is never
+    * materialized — its UTF-8 bytes stream straight into the sha1 digest
+    * (word byte arrays encoded once, space separators injected). Dedup of
+    * the shingle SET happens on sha1_32 itself: two shingles that collide
+    * in sha1_32 contribute identical permuted values to every min, so
+    * set-of-strings and set-of-h are exactly equivalent here — bit-equal
+    * output, ~20 KB/doc less garbage (the memory-bandwidth ceiling on a
+    * packed executor is the scan's real limit, BASELINE.md).
     */
   def signature(words: Array[String]): Array[Int] = {
     if (words.length < ngramSize) return null
     val mins = Array.fill(numPermutations)(MaxHash)
-    val seen = new java.util.HashSet[String]()
-    NGrams.foreachNGram(words, ngramSize) { (_, shingle) =>
-      if (seen.add(shingle)) {
-        val h = sha1Hash32(shingle)
-        var k = 0
-        while (k < numPermutations) {
-          // uint64 wrap then mersenne mod then 32-bit mask — numpy parity
-          val phv = java.lang.Long.remainderUnsigned(
-            permA(k) * h + permB(k), MersennePrime) & MaxHash
-          if (phv < mins(k)) mins(k) = phv
-          k += 1
-        }
+    val wb = new Array[Array[Byte]](words.length)
+    var i = 0
+    while (i < words.length) {
+      wb(i) = words(i).getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = MinHasher.sha1Instance()
+    val out = new Array[Byte](20)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var s = 0
+    val lastStart = words.length - ngramSize
+    while (s <= lastStart) {
+      md.reset()
+      var j = 0
+      while (j < ngramSize) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wb(s + j))
+        j += 1
       }
+      md.digest(out, 0, 20)
+      // first 4 bytes little-endian (dedupe/utils.py:57-71)
+      val h = (out(0) & 0xFFL) | (out(1) & 0xFFL) << 8 |
+        (out(2) & 0xFFL) << 16 | (out(3) & 0xFFL) << 24
+      if (seen.add(h)) foldPermutations(h, mins)
+      s += 1
     }
     mins.map(_.toInt) // values are ≤ 0xFFFFFFFF; stored as raw uint32 bits
+  }
+
+  /** Same signature, computed straight off normalized-word REGIONS
+    * (char offsets into `nc`) — the fused stage-2 path: no second
+    * tokenization, and for ASCII content no per-word byte copies either
+    * (char offsets == byte offsets, so digest updates slice one shared
+    * byte array). Bit-equal to `signature(words)`.
+    */
+  def signatureRegions(nc: String, starts: Array[Int], ends: Array[Int],
+                       nWords: Int): Array[Int] = {
+    if (nWords < ngramSize) return null
+    val bytes = nc.getBytes(StandardCharsets.UTF_8)
+    if (bytes.length != nc.length) {
+      // non-ASCII: char offsets ≠ byte offsets — materialize words once
+      val words = new Array[String](nWords)
+      var i = 0
+      while (i < nWords) { words(i) = nc.substring(starts(i), ends(i)); i += 1 }
+      return signature(words)
+    }
+    val mins = Array.fill(numPermutations)(MaxHash)
+    val md = MinHasher.sha1Instance()
+    val out = new Array[Byte](20)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var s = 0
+    val lastStart = nWords - ngramSize
+    while (s <= lastStart) {
+      md.reset()
+      var j = 0
+      while (j < ngramSize) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, starts(s + j), ends(s + j) - starts(s + j))
+        j += 1
+      }
+      md.digest(out, 0, 20)
+      val h = (out(0) & 0xFFL) | (out(1) & 0xFFL) << 8 |
+        (out(2) & 0xFFL) << 16 | (out(3) & 0xFFL) << 24
+      if (seen.add(h)) foldPermutations(h, mins)
+      s += 1
+    }
+    mins.map(_.toInt)
+  }
+
+  /** uint64 wrap, mersenne mod, 32-bit mask — numpy parity. */
+  @inline private def foldPermutations(h: Long, mins: Array[Long]): Unit = {
+    var k = 0
+    while (k < numPermutations) {
+      val phv = java.lang.Long.remainderUnsigned(
+        permA(k) * h + permB(k), MersennePrime) & MaxHash
+      if (phv < mins(k)) mins(k) = phv
+      k += 1
+    }
   }
 
   /** Band byte-arrays for one threshold's (b, r): big-endian uint32s. */
@@ -98,6 +170,8 @@ object MinHasher {
 
   private val sha1Tls = ThreadLocal.withInitial[MessageDigest](
     () => MessageDigest.getInstance("SHA-1"))
+
+  private[dedupe] def sha1Instance(): MessageDigest = sha1Tls.get()
 
   /** First 4 bytes of sha1(utf8), little-endian unsigned
     * (dedupe/utils.py:57-71 `struct.unpack("<I", ...)`). Thread-local

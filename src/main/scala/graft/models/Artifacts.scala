@@ -11,10 +11,14 @@ import org.apache.spark.sql.SparkSession
   */
 final case class Models(
     langId: FastTextLite,
-    quality: FastTextLite,
+    quality: FastTextLite, // the wikipedia-shaped model (rps_doc_ml_wikipedia_score)
+    mlWikiref: FastTextLite,
+    mlPalm: FastTextLite,
     lm: NGramLM,
     pplCutoffs: (Double, Double), // head/middle and middle/tail perplexity
-    dsir: DsirModel) extends Serializable
+    dsir: DsirModel, // wikipedia target (rps_doc_wikipedia_importance)
+    dsirBooks: DsirModel,
+    dsirOpenWebText: DsirModel) extends Serializable
 
 object Artifacts {
 
@@ -49,13 +53,23 @@ object Artifacts {
       val langId = FastTextLite.train(
         docs.map(d => (d._5, d._3)), dim = 16, epochs = 8, seed = 42L)
 
-      // binary quality model: deterministic stand-in targets (first half of
-      // sources = "high quality" pages, rest = common-crawl-like) — the
-      // flip semantics on CcLabel are what matters (classifiers.py:60-80)
-      val quality = FastTextLite.train(
-        docs.map(d => (d._5,
-          if (d._4.stripPrefix("src").toInt < 10) HqLabel else CcLabel)),
+      // the reference ships THREE fastText quality models (wikiref, palm,
+      // wikipedia — classifiers.py:83-114), each trained on a different
+      // positive corpus its downloaders fetch (out of sandbox scope, SURVEY
+      // S9). Stand-ins: same trainer, three deterministic disjoint target
+      // splits — the flip semantics on CcLabel are what matters
+      // (classifiers.py:60-80)
+      def repoNum(d: (Long, String, String, String, Array[String], Array[String])) =
+        d._4.stripPrefix("src").toInt
+      val quality = FastTextLite.train( // wikipedia-shaped
+        docs.map(d => (d._5, if (repoNum(d) < 10) HqLabel else CcLabel)),
         dim = 16, epochs = 8, seed = 43L)
+      val mlWikiref = FastTextLite.train(
+        docs.map(d => (d._5, if (repoNum(d) % 2 == 0) HqLabel else CcLabel)),
+        dim = 16, epochs = 8, seed = 44L)
+      val mlPalm = FastTextLite.train(
+        docs.map(d => (d._5, if (d._1 % 3 == 0) HqLabel else CcLabel)),
+        dim = 16, epochs = 8, seed = 45L)
 
       val lm = NGramLM.train(docs.iterator.map(_._5))
 
@@ -65,11 +79,22 @@ object Artifacts {
         else (ppls((ppls.length / 3).min(ppls.length - 1)),
           ppls((2 * ppls.length / 3).min(ppls.length - 1)))
 
-      val dsir = DsirModel.train(
-        target = docs.filter(_._3 == "en").map(_._6).toSeq,
-        source = docs.map(_._6).toSeq)
+      // DSIR: the reference fits 3 domain targets × the same CC source
+      // (importance_weights.py:154-303, wikipedia/books/openwebtext corpora
+      // from its downloaders). Stand-in targets: three deterministic
+      // disjoint slices of the artifact sample.
+      val source = docs.map(_._6).toSeq
+      val dsir = DsirModel.train( // wikipedia-shaped target
+        target = docs.filter(_._3 == "en").map(_._6).toSeq, source = source)
+      val dsirBooks = DsirModel.train(
+        target = docs.filter(d => repoNum(d) % 3 == 0).map(_._6).toSeq,
+        source = source)
+      val dsirOwt = DsirModel.train(
+        target = docs.filter(_._1 % 2 == 0).map(_._6).toSeq,
+        source = source)
 
-      Models(langId, quality, lm, cutoffs, dsir)
+      Models(langId, quality, mlWikiref, mlPalm, lm, cutoffs,
+        dsir, dsirBooks, dsirOwt)
     })
 
   /** head/middle/tail bucket from perplexity (worker.py:40-49 maps the

@@ -119,6 +119,38 @@ object DsirModel {
     }
   }
 
+  /** The scale path for A4 (artifacts/hash_dist.py:77-105 runs over 500k
+    * sampled docs): the 10k-dim hashed count vector and the length sum are
+    * computed as a distributed `treeAggregate` — executors fold their
+    * partitions into one dense vector each, then a tree of merges; the
+    * driver only ever sees `buckets` doubles per corpus.
+    */
+  def trainDistributed(target: org.apache.spark.sql.Dataset[Array[String]],
+                       source: org.apache.spark.sql.Dataset[Array[String]],
+                       buckets: Int = 10000): DsirModel = {
+    def dist(corpus: org.apache.spark.sql.Dataset[Array[String]])
+        : (Array[Double], Double) = {
+      // acc = (bucket counts, total words, total docs)
+      val (counts, totalLen, nDocs) = corpus.rdd.treeAggregate(
+        (new Array[Double](buckets), 0L, 0L))(
+        seqOp = { case ((c, len, n), ws) =>
+          foreachFeature(ws, buckets)(b => c(b) += 1)
+          (c, len + ws.length, n + 1)
+        },
+        combOp = { case ((c1, l1, n1), (c2, l2, n2)) =>
+          var i = 0
+          while (i < buckets) { c1(i) += c2(i); i += 1 }
+          (c1, l1 + l2, n1 + n2)
+        })
+      val sum = counts.sum
+      if (sum > 0) { var i = 0; while (i < buckets) { counts(i) /= sum; i += 1 } }
+      (counts, if (nDocs > 0) totalLen.toDouble / nDocs else 1.0)
+    }
+    val (pt, lt) = dist(target)
+    val (ps, ls) = dist(source)
+    fromDistributions(pt, lt, ps, ls, buckets)
+  }
+
   /** Fit log-ratio vector + Poisson λs from target/source corpora
     * (artifacts/hash_dist.py:77-105: global sums + mean length MLE).
     */
@@ -137,6 +169,12 @@ object DsirModel {
     }
     val (pt, lt) = dist(target)
     val (ps, ls) = dist(source)
+    fromDistributions(pt, lt, ps, ls, buckets)
+  }
+
+  private def fromDistributions(pt: Array[Double], lt: Double,
+                                ps: Array[Double], ls: Double,
+                                buckets: Int): DsirModel = {
     val ratio = new Array[Double](buckets)
     var i = 0
     while (i < buckets) {

@@ -53,7 +53,7 @@ object Multimodal {
       .select(col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
   }
 
   /** The extract job: batched per-partition decode with executor-side

@@ -43,6 +43,21 @@ object CodeFiles {
       lit("\n")
     )
 
+  /** The CodeFiles view plus the synthesized upstream-CCNet original_*
+    * fields: our enrichment IS the cc_net stage here, so original_length /
+    * original_nlines describe the pre-enrichment text
+    * (core/data_types.py:21-36 receives them from upstream).
+    */
+  def withOriginals(spark: SparkSession, sfDir: String): DataFrame = {
+    apply(spark, sfDir).join(
+      spark.read.parquet(s"$sfDir/documents.parquet").select(
+        col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("original_length"),
+        size(split(coalesce(col("text"), lit("")), "\n", -1)).cast("long")
+          .as("original_nlines")),
+      Seq("doc_id"))
+  }
+
   /** DuckDB CTE producing the identical table. Interpolate into oracle SQL
     * as `WITH $codeFilesCte SELECT ...`.
     */

@@ -53,12 +53,42 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val partPath = tableDir(table).resolve(s"part=$key")
     val rows = df.count()
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
+    writeMarker(table, key, rows)
+    true
+  }
+
+  /** A fresh staging directory for a single-job partitioned write; staged
+    * partitions become visible only via [[commitStaged]].
+    */
+  def newStagingDir(table: String): Path = {
+    val d = tableDir(table).resolve("_staging").resolve(System.nanoTime().toString)
+    Files.createDirectories(d)
+    d
+  }
+
+  /** Promote one staged partition dir (written by `partitionBy(pkey)`) to
+    * its committed location: atomic directory rename, then the marker.
+    * Leftovers of a crashed earlier run at the target are replaced — they
+    * were never visible (no marker).
+    */
+  def commitStaged(table: String, key: String, stagedDir: Path, rows: Long): Boolean = {
+    if (isCommitted(table, key)) return false
+    val target = tableDir(table).resolve(s"part=$key")
+    if (Files.exists(target)) { // uncommitted debris from a killed run
+      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.move(stagedDir, target, StandardCopyOption.ATOMIC_MOVE)
+    writeMarker(table, key, rows)
+    true
+  }
+
+  private def writeMarker(table: String, key: String, rows: Long): Unit = {
     Files.createDirectories(commitDir(table))
     val tmp = Files.createTempFile(commitDir(table), s".$key", ".tmp")
     Files.writeString(tmp,
       s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}""")
     Files.move(tmp, markerFile(table, key), StandardCopyOption.ATOMIC_MOVE)
-    true
   }
 
   /** Read all committed partitions of a table (uncommitted part dirs —
@@ -108,33 +138,71 @@ object CheckpointedRun {
           saltBuckets: Int = 4): (Int, Int) =
     runImpl(spark, sfDir, catalog, saltBuckets, None)
 
+  /** One input scan, however many partitions (the round-1 version filtered
+    * and re-ran the pipeline once per key — O(P) scans and 2× compute per
+    * partition; fatal at 10^12 files):
+    *
+    *   1. anti-join away committed partitions (broadcast; resume pushdown)
+    *   2. decide-pipeline → `partitionBy(pkey)` write into a staging dir
+    *      — ONE job computes and writes every pending partition
+    *   3. one footer/1-column job over the staged parquet yields per-key
+    *      row + drop-reason counts (no pipeline recompute)
+    *   4. per key: atomic dir rename + commit marker, metrics appended
+    *
+    * A kill between 2 and 4 leaves no markers ⇒ readTable sees nothing new
+    * and the next run redoes exactly the uncommitted keys.
+    */
   private def runImpl(spark: SparkSession, sfDir: String, catalog: CorpusCatalog,
                       saltBuckets: Int, keepEvery: Option[Int]): (Int, Int) = {
+    import spark.implicits._
     val files = CodeFiles(spark, sfDir)
       .withColumn("pkey", saltedKey(saltBuckets))
-    val keys = files.select("pkey").distinct().collect()
-      .map(_.getString(0)).sorted
+    // test hook (simulated mid-run kill): restrict to every k-th key —
+    // the key-listing job exists only on this path
+    val restricted = keepEvery match {
+      case Some(k) =>
+        val keys = files.select("pkey").distinct().collect()
+          .map(_.getString(0)).sorted
+        val keep = keys.zipWithIndex.collect { case (key, i) if i % k == 0 => key }
+        files.filter(col("pkey").isin(keep.toIndexedSeq: _*))
+      case None => files
+    }
+    val committed = catalog.committedPartitions("filtered")
+    val pending =
+      if (committed.isEmpty) restricted
+      else restricted.join(
+        broadcast(committed.toSeq.toDF("pkey")), Seq("pkey"), "left_anti")
+
+    val staging = catalog.newStagingDir("filtered")
+    QualityFilterJob.decide(spark, pending.drop("pkey"), includeScrubbed = true)
+      .withColumn("pkey", saltedKey(saltBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("pkey")
+      .parquet(staging.toString)
+
+    // per-key row + drop-reason counts from the WRITTEN data: a single job
+    // that reads only the drop_reason column (and parquet footers)
+    val stagedKeys = Files.list(staging).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("pkey=")).map(_.stripPrefix("pkey=")).toSeq.sorted
     var written = 0
-    var skipped = 0
-    val selected = keepEvery match {
-      case Some(k) => keys.zipWithIndex.collect { case (key, i) if i % k == 0 => key }
-      case None => keys
-    }
-    selected.foreach { key =>
-      if (catalog.isCommitted("filtered", key)) skipped += 1
-      else {
-        val part = files.filter(col("pkey") === key).drop("pkey")
-        val decided = QualityFilterJob.decide(spark, part, includeScrubbed = true)
-        catalog.commitPartition("filtered", key, decided)
-        val metrics = decided
-          .groupBy("drop_reason")
-          .agg(count(lit(1)).as("n_files"))
-          .withColumn("partition", lit(key))
-          .withColumn("stage", lit("quality_filter"))
-        catalog.appendMetrics("filtered", metrics)
-        written += 1
+    if (stagedKeys.nonEmpty) {
+      val stats = spark.read.parquet(staging.toString)
+        .groupBy("pkey", "drop_reason").agg(count(lit(1)).as("n_files"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val rowsPerKey = stats.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      stagedKeys.foreach { key =>
+        if (catalog.commitStaged("filtered", key,
+          staging.resolve(s"pkey=$key"), rowsPerKey.getOrElse(key, 0L)))
+          written += 1
       }
+      catalog.appendMetrics("filtered",
+        stats.toSeq.toDF("partition", "drop_reason", "n_files")
+          .withColumn("stage", lit("quality_filter")))
     }
-    (written, skipped)
+    // staging now holds only _SUCCESS/marker files — sweep it
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    (written, committed.size)
   }
 }

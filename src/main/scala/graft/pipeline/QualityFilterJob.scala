@@ -55,4 +55,39 @@ object QualityFilterJob {
       "word_count", "n_tokens", "scrubbed_digest", "scrubbed")
       .drop(if (includeScrubbed) "" else "scrubbed")
   }
+
+  /** The reference's COMPLETE stage-2 worker per record: all heuristic
+    * signals + keep/drop, the ML classifier trio, the 6 DSIR importance
+    * weights, langid + perplexity, AND the banded MinHash signature — one
+    * fused pass over one Document (worker.py:217-289 computes exactly this
+    * set per record). This is the honest unit of work for throughput and
+    * scaling benchmarks; n_bands and the score columns are scalar
+    * witnesses so a bench aggregate cannot dead-code the work away.
+    */
+  def fullPass(spark: SparkSession, files: DataFrame,
+               hasher: graft.dedupe.MinHasher,
+               models: graft.models.Models): DataFrame = {
+    import spark.implicits._
+    val (numBands, rows) = graft.dedupe.MinHasher.BandsRows(0.7)
+    val bc = spark.sparkContext.broadcast(models)
+    files.as[CodeFile].mapPartitions { it =>
+      val m = bc.value
+      it.map { cf =>
+        val (st, sig, sc) = SignalPass.computeFullRecord(cf, hasher, m)
+        val (keep, reason) = FilterPolicy.evaluate(st)
+        val bands = hasher.bands(sig, numBands, rows)
+        (cf.doc_id, cf.repo, keep, reason, st.word_count,
+          if (bands == null) 0 else bands.length,
+          sc.langLabel,
+          math.round(sc.langScore.getOrElse(-1.0) * 1e6),
+          math.round(sc.perplexity.getOrElse(-1.0) * 1e4),
+          math.round(sc.mlWikipedia.getOrElse(-1.0) * 1e6),
+          math.round(sc.dsirWikipediaLc * 1e6),
+          math.round(sc.dsirBooksLc * 1e6),
+          math.round(sc.dsirOpenWebTextLc * 1e6))
+      }
+    }.toDF("doc_id", "repo", "keep", "drop_reason", "word_count", "n_bands",
+      "lang", "lang_score_e6", "ppl_e4", "ml_wikipedia_e6",
+      "dsir_wikipedia_lc_e6", "dsir_books_lc_e6", "dsir_openwebtext_lc_e6")
+  }
 }

@@ -150,8 +150,89 @@ object SignalPass {
 
   def compute(cf: CodeFile,
               stopWords: Set[String] = StopWords,
-              blockWords: Set[String] = BlockWords): DocStats = {
-    val doc = new Doc(cf.content)
+              blockWords: Set[String] = BlockWords): DocStats =
+    computeCore(new Doc(cf.content), cf, stopWords, blockWords, regionTls.get())._1
+
+  /** Variant for callers that already hold the Document (e.g. the signal
+    * table, which also needs its per-line views) — the precompute-once
+    * contract: every view derived from ONE Doc (document.py:49-107).
+    */
+  private[pipeline] def computeWithDoc(doc: Doc, cf: CodeFile,
+                                       stopWords: Set[String],
+                                       blockWords: Set[String]): DocStats =
+    computeCore(doc, cf, stopWords, blockWords, regionTls.get())._1
+
+  /** The reference's full stage-2 per-record work: all signals PLUS the
+    * banded-minhash input signature, computed off the SAME normalized word
+    * regions (worker.py:217-289 derives both from one Document) — content
+    * is normalized and tokenized exactly once.
+    */
+  def computeWithSignature(cf: CodeFile,
+                           hasher: graft.dedupe.MinHasher,
+                           stopWords: Set[String] = StopWords,
+                           blockWords: Set[String] = BlockWords)
+      : (DocStats, Array[Int]) = {
+    val regions = regionTls.get()
+    val (st, nc) = computeCore(new Doc(cf.content), cf, stopWords, blockWords, regions)
+    val sig = hasher.signatureRegions(
+      nc, regions.starts, regions.ends, st.word_count.toInt)
+    (st, sig)
+  }
+
+  /** Model-backed per-record scores (the reference's classifier / DSIR /
+    * perplexity signal families, worker.py:217-289).
+    */
+  final case class ModelScores(
+    langLabel: String, langScore: Option[Double], perplexity: Option[Double],
+    mlWikiref: Option[Double], mlPalm: Option[Double],
+    mlWikipedia: Option[Double],
+    dsirWikipedia: Double, dsirWikipediaLc: Double,
+    dsirBooks: Double, dsirBooksLc: Double,
+    dsirOpenWebText: Double, dsirOpenWebTextLc: Double)
+
+  /** The COMPLETE stage-2 record: every heuristic signal, the minhash
+    * signature, and all model-backed scores — from ONE normalization/
+    * tokenization of the content (the reference's precompute-once Document,
+    * document.py:49-107, consumed by all 45 signals + minhash in a single
+    * worker step).
+    */
+  def computeFullRecord(cf: CodeFile,
+                        hasher: graft.dedupe.MinHasher,
+                        models: graft.models.Models,
+                        stopWords: Set[String] = StopWords,
+                        blockWords: Set[String] = BlockWords)
+      : (DocStats, Array[Int], ModelScores) = {
+    val regions = regionTls.get()
+    val (st, nc) = computeCore(new Doc(cf.content), cf, stopWords, blockWords, regions)
+    val n = st.word_count.toInt
+    val sig = hasher.signatureRegions(nc, regions.starts, regions.ends, n)
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      words(i) = nc.substring(regions.starts(i), regions.ends(i))
+      i += 1
+    }
+    val raw = graft.text.WordPunct.tokenize(cf.content)
+    val lang = models.langId.predict(words)
+    val scores = ModelScores(
+      langLabel = lang.map(_._1).getOrElse(""),
+      langScore = lang.map(p => PyCompat.round8(p._2)),
+      perplexity = models.lm.perplexity(words).map(PyCompat.round8),
+      mlWikiref = graft.models.Artifacts.qualityScore(models.mlWikiref, words),
+      mlPalm = graft.models.Artifacts.qualityScore(models.mlPalm, words),
+      mlWikipedia = graft.models.Artifacts.qualityScore(models.quality, words),
+      dsirWikipedia = models.dsir.weight(raw),
+      dsirWikipediaLc = models.dsir.weightLengthCorrected(raw),
+      dsirBooks = models.dsirBooks.weight(raw),
+      dsirBooksLc = models.dsirBooks.weightLengthCorrected(raw),
+      dsirOpenWebText = models.dsirOpenWebText.weight(raw),
+      dsirOpenWebTextLc = models.dsirOpenWebText.weightLengthCorrected(raw))
+    (st, sig, scores)
+  }
+
+  private def computeCore(doc: Doc, cf: CodeFile, stopWords: Set[String],
+                          blockWords: Set[String],
+                          regions: PyCompat.RegionHolder): (DocStats, String) = {
     val nc = doc.normalizedContent
     val rawLines = doc.rawLines
 
@@ -172,7 +253,6 @@ object SignalPass {
 
     // normalized words as REGIONS over nc — no per-token substrings; one
     // String materialized per DISTINCT word by the region interner
-    val regions = regionTls.get()
     val nWords = PyCompat.splitRegions(nc, regions)
     val rr = graft.signals.Repetitions.computeRegions(
       nc, regions.starts, regions.ends, nWords)
@@ -226,7 +306,7 @@ object SignalPass {
     val allCaps = raw.allCapsWords.toLong
     val nRawWords = raw.numWords
 
-    DocStats(
+    (DocStats(
       doc_id = cf.doc_id, repo = cf.repo, path = cf.path, lang = cf.lang,
       n_chars = doc.length.toLong,
       word_count = nWords.toLong,
@@ -281,7 +361,7 @@ object SignalPass {
       rps_doc_frac_chars_dupe_9grams = rep.dupe9,
       rps_doc_frac_chars_dupe_10grams = rep.dupe10,
       rps_lines_javascript_count_total = javascriptTotal
-    )
+    ), nc)
   }
 
   /** The fused signal pass: one Document per row, all signals in one go.

@@ -1,6 +1,8 @@
 package graft.pipeline
 
+import graft.models.{Artifacts, Models}
 import graft.signals.{Doc, LineScore, Signals}
+import graft.text.{Normalizer, PyCompat, WordPunct}
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** One (start, end, score) triple — the reference's ScoreType
@@ -11,10 +13,22 @@ final case class Score(start: Long, end: Long, score: Option[Double])
 
 /** The nested quality_signals struct — a StructType (one field per signal),
   * NOT a MapType, so Catalyst prunes unread signal columns for free
-  * (SURVEY.md §1.5). Field names = the reference's lowercased class names
-  * (core/schema/rp.py:17-48).
+  * (SURVEY.md §1.5). Field names and order = the reference's
+  * QUALITY_SIGNALS_SCHEMA (core/schema/rp.py:27-41): 7 ccnet passthroughs,
+  * content/natural-language/repetitions/lines heuristics, 3 ML classifier
+  * scores, 6 DSIR importance weights — 45 signals total.
   */
 final case class QualitySignals(
+  // ccnet passthrough (worker.py:260-282); in this engine language_score /
+  // perplexity / bucket are computed by our langid + LM stages
+  ccnet_length: Array[Score],
+  ccnet_original_length: Array[Score],
+  ccnet_nlines: Array[Score],
+  ccnet_original_nlines: Array[Score],
+  ccnet_language_score: Array[Score],
+  ccnet_perplexity: Array[Score],
+  ccnet_bucket: Array[Score],
+  // content + natural language + repetitions heuristics
   rps_doc_ut1_blacklist: Array[Score],
   rps_doc_word_count: Array[Score],
   rps_doc_mean_word_length: Array[Score],
@@ -38,14 +52,28 @@ final case class QualitySignals(
   rps_doc_frac_chars_dupe_8grams: Array[Score],
   rps_doc_frac_chars_dupe_9grams: Array[Score],
   rps_doc_frac_chars_dupe_10grams: Array[Score],
+  // per-line signals
   rps_lines_javascript_counts: Array[Score],
   rps_lines_ending_with_terminal_punctution_mark: Array[Score],
   rps_lines_num_words: Array[Score],
   rps_lines_uppercase_letter_fraction: Array[Score],
   rps_lines_numerical_chars_fraction: Array[Score],
-  rps_lines_start_with_bulletpoint: Array[Score])
+  rps_lines_start_with_bulletpoint: Array[Score],
+  // ML classifier scores (classifiers.py:83-114; null when no model)
+  rps_doc_ml_wikiref_score: Array[Score],
+  rps_doc_ml_palm_score: Array[Score],
+  rps_doc_ml_wikipedia_score: Array[Score],
+  // DSIR importance weights (importance_weights.py:154-303)
+  rps_doc_wikipedia_importance: Array[Score],
+  rps_doc_wikipedia_importance_length_correction: Array[Score],
+  rps_doc_books_importance: Array[Score],
+  rps_doc_books_importance_length_correction: Array[Score],
+  rps_doc_openwebtext_importance: Array[Score],
+  rps_doc_openwebtext_importance_length_correction: Array[Score])
 
+/** Full 7-field METADATA_SCHEMA (core/schema/rp.py:17-25). */
 final case class SignalMeta(
+  cc_net_source: String, cc_segment: String, shard_id: String,
   url: String, source_domain: String, language: String, snapshot_id: String)
 
 /** RP_SIGNAL_SCHEMA row (§1.4): id = "<uri_id>/<row_idx>", id_int = first
@@ -55,6 +83,15 @@ final case class SignalMeta(
 final case class SignalRow(
   id: String, id_int: Long, metadata: SignalMeta,
   quality_signals: QualitySignals)
+
+/** Input row with the synthesized upstream-CCNet originals: this engine's
+  * enrichment plays the role of the cc_net preprocessing step, so
+  * original_length / original_nlines describe the PRE-enrichment text
+  * (the reference receives them from upstream, core/data_types.py:21-36).
+  */
+final case class CcnetFile(
+  doc_id: Long, repo: String, path: String, commit: String, lang: String,
+  content: String, original_length: Long, original_nlines: Long)
 
 object SignalsTable {
 
@@ -82,20 +119,72 @@ object SignalsTable {
   val DefaultUt1: Map[String, Int] = Map(
     "src1" -> 3, "src4" -> 7, "src7" -> 3, "src11" -> 12, "src17" -> 7)
 
-  def signalRow(cf: CodeFile,
+  /** head/middle/tail as the reference encodes it in the signal row:
+    * head→0.0, middle→1.0, tail→2.0 (worker.py:40-49).
+    */
+  private def bucketCode(name: String): Double = name match {
+    case "head" => 0.0
+    case "middle" => 1.0
+    case _ => 2.0
+  }
+
+  def signalRow(cf: CcnetFile,
+                models: Option[Models] = None,
                 stopWords: Set[String] = SignalPass.StopWords,
                 blockWords: Set[String] = SignalPass.BlockWords,
                 ut1: Map[String, Int] = DefaultUt1): SignalRow = {
+    // ONE Doc supplies every view (document.py:49-107 precompute-once):
+    // the fused stats pass, the per-line signals, and the model inputs all
+    // share its lazy normalization/tokenization
     val doc = new Doc(cf.content)
-    val st = SignalPass.compute(cf, stopWords, blockWords)
+    val st = SignalPass.computeWithDoc(doc,
+      CodeFile(cf.doc_id, cf.repo, cf.path, cf.commit, cf.lang, cf.content),
+      stopWords, blockWords)
     def d(v: Double): Array[Score] = docScore(doc, Some(v))
     def o(v: Option[Double]): Array[Score] = docScore(doc, v)
     val id = s"${cf.repo}/${cf.doc_id}"
+
+    // model-backed signals: None scores when no model is loaded — the
+    // reference's own missing-model semantics (classifiers.py:60-66)
+    val normWords = doc.normalizedWords
+    val rawWords = doc.rawWords
+    val langScore = models.flatMap(m =>
+      m.langId.predict(normWords).map(p => PyCompat.round8(p._2)))
+    val ppl = models.flatMap(m =>
+      m.lm.perplexity(normWords).map(PyCompat.round8))
+    val bucket = for (m <- models; p <- ppl)
+      yield bucketCode(Artifacts.bucketOf(p, m.pplCutoffs))
+    def mlScore(pick: Models => graft.models.FastTextLite): Option[Double] =
+      models.flatMap(m => Artifacts.qualityScore(pick(m), normWords))
+    def dsirW(pick: Models => graft.models.DsirModel,
+              lc: Boolean): Option[Double] =
+      models.map { m =>
+        val mm = pick(m)
+        PyCompat.round8(
+          if (lc) mm.weightLengthCorrected(rawWords) else mm.weight(rawWords))
+      }
+
     SignalRow(
       id = id,
       id_int = idInt(id),
-      metadata = SignalMeta(cf.path, cf.repo, cf.lang, cf.commit.take(8)),
+      metadata = SignalMeta(
+        // synthesized provenance: this engine's ingestion IS the cc_net
+        // stage, so source/segment/shard derive from the corpus layout
+        cc_net_source = s"cc_net/${cf.lang}/${cf.repo}",
+        cc_segment = s"${cf.repo}/segment_${cf.doc_id % 100}",
+        shard_id = cf.repo,
+        url = cf.path,
+        source_domain = cf.repo,
+        language = cf.lang,
+        snapshot_id = cf.commit.take(8)),
       quality_signals = QualitySignals(
+        ccnet_length = d(doc.length.toDouble),
+        ccnet_original_length = d(cf.original_length.toDouble),
+        ccnet_nlines = d(st.n_lines.toDouble),
+        ccnet_original_nlines = d(cf.original_nlines.toDouble),
+        ccnet_language_score = o(langScore),
+        ccnet_perplexity = o(ppl),
+        ccnet_bucket = o(bucket),
         rps_doc_ut1_blacklist = o(ut1.get(cf.repo).map(_.toDouble)),
         rps_doc_word_count = d(st.rps_doc_word_count),
         rps_doc_mean_word_length = o(st.rps_doc_mean_word_length),
@@ -128,12 +217,32 @@ object SignalsTable {
         rps_lines_numerical_chars_fraction =
           lineScores(Signals.linesNumericalCharsFraction(doc)),
         rps_lines_start_with_bulletpoint =
-          lineScores(Signals.linesStartWithBulletpoint(doc))))
+          lineScores(Signals.linesStartWithBulletpoint(doc)),
+        rps_doc_ml_wikiref_score = o(mlScore(_.mlWikiref)),
+        rps_doc_ml_palm_score = o(mlScore(_.mlPalm)),
+        rps_doc_ml_wikipedia_score = o(mlScore(_.quality)),
+        rps_doc_wikipedia_importance = o(dsirW(_.dsir, lc = false)),
+        rps_doc_wikipedia_importance_length_correction = o(dsirW(_.dsir, lc = true)),
+        rps_doc_books_importance = o(dsirW(_.dsirBooks, lc = false)),
+        rps_doc_books_importance_length_correction = o(dsirW(_.dsirBooks, lc = true)),
+        rps_doc_openwebtext_importance = o(dsirW(_.dsirOpenWebText, lc = false)),
+        rps_doc_openwebtext_importance_length_correction =
+          o(dsirW(_.dsirOpenWebText, lc = true))))
   }
 
-  def apply(files: Dataset[CodeFile]): Dataset[SignalRow] = {
+  /** The full signal table: models broadcast once, one fused pass per row
+    * (worker.py:217-289's per-record assembly, minus its process zoo).
+    */
+  def apply(files: Dataset[CcnetFile], models: Models): Dataset[SignalRow] = {
     import files.sparkSession.implicits._
-    files.mapPartitions(_.map(cf => signalRow(cf)))
+    val bc = files.sparkSession.sparkContext.broadcast(models)
+    files.mapPartitions(_.map(cf => signalRow(cf, Some(bc.value))))
+  }
+
+  /** Heuristics-only variant (no models loaded → model signals null). */
+  def apply(files: Dataset[CcnetFile]): Dataset[SignalRow] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(cf => signalRow(cf, None)))
   }
 }
 

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** UT1 bad-URL blocklist ingestion (artifacts/update_resources.py:18-56):
+  * the University of Toulouse tarball unpacks to
+  * `<root>/blacklists/<category>/domains` (one domain per line). A domain's
+  * category ID is the index of its SORTED distinct category combination in
+  * the enumeration of all non-empty combinations of the sorted category
+  * list, ordered by combination size then lexicographically — exactly
+  * `itertools.chain(combinations(sorted(cats), r) for r in 1..n)`.
+  *
+  * The map is an engine parameter: broadcast it and look domains up with a
+  * left join / broadcast map (J2; content.py:153-165). No network fetch in
+  * this sandbox — `load` reads any directory with the published layout.
+  */
+object Ut1Blocklist {
+
+  /** combination → id, reproducing the reference enumeration order. */
+  def categoryIndex(rawCategories: Seq[String]): Map[Seq[String], Int] = {
+    val cats = rawCategories.sorted
+    val all = (1 to cats.length).iterator
+      .flatMap(r => cats.combinations(r))
+    all.zipWithIndex.map { case (c, i) => (c: Seq[String]) -> i }.toMap
+  }
+
+  /** domain → category id over `<root>/blacklists/<category>/domains`.
+    * Categories outside `rawCategories` are ignored (reference behavior);
+    * a domain in several categories maps to the id of the combination.
+    */
+  def load(root: Path, rawCategories: Seq[String]): Map[String, Int] = {
+    val index = categoryIndex(rawCategories)
+    val keep = rawCategories.toSet
+    val byDomain = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    val base = root.resolve("blacklists")
+    if (Files.isDirectory(base)) {
+      Files.list(base).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filter(d => keep.contains(d.getFileName.toString))
+        .foreach { d =>
+          val domains = d.resolve("domains")
+          if (Files.exists(domains)) {
+            val cat = d.getFileName.toString
+            Files.readAllLines(domains).asScala
+              .map(_.trim).filter(_.nonEmpty)
+              .foreach(dom =>
+                byDomain.update(dom, byDomain.getOrElse(dom, Set.empty) + cat))
+          }
+        }
+    }
+    byDomain.iterator
+      .map { case (dom, cats) => dom -> index(cats.toSeq.sorted) }
+      .toMap
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** The reference's native ingestion format: gzip JSON-lines of CCNet
+  * records, schema-enforced partial decode with bad-row tolerance
+  * (utilities/io/reader.py:43-116 streams msgspec-decoded typed structs
+  * and skips undecodable lines). Spark-first form: `spark.read.schema`
+  * (projection = Catalyst column pruning, the msgspec partial-decode
+  * analogue) + PERMISSIVE mode routing broken lines to a corrupt-record
+  * column instead of failing the scan.
+  */
+object JsonlGz {
+
+  /** InputSpec (core/data_types.py:21-36), CCNet upstream fields. */
+  val InputSpecSchema: StructType = StructType(Seq(
+    StructField("raw_content", StringType),
+    StructField("url", StringType),
+    StructField("nlines", LongType),
+    StructField("original_nlines", LongType),
+    StructField("source_domain", StringType),
+    StructField("length", LongType),
+    StructField("original_length", LongType),
+    StructField("language", StringType),
+    StructField("language_score", DoubleType),
+    StructField("perplexity", DoubleType),
+    StructField("bucket", StringType),
+    StructField("digest", StringType),
+    StructField("cc_segment", StringType),
+    StructField("date_download", StringType)))
+
+  final val CorruptCol = "_corrupt_record"
+
+  /** Tolerant schema-enforced scan: valid rows typed, broken lines kept in
+    * [[CorruptCol]] (reader.py skip semantics, but auditable).
+    */
+  def read(spark: SparkSession, path: String,
+           schema: StructType = InputSpecSchema): DataFrame =
+    spark.read
+      .schema(schema.add(StructField(CorruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** S5: the jsonl.gz writer (utilities/io/writer.py:12-64) — Spark's JSON
+    * sink with gzip codec; row-group flushing is the task commit.
+    */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** Deterministic CCNet-shaped fixture: `nRows` valid records with a
+    * corrupt (non-JSON) line after every 50th, byte-stable across runs —
+    * the sandbox stand-in for a real CCNet shard (no external data).
+    */
+  def writeFixture(path: String, nRows: Int): Path = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    val tmp = Files.createTempFile(p.getParent, ".fixture", ".tmp")
+    val out = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(Files.newOutputStream(tmp)), StandardCharsets.UTF_8))
+    try {
+      var i = 0
+      while (i < nRows) {
+        val words = (0 to i % 13).map(w => s"w${(i * 7 + w) % 101}").mkString(" ")
+        out.write(
+          s"""{"raw_content":"$words","url":"https://example.org/page/$i",""" +
+            s""""nlines":${i % 7 + 1},"original_nlines":${i % 9 + 1},""" +
+            s""""source_domain":"host${i % 23}.example.org",""" +
+            s""""length":${words.length},"original_length":${words.length + i % 5},""" +
+            s""""language":"${Seq("en", "de", "fr", "es", "it")(i % 5)}",""" +
+            s""""language_score":0.${50 + i % 50},"perplexity":${100 + i % 400}.5,""" +
+            s""""bucket":"${Seq("head", "middle", "tail")(i % 3)}",""" +
+            s""""digest":"sha1:fixture$i","cc_segment":"seg-${i % 4}",""" +
+            s""""date_download":"2024-01-${i % 28 + 1}"}""")
+        out.newLine()
+        if (i % 50 == 49) { // reader.py bad-row tolerance target
+          out.write(s"""{"raw_content": truncated-garbage-line-$i""")
+          out.newLine()
+        }
+        i += 1
+      }
+    } finally out.close()
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    p
+  }
+}

@@ -66,4 +66,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Seq((500L, 501L), (600L, 601L))
     check(star ++ chain ++ pairs)
   }
+
+  test("cluster_id is the UNSIGNED min for sha1-derived ids with the sign bit set") {
+    import spark.implicits._
+    // realistic id_int values: ~half of sha1-derived uint64s have the sign
+    // bit set and are negative as Long (run_lsh.py:324-338 uses numpy
+    // uint64 ordering; SURVEY §7.4 watch item 3)
+    val ids = Seq("a/1", "a/2", "a/3", "b/1", "b/2")
+      .map(graft.pipeline.SignalsTable.idInt)
+    assert(ids.exists(_ < 0), "fixture must include sign-bit ids")
+    val edges = Seq((ids(0), ids(1)), (ids(1), ids(2)), (ids(3), ids(4)))
+    val got = Lsh.connectedComponents(edges.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    def uMin(xs: Seq[Long]): Long =
+      xs.reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+    val c1 = uMin(ids.take(3))
+    val c2 = uMin(ids.drop(3))
+    ids.take(3).foreach(i => assert(got(i) == c1,
+      s"id $i: got ${got(i)}, want unsigned-min $c1"))
+    ids.drop(3).foreach(i => assert(got(i) == c2))
+    // and the distributed path agrees once ids are fed through the same
+    // public entry (low threshold forces it)
+    val gotDist = Lsh.connectedComponents(edges.toDF("src", "dst"),
+      maxDriverEdges = 0L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(gotDist == got)
+  }
 }

@@ -49,6 +49,26 @@ class DedupeSpec extends AnyFunSuite {
     assert(hasher.signature(Array.tabulate(12)(i => s"w$i")) == null)
   }
 
+  test("region-based signature is bit-equal to the word-array path") {
+    // ASCII fast path (shared byte array, offset slicing)
+    val ascii = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away again with more words to cross thirteen"
+    // non-ASCII fallback (char offsets != byte offsets forces word mats)
+    val uni = "das schöne große haus überm fluß naïve café déjà vu " +
+      "𝔘𝔫𝔦 fullwidth １２３ mixed in here with many more words to pass thirteen"
+    for (text <- Seq(ascii, uni)) {
+      val words = graft.text.PyCompat.split(text)
+      val holder = new graft.text.PyCompat.RegionHolder
+      val n = graft.text.PyCompat.splitRegions(text, holder)
+      assert(n == words.length)
+      val a = hasher.signature(words)
+      val b = hasher.signatureRegions(text, holder.starts, holder.ends, n)
+      assert(a.toSeq == b.toSeq, s"mismatch on: ${text.take(30)}")
+    }
+    // short-doc null parity
+    assert(hasher.signatureRegions("a b c", Array(0, 2, 4), Array(1, 3, 5), 3) == null)
+  }
+
   test("optimal_param reproduces the reference's published band choices") {
     assert(OptimalParam(0.8, 128) == (9, 13))
     assert(OptimalParam(0.9, 128) == (5, 25))

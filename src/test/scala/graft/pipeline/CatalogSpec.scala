@@ -70,4 +70,28 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(sum("n_files")).collect()(0).getLong(0)
     assert(total == 500, s"metrics rows should conserve files, got $total")
   }
+
+  test("checkpointed run scans the corpus ONCE — no per-partition rescans") {
+    // the round-1 implementation filtered + re-ran the decide pipeline per
+    // key: ~P full scans and 2× compute per partition. Guard: total records
+    // read across the whole run must be ~(corpus + one read-back of the
+    // written rows), nowhere near P × corpus.
+    val root = Files.createTempDirectory("graft_cat_scan").toString
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          reads.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (w, s) = CheckpointedRun.run(spark, sfDir, new CorpusCatalog(root, spark))
+      assert(w > 0 && s == 0)
+      Thread.sleep(2000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = reads.get()
+    assert(n <= 3 * 500,
+      s"run read $n records for a 500-doc corpus — per-partition rescans are back")
+  }
 }

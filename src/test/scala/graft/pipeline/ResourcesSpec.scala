@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** UT1 blocklist ingestion, Bloom dedup guarantee, and the distributed
+  * DSIR training path.
+  */
+class ResourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-resources-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("ut1 category index reproduces itertools.combinations enumeration") {
+    // sorted cats [adult, gambling, phishing]: r=1 → 0,1,2; r=2 → 3,4,5;
+    // r=3 → 6 (update_resources.py:18-31 golden, hand-computed)
+    val idx = Ut1Blocklist.categoryIndex(Seq("phishing", "adult", "gambling"))
+    assert(idx(Seq("adult")) == 0)
+    assert(idx(Seq("gambling")) == 1)
+    assert(idx(Seq("phishing")) == 2)
+    assert(idx(Seq("adult", "gambling")) == 3)
+    assert(idx(Seq("adult", "phishing")) == 4)
+    assert(idx(Seq("gambling", "phishing")) == 5)
+    assert(idx(Seq("adult", "gambling", "phishing")) == 6)
+  }
+
+  test("ut1 load: published directory layout → domain→category-id map") {
+    val root = Files.createTempDirectory("graft_ut1")
+    def put(cat: String, domains: String*): Unit = {
+      val d = root.resolve("blacklists").resolve(cat)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("domains"), domains.mkString("\n") + "\n")
+    }
+    put("adult", "bad.example", "both.example")
+    put("phishing", "phish.example", "both.example")
+    put("ignored_cat", "elsewhere.example") // not in raw_categories → skipped
+    val m = Ut1Blocklist.load(root, Seq("adult", "gambling", "phishing"))
+    assert(m("bad.example") == 0) // (adult)
+    assert(m("phish.example") == 2) // (phishing)
+    assert(m("both.example") == 4) // (adult, phishing)
+    assert(!m.contains("elsewhere.example"))
+  }
+
+  test("bloom dedup: no false negatives; q28 membership truth reproduced") {
+    val q = graft.SparkEntry.queries("q28_bloom_dedup")(
+      spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val dup = r.getAs[Boolean]("probable_dup")
+      if (id < 300000) assert(dup, s"true duplicate $id missed (impossible for Bloom)")
+      else assert(!dup, s"false positive on fresh row $id at fpp 1e-4")
+    }
+  }
+
+  test("distributed DSIR training matches the driver-side fold") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      Array.tabulate(5 + i % 7)(w => s"tok${(i * 3 + w) % 41}"))
+    val tgt = docs.filter(_.length % 2 == 0)
+    val a = graft.models.DsirModel.train(tgt, docs, buckets = 1000)
+    val b = graft.models.DsirModel.trainDistributed(
+      tgt.toDS(), docs.toDS(), buckets = 1000)
+    assert(a.logRatio.toSeq == b.logRatio.toSeq)
+    assert(a.lambdaTgt == b.lambdaTgt && a.lambdaSrc == b.lambdaSrc)
+    val probe = Array("tok1", "tok2", "tok3")
+    assert(a.weightLengthCorrected(probe) == b.weightLengthCorrected(probe))
+  }
+}

@@ -24,15 +24,30 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "18022519671513463215"))
   }
 
-  test("signals table has the nested RP schema and consistent values") {
-    val df = SparkEntry.queries("q16_signals_table")(spark, sfDir)
-    val schema = df.schema
+  test("signals table carries the full 45-signal RP schema + 7-field metadata") {
+    import spark.implicits._
+    val models = graft.models.Artifacts.trainFor(spark, sfDir)
+    val ds = SignalsTable(
+      CodeFiles.withOriginals(spark, sfDir).as[CcnetFile], models)
+    val schema = ds.toDF().schema
     assert(schema.fieldNames.toSet == Set("id", "id_int", "metadata", "quality_signals"))
     val qs = schema("quality_signals").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    assert(qs.fieldNames.length == 29)
+    assert(qs.fieldNames.length == 45,
+      s"expected 45 signals, got ${qs.fieldNames.length}")
     assert(qs.fieldNames.contains("rps_lines_ending_with_terminal_punctution_mark"))
-    val rows = df.limit(50).collect()
+    // rp.py:27-41 family spot checks
+    Seq("ccnet_length", "ccnet_original_nlines", "ccnet_bucket",
+      "rps_doc_ml_wikiref_score", "rps_doc_ml_palm_score",
+      "rps_doc_ml_wikipedia_score", "rps_doc_wikipedia_importance",
+      "rps_doc_books_importance_length_correction",
+      "rps_doc_openwebtext_importance")
+      .foreach(f => assert(qs.fieldNames.contains(f), s"missing $f"))
+    val meta = schema("metadata").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("cc_net_source", "cc_segment",
+      "shard_id", "url", "source_domain", "language", "snapshot_id"))
+    val rows = ds.toDF().limit(50).collect()
     rows.foreach { r =>
       val sig = r.getAs[org.apache.spark.sql.Row]("quality_signals")
       val wc = sig.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rps_doc_word_count")
@@ -41,22 +56,46 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(lines.nonEmpty)
       // line offsets tile the doc: starts are non-decreasing, end of doc
       assert(lines.head.getLong(0) == 0L)
+      // model-backed signals are populated when models are supplied
+      Seq("ccnet_perplexity", "ccnet_bucket", "rps_doc_ml_palm_score",
+        "rps_doc_books_importance").foreach { f =>
+        val v = sig.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](f)
+        assert(v.length == 1 && !v.head.isNullAt(2), s"$f score null")
+      }
+    }
+    // q16 scalar projection: every row reports full family presence
+    val q16 = SparkEntry.queries("q16_signals_table")(spark, sfDir).collect()
+    assert(q16.length == 500)
+    q16.foreach { r =>
+      assert(r.getAs[Long]("n_ccnet") == 7L)
+      assert(r.getAs[Long]("n_ml") == 3L)
+      assert(r.getAs[Long]("n_dsir") == 6L)
+      assert(r.getAs[String]("signals_digest").length == 64)
     }
   }
 
   test("minhash table bands have the published shapes; short docs null") {
-    val rows = SparkEntry.queries("q17_minhash_table")(spark, sfDir)
-      .collect()
+    import spark.implicits._
+    val rows = MinHashTable(CodeFiles(spark, sfDir).as[CodeFile],
+      new graft.dedupe.MinHasher(128, 13, 42L)).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
-      val s07 = r.getAs[scala.collection.Seq[Array[Byte]]]("signature_sim0_7")
-      val s10 = r.getAs[scala.collection.Seq[Array[Byte]]]("signature_sim1_0")
-      if (s07 != null) {
-        assert(s07.length == 14 && s07.forall(_.length == 36)) // 14 bands x 9 rows
-        assert(s10.length == 1 && s10.head.length == 512) // 1 band x 128 rows
-      } else assert(s10 == null)
+      if (r.signature_sim0_7 != null) {
+        assert(r.signature_sim0_7.length == 14 &&
+          r.signature_sim0_7.forall(_.length == 36)) // 14 bands x 9 rows
+        assert(r.signature_sim1_0.length == 1 &&
+          r.signature_sim1_0.head.length == 512) // 1 band x 128 rows
+      } else assert(r.signature_sim1_0 == null)
     }
-    assert(rows.exists(_.getAs[Seq[Array[Byte]]]("signature_sim0_7") != null))
+    assert(rows.exists(_.signature_sim0_7 != null))
+    // q17 scalar projection mirrors those shapes
+    val q17 = SparkEntry.queries("q17_minhash_table")(spark, sfDir).collect()
+    assert(q17.length == 500)
+    q17.foreach { r =>
+      val n07 = r.getAs[Long]("n_signature_sim0_7")
+      assert(n07 == 14L || n07 == -1L)
+      assert(r.getAs[String]("bands_digest").length == 64)
+    }
   }
 
   test("ann lsh achieves useful recall vs brute force") {
@@ -76,7 +115,9 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("multimodal features have the contracted shape") {
-    val rows = SparkEntry.queries("q19_multimodal")(spark, sfDir).collect()
+    val rows = graft.multimodal.Multimodal
+      .extract(graft.multimodal.Multimodal.mediaTable(spark, sfDir))
+      .collect()
     assert(rows.length == 500)
     rows.foreach { r =>
       val f = r.getAs[scala.collection.Seq[Float]]("features")
@@ -84,5 +125,10 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(f.sum - 1.0f) < 1e-3 || r.getAs[Long]("n_bytes") == 0)
       assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
     }
+    // the q19 scalar projection keeps only the oracle-checkable columns
+    val q19 = SparkEntry.queries("q19_multimodal")(spark, sfDir)
+    assert(q19.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "n_frames"))
+    assert(q19.count() == 500)
   }
 }

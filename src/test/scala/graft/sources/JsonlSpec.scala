@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** S2/S5: jsonl.gz tolerant reader + gzip JSON writer
+  * (utilities/io/reader.py:43-116, writer.py:12-64 semantics).
+  */
+class JsonlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-jsonl-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("tolerant read: typed rows decoded, corrupt lines quarantined not fatal") {
+    val path = Files.createTempDirectory("graft_jsonl").resolve("shard.jsonl.gz")
+    JsonlGz.writeFixture(path.toString, 200)
+    val df = JsonlGz.read(spark, path.toString).cache()
+    val valid = df.filter(col(JsonlGz.CorruptCol).isNull)
+    val corrupt = df.filter(col(JsonlGz.CorruptCol).isNotNull)
+    assert(valid.count() == 200)
+    assert(corrupt.count() == 4) // one per 50 rows
+    // typed partial decode: declared fields come back with their types
+    val r = valid.orderBy("url").limit(1).collect()(0)
+    assert(r.getAs[Long]("nlines") == 1L)
+    assert(r.getAs[String]("language") == "en")
+    assert(r.getAs[String]("digest").startsWith("sha1:"))
+    df.unpersist()
+  }
+
+  test("gzip JSON writer round-trips through the tolerant reader") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_jsonl_w").resolve("out").toString
+    val src = (0 until 100).map(i =>
+      (s"u$i", i.toLong, s"body $i")).toDF("url", "nlines", "raw_content")
+    JsonlGz.write(src, out)
+    // the sink actually wrote gzip JSON-lines
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    // cache first: Spark refuses queries whose pruned column set is ONLY
+    // the corrupt-record column (count() after the corrupt filter)
+    val back = JsonlGz.read(spark, out).cache()
+      .filter(col(JsonlGz.CorruptCol).isNull)
+      .select("url", "nlines", "raw_content")
+    assert(back.count() == 100)
+    assert(back.orderBy("nlines").collect().map(_.getAs[String]("url")).take(3)
+      .sameElements(Array("u0", "u1", "u2")))
+  }
+
+  test("q27 ingestion query returns every valid fixture row (count-safe)") {
+    // bench calls .count() on every query — the corrupt-col filter must
+    // survive column pruning (it also references url, a data column)
+    val q = graft.SparkEntry.queries("q27_jsonl_ingest")(spark, "unused")
+    assert(q.count() == 300)
+    val r = q.limit(1).collect()(0)
+    assert(r.getAs[String]("url").startsWith("https://example.org/page/"))
+  }
+}

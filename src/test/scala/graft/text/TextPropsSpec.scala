@@ -33,10 +33,25 @@ class TextPropsSpec extends AnyFunSuite {
   check("normalized content has no ASCII punct/uppercase/space runs")(
     Prop.forAll(textGen) { s =>
       val n = Normalizer.normalize(s)
-      !n.exists(c => c < 128 && Normalizer.AsciiPunctuation.contains(c)) &&
+      // NFD runs LAST in the reference order (normalization.py:8-32), so
+      // characters that canonically decompose INTO ASCII punctuation
+      // legitimately re-introduce it after the punct strip: ≠ → '='+U+0338,
+      // U+037E → ';', U+1FEF → '`', ≮/≯ → '<'/'>'+U+0338. Exempt exactly
+      // those (verified against CPython unicodedata; parity golden below).
+      val nfdPunctSources = Set('\u037e', '\u1fef', '\u2260', '\u226e', '\u226f')
+      val hasNfdPunctSource = s.exists(nfdPunctSources.contains)
+      (hasNfdPunctSource ||
+        !n.exists(c => c < 128 && Normalizer.AsciiPunctuation.contains(c))) &&
       !n.exists(c => c >= 'A' && c <= 'Z') &&
       !n.contains("  ") && n == PyCompat.strip(n)
     })
+
+  test("NFD-last parity: decomposable chars re-introduce ASCII punct (CPython golden)") {
+    // python3: norm("x \u2260 y") -> ['0x78','0x20','0x3d','0x338','0x20','0x79']
+    assert(Normalizer.normalize("x \u2260 y") == "x \u003d\u0338 y")
+    // GREEK QUESTION MARK U+037E survives the ASCII punct strip, NFD -> ';'
+    assert(Normalizer.normalize("\u037e hi") == "\u003b hi")
+  }
 
   check("split tokens reassemble to the non-space characters")(
     Prop.forAll(textGen) { s =>

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles (mirrors the driver's compare:
+columns sorted by name, deterministic order, value equality). Usage:
+  python3 tools/check_oracles.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import duckdb, json, glob, sys
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["documents", "embeddings", "events"]:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    try:
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        s = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
+        o = con.execute(oracle[name]).fetchdf()
+        cols = sorted(s.columns)
+        ocols = sorted(o.columns)
+        if cols != ocols:
+            print(f"FAIL {name}: schema {cols} vs {ocols}")
+            fails += 1
+            continue
+        s = s[cols].sort_values(by=cols).reset_index(drop=True)
+        o = o[ocols].sort_values(by=ocols).reset_index(drop=True)
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            fails += 1
+            continue
+        bad = None
+        for c in cols:
+            a, b = s[c], o[c]
+            try:
+                eq = (a.astype("string").fillna("<null>")
+                      == b.astype("string").fillna("<null>")).all()
+            except Exception:
+                eq = a.equals(b)
+            if not eq:
+                bad = c
+                break
+        if bad:
+            m = (s[bad].astype("string").fillna("x")
+                 != o[bad].astype("string").fillna("x"))
+            print(f"FAIL {name}: column {bad} differs, e.g.\n"
+                  f"{s[m].head(3)}\nvs\n{o[m].head(3)}")
+            fails += 1
+        else:
+            print(f"ok   {name}: {len(s)} rows")
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        fails += 1
+print(f"{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
