@@ -37,6 +37,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fullPass computes the complete stage-2 record, shuffle-free") {
+    val models = graft.models.Artifacts.trainFor(spark, sfDir)
+    val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+    val df = QualityFilterJob.fullPass(
+      spark, CodeFiles(spark, sfDir), hasher, models)
+    // the scan→signals→models→minhash chain must be one narrow stage: the
+    // only acceptable exchange is none at all (worker.py's stage 2 is
+    // embarrassingly parallel; scale = input splits)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fullPass shuffles:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val nb = r.getAs[Int]("n_bands")
+      assert(nb == 14 || nb == 0, s"bands $nb") // 0.7 → 14 bands or null sig
+      assert(r.getAs[String]("lang").nonEmpty)
+      assert(r.getAs[Long]("lang_score_e6") > 0)
+      assert(r.getAs[Long]("ppl_e4") > 0)
+    }
+    assert(rows.count(_.getAs[Int]("n_bands") == 14) > 400)
+  }
+
   test("exact dedup finds exactly the injected duplicates at sf0.001") {
     val dups = SparkEntry.queries("q04_exact_dedup")(spark, sfDir).collect()
     // ids ≡3 (mod 10) are duplicated with offset 100000; the copy (higher
