@@ -51,8 +51,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
     if (isCommitted(table, key)) return false
     val partPath = tableDir(table).resolve(s"part=$key")
-    val rows = df.count()
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
+    // row count from the written footers — the input plan runs ONCE
+    val rows = df.sparkSession.read.parquet(partPath.toString).count()
     writeMarker(table, key, rows)
     true
   }

@@ -72,4 +72,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
   }
+
+  test("ut1 lookup is a broadcast join — no shuffle of the corpus side") {
+    val df = SparkEntry.queries("q20_ut1_lookup")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"dimension not broadcast:\n$p")
+    // the only exchanges allowed: broadcast + the display sort
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled for a 5-row dim:\n$p")
+  }
+
+  test("n-gram jaccard never degenerates into a cartesian product") {
+    val p = plan(SparkEntry.queries("q06_ngram_jaccard")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q06 lost its equi-join keys:\n$p")
+  }
+
+  test("hourly rollup does a partial (map-side) aggregation before the shuffle") {
+    val df = SparkEntry.queries("q23_events_hourly")(spark, sfDir)
+    val p = plan(df)
+    // two HashAggregate levels around one Exchange = partial+final agg
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"no partial aggregation:\n$p")
+  }
+
+  test("anti-join resume filter stays a broadcast, not a shuffle") {
+    import spark.implicits._
+    val files = CodeFiles(spark, sfDir)
+      .withColumn("pkey", CheckpointedRun.saltedKey(4))
+    val pending = files.join(
+      broadcast(Seq("src1_0", "src2_1").toDF("pkey")), Seq("pkey"), "left_anti")
+    val p = plan(pending)
+    assert(p.contains("BroadcastHashJoin"), s"resume anti-join shuffles:\n$p")
+  }
 }
