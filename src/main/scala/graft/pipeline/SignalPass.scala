@@ -162,23 +162,6 @@ object SignalPass {
                                        blockWords: Set[String]): DocStats =
     computeCore(doc, cf, stopWords, blockWords, regionTls.get())._1
 
-  /** The reference's full stage-2 per-record work: all signals PLUS the
-    * banded-minhash input signature, computed off the SAME normalized word
-    * regions (worker.py:217-289 derives both from one Document) — content
-    * is normalized and tokenized exactly once.
-    */
-  def computeWithSignature(cf: CodeFile,
-                           hasher: graft.dedupe.MinHasher,
-                           stopWords: Set[String] = StopWords,
-                           blockWords: Set[String] = BlockWords)
-      : (DocStats, Array[Int]) = {
-    val regions = regionTls.get()
-    val (st, nc) = computeCore(new Doc(cf.content), cf, stopWords, blockWords, regions)
-    val sig = hasher.signatureRegions(
-      nc, regions.starts, regions.ends, st.word_count.toInt)
-    (st, sig)
-  }
-
   /** Model-backed per-record scores (the reference's classifier / DSIR /
     * perplexity signal families, worker.py:217-289).
     */

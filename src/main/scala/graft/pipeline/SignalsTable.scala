@@ -262,17 +262,22 @@ object MinHashTable {
             hasher: graft.dedupe.MinHasher): Dataset[MinHashRow] = {
     import files.sparkSession.implicits._
     import graft.dedupe.MinHasher.BandsRows
-    files.mapPartitions(_.map { cf =>
-      val words = graft.text.PyCompat.split(
-        graft.text.Normalizer.normalize(cf.content))
-      val sig = hasher.signature(words)
-      def bands(t: Double): Array[Array[Byte]] = {
-        val (b, r) = BandsRows(t)
-        hasher.bands(sig, b, r)
+    files.mapPartitions { it =>
+      // word REGIONS over the normalized content — the signature streams
+      // straight off them, no per-word string materialization
+      val regions = new PyCompat.RegionHolder
+      it.map { cf =>
+        val nc = Normalizer.normalize(cf.content)
+        val n = PyCompat.splitRegions(nc, regions)
+        val sig = hasher.signatureRegions(nc, regions.starts, regions.ends, n)
+        def bands(t: Double): Array[Array[Byte]] = {
+          val (b, r) = BandsRows(t)
+          hasher.bands(sig, b, r)
+        }
+        val id = s"${cf.repo}/${cf.doc_id}"
+        MinHashRow(cf.repo, id, SignalsTable.idInt(id),
+          bands(0.7), bands(0.8), bands(0.9), bands(1.0))
       }
-      val id = s"${cf.repo}/${cf.doc_id}"
-      MinHashRow(cf.repo, id, SignalsTable.idInt(id),
-        bands(0.7), bands(0.8), bands(0.9), bands(1.0))
-    })
+    }
   }
 }
