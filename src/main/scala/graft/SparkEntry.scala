@@ -512,6 +512,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Stage 3 exactly as the reference runs it (run_lsh.py): dedup off the
+    // STORED minhash table — persisted bands exploded, unsigned-min edges
+    // over real sha1 id_ints (sign bit set for ~half), CC, inner join back
+    // on id_int. Ground truth from the construction: byte-identical twins
+    // (ids ≡ 3 mod 10, +200000) have identical signatures ⇒ same cluster.
+    "q29_lsh_from_table" -> ((s, dir) => {
+      import s.implicits._
+      val cf = CodeFiles(s, dir)
+      val withTwins = cf.unionAll(
+        cf.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 200000).as("doc_id"), col("repo"),
+            col("path"), col("commit"), col("lang"), col("content")))
+      val table = graft.pipeline.MinHashTable(
+        withTwins.as[graft.pipeline.CodeFile],
+        new graft.dedupe.MinHasher(128, 13, 42L)).toDF()
+      val cl = graft.dedupe.Lsh.clustersFromTable(table, 0.7)
+        .select(col("id"), col("cluster_id"))
+      cf.filter(col("doc_id") % 10 === 3)
+        .select(concat(col("repo"), lit("/"), col("doc_id")).as("id"),
+          concat(col("repo"), lit("/"), col("doc_id") + 200000).as("id_dup"))
+        .join(cl.withColumnRenamed("cluster_id", "c_base"), Seq("id"), "left")
+        .join(cl.select(col("id").as("id_dup"),
+          col("cluster_id").as("c_dup")), Seq("id_dup"), "left")
+        .select(col("id"),
+          (col("c_base").isNotNull && col("c_base") === col("c_dup"))
+            .as("same_cluster"))
+        .orderBy("id")
+    }),
+
     // S2: the reference's native jsonl.gz ingestion — schema-enforced
     // tolerant scan (PERMISSIVE; broken lines quarantined, not fatal) over
     // a deterministic CCNet-shaped fixture; oracle = DuckDB read_json with
@@ -836,6 +865,12 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id + 300000 AS id, false AS probable_dup
          |FROM code_files WHERE doc_id % 10 = 6
+         |ORDER BY id""".stripMargin,
+
+    "q29_lsh_from_table" ->
+      s"""WITH $cte
+         |SELECT repo || '/' || doc_id AS id, true AS same_cluster
+         |FROM code_files WHERE doc_id % 10 = 3
          |ORDER BY id""".stripMargin
   )
 }

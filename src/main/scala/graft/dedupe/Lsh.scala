@@ -180,6 +180,27 @@ object Lsh {
                hasher: MinHasher,
                threshold: Double): DataFrame =
     connectedComponents(edges(bandedSignatures(docs, hasher, threshold)))
+
+  /** The reference's ACTUAL stage 3 (run_lsh.py:244-372): dedup runs off
+    * the STORED minhash table, not the documents — null-signature filter
+    * (P4) → posexplode of the persisted bands → band grouping →
+    * unsigned-min edges → connected components → inner join back on the
+    * uint64 id_int (J1) → (id, id_int, cluster_id, shard_id), ready for
+    * the per-shard partitioned write (S7). sha1-derived id_int has the
+    * sign bit set for ~half of real rows, so the whole path runs in
+    * unsigned order.
+    */
+  def clustersFromTable(minhash: DataFrame, threshold: Double): DataFrame = {
+    val sigCol = f"signature_sim${threshold}%.1f".replace('.', '_')
+    val banded = minhash
+      .filter(col(sigCol).isNotNull)
+      .select(col("id_int").as("id"),
+        posexplode(col(sigCol)).as(Seq("band", "sig")))
+    val comp = connectedComponents(edges(banded))
+      .withColumnRenamed("id", "id_int")
+    minhash.join(comp, Seq("id_int"), "inner")
+      .select("id", "id_int", "cluster_id", "shard_id")
+  }
 }
 
 /** SimHash near-dup fingerprints: 64-bit sign-of-weighted-bit-votes over

@@ -98,6 +98,39 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stage-3 from the stored table: cluster_id = UNSIGNED min of real sha1 ids") {
+    import spark.implicits._
+    val cf = CodeFiles(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val withTwins = cf.unionAll(
+      cf.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 200000).as("doc_id"), col("repo"),
+          col("path"), col("commit"), col("lang"), col("content")))
+    val table = MinHashTable(withTwins.as[CodeFile],
+      new graft.dedupe.MinHasher(128, 13, 42L)).toDF()
+    val cl = graft.dedupe.Lsh.clustersFromTable(table, 0.7).collect()
+    assert(cl.nonEmpty)
+    // real ids exercise the sign bit (~half of sha1-derived uint64s)
+    assert(cl.exists(_.getAs[Long]("id_int") < 0))
+    val byCluster = cl.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val uMin = members.map(_.getAs[Long]("id_int"))
+        .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+      assert(cid == uMin,
+        s"cluster $cid is not the unsigned min of its members ($uMin)")
+    }
+    // every injected twin pair landed in one cluster
+    val clusterOf = cl.map(r => r.getAs[String]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val twins = cf.filter(col("doc_id") % 10 === 3)
+      .select(concat(col("repo"), lit("/"), col("doc_id")),
+        concat(col("repo"), lit("/"), col("doc_id") + 200000))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    twins.foreach { case (a, b) =>
+      assert(clusterOf.contains(a) && clusterOf(a) == clusterOf(b),
+        s"twins $a/$b not co-clustered")
+    }
+  }
+
   test("ann lsh achieves useful recall vs brute force") {
     val exact = SparkEntry.queries("q09_ann_cosine")(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("query_id"))
