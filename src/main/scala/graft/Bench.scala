@@ -117,6 +117,9 @@ object Bench {
     // available CPU up to 5× for tens of seconds (a pure-CPU 4-thread
     // probe swings 0.93 → 0.25 efficiency minutes apart), and noise only
     // ever slows a run — the fastest sample per level is the clean one.
+    // fork order interleaves the levels so a tens-of-seconds host storm
+    // cannot poison every sample of one level; 1+N runs per fork gives the
+    // two compared levels roughly equal total timed exposure (~70 s each)
     val levels = Seq(1, 2, 4)
     val samples = (levels ++ Seq(1, 4))
       .map(w => w -> BenchChild.forkCluster(w, sfDir, replicas))

@@ -512,6 +512,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // IVF-Flat ANN (k-means cells + nprobe search) — run EXHAUSTIVE
+    // (nprobe = nCentroids), where IVF is provably exact: every vector
+    // lives in exactly one cell and the query probes all of them, so the
+    // result must equal the brute-force oracle. The approximate mode
+    // (nprobe=2) is recall-pinned in TablesSpec.
+    "q30_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      graft.similarity.IvfFlat.topK(emb, col("vec_id") < 5, 10,
+        nCentroids = 16, nprobe = 16)
+        .orderBy("query_id", "rank")
+    }),
+
     // Stage 3 exactly as the reference runs it (run_lsh.py): dedup off the
     // STORED minhash table — persisted bands exploded, unsigned-min edges
     // over real sha1 id_ints (sign bit set for ~half), CC, inner join back
@@ -871,6 +885,26 @@ object SparkEntry {
       s"""WITH $cte
          |SELECT repo || '/' || doc_id AS id, true AS same_cluster
          |FROM code_files WHERE doc_id % 10 = 3
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+
+    // exhaustive IVF == brute force, so the oracle is the same cross-join
+    // ranking the q09 baseline uses
+    "q30_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         list_cosine_similarity(e.vec, q.qvec) AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft.similarity
+
+import graft.util.SplitMix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-Flat approximate nearest neighbours (the inverted-file index of
+  * Jégou et al. 2011, minus product quantization): a coarse k-means
+  * quantizer assigns every vector to its nearest centroid's cell; a query
+  * probes only the `nprobe` nearest cells and computes exact cosine inside
+  * them. The second scale path beside hyperplane LSH (AnnLsh):
+  *
+  *  - centroids train on a bounded driver-side sample (standard IVF
+  *    practice — the quantizer sees thousands of vectors, the INDEX scales
+  *    to billions because assignment is a map and search is an equi-join
+  *    on cell id);
+  *  - `nprobe = nCentroids` degenerates to exact brute force, which makes
+  *    the whole path oracle-checkable against the cross-join baseline.
+  */
+object IvfFlat {
+
+  /** Seeded Lloyd iterations over a deterministic sample. Pure JVM. */
+  def trainCentroids(sample: Array[Array[Double]], k: Int, iters: Int,
+                     seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty && k > 0)
+    val dim = sample.head.length
+    val rng = new SplitMix64(seed)
+    // init: k distinct seeded picks from the sample
+    val centroids = Array.tabulate(k)(i =>
+      sample(((rng.nextLong() >>> 1) % sample.length).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty cell keeps its previous centroid (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest cells of a query vector, by centroid distance. */
+  def probeCells(v: Array[Double], centroids: Array[Array[Double]],
+                 nprobe: Int): Array[Int] = {
+    val dists = centroids.indices.map { c =>
+      val ctr = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+      (d, c)
+    }
+    dists.sorted.take(nprobe).map(_._2).toArray
+  }
+
+  /** Top-k by cosine; candidates restricted to the query's `nprobe`
+    * nearest cells. `nprobe == nCentroids` ⇒ exact (== brute force).
+    *
+    * @param emb (vec_id: Long, vec: Array[Double]) dataframe
+    */
+  def topK(emb: DataFrame, queryFilter: Column, k: Int,
+           nCentroids: Int = 16, nprobe: Int = 2,
+           trainSample: Int = 2048, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    // deterministic bounded sample for the quantizer (pushed-down limit;
+    // never a full collect)
+    val sample = emb.orderBy("vec_id").limit(trainSample)
+      .select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = spark.sparkContext.broadcast(
+      trainCentroids(sample, nCentroids, iters = 8, seed))
+
+    val cellUdf = udf((v: Seq[Double]) =>
+      nearestCentroid(v.toArray, centroids.value))
+    val probesUdf = udf((v: Seq[Double]) =>
+      probeCells(v.toArray, centroids.value, nprobe))
+
+    val dot: (Column, Column) => Column = (x, y) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+
+    val data = emb.withColumn("cell", cellUdf(col("vec")))
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val queries = data.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("nrm").as("qnrm"), explode(probesUdf(col("vec"))).as("cell"))
+
+    val candidates = queries.join(data, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"))
+  }
+}

@@ -147,6 +147,28 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.3, s"recall $mean too low — buckets broken?")
   }
 
+  test("ivf ann: approximate mode has useful recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val exact = SparkEntry.queries("q09_ann_cosine")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val approx = graft.similarity.IvfFlat
+      .topK(emb, col("vec_id") < 5, 10, nCentroids = 16, nprobe = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val recalls = exact.keys.toSeq.sorted.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
+        exact(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF mean recall@10 (nprobe=4/16) = $mean%.2f")
+    assert(mean >= 0.4, s"recall $mean too low — cells broken?")
+  }
+
   test("multimodal features have the contracted shape") {
     val rows = graft.multimodal.Multimodal
       .extract(graft.multimodal.Multimodal.mediaTable(spark, sfDir))
