@@ -30,5 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-  "-XX:+UseParallelGC", // batch throughput: beats G1 for alloc-heavy scans
+  // batch throughput GC; override with GRAFT_GC=-XX:+UseG1GC to A/B
+  sys.env.getOrElse("GRAFT_GC", "-XX:+UseParallelGC"),
 )

@@ -33,20 +33,6 @@ object SparkEntry {
     * content; near-duplicate variants (one appended token) injected for
     * ids ≡ 7 (mod 10), offset by 100000.
     */
-  private def shingled(s: SparkSession, dir: String, n: Int): DataFrame = {
-    import s.implicits._
-    val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
-    val withVariants = cf.unionAll(
-      cf.filter(col("id") % 10 === 7)
-        .select((col("id") + 100000).as("id"),
-          concat(col("content"), lit(" extra trailing token")).as("content")))
-    withVariants.as[(Long, String)].flatMap { case (id, content) =>
-      val words = graft.text.PyCompat.split(
-        graft.text.Normalizer.normalize(content))
-      graft.text.NGrams.shingleSet(words, n).iterator.map(sh => (id, sh))
-    }.toDF("id", "shingle")
-  }
-
   /** (id, normalized words) with near-duplicate variants injected —
     * shared input for minhash-LSH and simhash.
     */
@@ -134,46 +120,16 @@ object SparkEntry {
     // only touches rare shingles and hot-shingle blowup disappears while
     // results stay EXACTLY the naive oracle's.
     "q06_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingled(s, dir, 3).cache()
-      val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-      // one window (prefix position in rarest-first order); doc size comes
-      // from the pre-aggregated join, not a second window over the
-      // exploded pair table
-      val w = Window.partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-      val prefixes = sh.join(freq, "shingle")
-        .join(sizes, "id")
-        .withColumn("pos", row_number().over(w))
-        .filter(col("pos") <= col("sz") - ceil(col("sz") * 0.5) + 1)
-        .select("id", "shingle", "sz", "pos")
-        .cache()
-      val candidates = prefixes.toDF("id_a", "shingle", "sz_a", "pos_a")
-        .join(prefixes.toDF("id_b", "shingle", "sz_b", "pos_b"), "shingle")
-        .filter(col("id_a") < col("id_b"))
-        // size filter: J ≥ 0.5 ⇒ |A| ≥ |B|/2 and |B| ≥ |A|/2
-        .filter(col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
-        // PPJoin positional filter: a match at (rare-first) positions
-        // (pa, pb) bounds the intersection by 1 + min(sz_a-pa, sz_b-pb);
-        // J ≥ 0.5 needs inter ≥ (sz_a+sz_b)/3, so prune pairs whose best
-        // match can't reach it — kills most low-overlap candidates before
-        // the expensive verification join
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(max(least(col("sz_a") - col("pos_a"),
-          col("sz_b") - col("pos_b"))).as("ub"))
-        .filter((col("ub") + 1) * 3 >= col("sz_a") + col("sz_b"))
-        .select("id_a", "id_b", "sz_a", "sz_b")
-      // verification = count shared shingles straight off the (id, shingle)
-      // pair table (the oracle's own shape) — no per-doc collect_set
-      // arrays, no array_intersect materialization; AQE broadcasts the
-      // pruned candidate set when it is small enough
-      sh.toDF("id_a", "shingle")
-        .join(candidates, "id_a")
-        .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .select("id_a", "id_b", "inter", "uni")
+      import s.implicits._
+      val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+      val withVariants = cf.unionAll(
+        cf.filter(col("id") % 10 === 7)
+          .select((col("id") + 100000).as("id"),
+            concat(col("content"), lit(" extra trailing token")).as("content")))
+      val words = withVariants.as[(Long, String)].map { case (id, content) =>
+        (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(content)))
+      }
+      graft.similarity.NGramJaccard.pairs(words, 3, 0.5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -526,6 +482,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding-cosine near-dup pairs — EXACT O(n²) baseline over the
+    // twin-injected corpus (cos margins: twins ≥ 0.9949, others ≤ 0.601,
+    // tau 0.7). Scale path: q32.
+    "q31_embed_neardup" -> ((s, dir) => {
+      graft.similarity.EmbedNearDup
+        .pairsExact(embWithTwins(s, dir), 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Same semantics via banded hyperplane LSH + exact-cosine verify —
+    // the 100 TB path (equi-join on (band, sign-code), no cross join).
+    // Recall vs q31 is 1.0 on this corpus (SimilaritySpec), so it shares
+    // q31's brute-force oracle.
+    "q32_embed_neardup_lsh" -> ((s, dir) => {
+      graft.similarity.EmbedNearDup
+        .pairsBanded(embWithTwins(s, dir), 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Stage 3 exactly as the reference runs it (run_lsh.py): dedup off the
     // STORED minhash table — persisted bands exploded, unsigned-min edges
     // over real sha1 id_ints (sign bit set for ~half), CC, inner join back
@@ -574,6 +549,14 @@ object SparkEntry {
     * the query wrote; content is deterministic and sf-independent.
     */
   private val JsonlFixturePath = "/tmp/graft_fixtures/ccnet_shard.jsonl.gz"
+
+  /** Twin-injected embeddings shared by q31/q32 (construction documented
+    * at [[graft.similarity.EmbedNearDup.withTwins]]). */
+  private def embWithTwins(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbedNearDup.withTwins(
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")))
 
   // -------------------------------------------------------------- oracles
 
@@ -905,6 +888,27 @@ object SparkEntry {
          |                            ORDER BY cos DESC, vec_id ASC) AS rank
          |  FROM scored)
          |WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // q31/q32 share the brute-force pair oracle over the twin-injected
+    // corpus: the twin vec ([vec[1]+0.1] || vec[2:]) is the same IEEE
+    // double arithmetic on both engines, and tau=0.7 sits ≥0.099 from any
+    // pair's cosine, so float noise cannot flip membership
+    "q31_embed_neardup" -> EmbedNearDupOracle,
+    "q32_embed_neardup_lsh" -> EmbedNearDupOracle
   )
+
+  private val EmbedNearDupOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |), twins AS (
+       |  SELECT vec_id + 100000 AS vec_id, [vec[1] + 0.1] || vec[2:] AS vec
+       |  FROM e WHERE vec_id % 10 = 3
+       |), allv AS (
+       |  SELECT * FROM e UNION ALL SELECT * FROM twins
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.7
+       |ORDER BY id_a, id_b""".stripMargin
 }

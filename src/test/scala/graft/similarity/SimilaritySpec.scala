@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Embedding-cosine near-dup: the banded-LSH scale path must reproduce
+  * the exact O(n²) pair set on the test corpus (recall 1.0 — that is what
+  * licenses q32 sharing q31's brute-force oracle), and clusters must obey
+  * the unsigned-min cluster-id contract.
+  */
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-similarity-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = EmbedNearDup.withTwins(
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec")))
+
+  test("banded-LSH pairs == exact pairs (recall and precision 1.0)") {
+    val exact = EmbedNearDup.pairsExact(emb, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = EmbedNearDup.pairsBanded(emb, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "construction must inject near-dup pairs")
+    assert(banded == exact,
+      s"missed=${(exact -- banded).take(5)} spurious=${(banded -- exact).take(5)}")
+  }
+
+  test("every injected twin is a near-dup pair; no background pair crosses tau") {
+    val pairs = EmbedNearDup.pairsExact(emb, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(pairs == expected)
+  }
+
+  test("NGramJaccard PPJoin == naive all-pairs Jaccard at sf0.001") {
+    import spark.implicits._
+    import graft.text.{NGrams, Normalizer, PyCompat}
+    val docs = graft.pipeline.CodeFiles(spark, sfDir)
+      .select(col("doc_id").as("id"), col("content"))
+      .as[(Long, String)]
+      .map { case (id, c) => (id, PyCompat.split(Normalizer.normalize(c))) }
+    val got = NGramJaccard.pairs(docs, 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // naive: driver-side shingle sets, all pairs
+    val sets = docs.collect().map { case (id, ws) =>
+      id -> NGrams.shingleSet(ws, 3).toSet
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      inter = (sets(i)._2 & sets(j)._2).size
+      uni = (sets(i)._2 | sets(j)._2).size
+      if inter * 2 >= uni
+    } yield ((sets(i)._1, sets(j)._1), (inter.toLong, uni.toLong))).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"spurious=${(got.keySet -- expected.keySet).take(5)}")
+  }
+
+  test("near-dup clusters: cluster_id is the min member of each twin pair") {
+    val cl = EmbedNearDup.clusters(EmbedNearDup.pairsExact(emb, 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl.foreach { case (id, cid) =>
+      if (id >= 100000L) assert(cid == id - 100000L)
+      else assert(cid == id)
+    }
+    assert(cl.nonEmpty)
+  }
+}
