@@ -265,8 +265,13 @@ object SparkEntry {
     // per-family presence counts
     "q16_signals_table" -> ((s, dir) => {
       import s.implicits._
+      // salted spread (north-rule idiom): the scan is 1-2 partitions and
+      // the per-row fused pass would otherwise run 2-wide
       val t = graft.pipeline.SignalsTable(
-        CodeFiles.withOriginals(s, dir).as[graft.pipeline.CcnetFile],
+        CodeFiles.withOriginals(s, dir)
+          .repartition(s.sparkContext.defaultParallelism,
+            col("repo"), pmod(xxhash64(col("path")), lit(64)))
+          .as[graft.pipeline.CcnetFile],
         graft.models.Artifacts.trainFor(s, dir)).toDF()
       val qs = col("quality_signals")
       def present(field: String): Column =
@@ -298,7 +303,10 @@ object SparkEntry {
     "q17_minhash_table" -> ((s, dir) => {
       import s.implicits._
       val t = graft.pipeline.MinHashTable(
-        CodeFiles(s, dir).as[graft.pipeline.CodeFile],
+        CodeFiles(s, dir)
+          .repartition(s.sparkContext.defaultParallelism,
+            col("repo"), pmod(xxhash64(col("path")), lit(64)))
+          .as[graft.pipeline.CodeFile],
         new graft.dedupe.MinHasher(128, 13, 42L)).toDF()
       def nBands(c: String): Column =
         coalesce(size(col(c)).cast("long"), lit(-1L)).as(s"n_$c")
@@ -514,7 +522,10 @@ object SparkEntry {
           .select((col("doc_id") + 200000).as("doc_id"), col("repo"),
             col("path"), col("commit"), col("lang"), col("content")))
       val table = graft.pipeline.MinHashTable(
-        withTwins.as[graft.pipeline.CodeFile],
+        withTwins
+          .repartition(s.sparkContext.defaultParallelism,
+            col("repo"), pmod(xxhash64(col("path")), lit(64)))
+          .as[graft.pipeline.CodeFile],
         new graft.dedupe.MinHasher(128, 13, 42L)).toDF()
       val cl = graft.dedupe.Lsh.clustersFromTable(table, 0.7)
         .select(col("id"), col("cluster_id"))
@@ -528,6 +539,28 @@ object SparkEntry {
           (col("c_base").isNotNull && col("c_base") === col("c_dup"))
             .as("same_cluster"))
         .orderBy("id")
+    }),
+
+    // S7/S8/A5 end-to-end: the FULL checkpointed write path (salted
+    // repartition → decide pipeline → staged partitionBy write → atomic
+    // per-partition commits → lineage metrics) into a fresh temp catalog,
+    // then the metrics table aggregated back to repo level. The oracle
+    // recounts the corpus in SQL — conservation: every file lands in the
+    // metrics exactly once, across salting, staging, and commits. The
+    // drop-reason SPLIT inside those counts is pinned per-row by
+    // AcceptanceSpec's independent Python labels (full 20-rule policy —
+    // deliberately richer than q02's SQL-expressible 6-rule subset).
+    "q33_catalog_metrics" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_catalog_").toString
+      val catalog = new graft.pipeline.CorpusCatalog(root, s)
+      graft.pipeline.CheckpointedRun.run(s, dir, catalog)
+      catalog.readMetrics("filtered")
+        // partition key = "<repo>_<saltbucket>"; strip the trailing bucket
+        .withColumn("repo", regexp_extract(col("partition"), "^(.*)_\\d+$", 1))
+        .groupBy("repo")
+        .agg(sum("n_files").cast("long").as("n_files"))
+        .orderBy("repo")
     }),
 
     // S2: the reference's native jsonl.gz ingestion — schema-enforced
@@ -600,6 +633,44 @@ object SparkEntry {
   // Python-rstrip whitespace set for ASCII lines (no \n inside split lines)
   private val rtrimSet = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
 
+  /** The full Gopher+C4 drop-reason policy in SQL (FilterPolicy's frozen
+    * thresholds) — shared by q02 (per-doc) and q33 (catalog metrics).
+    * Expects `code_files` and `words` CTEs in scope; yields `reasons`.
+    */
+  private lazy val dropReasonCte: String =
+    s"""facts AS (
+       |  SELECT doc_id,
+       |         len(ws) AS wc,
+       |         length(replace(nc, ' ', '')) AS sc,
+       |         len(list_filter(ws, x -> list_contains(
+       |           ['the','a','an','and','of','to','in','is','that','it','for','on',
+       |            'with','as','at','by','be','this','was','are','or','from','but',
+       |            'not','have','has','had','they','you','we'], x))) AS n_stop,
+       |         (length(content) - length(replace(content, '{', '')))
+       |           + (length(content) - length(replace(content, '}', ''))) AS n_curly,
+       |         CASE WHEN nc = '' THEN 0
+       |              ELSE (length(nc) - length(replace(nc, 'lorem ipsum', '')))
+       |                   / length('lorem ipsum') END AS n_lorem,
+       |         len(string_split(content, chr(10)))
+       |           - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END AS n_lines,
+       |         len(list_filter(
+       |           list_slice(string_split(content, chr(10)), 1,
+       |             len(string_split(content, chr(10)))
+       |               - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END),
+       |           l -> rtrim(l, $rtrimSet) LIKE '%...'
+       |             OR rtrim(l, $rtrimSet) LIKE '%…')) AS n_ellipsis
+       |  FROM words JOIN code_files USING (doc_id)
+       |), reasons AS (
+       |  SELECT doc_id,
+       |         CASE WHEN wc < 50 OR wc > 100000 THEN 'word_count'
+       |              WHEN sc < wc * 3 OR sc > wc * 10 THEN 'mean_word_length'
+       |              WHEN n_ellipsis * 10 > n_lines * 3 THEN 'ellipsis_lines'
+       |              WHEN n_stop < 2 THEN 'stop_words'
+       |              WHEN n_lorem > 0 THEN 'lorem_ipsum'
+       |              WHEN n_curly > 0 THEN 'curly_bracket'
+       |              ELSE '' END AS drop_reason
+       |  FROM facts)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_text_stats" ->
@@ -620,40 +691,19 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "q02_quality_filter" ->
-      s"""WITH $cte, $wordsCte, facts AS (
-         |  SELECT doc_id,
-         |         len(ws) AS wc,
-         |         length(replace(nc, ' ', '')) AS sc,
-         |         len(list_filter(ws, x -> list_contains(
-         |           ['the','a','an','and','of','to','in','is','that','it','for','on',
-         |            'with','as','at','by','be','this','was','are','or','from','but',
-         |            'not','have','has','had','they','you','we'], x))) AS n_stop,
-         |         (length(content) - length(replace(content, '{', '')))
-         |           + (length(content) - length(replace(content, '}', ''))) AS n_curly,
-         |         CASE WHEN nc = '' THEN 0
-         |              ELSE (length(nc) - length(replace(nc, 'lorem ipsum', '')))
-         |                   / length('lorem ipsum') END AS n_lorem,
-         |         len(string_split(content, chr(10)))
-         |           - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END AS n_lines,
-         |         len(list_filter(
-         |           list_slice(string_split(content, chr(10)), 1,
-         |             len(string_split(content, chr(10)))
-         |               - CASE WHEN content LIKE '%' || chr(10) THEN 1 ELSE 0 END),
-         |           l -> rtrim(l, $rtrimSet) LIKE '%...'
-         |             OR rtrim(l, $rtrimSet) LIKE '%…')) AS n_ellipsis
-         |  FROM words JOIN code_files USING (doc_id)
-         |)
-         |SELECT doc_id, drop_reason = '' AS keep, drop_reason FROM (
-         |  SELECT doc_id,
-         |         CASE WHEN wc < 50 OR wc > 100000 THEN 'word_count'
-         |              WHEN sc < wc * 3 OR sc > wc * 10 THEN 'mean_word_length'
-         |              WHEN n_ellipsis * 10 > n_lines * 3 THEN 'ellipsis_lines'
-         |              WHEN n_stop < 2 THEN 'stop_words'
-         |              WHEN n_lorem > 0 THEN 'lorem_ipsum'
-         |              WHEN n_curly > 0 THEN 'curly_bracket'
-         |              ELSE '' END AS drop_reason
-         |  FROM facts)
+      s"""WITH $cte, $wordsCte, $dropReasonCte
+         |SELECT doc_id, drop_reason = '' AS keep, drop_reason FROM reasons
          |ORDER BY doc_id""".stripMargin,
+
+    // end-to-end checkpointed-write conservation: the catalog's lineage
+    // metrics, re-aggregated to repo level, must count every corpus file
+    // exactly once
+    "q33_catalog_metrics" ->
+      s"""WITH $cte
+         |SELECT repo, CAST(count(*) AS BIGINT) AS n_files
+         |FROM code_files
+         |GROUP BY repo
+         |ORDER BY repo""".stripMargin,
 
     "q03_line_stats" ->
       s"""WITH $cte, lines AS (

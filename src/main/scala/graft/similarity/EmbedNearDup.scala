@@ -23,8 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object EmbedNearDup {
 
-  private val dot: (Column, Column) => Column = (x, y) =>
-    aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+  /** Dot product as a compiled tight loop. The declarative alternative
+    * (`aggregate(zip_with(...))`) stays an INTERPRETED higher-order
+    * expression in Catalyst — no codegen — and at pair-join volume
+    * (millions of rows × 64 dims) it dominated the whole query; the udf
+    * is ~20× faster here despite the boxing toll.
+    */
+  private val dotUdf = udf { (x: Seq[Double], y: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+  private val dot: (Column, Column) => Column = (x, y) => dotUdf(x, y)
 
   /** Deterministic near-dup injection for verification (same pattern as
     * the q25/q26 exact-twin construction): every vec_id ≡ 3 (mod 10)
@@ -49,8 +61,13 @@ object EmbedNearDup {
     */
   def pairsExact(emb: DataFrame, tau: Double): DataFrame = {
     val n = emb.withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
-    val a = n.select(col("vec_id").as("id_a"), col("vec").as("va"),
-      col("nrm").as("na"))
+    // the streamed side of the nested-loop join drives the O(n²) work;
+    // a small parquet scan arrives in 1-2 partitions and would serialize
+    // the whole pair loop onto 1-2 tasks — spread it first
+    val a = n
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na"))
     val b = n.select(col("vec_id").as("id_b"), col("vec").as("vb"),
       col("nrm").as("nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -91,7 +108,10 @@ object EmbedNearDup {
         (bi.toLong << 32) | code
       }
     })
+    // spread before the band-key explosion: the post-join bucket-pair
+    // work inherits this partitioning when the other side broadcasts
     val keyed = emb
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
       .withColumn("bkey", explode(keysUdf(col("vec"))))
     val a = keyed.select(col("bkey"), col("vec_id").as("id_a"),
