@@ -96,11 +96,25 @@ object Bench {
       // same reason. q12 (first model consumer alphabetically) should not
       // absorb it.
       graft.models.Artifacts.trainFor(spark, sfDir)
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+      // two interleaved passes, min per query: this VM's host suffers
+      // co-tenant storms that inflate a whole pass 5-15× for minutes
+      // (measured: an unchanged query at 1.8 s and 28 s in back-to-back
+      // runs); noise only ever SLOWS a run, so the min is the clean
+      // sample — same defense the scaling forks use. Caches are dropped
+      // between queries so each timing is self-contained and the session
+      // heap doesn't accumulate 30 queries of persisted tables.
+      def onePass(): Seq[(String, Double)] =
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          name -> dt
+        }
+      val passes = Seq(onePass(), onePass())
+      val r = passes.head.map(_._1).map { name =>
+        name -> passes.map(_.toMap.apply(name)).min
       }
       spark.stop()
       SparkSession.clearActiveSession()

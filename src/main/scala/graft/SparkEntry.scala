@@ -94,13 +94,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // D7/D8 exact dedup: digest window, duplicates = row_number > 1
+    // D7/D8 exact dedup: keeper = min(id) per digest, duplicates = the
+    // rest. min-aggregate + join instead of a row_number window (SURVEY
+    // §7.4.7): a window puts every row of a hot digest (10^12-file corpora
+    // have HUGE identical-content groups) into ONE sort task with no skew
+    // remedy, while the aggregate combines map-side — the shuffle carries
+    // one row per (digest, input partition) — and the join is AQE
+    // skew-splittable.
     "q04_exact_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy("digest").orderBy("id")
-      dupCorpus(s, dir)
+      val corpus = dupCorpus(s, dir)
         .withColumn("digest", sha2(col("content"), 256))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 1)
+      val keepers = corpus.groupBy("digest").agg(min("id").as("keeper"))
+      corpus.join(keepers, "digest")
+        .filter(col("id") =!= col("keeper"))
         .select("id", "digest")
         .orderBy("id")
     }),
@@ -358,12 +364,14 @@ object SparkEntry {
 
     // Dedup application: keep first occurrence per digest, drop the rest —
     // the left-anti join consumers run on the reference's dup lists
+    // dedup application — same skew-safe keeper aggregate, applied as a
+    // left-anti join (the one-liner a consumer writes on top of q04)
     "q21_dedup_apply" -> ((s, dir) => {
       val corpus = dupCorpus(s, dir)
         .withColumn("digest", sha2(col("content"), 256))
-      val w = Window.partitionBy("digest").orderBy("id")
-      val dups = corpus.withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 1).select("id")
+      val keepers = corpus.groupBy("digest").agg(min("id").as("keeper"))
+      val dups = corpus.join(keepers, "digest")
+        .filter(col("id") =!= col("keeper")).select("id")
       corpus.join(dups, Seq("id"), "left_anti")
         .select(col("id"), col("digest"))
         .orderBy("id")

@@ -66,11 +66,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       finalPlan.take(2000))
   }
 
-  test("exact dedup is one hash-partitioned window, no extra shuffles") {
+  test("exact dedup pre-aggregates map-side and never sorts a digest group") {
     val p = plan(SparkEntry.queries("q04_exact_dedup")(spark, sfDir))
-    // exactly 2 exchanges: the digest window partition + the final orderBy
-    val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$p")
+    // skew-safety (SURVEY §7.4.7): hot identical-content digests must hit
+    // a partial+final min aggregate (combines before the shuffle) and an
+    // AQE-splittable join — NOT a row_number window, which funnels a whole
+    // digest group into one sort task
+    assert(!p.contains("Window"), s"q04 regressed to a digest window:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"no partial aggregation on digest:\n$p")
   }
 
   test("ut1 lookup is a broadcast join — no shuffle of the corpus side") {
@@ -86,6 +90,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(SparkEntry.queries("q06_ngram_jaccard")(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"q06 lost its equi-join keys:\n$p")
+  }
+
+  test("heavy operators over small scans run at session parallelism, not scan width") {
+    // a 1-2 partition parquet scan must not serialize the O(n²)/per-row
+    // work of the pair joins and table builders onto 1-2 tasks (measured
+    // 10-30s regressions at sf0.1 before the spread was added)
+    for (q <- Seq("q31_embed_neardup", "q32_embed_neardup_lsh",
+      "q16_signals_table", "q17_minhash_table")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("Exchange"),
+        s"$q inherits the scan's 1-2 partitions — heavy stage starved:\n$p")
+    }
+  }
+
+  test("banded near-dup candidates come from an equi-join, not a cross join") {
+    val p = plan(SparkEntry.queries("q32_embed_neardup_lsh")(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q32 lost its (band, sign-code) join keys:\n$p")
   }
 
   test("hourly rollup does a partial (map-side) aggregation before the shuffle") {
