@@ -144,6 +144,9 @@ object SparkEntry {
       import s.implicits._
       val bigrams = CodeFiles(s, dir)
         .select(col("doc_id"), col("content")).as[(Long, String)]
+        // spread the docs before the per-row tokenize+explode (scan is
+        // 1-2 partitions; same starvation fix as PlanSpec pins for q16/q31)
+        .repartition(s.sparkContext.defaultParallelism)
         .flatMap { case (id, content) =>
           val words = graft.text.PyCompat.split(
             graft.text.Normalizer.normalize(content))
