@@ -586,6 +586,39 @@ object SparkEntry {
         .select("url", "nlines", "original_nlines", "length",
           "original_length", "language", "bucket", "digest", "cc_segment")
         .orderBy("url")
+    }),
+
+    // Discriminative langid end-to-end check. documents.lang is
+    // text-UNcorrelated by construction (TESTDATA word salad), so q12 can
+    // only prove the classifier faithfully learns the prior. Here a
+    // deterministic per-language marker phrase is injected, the model fits
+    // on the even-doc_id half (the bounded artifact-sample pattern,
+    // prep_artifacts.py shape) and predicts the held-out odd half; the
+    // oracle is the ground-truth lang column — green only if the fastText
+    // pipeline (hashing, mean-pool, softmax, SGD) actually discriminates.
+    "q34_langid_check" -> ((s, dir) => {
+      import s.implicits._
+      def tok(c: String) =
+        graft.text.PyCompat.split(graft.text.Normalizer.normalize(c))
+      val markerParts: Seq[org.apache.spark.sql.Column] =
+        col("content") +: (0 until 8).flatMap(_ =>
+          Seq(lit(" "), lit("qlangmark"), col("lang")))
+      val marked = CodeFiles(s, dir)
+        .select(col("doc_id"), col("lang"), concat(markerParts: _*).as("content"))
+      val trainRows = marked.where(col("doc_id") % 2 === 0)
+        .orderBy("doc_id").limit(1000)
+        .select("content", "lang").as[(String, String)].collect()
+      // 40 epochs: 8 underfits the marker (probe: acc 0.44@8 → 1.0@40)
+      val model = s.sparkContext.broadcast(graft.models.FastTextLite.train(
+        trainRows.map { case (c, l) => (tok(c), l) }, dim = 16, epochs = 40,
+        seed = 46L))
+      marked.where(col("doc_id") % 2 === 1)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = model.value
+          it.map { case (id, c) => (id, m.predict(tok(c)).map(_._1).getOrElse("")) }
+        }.toDF("doc_id", "pred_lang").orderBy("doc_id")
     })
   )
 
@@ -854,6 +887,79 @@ object SparkEntry {
          |FROM lagged GROUP BY user_id
          |ORDER BY user_id""".stripMargin,
 
+    // Full independent re-derivation of the stupid-backoff trigram LM
+    // (NGramLM.scala): n-gram counts over the SAME 1000-doc artifact sample
+    // Artifacts.trainFor scores, the backoff chain as CASE, perplexity =
+    // exp(-mean ln p), tercile bucket cutoffs — all in DuckDB. floor(x+0.5)
+    // mirrors Java Math.round.
+    "q13_perplexity" ->
+      s"""WITH $cte, $wordsCte, train AS (
+         |  SELECT doc_id, ws FROM words
+         |  QUALIFY row_number() OVER (ORDER BY doc_id) <= 1000
+         |), tt AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+         |  FROM train
+         |), uni AS (SELECT w, count(*) AS c FROM tt GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM tt) AS t,
+         |         (SELECT count(*) FROM uni) AS v
+         |), bi AS (
+         |  SELECT a.w AS w1, b.w AS w2, count(*) AS c
+         |  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |  GROUP BY 1, 2
+         |), tri AS (
+         |  SELECT a.w AS w1, b.w AS w2, c3.w AS w3, count(*) AS c
+         |  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+         |            JOIN tt c3 ON a.doc_id = c3.doc_id AND c3.i = a.i + 2
+         |  GROUP BY 1, 2, 3
+         |), et AS (
+         |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+         |  FROM words
+         |), ev AS (
+         |  SELECT doc_id, i, w,
+         |         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+         |         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2
+         |  FROM et
+         |), probs AS (
+         |  SELECT e.doc_id,
+         |    CASE
+         |      WHEN e.i = 1 THEN (coalesce(u0.c, 0) + 1.0) / (tot.t + tot.v + 1.0)
+         |      WHEN e.i = 2 THEN
+         |        CASE WHEN b10.c IS NOT NULL THEN b10.c * 1.0 / u1.c
+         |             ELSE 0.4 * (coalesce(u0.c, 0) + 1.0) / (tot.t + tot.v + 1.0)
+         |        END
+         |      ELSE
+         |        CASE WHEN t210.c IS NOT NULL THEN t210.c * 1.0 / b21.c
+         |             WHEN b10.c IS NOT NULL THEN 0.4 * b10.c / u1.c
+         |             ELSE 0.16 * (coalesce(u0.c, 0) + 1.0) / (tot.t + tot.v + 1.0)
+         |        END
+         |    END AS p
+         |  FROM ev e
+         |  CROSS JOIN tot
+         |  LEFT JOIN uni u0 ON u0.w = e.w
+         |  LEFT JOIN uni u1 ON u1.w = e.p1
+         |  LEFT JOIN bi b10 ON b10.w1 = e.p1 AND b10.w2 = e.w
+         |  LEFT JOIN bi b21 ON b21.w1 = e.p2 AND b21.w2 = e.p1
+         |  LEFT JOIN tri t210 ON t210.w1 = e.p2 AND t210.w2 = e.p1
+         |                    AND t210.w3 = e.w
+         |), ppl AS (
+         |  SELECT doc_id, exp(-sum(ln(p)) / count(*)) AS ppl
+         |  FROM probs GROUP BY 1
+         |), cuts AS (
+         |  SELECT max(CASE WHEN rn = least(n // 3 + 1, n) THEN ppl END) AS c1,
+         |         max(CASE WHEN rn = least(2 * n // 3 + 1, n) THEN ppl END) AS c2
+         |  FROM (SELECT ppl, row_number() OVER (ORDER BY ppl) AS rn,
+         |               count(*) OVER () AS n
+         |        FROM ppl JOIN train USING (doc_id))
+         |)
+         |SELECT p.doc_id,
+         |       CAST(floor(p.ppl * 10000 + 0.5) AS BIGINT) AS ppl_e4,
+         |       CASE WHEN p.ppl <= cuts.c1 THEN 'head'
+         |            WHEN p.ppl <= cuts.c2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM ppl p CROSS JOIN cuts
+         |ORDER BY p.doc_id""".stripMargin,
+
     "q09_ann_cosine" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -956,7 +1062,12 @@ object SparkEntry {
     // double arithmetic on both engines, and tau=0.7 sits ≥0.099 from any
     // pair's cosine, so float noise cannot flip membership
     "q31_embed_neardup" -> EmbedNearDupOracle,
-    "q32_embed_neardup_lsh" -> EmbedNearDupOracle
+    "q32_embed_neardup_lsh" -> EmbedNearDupOracle,
+
+    // ground truth for the marker-injected discriminative langid check
+    "q34_langid_check" ->
+      """SELECT doc_id, lang AS pred_lang FROM documents
+        |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin
   )
 
   private val EmbedNearDupOracle: String =
