@@ -619,6 +619,79 @@ object SparkEntry {
           val m = model.value
           it.map { case (id, c) => (id, m.predict(tok(c)).map(_._1).getOrElse("")) }
         }.toDF("doc_id", "pred_lang").orderBy("doc_id")
+    }),
+
+    // Discriminative check of the fastText QUALITY path including the
+    // reference's __label__cc probability flip (classifiers.py:60-80,
+    // Artifacts.qualityScore): labels follow the wikipedia-shaped stand-in
+    // rule (repo number < 10 ⇒ HQ), a per-label marker phrase makes the
+    // task learnable, fit on even doc_ids, predict the held-out odd half;
+    // keep = (flipped score > 0.5) must reproduce the label rule exactly.
+    "q35_quality_check" -> ((s, dir) => {
+      import s.implicits._
+      def tok(c: String) =
+        graft.text.PyCompat.split(graft.text.Normalizer.normalize(c))
+      val hq = graft.models.Artifacts.HqLabel
+      val cc = graft.models.Artifacts.CcLabel
+      val labelCol = when(
+        regexp_replace(col("repo"), "^src", "").cast("int") < 10, hq)
+        .otherwise(cc)
+      val marker = when(labelCol === hq, lit("qhqmark")).otherwise(lit("qccmark"))
+      val markerParts: Seq[org.apache.spark.sql.Column] =
+        col("content") +: (0 until 8).flatMap(_ => Seq(lit(" "), marker))
+      val marked = CodeFiles(s, dir).select(
+        col("doc_id"), labelCol.as("label"),
+        concat(markerParts: _*).as("content"))
+      val trainRows = marked.where(col("doc_id") % 2 === 0)
+        .orderBy("doc_id").limit(1000)
+        .select("content", "label").as[(String, String)].collect()
+      val model = s.sparkContext.broadcast(graft.models.FastTextLite.train(
+        trainRows.map { case (c, l) => (tok(c), l) }, dim = 16, epochs = 40,
+        seed = 47L))
+      marked.where(col("doc_id") % 2 === 1)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .mapPartitions { it =>
+          val m = model.value
+          it.map { case (id, c) =>
+            val score = graft.models.Artifacts.qualityScore(m, tok(c))
+            (id, if (score.exists(_ > 0.5)) 1L else 0L)
+          }
+        }.toDF("doc_id", "pred_hq").orderBy("doc_id")
+    }),
+
+    // ANN-LSH recall check on the twin construction (EmbedNearDup.withTwins:
+    // vec_id ≡3 mod 10 cloned at +100000 with vec[0]+0.1 ⇒ cosine ≈ 0.9995,
+    // far above any random dim-64 neighbor): each twin's top-1 neighbor via
+    // the hyperplane-bucketed path must be its partner. Deterministic
+    // (seeded planes, fixed data); a bucketing miss would fail the oracle.
+    "q36_ann_lsh_twins" -> ((s, dir) => {
+      graft.similarity.AnnLsh.topK(
+        embWithTwins(s, dir), col("vec_id") >= 100000L, k = 1,
+        probeRadius = 2)
+        .select(col("query_id"), col("vec_id").as("top1_id"))
+        .orderBy("query_id")
+    }),
+
+    // DSIR Poisson length correction, independently re-derivable: the
+    // hashed log-ratio sum needs xxhash64 (no DuckDB twin), but
+    // weight_lc − weight = n·ln(λt/λs) − (λt−λs) is closed-form from the
+    // corpus — λt/λs are the target/source mean WordPunct token counts the
+    // trainer MLEs (importance_weights.py:205-253, hash_dist.py:77-105).
+    // Pins the λ estimation, the correction formula, and raw tokenization.
+    "q37_dsir_lc" -> ((s, dir) => {
+      import s.implicits._
+      val dsir = s.sparkContext.broadcast(
+        graft.models.Artifacts.trainFor(s, dir).dsir)
+      CodeFiles(s, dir).select(col("doc_id"), col("content"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val m = dsir.value
+          it.map { case (id, content) =>
+            val n = graft.text.WordPunct.tokenize(content).length
+            (id, n.toLong, math.round(m.lengthCorrection(n) * 1e6))
+          }
+        }.toDF("doc_id", "n_raw_words", "lc_e6").orderBy("doc_id")
     })
   )
 
@@ -1067,7 +1140,41 @@ object SparkEntry {
     // ground truth for the marker-injected discriminative langid check
     "q34_langid_check" ->
       """SELECT doc_id, lang AS pred_lang FROM documents
-        |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin
+        |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the quality-flip check: the label rule itself
+    "q35_quality_check" ->
+      """SELECT doc_id,
+        |       CASE WHEN CAST(regexp_replace(source, '^src', '') AS INT) < 10
+        |            THEN 1 ELSE 0 END AS pred_hq
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // ground truth for the ANN-LSH twin recall check: the construction
+    "q36_ann_lsh_twins" ->
+      """SELECT vec_id + 100000 AS query_id, vec_id AS top1_id
+        |FROM embeddings WHERE vec_id % 10 = 3 ORDER BY query_id""".stripMargin,
+
+    // DSIR length correction re-derived: WordPunct ≈ word-run/punct-run
+    // regex on this ASCII corpus; λt = mean tokens of en train docs,
+    // λs = mean over the whole 1000-doc artifact sample
+    "q37_dsir_lc" ->
+      s"""WITH $cte, rw AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(regexp_extract_all(content,
+         |           '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]+')) AS BIGINT) AS n
+         |  FROM code_files
+         |), train AS (
+         |  SELECT * FROM rw QUALIFY row_number() OVER (ORDER BY doc_id) <= 1000
+         |), lam AS (
+         |  SELECT avg(CASE WHEN lang = 'en' THEN n END) AS lt,
+         |         avg(n) AS ls
+         |  FROM train
+         |)
+         |SELECT rw.doc_id, rw.n AS n_raw_words,
+         |       CAST(floor((rw.n * ln(lam.lt / lam.ls) - (lam.lt - lam.ls))
+         |                  * 1e6 + 0.5) AS BIGINT) AS lc_e6
+         |FROM rw CROSS JOIN lam
+         |ORDER BY rw.doc_id""".stripMargin
   )
 
   private val EmbedNearDupOracle: String =

@@ -43,8 +43,22 @@ object AnnLsh {
     * @param emb (vec_id: Long, vec: Array[Double]) dataframe
     * @param queryFilter which vec_ids are queries
     */
+  /** All XOR masks flipping at most `radius` of `bits` bits (radius ≤ 2;
+    * the standard multiprobe recall knob — at 24 bits radius 2 probes 301
+    * of 16M buckets).
+    */
+  private[similarity] def probeMasks(bits: Int, radius: Int): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    out += 0
+    if (radius >= 1) for (i <- 0 until bits) out += (1 << i)
+    if (radius >= 2)
+      for (i <- 0 until bits; j <- (i + 1) until bits) out += (1 << i) | (1 << j)
+    out.result()
+  }
+
   def topK(emb: DataFrame, queryFilter: Column, k: Int,
-           bitsOpt: Option[Int] = None, dim: Int = 64, seed: Long = 42L): DataFrame = {
+           bitsOpt: Option[Int] = None, dim: Int = 64, seed: Long = 42L,
+           probeRadius: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // bucket width targets ~64 vectors/bucket: bits = log2(n/64). At 10^9
@@ -54,11 +68,12 @@ object AnnLsh {
       math.max(3, (math.log(math.max(n / 64.0, 2.0)) / math.log(2)).floor.toInt)
     }
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim, seed))
+    val masks = probeMasks(bits, probeRadius)
 
     val bucketUdf = udf((v: Seq[Double]) => bucketOf(v.toArray, planes.value))
     val probesUdf = udf((v: Seq[Double]) => {
       val c = bucketOf(v.toArray, planes.value)
-      c +: Array.tabulate(planes.value.length)(b => c ^ (1 << b))
+      masks.map(c ^ _)
     })
 
     val dot: (Column, Column) => Column = (x, y) =>

@@ -82,4 +82,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(cl.nonEmpty)
   }
+
+  test("multiprobe masks: counts and distinctness per radius") {
+    assert(AnnLsh.probeMasks(5, 0).toSeq == Seq(0))
+    assert(AnnLsh.probeMasks(5, 1).length == 6) // 1 + 5
+    val r2 = AnnLsh.probeMasks(5, 2)
+    assert(r2.length == 16) // 1 + 5 + C(5,2)
+    assert(r2.distinct.length == r2.length)
+    assert(r2.forall(m => Integer.bitCount(m) <= 2 && m < 32))
+  }
+
+  test("ann-lsh radius-2 multiprobe recovers every twin as top-1") {
+    val got = AnnLsh.topK(emb, col("vec_id") >= 100000L, k = 1,
+      probeRadius = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twins = emb.filter(col("vec_id") >= 100000L).count()
+    assert(twins > 0 && got.size == twins)
+    got.foreach { case (q, top1) => assert(top1 == q - 100000L) }
+  }
 }
