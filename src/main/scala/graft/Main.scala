@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The north rule's single spark-submit application: quality-filter a
+  * source-code corpus end-to-end — 45-signal pass, Gopher/C4 keep-drop,
+  * langid + perplexity + ML quality + DSIR scores, PII/toxicity scrub,
+  * minhash signature — into a resumable partitioned catalog with
+  * per-partition lineage markers and a drop-reason metrics table
+  * (the reference's worker.py pipeline as one Spark job).
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar <inputDir> <catalogRoot> \
+  *   [saltBuckets]
+  * }}}
+  *
+  * `inputDir` holds the Iceberg-shaped corpus (TESTDATA parquet in this
+  * sandbox); `catalogRoot` is the output catalog. Re-running after a kill
+  * resumes: committed partitions are anti-joined away before the scan.
+  * Local runs honour SPARK_GRAFT_CPUS; under a real spark-submit the
+  * cluster manager supplies the master.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Main <inputDir> <catalogRoot> [saltBuckets]")
+    val (inputDir, catalogRoot) = (args(0), args(1))
+    val saltBuckets = if (args.length > 2) args(2).toInt else 4
+
+    val builder = SparkSession.builder()
+      .appName("graft-quality-filter")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // default to local[] only when no master was provided by spark-submit
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else {
+                   val c = cpus.getOrElse(
+                     Runtime.getRuntime.availableProcessors().toString)
+                   builder.master(s"local[$c]")
+                     .config("spark.sql.shuffle.partitions", c)
+                 }).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val catalog = new pipeline.CorpusCatalog(catalogRoot, spark)
+    val t0 = System.nanoTime()
+    val (written, skipped) =
+      pipeline.CheckpointedRun.run(spark, inputDir, catalog, saltBuckets)
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val out = catalog.readTable("filtered")
+    val kept = out.filter(col("drop_reason") === "").count()
+    val total = out.count()
+    val byReason = catalog.readMetrics("filtered")
+      .groupBy("drop_reason").agg(sum("n_files").as("n"))
+      .orderBy(desc("n")).collect()
+      .map(r => s"${if (r.getString(0).isEmpty) "kept" else r.getString(0)}=${r.getLong(1)}")
+      .mkString(" ")
+    println(f"[graft] partitions: $written%d written, $skipped%d resumed-over; " +
+      f"files: $total%d total, $kept%d kept; $secs%.1f s")
+    println(s"[graft] drop reasons: $byReason")
+    spark.stop()
+  }
+}
