@@ -103,8 +103,18 @@ object Bench {
       // sample — same defense the scaling forks use. Caches are dropped
       // between queries so each timing is self-contained and the session
       // heap doesn't accumulate 30 queries of persisted tables.
+      // dev loop: time only queries whose name starts with a given prefix
+      // (comma-separated), e.g. SPARK_GRAFT_BENCH_FILTER=q32,q36
+      val nameFilter: String => Boolean =
+        sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+          case Some(spec) =>
+            val prefixes = spec.split(',').map(_.trim).filter(_.nonEmpty)
+            name => prefixes.exists(name.startsWith)
+          case None => _ => true
+        }
       def onePass(): Seq[(String, Double)] =
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }

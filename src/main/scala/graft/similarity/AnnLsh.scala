@@ -85,11 +85,15 @@ object AnnLsh {
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("nrm").as("qnrm"), explode(probesUdf(col("vec"))).as("bucket"))
 
+    // score BEFORE the dedup: duplicate (query, candidate) pairs from
+    // overlapping probes have identical cos, and deduping on scalars
+    // shuffles 3 columns instead of two 64-dim vectors per row (the
+    // array-laden dropDuplicates was the q36 bench hotspot)
     val candidates = queries.join(data, "bucket")
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "qvec", "qnrm", "vec_id", "vec", "nrm")
-      .dropDuplicates("query_id", "vec_id")
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .select("query_id", "vec_id", "cos")
+      .dropDuplicates("query_id", "vec_id")
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -87,8 +87,20 @@ object EmbedNearDup {
     * SimilaritySpec).
     */
   def pairsBanded(emb: DataFrame, tau: Double, bands: Int = 16,
-                  rowBits: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+                  rowBitsOpt: Option[Int] = None, dim: Int = 64,
+                  seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
+    // bucket-size target ~50 vectors/key: rowBits = log2(n/50). Fixed
+    // rowBits=4 put ~340 vectors per (band,key) at sf0.1 → ~15M candidate
+    // pairs (the q32 bench hotspot); at 10^9 vectors adaptive gives ~24
+    // bits. Recall on near-identical pairs is unaffected: a pair straddles
+    // a plane with small probability p, so P(some band intact) =
+    // 1-(1-(1-p)^rowBits)^bands stays ≈1 for rowBits ≤ ~8 at p≈0.07.
+    val rowBits = rowBitsOpt.getOrElse {
+      val n = emb.count()
+      math.min(30, math.max(4,
+        (math.log(math.max(n / 50.0, 2.0)) / math.log(2)).ceil.toInt))
+    }
     val planes = spark.sparkContext.broadcast(
       AnnLsh.hyperplanes(bands * rowBits, dim, seed))
     val keysUdf = udf((v: Seq[Double]) => {
