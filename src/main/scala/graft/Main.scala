@@ -28,6 +28,10 @@ object Main {
     val (inputDir, catalogRoot) = (args(0), args(1))
     val saltBuckets = if (args.length > 2) args(2).toInt else 4
 
+    // only stop a session this main itself created (embedding callers —
+    // tests, notebooks — keep theirs)
+    val adopted = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val builder = SparkSession.builder()
       .appName("graft-quality-filter")
       .config("spark.sql.adaptive.enabled", "true")
@@ -60,6 +64,6 @@ object Main {
     println(f"[graft] partitions: $written%d written, $skipped%d resumed-over; " +
       f"files: $total%d total, $kept%d kept; $secs%.1f s")
     println(s"[graft] drop reasons: $byReason")
-    spark.stop()
+    if (!adopted) spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The spark-submit entrypoint end-to-end: a cold run writes every
+  * partition, a re-run resumes over all of them with byte-identical
+  * output, and the metrics table conserves the input count.
+  */
+class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // Main.getOrCreate() will adopt this session (no master conflict)
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-main-test")
+    .getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("Main runs cold then resumes; output stable, counts conserved") {
+    spark // force init before Main builds its session
+    val root = Files.createTempDirectory("graft_main_spec_").toString
+
+    Main.main(Array(sfDir, root))
+    val catalog = new pipeline.CorpusCatalog(root, spark)
+    val out1 = catalog.readTable("filtered")
+      .select("doc_id", "drop_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val inputN = pipeline.CodeFiles(spark, sfDir).count()
+    assert(out1.size.toLong == inputN,
+      s"every input file must appear in the output: ${out1.size} vs $inputN")
+
+    // metrics conservation: per-reason counts sum to the input size
+    val metricsN = catalog.readMetrics("filtered")
+      .agg(sum("n_files")).collect()(0).getLong(0)
+    assert(metricsN == inputN)
+
+    // resume: second run writes nothing, output identical
+    Main.main(Array(sfDir, root))
+    val out2 = catalog.readTable("filtered")
+      .select("doc_id", "drop_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out2 == out1, "resumed run must not change committed output")
+
+    // a real decision spread exists (not all-keep / all-drop)
+    val kept = out1.count(_._2 == "")
+    assert(kept > 0 && kept < out1.size)
+  }
+}
