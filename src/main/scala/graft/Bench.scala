@@ -123,8 +123,23 @@ object Bench {
           name -> dt
         }
       val passes = Seq(onePass(), onePass())
+      val byName = SparkEntry.queries.toMap
       val r = passes.head.map(_._1).map { name =>
-        name -> passes.map(_.toMap.apply(name)).min
+        val best = passes.map(_.toMap.apply(name)).min
+        // storm triage: two samples disagreeing >2.5× with a non-trivial
+        // floor means at least one ate a host storm — and possibly both
+        // (storms span minutes, a pass lasts ~40 s). One targeted retry.
+        val worst = passes.map(_.toMap.apply(name)).max
+        val best2 =
+          if (best > 0.8 && worst > best * 2.5) {
+            val t0 = System.nanoTime()
+            try byName(name)(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            math.min(best, dt)
+          } else best
+        name -> best2
       }
       spark.stop()
       SparkSession.clearActiveSession()
