@@ -127,4 +127,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan(pending)
     assert(p.contains("BroadcastHashJoin"), s"resume anti-join shuffles:\n$p")
   }
+
+  test("ANN topK hash shuffles carry scalars, never embedding arrays") {
+    // the dedup/top-k shuffles must move (query_id, vec_id, cos) — an
+    // array-laden dropDuplicates measured 2× the whole query's cost
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    // AQE wraps the plan and hides exchanges until execution — inspect
+    // the statically planned exchanges instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val hashEx = try {
+      val df = SparkEntry.queries("q36_ann_lsh_twins")(spark, sfDir)
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(hashEx.nonEmpty, "expected at least the dedup/window shuffles")
+    hashEx.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"hash shuffle carries arrays ${arrays.map(_.name)} — " +
+          s"score before dedup instead:\n${e.treeString}")
+    }
+  }
 }
