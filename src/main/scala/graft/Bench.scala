@@ -96,6 +96,10 @@ object Bench {
       // same reason. q12 (first model consumer alphabetically) should not
       // absorb it.
       graft.models.Artifacts.trainFor(spark, sfDir)
+      // same rule for the q34/q35 marker models: constructing the queries
+      // fits them into SparkEntry's cache (driver-side, seeded)
+      SparkEntry.queries("q34_langid_check")(spark, sfDir)
+      SparkEntry.queries("q35_quality_check")(spark, sfDir)
       // two interleaved passes, min per query: this VM's host suffers
       // co-tenant storms that inflate a whole pass 5-15× for minutes
       // (measured: an unchanged query at 1.8 s and 28 s in back-to-back
