@@ -1,7 +1,6 @@
 package graft.dedupe
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy-dedup pipeline — the Spark-native form of run_lsh.py:
@@ -49,19 +48,25 @@ object Lsh {
   }
 
   /** LSH edge building (run_lsh.py:244-293): groups with >1 member emit
-    * (member, min_member) edges. Window-min avoids materializing
-    * collect_list per group (the polars agg(list) becomes a partial-agg
-    * friendly min + count). The group min is taken in UNSIGNED order —
-    * sha1-derived id_int has the sign bit set for ~half of real ids
-    * (run_lsh.py:273-280 runs on numpy uint64).
+    * (member, min_member) edges. Shape matters at scale: a window over
+    * (band, sig) would funnel EVERY row of a hot band group — a
+    * mega-cluster of near-identical docs — into one sort task. Instead the
+    * group min+count is a map-side-combinable aggregate (the shuffle
+    * carries one row per (band, sig, input partition)) and the join back
+    * is AQE skew-splittable — the same skew-safe shape as q04's digest
+    * dedup. The group min is taken in UNSIGNED order — sha1-derived id_int
+    * has the sign bit set for ~half of real ids (run_lsh.py:273-280 runs
+    * on numpy uint64).
     */
   def edges(banded: DataFrame): DataFrame = {
-    val w = Window.partitionBy("band", "sig")
-    banded
-      .withColumn("min_node",
-        fromUnsignedOrder(min(toUnsignedOrder(col("id"))).over(w)))
-      .withColumn("grp_size", count(lit(1)).over(w))
-      .filter(col("grp_size") > 1 && col("id") =!= col("min_node"))
+    val groups = banded
+      .groupBy("band", "sig")
+      .agg(fromUnsignedOrder(min(toUnsignedOrder(col("id")))).as("min_node"),
+        count(lit(1)).as("grp_size"))
+      .filter(col("grp_size") > 1)
+      .select("band", "sig", "min_node")
+    banded.join(groups, Seq("band", "sig"))
+      .filter(col("id") =!= col("min_node"))
       .select(col("id").as("src"), col("min_node").as("dst"))
       .distinct()
   }
@@ -235,7 +240,12 @@ object SimHash {
     */
   def nearDuplicates(docs: Dataset[(Long, Array[String])], maxHamming: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val fps = docs.map { case (id, words) => (id, fingerprint(words)) }
+    // spread before the per-row fingerprint map: a small scan arrives in
+    // 1-2 partitions and would run the 64-bit vote loop 2-wide (the same
+    // starvation fix PlanSpec pins for q16/q31/q32)
+    val fps = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .map { case (id, words) => (id, fingerprint(words)) }
       .toDF("id", "fp")
     val banded = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>

@@ -95,13 +95,35 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("heavy operators over small scans run at session parallelism, not scan width") {
     // a 1-2 partition parquet scan must not serialize the O(n²)/per-row
     // work of the pair joins and table builders onto 1-2 tasks (measured
-    // 10-30s regressions at sf0.1 before the spread was added)
+    // 10-30s regressions at sf0.1 before the spread was added). The assert
+    // names the SPECIFIC spread exchange — every query here ends in
+    // orderBy, whose range-partitioning Exchange would satisfy a bare
+    // contains("Exchange") even with the spread removed.
     for (q <- Seq("q31_embed_neardup", "q32_embed_neardup_lsh",
-      "q16_signals_table", "q17_minhash_table")) {
+      "q11_simhash_pairs", "q26_simhash_dup_check")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
-      assert(p.contains("Exchange"),
-        s"$q inherits the scan's 1-2 partitions — heavy stage starved:\n$p")
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$q lost its round-robin spread — heavy stage starved at scan width:\n$p")
     }
+    for (q <- Seq("q16_signals_table", "q17_minhash_table")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("hashpartitioning(repo"),
+        s"$q lost its salted (repo, path-hash) spread:\n$p")
+    }
+  }
+
+  test("LSH edge building pre-aggregates per band group — no hot-band window") {
+    // a mega-cluster of near-identical docs puts millions of rows into one
+    // (band, sig) group; the group min must come from a partial+final
+    // aggregate (map-side combine, one row per group per input partition),
+    // never a window that sorts the whole group in one task
+    import spark.implicits._
+    val banded = Seq((1L, 0, Array[Byte](1)), (2L, 0, Array[Byte](1)),
+      (3L, 1, Array[Byte](2))).toDF("id", "band", "sig")
+    val p = plan(graft.dedupe.Lsh.edges(banded))
+    assert(!p.contains("Window"), s"LSH edges regressed to a band window:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"no partial aggregation on (band, sig):\n$p")
   }
 
   test("banded near-dup candidates come from an equi-join, not a cross join") {
