@@ -195,13 +195,14 @@ object Lsh {
     * sign bit set for ~half of real rows, so the whole path runs in
     * unsigned order.
     */
-  def clustersFromTable(minhash: DataFrame, threshold: Double): DataFrame = {
+  def clustersFromTable(minhash: DataFrame, threshold: Double,
+                        maxDriverEdges: Long = 2000000L): DataFrame = {
     val sigCol = f"signature_sim${threshold}%.1f".replace('.', '_')
     val banded = minhash
       .filter(col(sigCol).isNotNull)
       .select(col("id_int").as("id"),
         posexplode(col(sigCol)).as(Seq("band", "sig")))
-    val comp = connectedComponents(edges(banded))
+    val comp = connectedComponents(edges(banded), maxDriverEdges = maxDriverEdges)
       .withColumnRenamed("id", "id_int")
     minhash.join(comp, Seq("id_int"), "inner")
       .select("id", "id_int", "cluster_id", "shard_id")

@@ -63,15 +63,18 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(v.length == 1 && !v.head.isNullAt(2), s"$f score null")
       }
     }
-    // q16 scalar projection: every row reports full family presence
-    val q16 = SparkEntry.queries("q16_signals_table")(spark, sfDir).collect()
-    assert(q16.length == 500)
-    q16.foreach { r =>
+    // q38 scalar core: every row reports full family presence; q16 carries
+    // the digest tail
+    val q38 = SparkEntry.queries("q38_signals_core")(spark, sfDir).collect()
+    assert(q38.length == 500)
+    q38.foreach { r =>
       assert(r.getAs[Long]("n_ccnet") == 7L)
       assert(r.getAs[Long]("n_ml") == 3L)
       assert(r.getAs[Long]("n_dsir") == 6L)
-      assert(r.getAs[String]("signals_digest").length == 64)
     }
+    val q16 = SparkEntry.queries("q16_signals_table")(spark, sfDir).collect()
+    assert(q16.length == 500)
+    q16.foreach(r => assert(r.getAs[String]("signals_digest").length == 64))
   }
 
   test("minhash table bands have the published shapes; short docs null") {
@@ -88,14 +91,16 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       } else assert(r.signature_sim1_0 == null)
     }
     assert(rows.exists(_.signature_sim0_7 != null))
-    // q17 scalar projection mirrors those shapes
-    val q17 = SparkEntry.queries("q17_minhash_table")(spark, sfDir).collect()
-    assert(q17.length == 500)
-    q17.foreach { r =>
+    // q39 scalar core mirrors those shapes; q17 carries the digest tail
+    val q39 = SparkEntry.queries("q39_minhash_core")(spark, sfDir).collect()
+    assert(q39.length == 500)
+    q39.foreach { r =>
       val n07 = r.getAs[Long]("n_signature_sim0_7")
       assert(n07 == 14L || n07 == -1L)
-      assert(r.getAs[String]("bands_digest").length == 64)
     }
+    val q17 = SparkEntry.queries("q17_minhash_table")(spark, sfDir).collect()
+    assert(q17.length == 500)
+    q17.foreach(r => assert(r.getAs[String]("bands_digest").length == 64))
   }
 
   test("stage-3 from the stored table: cluster_id = UNSIGNED min of real sha1 ids") {
