@@ -524,10 +524,15 @@ object SparkEntry {
 
     // Embedding-cosine near-dup pairs — EXACT O(n²) baseline over the
     // twin-injected corpus (cos margins: twins ≥ 0.9949, others ≤ 0.601,
-    // tau 0.7). Scale path: q32.
+    // tau 0.7). The exact path is deliberately quadratic (oracle
+    // baseline), so it runs on a DETERMINISTIC SUBSET (vec_id < 1000 +
+    // their twins — everything at sf0.01, ~1.1k of 5.6k at sf0.1): the
+    // recorded bench must not be dominated by a by-design O(n²) query
+    // (r2: a host storm turned its 2.2 s into a recorded 68 s). Full-
+    // corpus coverage of the same semantics: q32 (the banded scale path).
     "q31_embed_neardup" -> ((s, dir) => {
       graft.similarity.EmbedNearDup
-        .pairsExact(embWithTwins(s, dir), 0.7)
+        .pairsExact(embWithTwinsCapped(s, dir), 0.7)
         .orderBy("id_a", "id_b")
     }),
 
@@ -565,16 +570,23 @@ object SparkEntry {
     // AcceptanceSpec's independent Python labels (full 20-rule policy —
     // deliberately richer than q02's SQL-expressible 6-rule subset).
     "q33_catalog_metrics" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_catalog_").toString
-      val catalog = new graft.pipeline.CorpusCatalog(root, s)
+      val rootPath = java.nio.file.Files.createTempDirectory("graft_catalog_")
+      val catalog = new graft.pipeline.CorpusCatalog(rootPath.toString, s)
       graft.pipeline.CheckpointedRun.run(s, dir, catalog)
-      catalog.readMetrics("filtered")
+      val out = catalog.readMetrics("filtered")
         // partition key = "<repo>_<saltbucket>"; strip the trailing bucket
         .withColumn("repo", regexp_extract(col("partition"), "^(.*)_\\d+$", 1))
         .groupBy("repo")
         .agg(sum("n_files").cast("long").as("n_files"))
         .orderBy("repo")
+        .localCheckpoint() // materialize before the sweep below
+      // sweep the temp catalog: repeated bench/verify invocations would
+      // otherwise accumulate full filtered-corpus copies under /tmp
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      out
     }),
 
     // S2: the reference's native jsonl.gz ingestion — schema-enforced
@@ -784,6 +796,15 @@ object SparkEntry {
   private def embWithTwins(s: SparkSession, dir: String): DataFrame =
     graft.similarity.EmbedNearDup.withTwins(
       s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec")))
+
+  /** q31's deterministic subset: base vectors capped at vec_id < 1000
+    * BEFORE twin injection (so every twin's partner is in the subset). */
+  private def embWithTwinsCapped(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.EmbedNearDup.withTwins(
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 1000)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("vec")))
 
@@ -1216,12 +1237,14 @@ object SparkEntry {
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    // q31/q32 share the brute-force pair oracle over the twin-injected
+    // q31/q32 use the brute-force pair oracle over the twin-injected
     // corpus: the twin vec ([vec[1]+0.1] || vec[2:]) is the same IEEE
     // double arithmetic on both engines, and tau=0.7 sits ≥0.099 from any
-    // pair's cosine, so float noise cannot flip membership
-    "q31_embed_neardup" -> EmbedNearDupOracle,
-    "q32_embed_neardup_lsh" -> EmbedNearDupOracle,
+    // pair's cosine, so float noise cannot flip membership. q31 runs on
+    // the vec_id < 1000 subset (see query comment); q32 covers the full
+    // corpus.
+    "q31_embed_neardup" -> embedNearDupOracle(capped = true),
+    "q32_embed_neardup_lsh" -> embedNearDupOracle(capped = false),
 
     // ground truth for the marker-injected discriminative langid check
     "q34_langid_check" ->
@@ -1308,9 +1331,10 @@ object SparkEntry {
          |ORDER BY rw.doc_id""".stripMargin
   )
 
-  private val EmbedNearDupOracle: String =
+  private def embedNearDupOracle(capped: Boolean): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |  ${if (capped) "WHERE vec_id < 1000" else ""}
        |), twins AS (
        |  SELECT vec_id + 100000 AS vec_id, [vec[1] + 0.1] || vec[2:] AS vec
        |  FROM e WHERE vec_id % 10 = 3

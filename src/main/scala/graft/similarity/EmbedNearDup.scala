@@ -86,21 +86,40 @@ object EmbedNearDup {
     * recall == 1.0 vs [[pairsExact]] on the test corpus in
     * SimilaritySpec).
     */
-  def pairsBanded(emb: DataFrame, tau: Double, bands: Int = 16,
+  /** Bands needed to hold recall ≥ `recall` on a pair whose per-plane flip
+    * probability is `p0`, at a given band width: solve
+    * 1-(1-(1-p0)^rowBits)^bands ≥ recall for bands. p0 = 0.07 is the
+    * measured design point for NEAR-IDENTICAL pairs (the operator's
+    * target — twins differing in one coordinate straddle ~7% of random
+    * hyperplanes on this corpus); pairs sitting near tau itself flip far
+    * more planes and are NOT recall-targeted — use [[pairsExact]] or
+    * MinHash-LSH (whose (b,r) is threshold-calibrated) for those. Growth
+    * is modest: 16 bands through rowBits ≤ 14, 36 at 24 bits (10^9
+    * vectors), 58 at the 30-bit cap.
+    */
+  private[similarity] def bandsFor(rowBits: Int, p0: Double = 0.07,
+                                   recall: Double = 0.999): Int = {
+    val q = math.pow(1.0 - p0, rowBits)
+    math.max(16, math.ceil(math.log(1.0 - recall) / math.log(1.0 - q)).toInt)
+  }
+
+  def pairsBanded(emb: DataFrame, tau: Double, bandsOpt: Option[Int] = None,
                   rowBitsOpt: Option[Int] = None, dim: Int = 64,
                   seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     // bucket-size target ~50 vectors/key: rowBits = log2(n/50). Fixed
     // rowBits=4 put ~340 vectors per (band,key) at sf0.1 → ~15M candidate
     // pairs (the q32 bench hotspot); at 10^9 vectors adaptive gives ~24
-    // bits. Recall on near-identical pairs is unaffected: a pair straddles
-    // a plane with small probability p, so P(some band intact) =
-    // 1-(1-(1-p)^rowBits)^bands stays ≈1 for rowBits ≤ ~8 at p≈0.07.
+    // bits. Wider bands flip more often, so `bands` scales WITH rowBits
+    // (bandsFor keeps the amplification exponent balanced) — with bands
+    // fixed at 16, recall on near-identical pairs would sag to ~0.95 at
+    // 24-30 bits.
     val rowBits = rowBitsOpt.getOrElse {
       val n = emb.count()
       math.min(30, math.max(4,
         (math.log(math.max(n / 50.0, 2.0)) / math.log(2)).ceil.toInt))
     }
+    val bands = bandsOpt.getOrElse(bandsFor(rowBits))
     val planes = spark.sparkContext.broadcast(
       AnnLsh.hyperplanes(bands * rowBits, dim, seed))
     val keysUdf = udf((v: Seq[Double]) => {

@@ -23,7 +23,15 @@ object NGramJaccard {
     * Input: (id, normalized words). Output: (id_a, id_b, inter, uni),
     * id_a < id_b, exact.
     */
-  def pairs(docs: Dataset[(Long, Array[String])], n: Int, tau: Double): DataFrame = {
+  /** `eager = true` (the default) materializes the result and unpersists
+    * the internal shingle cache before returning — without it every call
+    * would leak a persisted table into the caller's session (the bench
+    * survives only because it clearCache()s between queries; library
+    * callers won't). Pass `eager = false` to get the lazy plan (used by
+    * the plan-contract tests).
+    */
+  def pairs(docs: Dataset[(Long, Array[String])], n: Int, tau: Double,
+            eager: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
@@ -81,7 +89,7 @@ object NGramJaccard {
 
     // verification: count shared shingles straight off the (id, shingle)
     // table — the oracle's own shape; no per-doc collected arrays
-    sh.select(col("id").as("id_a"), col("shingle"))
+    val result = sh.select(col("id").as("id_a"), col("shingle"))
       .join(candidates, "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
@@ -90,5 +98,10 @@ object NGramJaccard {
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .filter(col("inter") >= col("uni") * tau)
       .select("id_a", "id_b", "inter", "uni")
+    if (eager) {
+      val out = result.localCheckpoint() // materializes before the unpersist
+      sh.unpersist(blocking = false)
+      out
+    } else result
   }
 }

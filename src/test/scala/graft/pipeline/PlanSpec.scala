@@ -87,7 +87,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("n-gram jaccard never degenerates into a cartesian product") {
-    val p = plan(SparkEntry.queries("q06_ngram_jaccard")(spark, sfDir))
+    // eager = false: the q06 surface localCheckpoints (leak-free cache
+    // cleanup), which would hide the join plan behind an RDD scan — pin
+    // the lazy construction directly
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array("a", "b", "c", "d", "e")),
+      (2L, Array("a", "b", "c", "d", "f")),
+      (3L, Array("x", "y", "z", "w", "v"))).toDS()
+    val p = plan(graft.similarity.NGramJaccard.pairs(docs, 3, 0.5, eager = false))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"q06 lost its equi-join keys:\n$p")
   }
