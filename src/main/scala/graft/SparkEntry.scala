@@ -813,6 +813,15 @@ object SparkEntry {
   private val cte = CodeFiles.oracleCte
   private def nrm(c: String) = CodeFiles.normSql(c)
 
+  /** The engine's stop list as a DuckDB array literal — generated from the
+    * SAME packaged resource SignalPass loads, so the oracle always runs
+    * the full production list (570 entries), not a test subset.
+    */
+  private val stopListSql: String =
+    SignalPass.StopWords.toSeq.sorted
+      .map(w => "'" + w.replace("'", "''") + "'")
+      .mkString("[", ",", "]")
+
   /** Words CTE shared by several oracles. */
   private val wordsCte =
     s"""w AS (
@@ -859,10 +868,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |         len(ws) AS wc,
        |         length(replace(nc, ' ', '')) AS sc,
-       |         len(list_filter(ws, x -> list_contains(
-       |           ['the','a','an','and','of','to','in','is','that','it','for','on',
-       |            'with','as','at','by','be','this','was','are','or','from','but',
-       |            'not','have','has','had','they','you','we'], x))) AS n_stop,
+       |         len(list_filter(ws, x -> list_contains($stopListSql, x))) AS n_stop,
        |         (length(content) - length(replace(content, '{', '')))
        |           + (length(content) - length(replace(content, '}', ''))) AS n_curly,
        |         CASE WHEN nc = '' THEN 0
@@ -897,11 +903,8 @@ object SparkEntry {
          |       CAST(len(ws) AS BIGINT) AS word_count,
          |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_unique_words,
          |       CAST(length(replace(nc, ' ', '')) AS BIGINT) AS sum_word_chars,
-         |       CAST(len(list_filter(ws, x -> list_contains(
-         |         ['the','a','an','and','of','to','in','is','that','it','for','on',
-         |          'with','as','at','by','be','this','was','are','or','from','but',
-         |          'not','have','has','had','they','you','we'], x))) AS BIGINT)
-         |         AS n_stop_words,
+         |       CAST(len(list_filter(ws, x -> list_contains($stopListSql, x)))
+         |         AS BIGINT) AS n_stop_words,
          |       CAST(len(regexp_extract_all(content,
          |         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
          |FROM words JOIN code_files USING (doc_id)

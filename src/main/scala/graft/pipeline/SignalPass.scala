@@ -65,31 +65,56 @@ final case class DocStats(
 
 object SignalPass {
 
-  /** Default English stop words used by the RAW-word stop fraction signal
-    * (reference loads per-language lists, utils/stop_words.py; ours is a
-    * pinned subset — the list is a parameter of the engine, not a semantic).
+  /** One-word-per-line resource list ('#' comments skipped). The lists are
+    * engine PARAMETERS (per-language resources in the reference); shipping
+    * them as classpath resources mirrors the reference's artifact-prep
+    * stage materializing them next to the code (prep_artifacts.py).
     */
-  val StopWords: Set[String] = Set(
-    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it",
-    "for", "on", "with", "as", "at", "by", "be", "this", "was", "are",
-    "or", "from", "but", "not", "have", "has", "had", "they", "you", "we")
+  private def loadWordList(resource: String): Set[String] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource $resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    finally in.close()
+  }
 
-  /** Pinned toxicity blocklist (LDNOOBW-shaped; content.py:49-100 counts
-    * doc n-grams present in the set). Parameterizable per language.
+  /** Default English stop words (570 entries) — the full published
+    * stopwords-json list the reference ships for "en"
+    * (core/quality_signals/utils/stop_words.py:138-230), used by the
+    * normalized stop count and the RAW-word stop fraction signal.
     */
-  val BlockWords: Set[String] = Set(
-    "badword", "damnword", "obscene phrase", "slurword", "nsfw token")
+  val StopWords: Set[String] = loadWordList("/graft/stop_words_en.txt")
+
+  /** Default toxicity blocklist (400 entries, LDNOOBW-scale with 2-4-word
+    * phrases; content.py:49-100 counts doc n-grams present in the set).
+    * Swap the resource for the real per-language LDNOOBW file in
+    * production.
+    */
+  val BlockWords: Set[String] = loadWordList("/graft/ldnoobw_en.txt")
 
   /** BPE-ish token pattern shared with the SQL oracle: ASCII letter runs,
     * digit runs, single non-alnum-non-space chars.
     */
   private[pipeline] val One: Integer = Integer.valueOf(1)
 
-  /** Precomputed blocklist shape (cached by Set identity). */
+  /** Precomputed blocklist shape (cached by Set identity). Multi-word
+    * phrases are grouped by word count, then by exact char length: the
+    * candidate n-gram is a CONTIGUOUS region of the single-space normalized
+    * content (words joined by one space, exactly the phrase's own shape),
+    * so membership is a char-length binary search + regionMatches — the
+    * doc scan is O(words × #distinct phrase word-counts), independent of
+    * list size (an LDNOOBW-scale list has hundreds of phrases).
+    */
   final class BlockStructs(words: Set[String]) {
     val hasUnigrams: Boolean = words.exists(!_.contains(' '))
-    val phrases: Array[Array[String]] =
-      words.filter(_.contains(' ')).map(_.split(' ')).toArray
+    final class LenGroup(val wordCount: Int, phrases: Array[String]) {
+      val charLens: Array[Int] = phrases.map(_.length).distinct.sorted
+      val byCharLen: Array[Array[String]] =
+        charLens.map(cl => phrases.filter(_.length == cl))
+    }
+    val groups: Array[LenGroup] = words.filter(_.contains(' ')).toArray
+      .groupBy(p => p.count(_ == ' ') + 1).toArray.sortBy(_._1)
+      .map { case (wc, ps) => new LenGroup(wc, ps.sorted) }
   }
 
   @volatile private var blockCache: (Set[String], BlockStructs) = null
@@ -257,29 +282,34 @@ object SignalPass {
         id += 1
       }
     }
-    // multi-word block phrases: positional region compare, zero alloc
+    // multi-word block phrases: each candidate n-gram is a contiguous
+    // region of nc (single-space normalized), so membership = char-length
+    // binary search + regionMatches — zero alloc, list-size independent
     locally {
-      val phrases = blocks.phrases
-      var p = 0
-      while (p < phrases.length) {
-        val parts = phrases(p)
-        val n = parts.length
+      val groups = blocks.groups
+      var g = 0
+      while (g < groups.length) {
+        val grp = groups(g)
+        val n = grp.wordCount
         var i = 0
         val last = nWords - n
         while (i <= last) {
-          var j = 0
-          var ok = true
-          while (ok && j < n) {
-            val st = regions.starts(i + j)
-            val part = parts(j)
-            ok = regions.ends(i + j) - st == part.length &&
-              nc.regionMatches(st, part, 0, part.length)
-            j += 1
+          val s0 = regions.starts(i)
+          val cl = regions.ends(i + n - 1) - s0
+          val idx = java.util.Arrays.binarySearch(grp.charLens, cl)
+          if (idx >= 0) {
+            val cands = grp.byCharLen(idx)
+            var c = 0
+            while (c < cands.length) {
+              if (nc.regionMatches(s0, cands(c), 0, cl)) {
+                ldnoobwCount += 1
+                c = cands.length // distinct set entries can't both match
+              } else c += 1
+            }
           }
-          if (ok) ldnoobwCount += 1
           i += 1
         }
-        p += 1
+        g += 1
       }
     }
     val nSentences = Signals.numSentences(doc)

@@ -166,16 +166,37 @@ object WordPunct {
         if (len < stopsByLen.length) {
           val cands = stopsByLen(len)
           if (cands != null) {
-            var k = 0
-            while (k < cands.length) {
-              if (s.regionMatches(start, cands(k), 0, len)) { stops += 1; k = cands.length }
-              else k += 1
+            // binary search over the SORTED same-length candidates: a full
+            // 570-word stop list puts ~50 words in the hot lengths, and a
+            // linear probe per raw word showed up in the fused-pass bench
+            var lo = 0
+            var hi = cands.length - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val c = compareRegion(s, start, len, cands(mid))
+              if (c == 0) { stops += 1; lo = hi + 1 }
+              else if (c < 0) hi = mid - 1
+              else lo = mid + 1
             }
           }
         }
       }
     }
     RawStats(words, alpha, caps, stops)
+  }
+
+  /** Lexicographic (UTF-16 code unit) compare of s[start, start+len) vs
+    * `cand` of the same length — String.compareTo order, matching the
+    * sorted candidate arrays.
+    */
+  private def compareRegion(s: String, start: Int, len: Int, cand: String): Int = {
+    var j = 0
+    while (j < len) {
+      val d = s.charAt(start + j) - cand.charAt(j)
+      if (d != 0) return d
+      j += 1
+    }
+    0
   }
 
   /** Group a stop set by UTF-16 length for rawScan. */

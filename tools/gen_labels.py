@@ -14,10 +14,13 @@ ns = {}
 exec(src[:src.index('STOP = ')], ns)
 compute = ns['compute']
 
-STOP = ["the","a","an","and","of","to","in","is","that","it","for","on",
-        "with","as","at","by","be","this","was","are","or","from","but",
-        "not","have","has","had","they","you","we"]
-BLOCK = ["badword","damnword","obscene phrase","slurword","nsfw token"]
+def _load(path):
+    return [l.strip() for l in open(path, encoding="utf-8")
+            if l.strip() and not l.startswith("#")]
+
+# the engine's packaged production lists (same files SignalPass loads)
+STOP = _load("src/main/resources/graft/stop_words_en.txt")
+BLOCK = _load("src/main/resources/graft/ldnoobw_en.txt")
 
 def enrich(doc_id, text):
     c = (text + "\nContact user%d@example.org or 10.%d.0.%d or call 555-%d for details.\n"
