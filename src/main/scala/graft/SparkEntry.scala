@@ -696,6 +696,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // BPE token counting (the reference's token_count.py side pipeline;
+    // output schema token_count.py:301-307) under a CONSTRUCTION oracle:
+    // the corpus is rebuilt from a closed 3-word vocabulary {abab, abc, dd}
+    // whose corpus frequencies satisfy F(abc) > F(abab) > F(dd) at every
+    // sf, so the trainer's merge order is strictly determined —
+    // (a,b) → (ab,c) → (ab,ab) (BpeSpec pins the hand derivation) — and
+    // per-word token counts are 1/1/2 ⇒ num_tokens is closed-form in SQL.
+    // The ENGINE runs the real path: distributed word-frequency aggregate,
+    // driver merge loop, broadcast encode with per-partition memoization.
+    "q41_bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CodeFiles(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"),
+          expr("repeat('abab ', CAST(doc_id % 3 + 1 AS INT)) || " +
+            "repeat('abc ', CAST(doc_id % 5 + 1 AS INT)) || " +
+            "repeat('dd ', CAST(doc_id % 2 + 1 AS INT))").as("content"))
+      // tokenizer = load-time artifact (reference loads tokenizer.json once
+      // per worker, token_count.py); cached per sf dir like the marker models
+      val bpe = bpeCache.computeIfAbsent(dir, _ =>
+        graft.pipeline.TokenCount.train(corpus.select("content").as[String], 3))
+      graft.pipeline.TokenCount
+        .table(corpus.as[graft.pipeline.CodeFile], bpe)
+        .orderBy("doc_id")
+    }),
+
     // DSIR Poisson length correction, independently re-derivable: the
     // hashed log-ratio sum needs xxhash64 (no DuckDB twin), but
     // weight_lc − weight = n·ln(λt/λs) − (λt−λs) is closed-form from the
@@ -727,6 +754,11 @@ object SparkEntry {
     * seeded SGD on a seeded corpus). */
   private val markerModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.models.FastTextLite]()
+
+  /** q41 BPE tokenizer, trained once per sf dir (deterministic merge
+    * table from the construction corpus). */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.text.Bpe]()
 
   /** The RP signals table build shared by q16 (digest tail) and q38
     * (oracled scalar core); salted spread (north-rule idiom) — the scan is
@@ -1212,6 +1244,17 @@ object SparkEntry {
          |SELECT repo || '/' || doc_id AS id, true AS same_cluster
          |FROM code_files WHERE doc_id % 10 = 3
          |ORDER BY id""".stripMargin,
+
+    // BPE construction oracle: with merges (a,b)→(ab,c)→(ab,ab) the three
+    // vocab words encode to 1/1/2 tokens, so num_tokens is closed-form
+    "q41_bpe_tokens" ->
+      s"""WITH $cte
+         |SELECT repo AS input_id, doc_id,
+         |       substr("commit", 1, 8) AS snapshot_id,
+         |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
+         |            + 2 * (doc_id % 2 + 1) AS BIGINT) AS num_tokens
+         |FROM code_files
+         |ORDER BY doc_id""".stripMargin,
 
     // same construction truth, distributed-CC path (maxDriverEdges = 0)
     "q40_lsh_distributed_cc" ->

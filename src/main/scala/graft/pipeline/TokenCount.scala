@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.text.{Bpe, PyCompat}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** The reference's token-count side pipeline re-expressed Spark-first
+  * (token_count.py:1-478): tokenizer trained/loaded once as a load-time
+  * artifact, then one distributed pass emitting the reference's output
+  * schema `(input_id, doc_id, snapshot_id, num_tokens)`
+  * (token_count.py:301-307). input_id identifies the source listing (the
+  * repo here), snapshot_id the corpus snapshot (commit prefix, as in the
+  * signals table metadata).
+  */
+object TokenCount {
+
+  /** Train the BPE merge table from the corpus: the distinct-word frequency
+    * aggregate is distributed (map-side combinable groupBy), then the
+    * bounded top-`maxVocab` table feeds the driver-side merge loop — the
+    * same bounded-artifact pattern as Artifacts.trainFor (the reference
+    * loads its pretrained tokenizer.json the same way, once per worker
+    * before the loop).
+    */
+  def train(texts: Dataset[String], numMerges: Int,
+            maxVocab: Int = 65536): Bpe = {
+    import texts.sparkSession.implicits._
+    val words = texts
+      .flatMap(t => PyCompat.split(t).iterator)
+      .groupBy("value").count()
+      .orderBy(col("count").desc, col("value").asc)
+      .limit(maxVocab)
+      .as[(String, Long)]
+      .collect()
+    Bpe.train(words.toSeq, numMerges)
+  }
+
+  /** One row per document in the reference output schema; the tokenizer is
+    * broadcast and each partition memoizes word counts (documents share
+    * most of their vocabulary).
+    */
+  def table(files: Dataset[CodeFile], bpe: Bpe): DataFrame = {
+    import files.sparkSession.implicits._
+    val bc = files.sparkSession.sparkContext.broadcast(bpe)
+    files.mapPartitions { it =>
+      val b = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map(cf => (cf.repo, cf.doc_id, cf.commit.take(8),
+        b.countTokens(cf.content, memo)))
+    }.toDF("input_id", "doc_id", "snapshot_id", "num_tokens")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer/encoder contracts: deterministic merge order, rank-ordered
+  * encoding, astral code-point symbols — including the exact hand
+  * derivation the q41 construction oracle relies on.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  test("q41 construction: merge order is (a,b) -> (ab,c) -> (ab,ab)") {
+    // frequencies shaped like the sf corpora (F(abc) > F(abab) > F(dd)).
+    // Pair counts round 1: (a,b) = 2*F(abab) + F(abc) dominates;
+    // round 2: (ab,c) = F(abc) > (ab,ab) = F(abab) > (d,d) = F(dd);
+    // round 3: (ab,ab) > (d,d).
+    val bpe = Bpe.train(
+      Seq(("abab", 999L), ("abc", 1500L), ("dd", 750L)), 3)
+    assert(bpe.merges.toSeq ==
+      Seq(("a", "b"), ("ab", "c"), ("ab", "ab")))
+    assert(bpe.countWord("abab") == 1)
+    assert(bpe.countWord("abc") == 1)
+    assert(bpe.countWord("dd") == 2)
+  }
+
+  test("encoding applies merges by RANK, not left-to-right greed") {
+    val bpe = new Bpe(Array(("a", "b"), ("ab", "c"), ("ab", "ab")))
+    // a,b,a,b,c --rank0--> ab,ab,c; then rank1 (ab,c) beats rank2 (ab,ab)
+    assert(bpe.tokenize("ababc").toSeq == Seq("ab", "abc"))
+    // unknown symbols stay single
+    assert(bpe.tokenize("xbay").toSeq == Seq("x", "b", "a", "y"))
+  }
+
+  test("merge-all is leftmost non-overlapping on both paths") {
+    val bpe = Bpe.train(Seq(("aaa", 10L)), 1)
+    assert(bpe.merges.head == ("a", "a"))
+    // encode "aaaa" -> aa,aa ; "aaa" -> aa,a
+    assert(bpe.tokenize("aaaa").toSeq == Seq("aa", "aa"))
+    assert(bpe.tokenize("aaa").toSeq == Seq("aa", "a"))
+  }
+
+  test("ties break to the lexicographically smallest pair") {
+    // (a,b) and (b,a) both appear once per word occurrence
+    val bpe = Bpe.train(Seq(("ab", 5L), ("ba", 5L)), 1)
+    assert(bpe.merges.head == ("a", "b"))
+  }
+
+  test("symbols are code points, not UTF-16 units") {
+    val w = "𝔘𝔫" // 𝔘𝔫 — two astral code points
+    assert(Bpe.toSymbols(w).length == 2)
+    val bpe = Bpe.train(Seq((w, 3L)), 1)
+    assert(bpe.merges.head == ("𝔘", "𝔫"))
+    assert(bpe.countWord(w) == 1)
+  }
+
+  test("countTokens splits on Python whitespace and memoizes") {
+    val bpe = new Bpe(Array(("a", "b"), ("ab", "c"), ("ab", "ab")))
+    val memo = scala.collection.mutable.HashMap.empty[String, Int]
+    assert(bpe.countTokens("abab  abc\tdd\nabab", memo) == 1 + 1 + 2 + 1)
+    assert(memo("abab") == 1 && memo("dd") == 2)
+    assert(bpe.countTokens("") == 0)
+  }
+
+  test("training stops when no pairs remain") {
+    val bpe = Bpe.train(Seq(("ab", 1L)), 10)
+    assert(bpe.merges.length == 1) // (a,b), then the word is one symbol
+  }
+}
