@@ -1,10 +1,8 @@
 package graft.pipeline
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Iceberg-shaped snapshot catalog (SURVEY.md §7.1.6). No Iceberg runtime
   * jar ships in this sandbox, so snapshot/commit semantics are provided by
@@ -13,44 +11,57 @@ import scala.jdk.CollectionConverters._
   * `spark.read.table` / `writeTo(...).append()` would give, so a real
   * `iceberg-spark-runtime` drops in unchanged.
   *
+  * All filesystem access goes through the HADOOP FileSystem API resolved
+  * from the root's scheme — `file:`, `hdfs:`, `s3a:` or any configured
+  * `fs.<scheme>.impl` work unchanged (the S3 surface of SURVEY §2.1 is
+  * this configuration point; HadoopFsConfigSpec drives it with a custom
+  * scheme). On object stores the directory rename is copy+delete rather
+  * than atomic, but visibility is still gated by the marker FILE — a
+  * single small object whose PUT is atomic — written strictly after the
+  * data, so a killed job never exposes partial partitions.
+  *
   * Layout under `root/<table>/`:
   *   part=<key>/...parquet      per-partition data (written via temp dir +
-  *                              atomic rename)
+  *                              rename)
   *   _commits/<key>.json        commit marker (files, rows, wall time)
   *   _metrics/...parquet        lineage/metrics rows (appended per commit)
   *
   * Resume = skip partitions that already have a commit marker — the
   * reference's SUCCESS/FAIL ledger (worker.py:119-126, 375-394) made
-  * table-native. Each partition commit is atomic (marker written last via
-  * temp-file + ATOMIC_MOVE), so a killed job re-processes only
-  * uncommitted partitions and the output is idempotent.
+  * table-native. Each partition commit writes its marker last (temp file +
+  * rename), so a killed job re-processes only uncommitted partitions and
+  * the output is idempotent.
   */
 final class CorpusCatalog(val root: String, spark: SparkSession) {
 
-  private def tableDir(table: String): Path = Paths.get(root, table)
-  private def commitDir(table: String): Path = tableDir(table).resolve("_commits")
-  private def markerFile(table: String, key: String): Path =
-    commitDir(table).resolve(s"$key.json")
+  private[pipeline] val fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String): HPath = new HPath(root, table)
+  private def commitDir(table: String): HPath =
+    new HPath(tableDir(table), "_commits")
+  private def markerFile(table: String, key: String): HPath =
+    new HPath(commitDir(table), s"$key.json")
 
   def committedPartitions(table: String): Set[String] = {
     val d = commitDir(table)
-    if (!Files.exists(d)) Set.empty
-    else Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).iterator
+      .map(_.getPath.getName)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json"))
       .toSet
   }
 
   def isCommitted(table: String, key: String): Boolean =
-    Files.exists(markerFile(table, key))
+    fs.exists(markerFile(table, key))
 
   /** Write one partition's rows and commit atomically. No-op if already
     * committed (resume semantics).
     */
   def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
     if (isCommitted(table, key)) return false
-    val partPath = tableDir(table).resolve(s"part=$key")
+    val partPath = new HPath(tableDir(table), s"part=$key")
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
     // row count from the written footers — the input plan runs ONCE
     val rows = df.sparkSession.read.parquet(partPath.toString).count()
@@ -61,35 +72,38 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   /** A fresh staging directory for a single-job partitioned write; staged
     * partitions become visible only via [[commitStaged]].
     */
-  def newStagingDir(table: String): Path = {
-    val d = tableDir(table).resolve("_staging").resolve(System.nanoTime().toString)
-    Files.createDirectories(d)
+  def newStagingDir(table: String): HPath = {
+    val d = new HPath(new HPath(tableDir(table), "_staging"),
+      System.nanoTime().toString)
+    fs.mkdirs(d)
     d
   }
 
   /** Promote one staged partition dir (written by `partitionBy(pkey)`) to
-    * its committed location: atomic directory rename, then the marker.
-    * Leftovers of a crashed earlier run at the target are replaced — they
-    * were never visible (no marker).
+    * its committed location: directory rename (atomic on file/HDFS), then
+    * the marker. Leftovers of a crashed earlier run at the target are
+    * replaced — they were never visible (no marker).
     */
-  def commitStaged(table: String, key: String, stagedDir: Path, rows: Long): Boolean = {
+  def commitStaged(table: String, key: String, stagedDir: HPath,
+                   rows: Long): Boolean = {
     if (isCommitted(table, key)) return false
-    val target = tableDir(table).resolve(s"part=$key")
-    if (Files.exists(target)) { // uncommitted debris from a killed run
-      Files.walk(target).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-    Files.move(stagedDir, target, StandardCopyOption.ATOMIC_MOVE)
+    val target = new HPath(tableDir(table), s"part=$key")
+    if (fs.exists(target)) // uncommitted debris from a killed run
+      fs.delete(target, true)
+    fs.rename(stagedDir, target)
     writeMarker(table, key, rows)
     true
   }
 
   private def writeMarker(table: String, key: String, rows: Long): Unit = {
-    Files.createDirectories(commitDir(table))
-    val tmp = Files.createTempFile(commitDir(table), s".$key", ".tmp")
-    Files.writeString(tmp,
-      s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}""")
-    Files.move(tmp, markerFile(table, key), StandardCopyOption.ATOMIC_MOVE)
+    fs.mkdirs(commitDir(table))
+    val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmp, markerFile(table, key))
   }
 
   /** Read all committed partitions of a table (uncommitted part dirs —
@@ -99,7 +113,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val keys = committedPartitions(table)
     require(keys.nonEmpty, s"no committed partitions in $table")
     val paths = keys.toSeq.sorted
-      .map(k => tableDir(table).resolve(s"part=$k").toString)
+      .map(k => new HPath(tableDir(table), s"part=$k").toString)
     spark.read.parquet(paths: _*)
   }
 
@@ -107,12 +121,20 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * stage per partition — the north rule's metrics table).
     */
   def appendMetrics(table: String, df: DataFrame): Unit = {
-    val d = tableDir(table).resolve("_metrics")
+    val d = new HPath(tableDir(table), "_metrics")
     df.write.mode(SaveMode.Append).parquet(d.toString)
   }
 
   def readMetrics(table: String): DataFrame =
-    spark.read.parquet(tableDir(table).resolve("_metrics").toString)
+    spark.read.parquet(new HPath(tableDir(table), "_metrics").toString)
+
+  /** Child names of a directory (staging listings). */
+  private[pipeline] def listChildNames(dir: HPath): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName).toSeq
+
+  private[pipeline] def deleteRecursively(dir: HPath): Unit =
+    fs.delete(dir, true)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →
@@ -148,7 +170,7 @@ object CheckpointedRun {
     *      — ONE job computes and writes every pending partition
     *   3. one footer/1-column job over the staged parquet yields per-key
     *      row + drop-reason counts (no pipeline recompute)
-    *   4. per key: atomic dir rename + commit marker, metrics appended
+    *   4. per key: dir rename + commit marker, metrics appended
     *
     * A kill between 2 and 4 leaves no markers ⇒ readTable sees nothing new
     * and the next run redoes exactly the uncommitted keys.
@@ -182,9 +204,8 @@ object CheckpointedRun {
 
     // per-key row + drop-reason counts from the WRITTEN data: a single job
     // that reads only the drop_reason column (and parquet footers)
-    val stagedKeys = Files.list(staging).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("pkey=")).map(_.stripPrefix("pkey=")).toSeq.sorted
+    val stagedKeys = catalog.listChildNames(staging)
+      .filter(_.startsWith("pkey=")).map(_.stripPrefix("pkey=")).sorted
     var written = 0
     if (stagedKeys.nonEmpty) {
       val stats = spark.read.parquet(staging.toString)
@@ -194,7 +215,7 @@ object CheckpointedRun {
       val rowsPerKey = stats.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
       stagedKeys.foreach { key =>
         if (catalog.commitStaged("filtered", key,
-          staging.resolve(s"pkey=$key"), rowsPerKey.getOrElse(key, 0L)))
+          new HPath(staging, s"pkey=$key"), rowsPerKey.getOrElse(key, 0L)))
           written += 1
       }
       catalog.appendMetrics("filtered",
@@ -202,8 +223,7 @@ object CheckpointedRun {
           .withColumn("stage", lit("quality_filter")))
     }
     // staging now holds only _SUCCESS/marker files — sweep it
-    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    catalog.deleteRecursively(staging)
     (written, committed.size)
   }
 }

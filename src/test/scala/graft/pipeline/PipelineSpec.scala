@@ -85,7 +85,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("lsh clusters put injected near- and exact-dup pairs together") {
-    val rows = SparkEntry.queries("q10_lsh_clusters")(spark, sfDir).collect()
+    val rows = graft.dedupe.Lsh.clusters(
+      SparkEntry.variantWords(spark, sfDir),
+      new graft.dedupe.MinHasher(128, 13, 42L), 0.7).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     // exact copies (J=1) must always co-cluster
     (0 until 500).filter(_ % 10 == 3).foreach { i =>
@@ -116,7 +118,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("simhash pairs: exact dups always found; all results sound") {
-    val res = SparkEntry.queries("q11_simhash_pairs")(spark, sfDir).collect()
+    val res = graft.dedupe.SimHash
+      .nearDuplicates(SparkEntry.variantWords(spark, sfDir), 3).collect()
     val pairs = res.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     // identical docs → hamming 0 → guaranteed by any band
     val expected = (0 until 500).filter(_ % 10 == 3)

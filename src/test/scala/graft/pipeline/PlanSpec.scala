@@ -108,7 +108,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // orderBy, whose range-partitioning Exchange would satisfy a bare
     // contains("Exchange") even with the spread removed.
     for (q <- Seq("q31_embed_neardup", "q32_embed_neardup_lsh",
-      "q11_simhash_pairs", "q26_simhash_dup_check")) {
+      "q26_simhash_dup_check")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(p.contains("RoundRobinPartitioning"),
         s"$q lost its round-robin spread — heavy stage starved at scan width:\n$p")

@@ -137,10 +137,15 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("ann lsh achieves useful recall vs brute force") {
+    import org.apache.spark.sql.functions._
     val exact = SparkEntry.queries("q09_ann_cosine")(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
-    val approx = SparkEntry.queries("q18_ann_lsh")(spark, sfDir).collect()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val approx = graft.similarity.AnnLsh.topK(emb, col("vec_id") < 5, 10)
+      .collect()
       .groupBy(_.getAs[Long]("query_id"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
     val recalls = exact.keys.toSeq.sorted.map { q =>

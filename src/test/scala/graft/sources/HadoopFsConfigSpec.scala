@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.pipeline.{CheckpointedRun, CodeFiles, CorpusCatalog}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A local-disk-backed Hadoop filesystem registered under a NON-default
+  * scheme — the same configuration surface an `s3a://` bucket uses
+  * (`fs.s3a.impl` + credentials). Proves every source and the snapshot
+  * catalog resolve their filesystem from the path's scheme instead of
+  * assuming local disk (SURVEY §2.1 S3 row, config-level).
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
+class HadoopFsConfigSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    // the s3a-shaped configuration point: scheme → implementation class
+    .config("spark.hadoop.fs.graftfs.impl", classOf[GraftTestFs].getName)
+    .appName("graft-hadoopfs-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("corpus scan reads through a configured non-default scheme") {
+    val df = CodeFiles(spark, "graftfs:/root/testdata/sf0.001")
+    assert(df.count() == 500)
+    // pushdown still reaches the scan through the custom FS
+    assert(df.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .count() > 0)
+  }
+
+  test("jsonl.gz source reads through the custom scheme") {
+    val local = "/tmp/graft_fixtures/fsconf_shard.jsonl.gz"
+    JsonlGz.writeFixture(local, 50)
+    val df = JsonlGz.read(spark, s"graftfs:$local")
+    assert(df.filter(org.apache.spark.sql.functions
+      .col("url").isNotNull).count() > 0)
+  }
+
+  test("snapshot catalog commits, resumes, and reads via the custom scheme") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fsconf_").toString
+    try {
+      val catalog = new CorpusCatalog(s"graftfs:$root", spark)
+      val (w1, s1) = CheckpointedRun.run(spark, "/root/testdata/sf0.001", catalog)
+      assert(w1 > 0 && s1 == 0)
+      // resume: everything committed, nothing rewritten
+      val (w2, s2) = CheckpointedRun.run(spark, "/root/testdata/sf0.001", catalog)
+      assert(w2 == 0 && s2 == w1)
+      assert(catalog.readTable("filtered").count() > 0)
+      assert(catalog.readMetrics("filtered").count() > 0)
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
