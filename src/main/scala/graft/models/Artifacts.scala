@@ -107,7 +107,7 @@ object Artifacts {
     * is not __label__cc else 1-p; round8; None for empty docs
     * (classifiers.py:60-80, utils/classifiers.py:4-15).
     */
-  def qualityScore(model: FastTextLite, words: Array[String]): Option[Double] =
+  def qualityScore(model: TextScorer, words: Array[String]): Option[Double] =
     model.predict(words).map { case (label, p) =>
       PyCompat.round8(if (label == CcLabel) 1.0 - p else p)
     }

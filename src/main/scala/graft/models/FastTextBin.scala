@@ -1,0 +1,272 @@
+package graft.models
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+/** The PUBLIC fastText `.bin` model format (facebookresearch/fastText:
+  * `FastText::saveModel` / `loadModel`, format magic 793712314, version
+  * 12) — reader + writer + faithful supervised inference, so a published
+  * classifier (e.g. the RedPajama quality models classifiers.py:50-58
+  * loads) drops into this engine unchanged. No binary models exist in
+  * this sandbox, so the spec is pinned by a byte-layout golden plus a
+  * save→load round trip (FastTextBinSpec) instead of an external file.
+  *
+  * Scope: dense (non-quantized) supervised models with softmax loss —
+  * exactly what `fasttext supervised` defaults produce and what the
+  * reference trains (ft_trainer.py:84-86). Little-endian throughout
+  * (fastText writes raw structs on x86).
+  */
+object FastTextBin {
+
+  val Magic: Int = 793712314
+  val Version: Int = 12
+
+  /** Model hyper-parameters persisted in the Args section (args.cc
+    * save/load order). Enums: loss hs=1 ns=2 softmax=3; model cbow=1
+    * sg=2 sup=3.
+    */
+  final case class FtArgs(
+      dim: Int, ws: Int, epoch: Int, minCount: Int, neg: Int,
+      wordNgrams: Int, loss: Int, model: Int, bucket: Int,
+      minn: Int, maxn: Int, lrUpdateRate: Int, t: Double)
+
+  object FtArgs {
+    /** `fasttext supervised` defaults (the reference's training config). */
+    def supervisedDefaults(dim: Int, bucket: Int,
+                           wordNgrams: Int = 1): FtArgs =
+      FtArgs(dim = dim, ws = 5, epoch = 5, minCount = 1, neg = 5,
+        wordNgrams = wordNgrams, loss = 3 /*softmax*/, model = 3 /*sup*/,
+        bucket = bucket, minn = 0, maxn = 0, lrUpdateRate = 100, t = 1e-4)
+  }
+
+  /** One dictionary entry: words first (type 0), then labels (type 1) —
+    * fastText's id order, which the matrices' row order follows.
+    */
+  final case class Entry(word: String, count: Long, entryType: Byte)
+
+  /** fastText's FNV-1a word hash (dictionary.cc `Dictionary::hash`):
+    * bytes are SIGN-EXTENDED before the xor (the documented `int8_t`
+    * cast quirk), arithmetic in uint32.
+    */
+  def fnv1a(s: String): Long = {
+    var h = 2166136261L
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i).toLong & 0xFFFFFFFFL)) & 0xFFFFFFFFL // sign-extend, keep 32 bits
+      h = (h * 16777619L) & 0xFFFFFFFFL
+      i += 1
+    }
+    h
+  }
+
+  /** A loaded (or to-be-saved) dense supervised model. `input` has
+    * nwords + bucket rows (word rows first, hashed n-gram rows after);
+    * `output` has nlabels rows.
+    */
+  final class Model(
+      val args: FtArgs,
+      val words: Array[Entry],  // type 0, in id order
+      val labels: Array[Entry], // type 1, in id order
+      val ntokens: Long,
+      val input: Array[Float],  // (nwords + bucket) x dim
+      val output: Array[Float]  // nlabels x dim
+  ) extends TextScorer {
+
+    val dim: Int = args.dim
+    val nwords: Int = words.length
+    private val vocab: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < words.length) { m.put(words(i).word, i); i += 1 }
+      m
+    }
+
+    /** dictionary.cc `computeSubwords`: char n-grams of "<w>" (UTF-8
+      * code points), minn..maxn, each hashed into nwords + h % bucket.
+      */
+    private def subwordRows(word: String, into: java.util.ArrayList[Integer]): Unit = {
+      if (args.maxn < args.minn || args.maxn == 0) return
+      val marked = "<" + word + ">"
+      val cps = marked.codePoints().toArray
+      var i = 0
+      while (i < cps.length) {
+        var n = args.minn
+        while (n <= args.maxn && i + n <= cps.length) {
+          val ngram = new String(cps, i, n)
+          into.add(Integer.valueOf(nwords + (fnv1a(ngram) % args.bucket).toInt))
+          n += 1
+        }
+        i += 1
+      }
+    }
+
+    /** dictionary.cc `getLine` + `addWordNgrams` for supervised models:
+      * known words contribute their id row (plus subword rows when
+      * minn/maxn are set); every token's FNV hash feeds the word-ngram
+      * composition h = h*116049371 + h(next), bucketed after nwords.
+      */
+    def lineFeatures(tokens: Array[String]): Array[Int] = {
+      val rows = new java.util.ArrayList[Integer]()
+      val hashes = new java.util.ArrayList[java.lang.Long]()
+      tokens.foreach { w =>
+        val wid = vocab.get(w)
+        hashes.add(java.lang.Long.valueOf(fnv1a(w)))
+        if (wid != null) {
+          rows.add(wid)
+          subwordRows(w, rows)
+        } else subwordRows(w, rows) // OOV: subword rows only (none if maxn=0)
+      }
+      if (args.wordNgrams > 1) {
+        var i = 0
+        while (i < hashes.size()) {
+          var h = hashes.get(i).longValue()
+          var j = i + 1
+          while (j < hashes.size() && j < i + args.wordNgrams) {
+            h = (h * 116049371L + hashes.get(j).longValue()) & 0xFFFFFFFFFFFFFFFFL
+            rows.add(Integer.valueOf(nwords +
+              java.lang.Long.remainderUnsigned(h, args.bucket.toLong).toInt))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      val out = new Array[Int](rows.size())
+      var i = 0
+      while (i < out.length) { out(i) = rows.get(i).intValue(); i += 1 }
+      out
+    }
+
+    /** Supervised softmax inference (fasttext.cc `predict`): mean of
+      * feature rows → output matrix → softmax; argmax (label, prob).
+      */
+    override def predict(tokens: Array[String]): Option[(String, Double)] = {
+      val fs = lineFeatures(tokens)
+      if (fs.isEmpty) return None
+      val hidden = new Array[Double](dim)
+      fs.foreach { r =>
+        val off = r * dim
+        var d = 0
+        while (d < dim) { hidden(d) += input(off + d); d += 1 }
+      }
+      var d = 0
+      while (d < dim) { hidden(d) /= fs.length; d += 1 }
+      val logits = new Array[Double](labels.length)
+      var c = 0
+      while (c < labels.length) {
+        var s = 0.0
+        var k = 0
+        while (k < dim) { s += output(c * dim + k) * hidden(k); k += 1 }
+        logits(c) = s
+        c += 1
+      }
+      var mx = logits(0); c = 1
+      while (c < logits.length) { if (logits(c) > mx) mx = logits(c); c += 1 }
+      var z = 0.0; c = 0
+      val p = new Array[Double](logits.length)
+      while (c < logits.length) { p(c) = math.exp(logits(c) - mx); z += p(c); c += 1 }
+      var best = 0; c = 1
+      while (c < p.length) { if (p(c) > p(best)) best = c; c += 1 }
+      Some((labels(best).word, p(best) / z))
+    }
+  }
+
+  // ----------------------------------------------------------- binary I/O
+  // fastText writes raw little-endian structs; DataOutput is big-endian,
+  // so every scalar goes through the LE helpers below.
+
+  private def wInt(o: DataOutputStream, v: Int): Unit =
+    o.writeInt(Integer.reverseBytes(v))
+  private def wLong(o: DataOutputStream, v: Long): Unit =
+    o.writeLong(java.lang.Long.reverseBytes(v))
+  private def wDouble(o: DataOutputStream, v: Double): Unit =
+    wLong(o, java.lang.Double.doubleToLongBits(v))
+  private def wFloat(o: DataOutputStream, v: Float): Unit =
+    wInt(o, java.lang.Float.floatToIntBits(v))
+  private def rInt(i: DataInputStream): Int = Integer.reverseBytes(i.readInt())
+  private def rLong(i: DataInputStream): Long = java.lang.Long.reverseBytes(i.readLong())
+  private def rDouble(i: DataInputStream): Double =
+    java.lang.Double.longBitsToDouble(rLong(i))
+  private def rFloat(i: DataInputStream): Float =
+    java.lang.Float.intBitsToFloat(rInt(i))
+
+  /** saveModel layout: magic, version, args, dictionary, quant flag (0),
+    * input matrix (m, n, float32 row-major), qout flag (0), output
+    * matrix.
+    */
+  def save(model: Model, path: String): Unit = {
+    val o = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      wInt(o, Magic); wInt(o, Version)
+      val a = model.args
+      wInt(o, a.dim); wInt(o, a.ws); wInt(o, a.epoch); wInt(o, a.minCount)
+      wInt(o, a.neg); wInt(o, a.wordNgrams); wInt(o, a.loss); wInt(o, a.model)
+      wInt(o, a.bucket); wInt(o, a.minn); wInt(o, a.maxn); wInt(o, a.lrUpdateRate)
+      wDouble(o, a.t)
+      // dictionary.cc save: size, nwords, nlabels (int32); ntokens,
+      // pruneidx_size (int64, -1 = no pruning); entries as
+      // zero-terminated utf8 + count (int64) + type (int8)
+      val entries = model.words ++ model.labels
+      wInt(o, entries.length); wInt(o, model.words.length)
+      wInt(o, model.labels.length)
+      wLong(o, model.ntokens); wLong(o, -1L)
+      entries.foreach { e =>
+        o.write(e.word.getBytes(StandardCharsets.UTF_8)); o.write(0)
+        wLong(o, e.count); o.write(e.entryType.toInt)
+      }
+      o.write(0) // quant_ = false
+      wLong(o, (model.nwords + a.bucket).toLong); wLong(o, a.dim.toLong)
+      model.input.foreach(wFloat(o, _))
+      o.write(0) // qout_ = false
+      wLong(o, model.labels.length.toLong); wLong(o, a.dim.toLong)
+      model.output.foreach(wFloat(o, _))
+    } finally o.close()
+  }
+
+  def load(path: String): Model = {
+    val i = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(path)))
+    try {
+      val magic = rInt(i)
+      require(magic == Magic, s"not a fastText model (magic $magic)")
+      val version = rInt(i)
+      require(version <= Version, s"unsupported fastText version $version")
+      val args = FtArgs(rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rInt(i),
+        rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rDouble(i))
+      val size = rInt(i); val nwords = rInt(i); val nlabels = rInt(i)
+      val ntokens = rLong(i); val pruneSize = rLong(i)
+      val entries = Array.fill(size) {
+        val sb = new java.io.ByteArrayOutputStream()
+        var b = i.read()
+        while (b != 0) {
+          if (b < 0) throw new EOFException("truncated dictionary entry")
+          sb.write(b); b = i.read()
+        }
+        Entry(new String(sb.toByteArray, StandardCharsets.UTF_8),
+          rLong(i), i.read().toByte)
+      }
+      if (pruneSize > 0) { // pruned-vocab id remap — skip (int32 pairs)
+        var k = 0L
+        while (k < pruneSize) { rInt(i); rInt(i); k += 1 }
+      }
+      val quantIn = i.read()
+      require(quantIn == 0, "quantized models unsupported (use .bin, not .ftz)")
+      val m1 = rLong(i); val n1 = rLong(i)
+      require(n1 == args.dim, s"input matrix dim $n1 != args.dim ${args.dim}")
+      val input = new Array[Float]((m1 * n1).toInt)
+      var k = 0
+      while (k < input.length) { input(k) = rFloat(i); k += 1 }
+      val quantOut = i.read()
+      require(quantOut == 0, "quantized output unsupported")
+      val m2 = rLong(i); val n2 = rLong(i)
+      val output = new Array[Float]((m2 * n2).toInt)
+      k = 0
+      while (k < output.length) { output(k) = rFloat(i); k += 1 }
+      new Model(args,
+        entries.filter(_.entryType == 0.toByte),
+        entries.filter(_.entryType == 1.toByte),
+        ntokens, input, output)
+    } finally i.close()
+  }
+}

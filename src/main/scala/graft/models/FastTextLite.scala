@@ -2,6 +2,14 @@ package graft.models
 
 import graft.util.{SplitMix64, XxHash64}
 
+/** Common surface of a fastText-style classifier: the seeded in-engine
+  * [[FastTextLite]] and a loaded on-disk model ([[FastTextBin.Model]])
+  * are interchangeable anywhere the pipeline scores text.
+  */
+trait TextScorer extends Serializable {
+  def predict(words: Array[String]): Option[(String, Double)]
+}
+
 /** A linear bag-of-features text classifier reproducing fastText's
   * *inference semantics* (hashed word + char-ngram features → mean
   * embedding → linear → softmax) without the C++ dependency. The reference
@@ -18,7 +26,7 @@ final class FastTextLite(
     val maxn: Int,
     val embeddings: Array[Double], // buckets x dim
     val output: Array[Double]      // labels x dim
-) extends Serializable {
+) extends TextScorer {
 
   import FastTextLite.features
 

@@ -1,0 +1,140 @@
+package graft.models
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the fastText .bin format support: FNV-1a hash vectors derived
+  * independently (BigInt arithmetic transliterating dictionary.cc), the
+  * byte layout of a tiny saved model against a hand-assembled golden,
+  * save→load round trip, and supervised inference semantics.
+  */
+class FastTextBinSpec extends AnyFunSuite {
+
+  import FastTextBin._
+
+  /** Independent FNV-1a (BigInt transliteration of dictionary.cc hash:
+    * h ^= uint32(int8(byte)); h *= 16777619, all mod 2^32).
+    */
+  private def fnvRef(s: String): Long = {
+    val M = BigInt(1) << 32
+    var h = BigInt(2166136261L)
+    s.getBytes("UTF-8").foreach { b =>
+      val signExtended = BigInt(b.toLong) mod M // int8 -> uint32
+      h = (h ^ signExtended) mod M
+      h = (h * 16777619) mod M
+    }
+    h.toLong
+  }
+
+  test("FNV-1a matches the independent transliteration, incl. sign extension") {
+    for (s <- Seq("a", "the", "__label__hq", "café", "𝔘𝔫", "", "<wo", "rd>"))
+      assert(fnv1a(s) == fnvRef(s), s"hash mismatch for '$s'")
+    // high-bit bytes exercise the int8_t sign-extension quirk
+    assert(fnv1a("é") == fnvRef("é"))
+  }
+
+  private def tinyModel(wordNgrams: Int = 1, minn: Int = 0, maxn: Int = 0): Model = {
+    val dim = 2
+    val args = FtArgs.supervisedDefaults(dim = dim, bucket = 8,
+      wordNgrams = wordNgrams).copy(minn = minn, maxn = maxn)
+    val words = Array(Entry("hello", 5L, 0), Entry("world", 3L, 0))
+    val labels = Array(Entry("__label__a", 4L, 1), Entry("__label__b", 4L, 1))
+    // input: (2 words + 8 buckets) x 2; word rows distinctive
+    val input = new Array[Float]((2 + 8) * dim)
+    input(0) = 1f; input(1) = 0f // "hello"
+    input(2) = 0f; input(3) = 1f // "world"
+    val output = Array(1f, 0f, /* __label__a scores hidden[0] */
+                       0f, 1f) /* __label__b scores hidden[1] */
+    new Model(args, words, labels, 8L, input, output)
+  }
+
+  test("save -> load round trip preserves everything") {
+    val m = tinyModel()
+    val path = java.nio.file.Files.createTempFile("ftbin", ".bin").toString
+    save(m, path)
+    val r = load(path)
+    assert(r.args == m.args)
+    assert(r.words.toSeq == m.words.toSeq)
+    assert(r.labels.toSeq == m.labels.toSeq)
+    assert(r.ntokens == m.ntokens)
+    assert(r.input.toSeq == m.input.toSeq)
+    assert(r.output.toSeq == m.output.toSeq)
+    // identical predictions
+    val toks = Array("hello", "world", "oov")
+    assert(r.predict(toks) == m.predict(toks))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
+  test("byte layout matches a hand-assembled golden header") {
+    val m = tinyModel()
+    val path = java.nio.file.Files.createTempFile("ftbin", ".bin").toString
+    save(m, path)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt() == 793712314) // FASTTEXT_FILEFORMAT_MAGIC
+    assert(bb.getInt() == 12)        // FASTTEXT_VERSION
+    assert(bb.getInt() == 2)         // args.dim
+    assert(bb.getInt() == 5)         // args.ws
+    assert(bb.getInt() == 5)         // args.epoch
+    assert(bb.getInt() == 1)         // args.minCount
+    assert(bb.getInt() == 5)         // args.neg
+    assert(bb.getInt() == 1)         // args.wordNgrams
+    assert(bb.getInt() == 3)         // loss = softmax
+    assert(bb.getInt() == 3)         // model = supervised
+    assert(bb.getInt() == 8)         // bucket
+    assert(bb.getInt() == 0)         // minn
+    assert(bb.getInt() == 0)         // maxn
+    assert(bb.getInt() == 100)       // lrUpdateRate
+    assert(bb.getDouble() == 1e-4)   // t
+    assert(bb.getInt() == 4)         // dict size_
+    assert(bb.getInt() == 2)         // nwords_
+    assert(bb.getInt() == 2)         // nlabels_
+    assert(bb.getLong() == 8L)       // ntokens_
+    assert(bb.getLong() == -1L)      // pruneidx_size_ (unpruned)
+    // first entry: "hello\0" + count + type
+    val w = new Array[Byte](5); bb.get(w)
+    assert(new String(w, "UTF-8") == "hello" && bb.get() == 0)
+    assert(bb.getLong() == 5L)
+    assert(bb.get() == 0) // entry type word
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
+  test("supervised inference: mean of word rows -> output -> softmax argmax") {
+    val m = tinyModel()
+    // "hello" alone: hidden = (1,0) -> label a wins with p = e/(e+1)
+    val pa = m.predict(Array("hello")).get
+    assert(pa._1 == "__label__a")
+    assert(math.abs(pa._2 - math.exp(1.0) / (math.exp(1.0) + 1.0)) < 1e-12)
+    // "world" alone flips to b
+    assert(m.predict(Array("world")).get._1 == "__label__b")
+    // OOV-only input with maxn=0 has no features
+    assert(m.predict(Array("unseen")).isEmpty)
+    // OOV tokens are skipped but known ones still score
+    assert(m.predict(Array("unseen", "hello")).get._1 == "__label__a")
+  }
+
+  test("wordNgrams=2 adds bucketed bigram rows (uint64 composition)") {
+    val m1 = tinyModel(wordNgrams = 1)
+    val m2 = tinyModel(wordNgrams = 2)
+    val f1 = m1.lineFeatures(Array("hello", "world"))
+    val f2 = m2.lineFeatures(Array("hello", "world"))
+    assert(f1.toSeq == Seq(0, 1))
+    assert(f2.length == 3 && f2.take(2).toSeq == Seq(0, 1))
+    // the bigram row = nwords + (h(hello)*116049371 + h(world)) mod bucket
+    val expected = {
+      val h = (BigInt(fnvRef("hello")) * 116049371 + fnvRef("world")) mod (BigInt(1) << 64)
+      2 + (h mod 8).toInt
+    }
+    assert(f2(2) == expected)
+  }
+
+  test("subword rows appear for minn..maxn code-point n-grams of <w>") {
+    val m = tinyModel(minn = 3, maxn = 3)
+    val fs = m.lineFeatures(Array("oov"))
+    // "<oov>" has 3-grams: "<oo","oov","ov>" -> 3 bucketed rows
+    assert(fs.length == 3)
+    assert(fs.forall(r => r >= 2 && r < 2 + 8))
+    val expect = Seq("<oo", "oov", "ov>").map(g => 2 + (BigInt(fnvRef(g)) mod 8).toInt)
+    assert(fs.toSeq == expect)
+  }
+}
