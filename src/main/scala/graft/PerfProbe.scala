@@ -50,6 +50,15 @@ object PerfProbe {
         graft.pipeline.FilterPolicy.evaluate(st)._1
       }).filter(col("value")).count()
     }
+    // the input-size stability evidence: the COMPLETE stage-2 record
+    // (45 signals + 3 ML + 6 DSIR + langid + LM + minhash per row) at
+    // `replicas` — the same job the scaling bench measures
+    if (sys.env.contains("SPARK_GRAFT_PROBE_FULL")) {
+      val models = graft.models.Artifacts.trainFor(spark, sfDir)
+      time("full stage-2 record") {
+        Bench.flagshipOnce(spark, sfDir, replicas, models)._1
+      }
+    }
     spark.stop()
   }
 }
