@@ -1,0 +1,98 @@
+package graft.signals
+
+import graft.pipeline.{CodeFile, SignalPass}
+import graft.text.{Normalizer, PyCompat, WordPunct}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Differential fuzz for the production-size list machinery added in
+  * round 3: the per-length binary-search PHRASE scan (SignalPass
+  * BlockStructs) and the sorted-bucket binary-search STOP lookup
+  * (WordPunct.rawScan) must equal naive counting on random docs and
+  * random lists — including overlapping matches, phrases sharing char
+  * lengths, single-char words, and apostrophe stop entries that can
+  * never match a WordPunct token.
+  */
+class ListMatchFuzzSpec extends AnyFunSuite {
+
+  private val vocab = Array("a", "b", "ab", "ba", "abc", "x", "yz", "q",
+    "w1", "w2", "longword", "tok")
+
+  /** Naive ldnoobw count: the reference's n-gram membership
+    * (content.py:49-100; gen_goldens.py compute): for each distinct
+    * n-gram order in the block list, count doc n-grams present in it.
+    */
+  private def naiveBlockCount(normWords: Array[String],
+                              block: Set[String]): Long = {
+    val orders = block.map(_.count(_ == ' ') + 1)
+    var n = 0L
+    orders.foreach { k =>
+      var i = 0
+      while (i + k <= normWords.length) {
+        if (block.contains(normWords.slice(i, i + k).mkString(" "))) n += 1
+        i += 1
+      }
+    }
+    n
+  }
+
+  private def naiveStopHits(rawWords: Array[String], stops: Set[String]): Long =
+    rawWords.count(stops.contains).toLong
+
+  test("fused block-phrase scan equals naive n-gram membership on random lists") {
+    val rng = new Random(20260817L)
+    for (round <- 0 until 200) {
+      val nWords = rng.nextInt(60)
+      val words = Array.fill(nWords)(vocab(rng.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      // random block list: unigrams + phrases of 2..4 words from the SAME
+      // vocab so collisions and overlaps actually occur
+      val block = (0 until (1 + rng.nextInt(12))).map { _ =>
+        val k = 1 + rng.nextInt(4)
+        Array.fill(k)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      }.toSet
+      val st = SignalPass.compute(
+        CodeFile(round.toLong, "r", "p", "c", "en", text),
+        stopWords = Set("the"), blockWords = block)
+      val normWords = PyCompat.split(Normalizer.normalize(text))
+      val expected =
+        if (Normalizer.normalize(text).isEmpty) 0.0
+        else naiveBlockCount(normWords, block).toDouble
+      assert(st.rps_doc_ldnoobw_words == expected,
+        s"round $round: text='$text' block=$block got ${st.rps_doc_ldnoobw_words} want $expected")
+    }
+  }
+
+  test("rawScan binary-search stop lookup equals naive membership") {
+    val rng = new Random(46L)
+    val rawVocab = Array("the", "a", "don", "t", "'", "dog", "cat", "it's",
+      "zebra", "To", "THE", "ab1", "...")
+    for (round <- 0 until 200) {
+      val n = rng.nextInt(50)
+      val text = Array.fill(n)(rawVocab(rng.nextInt(rawVocab.length))).mkString(" ")
+      // random stop list, deliberately including apostrophe entries
+      // ("it's") that can never equal a WordPunct token
+      val stops = (0 until (1 + rng.nextInt(8)))
+        .map(_ => rawVocab(rng.nextInt(rawVocab.length))).toSet ++ Set("it's")
+      val raw = WordPunct.rawScan(text, WordPunct.stopsByLength(stops))
+      val rawWords = WordPunct.tokenize(text)
+      assert(raw.stopHits == naiveStopHits(rawWords, stops),
+        s"round $round: text='$text' stops=$stops")
+      assert(raw.numWords == rawWords.length)
+    }
+  }
+
+  test("production lists: spot docs against naive counting") {
+    // the real defaults (570 stops / 400 block entries incl. phrases)
+    val doc = "the vile phrase 07 and tox003word with badword obscene phrase " +
+      "vile phrase 07 vile phrase 99"
+    val st = SignalPass.compute(CodeFile(1L, "r", "p", "c", "en", doc))
+    val normWords = PyCompat.split(Normalizer.normalize(doc))
+    assert(st.rps_doc_ldnoobw_words ==
+      naiveBlockCount(normWords, SignalPass.BlockWords).toDouble)
+    val raw = WordPunct.rawScan(doc, WordPunct.stopsByLength(SignalPass.StopWords))
+    assert(raw.stopHits ==
+      naiveStopHits(WordPunct.tokenize(doc), SignalPass.StopWords))
+  }
+}
