@@ -100,11 +100,15 @@ object Lsh {
       val labeled =
         if (edgeCount <= maxDriverEdges) driverUnionFind(uEdges)
         else distributedComponents(uEdges, maxIter)
-      labeled.select(
+      val out = labeled.select(
         fromUnsignedOrder(col("id")).as("id"),
         fromUnsignedOrder(col("cluster_id")).as("cluster_id"))
         // materialize before unpersisting the input in finally
         .localCheckpoint()
+      // drop the distributed path's final label checkpoint (no-op for the
+      // unpersisted driver-UF result)
+      labeled.unpersist(blocking = false)
+      out
     } finally uEdges.unpersist(blocking = false)
   }
 
@@ -137,7 +141,12 @@ object Lsh {
       .toDF("id", "cluster_id")
   }
 
-  /** The scale path: iterative neighbor-min + pointer jumping. */
+  /** The scale path: iterative neighbor-min + pointer jumping. Each
+    * round's label table is localCheckpoint'ed (cuts the growing lineage);
+    * the PREVIOUS round's checkpoint is unpersisted as soon as the next
+    * is materialized and compared — without this every iteration leaks a
+    * cached RDD into the caller's session until driver GC.
+    */
   private[dedupe] def distributedComponents(edges: DataFrame, maxIter: Int): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -170,10 +179,12 @@ object Lsh {
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
         .limit(1).count()
+      labels.unpersist(blocking = false) // previous round's checkpoint
       labels = next
       converged = changes == 0
       iter += 1
     }
+    sym.unpersist(blocking = false)
     labels.withColumnRenamed("label", "cluster_id")
   }
 
