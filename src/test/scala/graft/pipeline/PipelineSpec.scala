@@ -117,6 +117,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hot-band mega-cluster: 30k identical docs form one star, fast") {
+    // the r2 skew weakness made concrete: byte-identical docs collide in
+    // EVERY band, so one (band, sig) group holds the entire corpus — the
+    // exact shape that funneled into a single window-sort task before the
+    // min-aggregate rewrite. The star must come out exact (cluster_id =
+    // min id for every member) through the aggregate + AQE-join path.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 30000
+    val banded = spark.range(n).select(col("id"), explode(array(
+      (0 until 14).map(lit): _*)).as("band"))
+      .withColumn("sig", lit(Array[Byte](1, 2, 3))) // one hot group per band
+    val edges = graft.dedupe.Lsh.edges(banded)
+    // star edges: every non-min node points at the min (id 0), once
+    assert(edges.count() == (n - 1).toLong)
+    assert(edges.agg(min("dst"), max("dst")).first().toSeq == Seq(0L, 0L))
+    val cc = graft.dedupe.Lsh.connectedComponents(edges)
+    assert(cc.count() == n.toLong)
+    assert(cc.filter(col("cluster_id") =!= 0L).count() == 0)
+  }
+
   test("simhash pairs: exact dups always found; all results sound") {
     val res = graft.dedupe.SimHash
       .nearDuplicates(SparkEntry.variantWords(spark, sfDir), 3).collect()
