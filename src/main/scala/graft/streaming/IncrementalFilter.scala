@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.pipeline.{CodeFile, FilterPolicy, SignalPass}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Incremental (Structured Streaming) quality filtering — a
+  * beyond-reference capability: the reference processes fixed snapshot
+  * listings (SURVEY §2.10: no streaming in its inventory), but a
+  * production corpus arrives continuously (new crawl dumps, new repo
+  * pushes). This module runs the SAME fused signal pass + frozen policy
+  * over a stream of corpus rows:
+  *
+  *  - [[decide]] is per-row mapPartitions only (no shuffle, no state), so
+  *    it composes with any source/sink/output-mode and scales with input
+  *    partitions exactly like the batch pass;
+  *  - [[windowedMetrics]] is the streaming analogue of the catalog's
+  *    lineage table: watermarked event-time windows of keep/drop-reason
+  *    counts (append mode emits only finalized windows — late rows past
+  *    the watermark are dropped, bounding state);
+  *  - [[writeTo]] appends decided rows to parquet with a checkpoint
+  *    location, so a restarted stream resumes exactly-once — the
+  *    streaming counterpart of CorpusCatalog's commit-marker resume.
+  */
+object IncrementalFilter {
+
+  /** One streamed corpus row: ingestion event time + the batch row. */
+  final case class StampedFile(ts: java.sql.Timestamp, doc_id: Long,
+                               repo: String, path: String, commit: String,
+                               lang: String, content: String)
+
+  /** Per-row decisions over a (possibly streaming) stamped dataset — the
+    * batch `QualityFilterJob.decide` semantics with the event time
+    * carried through for windowing.
+    */
+  def decide(files: Dataset[StampedFile]): DataFrame = {
+    import files.sparkSession.implicits._
+    files.mapPartitions { it =>
+      it.map { sf =>
+        val st = SignalPass.compute(
+          CodeFile(sf.doc_id, sf.repo, sf.path, sf.commit, sf.lang, sf.content))
+        val (keep, reason) = FilterPolicy.evaluate(st)
+        (sf.ts, sf.doc_id, sf.repo, keep, reason, st.word_count)
+      }
+    }.toDF("ts", "doc_id", "repo", "keep", "drop_reason", "word_count")
+  }
+
+  /** Watermarked per-window lineage metrics. Append-mode emits a window
+    * only once its watermark passes — finalized, immutable counts, like a
+    * committed catalog metrics partition.
+    */
+  def windowedMetrics(decided: DataFrame,
+                      windowLen: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame =
+    decided
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("drop_reason"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("window.start").as("window_start"), col("drop_reason"),
+        col("n_files"), col("n_kept"))
+
+  /** Exactly-once parquet append with checkpointed resume. The caller
+    * `.start()`s (and owns) the returned writer, e.g. with
+    * `Trigger.AvailableNow()` for catch-up runs.
+    */
+  def writeTo(decided: DataFrame, path: String,
+              checkpoint: String): DataStreamWriter[Row] =
+    decided.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+}
