@@ -47,7 +47,8 @@ object Bench {
     "q34_langid_check" -> 0.6, "q35_quality_check" -> 0.5,
     "q36_ann_lsh_twins" -> 3.8, "q37_dsir_lc" -> 0.4,
     "q38_signals_core" -> 1.3, "q39_minhash_core" -> 0.5,
-    "q40_lsh_distributed_cc" -> 5.8, "q41_bpe_tokens" -> 0.6)
+    "q40_lsh_distributed_cc" -> 5.8, "q41_bpe_tokens" -> 0.6,
+    "q42_winnow_dup_check" -> 2.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -643,6 +643,35 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Rolling-hash document fingerprinting (winnowing, Schleimer et al.
+    // 2003) under a construction oracle: byte-identical twins have
+    // IDENTICAL fingerprint sets, so their Jaccard overlap through the
+    // distributed path (per-doc winnow → explode → equi-join on the
+    // fingerprint value → per-pair counts) must be exactly 1.0. The
+    // operator itself is the fifth fingerprinting family (sha256 exact,
+    // SimHash, MinHash, BPE vocab) — local fingerprints with the
+    // w+k-1-substring detection guarantee (WinnowingSpec pins it).
+    "q42_winnow_dup_check" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+      val withTwins = cf.unionAll(cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 200000).as("id"), col("content")))
+      val fpUdf = udf((c: String) => graft.text.Winnowing.fingerprints(c))
+      val fps = withTwins
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("id"), fpUdf(col("content")).as("fps"))
+        .select(col("id"), size(col("fps")).as("n"), explode(col("fps")).as("fp"))
+      val a = fps.select(col("fp"), col("id").as("id_a"), col("n").as("n_a"))
+      val b = fps.select(col("fp"), col("id").as("id_b"), col("n").as("n_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("id_b") === col("id_a") + 200000 && col("id_a") % 10 === 3)
+        .groupBy("id_a", "n_a", "n_b")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a").as("id"),
+          (col("inter") === col("n_a") && col("inter") === col("n_b"))
+            .as("identical_fp"))
+        .orderBy("id")
+    }),
+
     // BPE token counting (the reference's token_count.py side pipeline;
     // output schema token_count.py:301-307) under a CONSTRUCTION oracle:
     // the corpus is rebuilt from a closed 3-word vocabulary {abab, abc, dd}
@@ -1189,6 +1218,14 @@ object SparkEntry {
     "q29_lsh_from_table" ->
       s"""WITH $cte
          |SELECT repo || '/' || doc_id AS id, true AS same_cluster
+         |FROM code_files WHERE doc_id % 10 = 3
+         |ORDER BY id""".stripMargin,
+
+    // winnowing construction truth: byte-identical twins ⇒ identical
+    // fingerprint sets ⇒ overlap exactly 1.0
+    "q42_winnow_dup_check" ->
+      s"""WITH $cte
+         |SELECT doc_id AS id, true AS identical_fp
          |FROM code_files WHERE doc_id % 10 = 3
          |ORDER BY id""".stripMargin,
 

@@ -1,0 +1,92 @@
+package graft.text
+
+/** Rolling-hash document fingerprinting by winnowing (Schleimer, Wilkerson,
+  * Aiken, SIGMOD 2003) — the classic local fingerprinting scheme for code
+  * and text reuse detection, complementing the global schemes already in
+  * the engine (sha256 exact, SimHash, MinHash): any shared substring of at
+  * least `w + k - 1` chars between two documents is GUARANTEED to surface
+  * as a shared fingerprint.
+  *
+  *  - k-gram hashes come from a Rabin-Karp ROLLING hash over chars (one
+  *    multiply + subtract per step, O(n) total);
+  *  - each window of `w` consecutive k-gram hashes contributes its MINIMUM
+  *    (rightmost on ties — the paper's robust winnowing), so ~2/(w+1) of
+  *    positions are selected regardless of document length.
+  *
+  * Fingerprints are (hash, position-independent) values; overlap between
+  * two documents' fingerprint SETS estimates shared content, and exact
+  * duplicates share every fingerprint.
+  */
+object Winnowing {
+
+  private final val Base = 1000003L // small prime base, 64-bit wraparound
+
+  /** Rolling k-gram hashes of `s` (length n-k+1); empty for short input. */
+  private[text] def kgramHashes(s: String, k: Int): Array[Long] = {
+    val n = s.length
+    if (n < k) return Array.emptyLongArray
+    val out = new Array[Long](n - k + 1)
+    // precompute Base^(k-1) with wraparound
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + s.charAt(i); i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = (h - s.charAt(i - k) * pow) * Base + s.charAt(i)
+      out(i - k + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprint set: min of each w-window of k-gram hashes,
+    * rightmost-min tie-break, deduplicated. Deterministic; ~2/(w+1)
+    * density.
+    */
+  def fingerprints(text: String, k: Int = 25, w: Int = 16): Array[Long] = {
+    val hs = kgramHashes(text, k)
+    if (hs.isEmpty) return Array.emptyLongArray
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    if (hs.length <= w) { // one (short) window
+      var min = hs(0)
+      var i = 1
+      while (i < hs.length) { if (hs(i) <= min) min = hs(i); i += 1 }
+      out += min
+      return out.toArray
+    }
+    // sliding minimum via re-scan on expiry (w is small and constant, and
+    // the common path — new element smaller-or-equal — is O(1))
+    var minIdx = 0
+    var i = 1
+    while (i < w) { if (hs(i) <= hs(minIdx)) minIdx = i; i += 1 }
+    out += hs(minIdx)
+    i = w
+    while (i < hs.length) {
+      val lo = i - w + 1
+      if (minIdx < lo) { // previous min expired: rescan the window
+        minIdx = lo
+        var j = lo + 1
+        while (j <= i) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+        out += hs(minIdx)
+      } else if (hs(i) <= hs(minIdx)) { // rightmost min on ties
+        minIdx = i
+        out += hs(minIdx)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Jaccard overlap of two fingerprint sets. */
+  def overlap(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val sa = a.toSet
+    val sb = b.toSet
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class WinnowingSpec extends AnyFunSuite {
+
+  test("rolling k-gram hashes equal direct per-position recomputation") {
+    val rng = new Random(7L)
+    for (_ <- 0 until 50) {
+      val s = Array.fill(5 + rng.nextInt(200))(
+        ('a' + rng.nextInt(26)).toChar).mkString
+      val k = 1 + rng.nextInt(math.min(8, s.length))
+      val rolled = Winnowing.kgramHashes(s, k)
+      val direct = (0 to s.length - k).map { i =>
+        var h = 0L
+        (i until i + k).foreach(j => h = h * 1000003L + s.charAt(j))
+        h
+      }
+      assert(rolled.toSeq == direct)
+    }
+  }
+
+  test("winnowing guarantee: any shared substring of w+k-1 chars is detected") {
+    val rng = new Random(11L)
+    val k = 5
+    val w = 4
+    val shared = Array.fill(w + k - 1)(('a' + rng.nextInt(26)).toChar).mkString
+    for (round <- 0 until 50) {
+      def noise(n: Int) = Array.fill(n)(('A' + rng.nextInt(26)).toChar).mkString
+      val d1 = noise(rng.nextInt(100)) + shared + noise(rng.nextInt(100))
+      val d2 = noise(rng.nextInt(100)) + shared + noise(rng.nextInt(100))
+      val f1 = Winnowing.fingerprints(d1, k, w).toSet
+      val f2 = Winnowing.fingerprints(d2, k, w).toSet
+      assert(f1.intersect(f2).nonEmpty,
+        s"round $round: shared ${shared.length}-char substring produced no shared fingerprint")
+    }
+  }
+
+  test("identical documents have identical fingerprint sets; overlap = 1") {
+    val doc = "the quick brown fox jumps over the lazy dog " * 8
+    val a = Winnowing.fingerprints(doc)
+    val b = Winnowing.fingerprints(doc)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    assert(Winnowing.overlap(a, b) == 1.0)
+  }
+
+  test("density is ~2/(w+1) and positions-independent of length") {
+    val rng = new Random(3L)
+    val s = Array.fill(20000)(('a' + rng.nextInt(26)).toChar).mkString
+    val k = 25; val w = 16
+    val fps = Winnowing.fingerprints(s, k, w)
+    val density = fps.length.toDouble / (s.length - k + 1)
+    // selected-position density ~2/(w+1) ≈ 0.118 (dedup of values only
+    // lowers it slightly on random text)
+    assert(density > 0.05 && density < 0.2, s"density $density out of range")
+  }
+
+  test("short and empty inputs") {
+    assert(Winnowing.fingerprints("", 25, 16).isEmpty)
+    assert(Winnowing.fingerprints("tiny", 25, 16).isEmpty)
+    // exactly k chars → one k-gram → one fingerprint
+    assert(Winnowing.fingerprints("a" * 25, 25, 16).length == 1)
+    assert(Winnowing.overlap(Array.emptyLongArray, Array.emptyLongArray) == 1.0)
+    assert(Winnowing.overlap(Array(1L), Array.emptyLongArray) == 0.0)
+  }
+
+  test("disjoint alphabets share nothing") {
+    val a = Winnowing.fingerprints("abcdefghij" * 20, 5, 4)
+    val b = Winnowing.fingerprints("KLMNOPQRST" * 20, 5, 4)
+    assert(Winnowing.overlap(a, b) == 0.0)
+  }
+}
