@@ -113,7 +113,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(p.contains("RoundRobinPartitioning"),
         s"$q lost its round-robin spread — heavy stage starved at scan width:\n$p")
     }
-    for (q <- Seq("q16_signals_table", "q17_minhash_table")) {
+    for (q <- Seq("q16_signals_table", "q17_minhash_table",
+      "q38_signals_core", "q39_minhash_core")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(p.contains("hashpartitioning(repo"),
         s"$q lost its salted (repo, path-hash) spread:\n$p")
