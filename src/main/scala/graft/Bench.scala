@@ -150,6 +150,13 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
+          // GC hygiene between queries: localCheckpoint blocks and
+          // broadcasts are only reclaimed by ContextCleaner AFTER a driver
+          // GC; without a nudge, 37 queries of debris accumulate until a
+          // full GC lands inside the biggest allocator's timing window
+          // (the 0.9 s ↔ 16 s q31 mystery — reproduced only in FULL
+          // passes, never in short ones)
+          System.gc()
           name -> dt
         }
       val passes = Seq(onePass(), onePass())

@@ -651,6 +651,11 @@ object SparkEntry {
     // operator itself is the fifth fingerprinting family (sha256 exact,
     // SimHash, MinHash, BPE vocab) — local fingerprints with the
     // w+k-1-substring detection guarantee (WinnowingSpec pins it).
+    // Scale note: at corpus scale, all-pairs overlap over raw fingerprints
+    // needs a document-frequency cap on the join key (drop fps with
+    // df > ~100 — boilerplate shared by thousands of files, the same
+    // hot-shingle discipline PPJoin/LSH apply); the twin check filters to
+    // (id, id+200000) pairs inside the join, so no hot-key blowup here.
     "q42_winnow_dup_check" -> ((s, dir) => {
       val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
       val withTwins = cf.unionAll(cf.filter(col("id") % 10 === 3)

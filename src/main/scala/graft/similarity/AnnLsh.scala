@@ -70,9 +70,11 @@ object AnnLsh {
     val planes = spark.sparkContext.broadcast(hyperplanes(bits, dim, seed))
     val masks = probeMasks(bits, probeRadius)
 
-    val bucketUdf = udf((v: Seq[Double]) => bucketOf(v.toArray, planes.value))
-    val probesUdf = udf((v: Seq[Double]) => {
-      val c = bucketOf(v.toArray, planes.value)
+    // Array[Double] params: Spark hands the UDF primitive arrays (no
+    // per-element boxing — these run once per corpus row)
+    val bucketUdf = udf((v: Array[Double]) => bucketOf(v, planes.value))
+    val probesUdf = udf((v: Array[Double]) => {
+      val c = bucketOf(v, planes.value)
       masks.map(c ^ _)
     })
 

@@ -29,7 +29,12 @@ object EmbedNearDup {
     * (millions of rows × 64 dims) it dominated the whole query; the udf
     * is ~20× faster here despite the boxing toll.
     */
-  private val dotUdf = udf { (x: Seq[Double], y: Seq[Double]) =>
+  // Array[Double] parameters make Spark hand the UDF PRIMITIVE arrays
+  // (ArrayData.toDoubleArray) instead of boxing every element into a
+  // Seq[Double]: same values, a fraction of the garbage — at pair-join
+  // volume the boxed path's allocation burst was what dragged these
+  // queries into full GCs late in long multi-query sessions.
+  private val dotUdf = udf { (x: Array[Double], y: Array[Double]) =>
     var s = 0.0
     var i = 0
     val n = math.min(x.length, y.length)
@@ -122,8 +127,7 @@ object EmbedNearDup {
     val bands = bandsOpt.getOrElse(bandsFor(rowBits))
     val planes = spark.sparkContext.broadcast(
       AnnLsh.hyperplanes(bands * rowBits, dim, seed))
-    val keysUdf = udf((v: Seq[Double]) => {
-      val va = v.toArray
+    val keysUdf = udf((va: Array[Double]) => {
       val ps = planes.value
       Array.tabulate(bands) { bi =>
         var code = 0L

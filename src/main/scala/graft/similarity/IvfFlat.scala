@@ -99,10 +99,10 @@ object IvfFlat {
     val centroids = spark.sparkContext.broadcast(
       trainCentroids(sample, nCentroids, iters = 8, seed))
 
-    val cellUdf = udf((v: Seq[Double]) =>
-      nearestCentroid(v.toArray, centroids.value))
-    val probesUdf = udf((v: Seq[Double]) =>
-      probeCells(v.toArray, centroids.value, nprobe))
+    val cellUdf = udf((v: Array[Double]) => // primitive arrays, no boxing
+      nearestCentroid(v, centroids.value))
+    val probesUdf = udf((v: Array[Double]) =>
+      probeCells(v, centroids.value, nprobe))
 
     val dot: (Column, Column) => Column = (x, y) =>
       aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
