@@ -64,4 +64,42 @@ class BpeSpec extends AnyFunSuite {
     val bpe = Bpe.train(Seq(("ab", 1L)), 10)
     assert(bpe.merges.length == 1) // (a,b), then the word is one symbol
   }
+
+  test("incremental trainer is merge-for-merge identical to the naive spec") {
+    val rng = new scala.util.Random(20260817L)
+    for (round <- 0 until 60) {
+      val vocabSize = 1 + rng.nextInt(40)
+      val alphabet = "abcd"
+      val wordCounts = (0 until vocabSize).map { _ =>
+        val w = Array.fill(1 + rng.nextInt(8))(
+          alphabet(rng.nextInt(alphabet.length))).mkString
+        (w, (1 + rng.nextInt(50)).toLong)
+      }
+      // duplicate words merged (maps both paths see the same multiset)
+      val grouped = wordCounts.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      val k = 1 + rng.nextInt(12)
+      val fast = Bpe.train(grouped, k)
+      val naive = Bpe.trainNaive(grouped, k)
+      assert(fast.merges.toSeq == naive.merges.toSeq,
+        s"round $round diverged: fast=${fast.merges.toSeq} naive=${naive.merges.toSeq} corpus=$grouped k=$k")
+    }
+  }
+
+  test("incremental trainer handles a real-scale merge count quickly") {
+    // 4k distinct words over a 6-letter alphabet, 1000 merges — the naive
+    // full-recount trainer is quadratic here; the indexed one is subsecond
+    val rng = new scala.util.Random(9L)
+    val words = (0 until 4000).map { i =>
+      (Array.fill(3 + rng.nextInt(10))(('a' + rng.nextInt(6)).toChar).mkString,
+        (1 + rng.nextInt(100)).toLong)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val t0 = System.nanoTime()
+    val bpe = Bpe.train(words, 1000)
+    val dt = (System.nanoTime() - t0) / 1e9
+    assert(bpe.merges.length == 1000)
+    assert(dt < 20.0, s"incremental trainer took $dt s for 1000 merges")
+    // the trained encoder still tokenizes deterministically
+    assert(bpe.countWord("abcabc") >= 1)
+  }
 }
