@@ -48,7 +48,7 @@ object Bench {
     "q36_ann_lsh_twins" -> 3.8, "q37_dsir_lc" -> 0.4,
     "q38_signals_core" -> 1.3, "q39_minhash_core" -> 0.5,
     "q40_lsh_distributed_cc" -> 5.8, "q41_bpe_tokens" -> 0.6,
-    "q42_winnow_dup_check" -> 2.0)
+    "q42_winnow_dup_check" -> 2.0, "q43_embed_clusters" -> 2.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

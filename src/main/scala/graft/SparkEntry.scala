@@ -204,12 +204,19 @@ object SparkEntry {
     // The operators stay first-class (PipelineSpec/TablesSpec still pin
     // their co-clustering and recall invariants directly).
 
-    // KenLM-style perplexity + head/middle/tail bucketing
+    // KenLM-style perplexity + head/middle/tail bucketing. The CHECKED
+    // bucket is derived from the e4-ROUNDED perplexity and cutoffs on both
+    // sides: raw-double boundaries are last-ulp sensitive (ln/exp differ
+    // between JVM and DuckDB, and DuckDB's parallel sum(ln p) is not even
+    // run-to-run bitwise stable — a boundary doc flipped the oracle at
+    // sf0.1), while e4-rounded comparison is deterministic unless a true
+    // value sits within an ulp of a 5e-5 rounding edge.
     "q13_perplexity" -> ((s, dir) => {
       import s.implicits._
       val models = graft.models.Artifacts.trainFor(s, dir)
       val lm = s.sparkContext.broadcast(models.lm)
-      val cutoffs = models.pplCutoffs
+      val (c1, c2) = models.pplCutoffs
+      val (c1e4, c2e4) = (math.round(c1 * 10000), math.round(c2 * 10000))
       CodeFiles(s, dir).select(col("doc_id"), col("content"))
         .as[(Long, String)]
         .mapPartitions { it =>
@@ -218,8 +225,11 @@ object SparkEntry {
             val words = graft.text.PyCompat.split(
               graft.text.Normalizer.normalize(content))
             val ppl = m.perplexity(words).getOrElse(Double.NaN)
-            (id, math.round(ppl * 10000),
-              graft.models.Artifacts.bucketOf(ppl, cutoffs))
+            val pplE4 = math.round(ppl * 10000)
+            val bucket =
+              if (pplE4 <= c1e4) "head"
+              else if (pplE4 <= c2e4) "middle" else "tail"
+            (id, pplE4, bucket)
           }
         }.toDF("doc_id", "ppl_e4", "bucket").orderBy("doc_id")
     }),
@@ -641,6 +651,27 @@ object SparkEntry {
         probeRadius = 2)
         .select(col("query_id"), col("vec_id").as("top1_id"))
         .orderBy("query_id")
+    }),
+
+    // Embedding near-dup CLUSTERS end-to-end (pairsBanded → connected
+    // components → unsigned-min cluster ids): construction truth — each
+    // twin (vec_id+100000) must land in the same cluster as its base, and
+    // the cluster id must be ≤ the base id (the unsigned-min contract; it
+    // can be smaller when several bases are mutually near-dup).
+    "q43_embed_clusters" -> ((s, dir) => {
+      val cl = graft.similarity.EmbedNearDup.clusters(
+        graft.similarity.EmbedNearDup.pairsBanded(embWithTwins(s, dir), 0.7))
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id")).filter(col("vec_id") % 10 === 3)
+      base
+        .join(cl.select(col("id").as("vec_id"), col("cluster_id").as("c_base")),
+          Seq("vec_id"), "left")
+        .join(cl.select((col("id") - 100000L).as("vec_id"),
+          col("cluster_id").as("c_twin")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (col("c_base").isNotNull && col("c_base") === col("c_twin") &&
+            col("c_base") <= col("vec_id")).as("co_clustered"))
+        .orderBy("vec_id")
     }),
 
     // Rolling-hash document fingerprinting (winnowing, Schleimer et al.
@@ -1143,8 +1174,10 @@ object SparkEntry {
          |)
          |SELECT p.doc_id,
          |       CAST(floor(p.ppl * 10000 + 0.5) AS BIGINT) AS ppl_e4,
-         |       CASE WHEN p.ppl <= cuts.c1 THEN 'head'
-         |            WHEN p.ppl <= cuts.c2 THEN 'middle'
+         |       CASE WHEN floor(p.ppl * 10000 + 0.5) <= floor(cuts.c1 * 10000 + 0.5)
+         |              THEN 'head'
+         |            WHEN floor(p.ppl * 10000 + 0.5) <= floor(cuts.c2 * 10000 + 0.5)
+         |              THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM ppl p CROSS JOIN cuts
          |ORDER BY p.doc_id""".stripMargin,
@@ -1225,6 +1258,13 @@ object SparkEntry {
          |SELECT repo || '/' || doc_id AS id, true AS same_cluster
          |FROM code_files WHERE doc_id % 10 = 3
          |ORDER BY id""".stripMargin,
+
+    // embedding-cluster construction truth: every twin co-clusters with
+    // its base under the unsigned-min id contract
+    "q43_embed_clusters" ->
+      """SELECT vec_id, true AS co_clustered
+        |FROM embeddings WHERE vec_id % 10 = 3
+        |ORDER BY vec_id""".stripMargin,
 
     // winnowing construction truth: byte-identical twins ⇒ identical
     // fingerprint sets ⇒ overlap exactly 1.0
