@@ -30,25 +30,25 @@ object Bench {
     * how wrong a recorded number can be, never improve a clean one.
     */
   private val QueryPriors: Map[String, Double] = Map(
-    "q01_text_stats" -> 1.8, "q02_quality_filter" -> 1.4,
-    "q03_line_stats" -> 1.0, "q04_exact_dedup" -> 2.4,
-    "q05_dup_groups" -> 1.3, "q06_ngram_jaccard" -> 7.0,
-    "q07_top_ngram" -> 1.6, "q08_pii_scrub" -> 0.3,
-    "q09_ann_cosine" -> 0.9, "q13_perplexity" -> 0.7,
-    "q14_dsir_weights" -> 0.5, "q16_signals_table" -> 3.0,
-    "q17_minhash_table" -> 1.2, "q19_multimodal" -> 0.9,
-    "q20_ut1_lookup" -> 0.3, "q21_dedup_apply" -> 1.2,
-    "q22_token_totals" -> 1.5, "q23_events_hourly" -> 0.7,
-    "q24_sessionize" -> 0.9, "q25_lsh_dup_check" -> 3.7,
+    "q01_text_stats" -> 0.9, "q02_quality_filter" -> 0.9,
+    "q03_line_stats" -> 0.9, "q04_exact_dedup" -> 1.0,
+    "q05_dup_groups" -> 0.6, "q06_ngram_jaccard" -> 7.0,
+    "q07_top_ngram" -> 1.6, "q08_pii_scrub" -> 0.2,
+    "q09_ann_cosine" -> 0.7, "q13_perplexity" -> 0.6,
+    "q14_dsir_weights" -> 0.4, "q16_signals_table" -> 1.1,
+    "q17_minhash_table" -> 0.8, "q19_multimodal" -> 0.3,
+    "q20_ut1_lookup" -> 0.3, "q21_dedup_apply" -> 1.0,
+    "q22_token_totals" -> 0.9, "q23_events_hourly" -> 0.5,
+    "q24_sessionize" -> 0.4, "q25_lsh_dup_check" -> 2.5,
     "q26_simhash_dup_check" -> 1.4, "q27_jsonl_ingest" -> 0.2,
-    "q28_bloom_dedup" -> 0.7, "q29_lsh_from_table" -> 4.2,
-    "q30_ann_ivf" -> 2.1, "q31_embed_neardup" -> 1.4,
-    "q32_embed_neardup_lsh" -> 1.8, "q33_catalog_metrics" -> 7.9,
-    "q34_langid_check" -> 0.6, "q35_quality_check" -> 0.5,
-    "q36_ann_lsh_twins" -> 3.8, "q37_dsir_lc" -> 0.4,
-    "q38_signals_core" -> 1.3, "q39_minhash_core" -> 0.5,
-    "q40_lsh_distributed_cc" -> 5.8, "q41_bpe_tokens" -> 0.6,
-    "q42_winnow_dup_check" -> 2.0, "q43_embed_clusters" -> 2.5)
+    "q28_bloom_dedup" -> 0.7, "q29_lsh_from_table" -> 2.8,
+    "q30_ann_ivf" -> 1.0, "q31_embed_neardup" -> 1.0,
+    "q32_embed_neardup_lsh" -> 1.6, "q33_catalog_metrics" -> 6.0,
+    "q34_langid_check" -> 0.5, "q35_quality_check" -> 0.5,
+    "q36_ann_lsh_twins" -> 3.3, "q37_dsir_lc" -> 0.3,
+    "q38_signals_core" -> 1.0, "q39_minhash_core" -> 0.4,
+    "q40_lsh_distributed_cc" -> 4.4, "q41_bpe_tokens" -> 0.4,
+    "q42_winnow_dup_check" -> 1.3, "q43_embed_clusters" -> 2.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
