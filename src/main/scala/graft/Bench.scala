@@ -163,10 +163,18 @@ object Bench {
       val byName = SparkEntry.queries.toMap
       def retryOnce(name: String): Double = {
         val t0 = System.nanoTime()
-        try byName(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a thrown query must NEVER contribute a sample: its short
+        // failure time would silently become the recorded min
+        val dt =
+          try { byName(name)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] retry $name failed: $e")
+            Double.MaxValue }
+        // same hygiene as onePass, so retry samples run under the same
+        // GC conditions as the samples they may replace
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       val r = passes.head.map(_._1).map { name =>

@@ -91,10 +91,14 @@ object FastTextBin {
       val cps = marked.codePoints().toArray
       var i = 0
       while (i < cps.length) {
-        var n = args.minn
+        var n = math.max(args.minn, 1)
         while (n <= args.maxn && i + n <= cps.length) {
-          val ngram = new String(cps, i, n)
-          into.add(Integer.valueOf(nwords + (fnv1a(ngram) % args.bucket).toInt))
+          // computeSubwords skips 1-grams at the word boundary — the bare
+          // '<' and '>' marker chars never become features
+          if (!(n == 1 && (i == 0 || i + n == cps.length))) {
+            val ngram = new String(cps, i, n)
+            into.add(Integer.valueOf(nwords + (fnv1a(ngram) % args.bucket).toInt))
+          }
           n += 1
         }
         i += 1
@@ -108,10 +112,17 @@ object FastTextBin {
       */
     def lineFeatures(tokens: Array[String]): Array[Int] = {
       val rows = new java.util.ArrayList[Integer]()
-      val hashes = new java.util.ArrayList[java.lang.Long]()
+      // dictionary.cc stores token hashes in a vector<int32_t>: the uint32
+      // FNV value is NARROWED to int32 here, and addWordNgrams widens each
+      // back to uint64 by SIGN-EXTENSION (`uint64_t h = hashes[i]`). For
+      // any token whose hash >= 2^31 (~half of them) the sign-extended
+      // value differs from the raw uint32 — compose with the same
+      // narrow-then-sign-extend or published wordNgrams>=2 models score
+      // wrong feature rows.
+      val hashes = new java.util.ArrayList[Integer]()
       tokens.foreach { w =>
         val wid = vocab.get(w)
-        hashes.add(java.lang.Long.valueOf(fnv1a(w)))
+        hashes.add(Integer.valueOf(fnv1a(w).toInt))
         if (wid != null) {
           rows.add(wid)
           subwordRows(w, rows)
@@ -120,10 +131,10 @@ object FastTextBin {
       if (args.wordNgrams > 1) {
         var i = 0
         while (i < hashes.size()) {
-          var h = hashes.get(i).longValue()
+          var h = hashes.get(i).longValue() // int32 → sign-extended uint64
           var j = i + 1
           while (j < hashes.size() && j < i + args.wordNgrams) {
-            h = (h * 116049371L + hashes.get(j).longValue()) & 0xFFFFFFFFFFFFFFFFL
+            h = h * 116049371L + hashes.get(j).longValue()
             rows.add(Integer.valueOf(nwords +
               java.lang.Long.remainderUnsigned(h, args.bucket.toLong).toInt))
             j += 1
@@ -232,8 +243,14 @@ object FastTextBin {
       require(magic == Magic, s"not a fastText model (magic $magic)")
       val version = rInt(i)
       require(version <= Version, s"unsupported fastText version $version")
-      val args = FtArgs(rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rInt(i),
+      val rawArgs = FtArgs(rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rInt(i),
         rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rInt(i), rDouble(i))
+      // FastText::loadModel forces maxn=0 for pre-v12 supervised models
+      // (char n-grams were added to sup in v12; old files carry stale
+      // minn/maxn that must not produce subword rows)
+      val args =
+        if (version == 11 && rawArgs.model == 3) rawArgs.copy(maxn = 0)
+        else rawArgs
       val size = rInt(i); val nwords = rInt(i); val nlabels = rInt(i)
       val ntokens = rLong(i); val pruneSize = rLong(i)
       val entries = Array.fill(size) {

@@ -90,20 +90,29 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val target = new HPath(tableDir(table), s"part=$key")
     if (fs.exists(target)) // uncommitted debris from a killed run
       fs.delete(target, true)
-    fs.rename(stagedDir, target)
+    // Hadoop rename REPORTS failure (false) instead of throwing like
+    // NIO's ATOMIC_MOVE did — swallowing it would write a marker over a
+    // missing data dir and break the "a killed job never exposes partial
+    // partitions" invariant
+    if (!fs.rename(stagedDir, target))
+      throw new java.io.IOException(
+        s"commit rename failed: $stagedDir -> $target")
     writeMarker(table, key, rows)
     true
   }
 
   private def writeMarker(table: String, key: String, rows: Long): Unit = {
-    fs.mkdirs(commitDir(table))
+    if (!fs.mkdirs(commitDir(table)))
+      throw new java.io.IOException(s"mkdirs failed: ${commitDir(table)}")
     val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(
       s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmp, markerFile(table, key))
+    if (!fs.rename(tmp, markerFile(table, key)))
+      throw new java.io.IOException(
+        s"marker rename failed: $tmp -> ${markerFile(table, key)}")
   }
 
   /** Read all committed partitions of a table (uncommitted part dirs —

@@ -137,4 +137,67 @@ class FastTextBinSpec extends AnyFunSuite {
     val expect = Seq("<oo", "oov", "ov>").map(g => 2 + (BigInt(fnvRef(g)) mod 8).toInt)
     assert(fs.toSeq == expect)
   }
+
+  /** A model with an arbitrary (word set, bucket) for feature-row tests;
+    * matrices sized but zeroed — lineFeatures never reads them.
+    */
+  private def featModel(words: Seq[String], bucket: Int, wordNgrams: Int = 1,
+                        minn: Int = 0, maxn: Int = 0): Model = {
+    val dim = 2
+    val args = FtArgs.supervisedDefaults(dim = dim, bucket = bucket,
+      wordNgrams = wordNgrams).copy(minn = minn, maxn = maxn)
+    val ws = words.map(w => Entry(w, 1L, 0)).toArray
+    val labels = Array(Entry("__label__a", 1L, 1))
+    new Model(args, ws, labels, 1L,
+      new Array[Float]((words.length + bucket) * dim), new Array[Float](dim))
+  }
+
+  test("word-ngram composition sign-extends int32 hashes (dictionary.cc storage)") {
+    // dictionary.cc keeps token hashes in vector<int32_t>; addWordNgrams
+    // widens them back to uint64 BY SIGN-EXTENSION. fnv("foo") =
+    // 2851307223 >= 2^31, so its stored int32 is negative and the real
+    // composition differs from naive uint32 chaining. The difference is a
+    // multiple of 2^32, so only a NON-power-of-two bucket (fastText's
+    // default is 2,000,000) can see it — hence bucket = 997 here.
+    val bucket = 997
+    val m = featModel(Seq("foo", "bar"), bucket, wordNgrams = 2)
+    val fs = m.lineFeatures(Array("foo", "bar"))
+    assert(fs.take(2).toSeq == Seq(0, 1))
+    val M64 = BigInt(1) << 64
+    def sx(u: Long): BigInt = BigInt(u.toInt.toLong) // int32 narrow, sign-extend
+    val hRef = (sx(fnvRef("foo")) * 116049371 + sx(fnvRef("bar"))) mod M64
+    assert(fs(2) == 2 + (hRef mod bucket).toInt)
+    // sanity: the naive uint32 composition would land in a different bucket
+    val hNaive = (BigInt(fnvRef("foo")) * 116049371 + BigInt(fnvRef("bar"))) mod M64
+    assert((hNaive mod bucket) != (hRef mod bucket),
+      "test words no longer discriminate the sign-extension path")
+  }
+
+  test("boundary 1-grams of the <w> markers are never features (computeSubwords)") {
+    // computeSubwords skips n==1 grams at the first and last position of
+    // "<w>" — the bare marker chars. For "ab" with minn=1 maxn=2 the
+    // feature grams are exactly "<a", "a", "ab", "b", "b>" in scan order.
+    val m = featModel(Seq("known"), bucket = 8, minn = 1, maxn = 2)
+    val fs = m.lineFeatures(Array("ab")) // OOV -> subword rows only
+    val expect = Seq("<a", "a", "ab", "b", "b>")
+      .map(g => 1 + (BigInt(fnvRef(g)) mod 8).toInt)
+    assert(fs.toSeq == expect)
+  }
+
+  test("version-11 supervised models load with maxn forced to 0") {
+    // FastText::loadModel's fixup: sup models predate char n-grams; a v11
+    // file's stale minn/maxn must not generate subword rows
+    val m = tinyModel(minn = 3, maxn = 3)
+    val path = java.nio.file.Files.createTempFile("ftbin", ".bin").toString
+    save(m, path)
+    val p = java.nio.file.Paths.get(path)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, 11) // version field
+    java.nio.file.Files.write(p, bytes)
+    val r = load(path)
+    assert(r.args.maxn == 0 && r.args.minn == 3)
+    assert(r.lineFeatures(Array("oov")).isEmpty) // no spurious subword rows
+    java.nio.file.Files.delete(p)
+  }
 }

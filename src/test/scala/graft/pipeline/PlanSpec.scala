@@ -185,4 +185,48 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"score before dedup instead:\n${e.treeString}")
     }
   }
+
+  test("banded embed candidates shuffle scalars only — vectors join back by id") {
+    // pairsBanded's band self-join and cross-band dedup must move
+    // (bkey, vec_id) longs, never the vec arrays: adaptive rowBits grows
+    // `bands` with corpus size (36-58 at 10^9 vectors), so an array-laden
+    // bkey shuffle amplifies ~40-60× exactly at the target scale. Arrays
+    // are allowed to cross exactly the two id-keyed join-back shuffles.
+    // q43 reuses this same pairsBanded plan as its cluster input.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at test scale the keyed side broadcasts and the bkey exchange never
+    // materializes — force the shuffled plan the 100 TB run would use
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q32_embed_neardup_lsh")(spark, sfDir)
+      val hashEx = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      val (bkeyEx, idEx) = hashEx.partition(
+        _.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.exists(_.references.exists(_.name == "bkey")))
+      assert(bkeyEx.nonEmpty, "expected the banded candidate self-join shuffle")
+      bkeyEx.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"bkey shuffle carries arrays ${arrays.map(_.name)} — " +
+            s"generate scalar pairs and join vectors back by id:\n${e.treeString}")
+      }
+      // the pair-dedup shuffle (id_a, id_b) must also be scalar-only
+      idEx.filter(_.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.flatMap(_.references).map(_.name).toSet == Set("id_a", "id_b"))
+        .foreach { e =>
+          val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.isEmpty,
+            s"pair-dedup shuffle carries arrays ${arrays.map(_.name)}:\n${e.treeString}")
+        }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
