@@ -754,6 +754,39 @@ object SparkEntry {
             (id, n.toLong, math.round(m.lengthCorrection(n) * 1e6))
           }
         }.toDF("doc_id", "n_raw_words", "lc_e6").orderBy("doc_id")
+    }),
+
+    // DSIR hashed dot product oracled BY CONSTRUCTION (the q37 trick
+    // applied to the hashed term): target docs are all "alpha ×3", source
+    // all "beta ×5", so the trained distributions put probability EXACTLY
+    // 3/5 and 2/5 on alpha's unigram/bigram buckets and the evaluated
+    // weight of an m-copy alpha doc is m·A + (m−1)·B with
+    // A = ln(3/5+1e-8) − ln(1e-8), B = ln(2/5+1e-8) − ln(1e-8) — no hash
+    // value appears in the answer, only train/eval BUCKET CONSISTENCY
+    // (the thing an oracle can actually check; the four gram buckets
+    // being distinct mod 10000 is pinned in ModelsSpec). λt=3, λs=5 make
+    // the Poisson term non-trivial too. Runs the same trainDistributed
+    // (A4 treeAggregate) + weight()/weightLengthCorrected() code q14
+    // ships; q14 itself stays rows-only (real xxhash64 buckets have no
+    // DuckDB twin) with BOTH its terms now construction-companioned
+    // (q37 length, q44 hashed sum).
+    "q44_dsir_hash_oracle" -> ((s, dir) => {
+      import s.implicits._
+      val ids = CodeFiles(s, dir).select(col("doc_id")).as[Long]
+      val target = ids.filter(_ % 2 == 0).map(_ => Array.fill(3)("alpha"))
+      val source = ids.filter(_ % 2 == 1).map(_ => Array.fill(5)("beta"))
+      val model = s.sparkContext.broadcast(
+        graft.models.DsirModel.trainDistributed(target, source))
+      ids.map(id => (id, (1L + id % 7).toInt))
+        .toDF("doc_id", "m").as[(Long, Int)]
+        .mapPartitions { it =>
+          val mm = model.value
+          it.map { case (id, m) =>
+            val ws = Array.fill(m)("alpha")
+            (id, m.toLong, math.round(mm.weight(ws) * 1e6),
+              math.round(mm.weightLengthCorrected(ws) * 1e6))
+          }
+        }.toDF("doc_id", "m", "weight_e6", "weight_lc_e6").orderBy("doc_id")
     })
   )
 
@@ -1403,7 +1436,26 @@ object SparkEntry {
          |       CAST(floor((rw.n * ln(lam.lt / lam.ls) - (lam.lt - lam.ls))
          |                  * 1e6 + 0.5) AS BIGINT) AS lc_e6
          |FROM rw CROSS JOIN lam
-         |ORDER BY rw.doc_id""".stripMargin
+         |ORDER BY rw.doc_id""".stripMargin,
+
+    // the q44 construction's closed form: probabilities are EXACTLY
+    // 3.0/5.0 and 2.0/5.0 (integer-count division is correctly rounded to
+    // the same double on both engines), so every constant re-derives
+    "q44_dsir_hash_oracle" ->
+      s"""WITH $cte, k AS (
+         |  SELECT ln(3.0/5.0 + 1e-8) - ln(1e-8) AS a,
+         |         ln(2.0/5.0 + 1e-8) - ln(1e-8) AS b,
+         |         ln(3.0/5.0) AS lr
+         |), docs AS (
+         |  SELECT doc_id, 1 + doc_id % 7 AS m FROM code_files
+         |)
+         |SELECT doc_id, CAST(m AS BIGINT) AS m,
+         |       CAST(floor((m*k.a + (m-1)*k.b) * 1e6 + 0.5) AS BIGINT)
+         |         AS weight_e6,
+         |       CAST(floor((m*k.a + (m-1)*k.b + m*k.lr + 2.0) * 1e6 + 0.5)
+         |         AS BIGINT) AS weight_lc_e6
+         |FROM docs CROSS JOIN k
+         |ORDER BY doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -51,6 +51,26 @@ class ModelsSpec extends AnyFunSuite {
     assert(!m.lengthCorrection(20).isNaN)
   }
 
+  test("q44 construction: gram buckets distinct, weight matches closed form") {
+    // the q44 driver oracle assumes the four construction grams occupy
+    // four DIFFERENT buckets mod 10000 — a collision would silently
+    // change every trained ratio. Deterministic, so pin it here.
+    val grams = Seq("alpha", "alpha alpha", "beta", "beta beta")
+    assert(grams.map(DsirModel.bucketOf(_, 10000)).distinct.size == 4,
+      "construction grams collide mod 10000 — pick different tokens")
+    val m = DsirModel.train(
+      Seq.fill(4)(Array.fill(3)("alpha")), Seq.fill(6)(Array.fill(5)("beta")))
+    val A = math.log(3.0 / 5.0 + 1e-8) - math.log(1e-8)
+    val B = math.log(2.0 / 5.0 + 1e-8) - math.log(1e-8)
+    for (n <- 1 to 7) {
+      val w = m.weight(Array.fill(n)("alpha"))
+      assert(math.abs(w - (n * A + (n - 1) * B)) < 1e-9, s"n=$n w=$w")
+      val lc = n * math.log(3.0 / 5.0) + 2.0
+      assert(math.abs(m.weightLengthCorrected(Array.fill(n)("alpha"))
+        - (w + lc)) < 1e-9)
+    }
+  }
+
   test("quality score flips on __label__cc (classifiers.py:60-80)") {
     val examples = Array.tabulate(100) { i =>
       if (i % 2 == 0) (Array("good", "clean", "page"), Artifacts.HqLabel)
