@@ -24,15 +24,36 @@ object TokenCount {
   def train(texts: Dataset[String], numMerges: Int,
             maxVocab: Int = 65536): Bpe = {
     import texts.sparkSession.implicits._
-    val words = texts
+    val freq = texts
       .flatMap(t => PyCompat.split(t).iterator)
       .groupBy("value").count()
-      .orderBy(col("count").desc, col("value").asc)
-      .limit(maxVocab)
-      .as[(String, Long)]
-      .collect()
-    Bpe.train(words.toSeq, numMerges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // no silent caps: at corpus scale the distinct-word tail exceeds any
+      // bounded artifact — count what the cap drops so a shifted merge
+      // table is attributable (the cap itself is the bounded-artifact knob)
+      val distinct = freq.count()
+      if (distinct > maxVocab)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"BPE trainer vocab cap: keeping top $maxVocab of $distinct " +
+            s"distinct words (${distinct - maxVocab} dropped); " +
+            "tail words below the cap cannot influence merge counts")
+      val words = freq
+        .orderBy(col("count").desc, col("value").asc)
+        .limit(maxVocab)
+        .as[(String, Long)]
+        .collect()
+      Bpe.train(words.toSeq, numMerges)
+    } finally freq.unpersist()
   }
+
+  /** Load a published HF `tokenizer.json` instead of training — the
+    * reference's actual production path (token_count.py:46 loads the
+    * pretrained Mistral tokenizer); [[table]] takes either source
+    * unchanged.
+    */
+  def fromPretrained(path: String): Bpe =
+    graft.text.TokenizerJson.load(path).bpe
 
   /** One row per document in the reference output schema; the tokenizer is
     * broadcast and each partition memoizes word counts (documents share

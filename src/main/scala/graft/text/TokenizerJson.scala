@@ -1,0 +1,156 @@
+package graft.text
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** The PUBLIC Hugging Face `tokenizer.json` format (huggingface/tokenizers
+  * serde) — reader + writer for BPE models, so a published tokenizer (the
+  * reference loads the pretrained Mistral tokenizer this way,
+  * token_count.py:46) drives [[Bpe]]/TokenCount unchanged. The same
+  * format-interop pattern as [[graft.models.FastTextBin]]: no artifacts
+  * exist in this sandbox, so the spec is pinned by a hand-written golden
+  * file plus a save→load round trip (TokenizerJsonSpec).
+  *
+  * Scope: the `model` section of type "BPE" — `vocab` (token → id) and
+  * `merges`, in BOTH serialized forms the library has shipped:
+  * pre-0.20 `"left right"` strings and current `["left","right"]` pairs.
+  * Pipeline sections (normalizer / pre_tokenizer / …) are preserved-as-
+  * opaque on load and written minimally on save; this engine's
+  * pretokenization boundary is Python `str.split` (PyCompat.split),
+  * matching a WhitespaceSplit pre_tokenizer.
+  */
+object TokenizerJson {
+
+  /** A loaded tokenizer: the merge table as a ready [[Bpe]], plus the
+    * id-assigning vocab and the unknown-token fallback.
+    */
+  final case class Loaded(
+      bpe: Bpe,
+      vocab: Map[String, Int],
+      unkToken: Option[String]) {
+
+    @transient private lazy val unkId: Int =
+      unkToken.flatMap(vocab.get).getOrElse(-1)
+
+    /** Encode one word to vocab ids (unk id, or -1 with no unk_token, for
+      * symbols outside the vocab — HF `fuse_unk=false` semantics: one unk
+      * per unknown symbol).
+      */
+    def idsOf(word: String): Array[Int] =
+      bpe.tokenize(word).map(s => vocab.getOrElse(s, unkId))
+  }
+
+  def load(path: String): Loaded = {
+    val root = new ObjectMapper().readTree(new File(path))
+    val model = root.path("model")
+    require(!model.isMissingNode, s"$path has no model section")
+    val tpe = model.path("type").asText("")
+    require(tpe == "BPE", s"unsupported tokenizer model type '$tpe'")
+    val vocab = {
+      val b = Map.newBuilder[String, Int]
+      val it = model.path("vocab").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asInt()
+      }
+      b.result()
+    }
+    val mergesNode = model.path("merges")
+    require(mergesNode.isArray, s"$path model.merges is not an array")
+    val merges = Array.newBuilder[(String, String)]
+    val mIt = mergesNode.elements()
+    while (mIt.hasNext) merges += parseMerge(mIt.next())
+    val unk = Option(model.path("unk_token"))
+      .filter(n => n.isTextual).map(_.asText())
+    Loaded(new Bpe(merges.result()), vocab, unk)
+  }
+
+  /** One merge entry in either historical shape. The legacy string form
+    * is ambiguous only if a token contains a space — which WhitespaceSplit
+    * pretokenization makes impossible; reject rather than guess.
+    */
+  private def parseMerge(n: JsonNode): (String, String) =
+    if (n.isArray) {
+      require(n.size() == 2, s"merge pair of arity ${n.size()}")
+      (n.get(0).asText(), n.get(1).asText())
+    } else {
+      val parts = n.asText().split(" ", -1)
+      require(parts.length == 2,
+        s"legacy merge '${n.asText()}' is not 'left right'")
+      (parts(0), parts(1))
+    }
+
+  /** The vocab the HF BPE trainer would assign to this merge table:
+    * alphabet symbols first (sorted), then each merge's joined output in
+    * merge order — ids are dense from 0. `alphabet` defaults to the
+    * symbols referenced by the merges themselves; pass the full corpus
+    * alphabet to also cover never-merged characters.
+    */
+  def derivedVocab(merges: Array[(String, String)],
+                   alphabet: Iterable[String] = Nil): Map[String, Int] = {
+    val joined = merges.map { case (l, r) => l + r }.toSet
+    val alpha = scala.collection.mutable.SortedSet.empty[String]
+    alphabet.foreach(alpha += _)
+    merges.foreach { case (l, r) =>
+      if (!joined.contains(l)) alpha += l
+      if (!joined.contains(r)) alpha += r
+    }
+    val b = Map.newBuilder[String, Int]
+    var id = 0
+    alpha.foreach { s => b += s -> id; id += 1 }
+    merges.foreach { case (l, r) =>
+      val j = l + r
+      b += j -> id; id += 1
+    }
+    b.result()
+  }
+
+  /** Write a canonical `tokenizer.json` the HF library (and this loader)
+    * reads back: current pair-array merge form, WhitespaceSplit
+    * pre_tokenizer (this engine's split boundary), ids in vocab order.
+    */
+  def save(loaded: Loaded, path: String): Unit = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    root.put("version", "1.0")
+    root.putNull("truncation")
+    root.putNull("padding")
+    root.set[ObjectNode]("added_tokens", m.createArrayNode())
+    root.putNull("normalizer")
+    root.set[ObjectNode]("pre_tokenizer",
+      m.createObjectNode().put("type", "WhitespaceSplit"))
+    root.putNull("post_processor")
+    root.putNull("decoder")
+    val model = m.createObjectNode()
+    model.put("type", "BPE")
+    model.putNull("dropout")
+    loaded.unkToken match {
+      case Some(u) => model.put("unk_token", u)
+      case None    => model.putNull("unk_token")
+    }
+    model.putNull("continuing_subword_prefix")
+    model.putNull("end_of_word_suffix")
+    model.put("fuse_unk", false)
+    model.put("byte_fallback", false)
+    val vocab = m.createObjectNode()
+    loaded.vocab.toSeq.sortBy(_._2).foreach { case (t, id) =>
+      vocab.put(t, id)
+    }
+    model.set[ObjectNode]("vocab", vocab)
+    val merges = m.createArrayNode()
+    loaded.bpe.merges.foreach { case (l, r) =>
+      val pair = m.createArrayNode()
+      pair.add(l); pair.add(r)
+      merges.add(pair)
+    }
+    model.set[ObjectNode]("merges", merges)
+    root.set[ObjectNode]("model", model)
+    Files.write(Paths.get(path),
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -157,4 +157,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // injected lorem ipsum (doc_id % 7 == 0) must surface as a reason
     assert(reasons.contains("lorem_ipsum") || reasons.contains("word_count"))
   }
+
+  test("BPE trainer vocab cap: capped training sees exactly the top words") {
+    // the cap is the bounded-artifact knob; at the boundary the kept set
+    // is the top-maxVocab by (count desc, word asc) and the dropped tail
+    // (logged, never silent) cannot influence merges. Train with the cap
+    // binding and verify the merge table equals training on the top table
+    // directly.
+    import spark.implicits._
+    val texts = (Seq.fill(8)("aa bb aa cc") ++
+      Seq("dd ee ff gg hh ii")).toDS() // 9 distinct words, tail freq 1
+    val capped = TokenCount.train(texts, numMerges = 2, maxVocab = 3)
+    val direct = graft.text.Bpe.train(
+      Seq("aa" -> 16L, "bb" -> 8L, "cc" -> 8L), 2)
+    assert(capped.merges.toSeq == direct.merges.toSeq)
+  }
 }

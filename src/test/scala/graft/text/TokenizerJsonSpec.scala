@@ -1,0 +1,96 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the HF tokenizer.json interop: a hand-written golden exercises
+  * both historical merge serializations, the save→load round trip pins
+  * the writer, and a trained Bpe driven through the file format must
+  * tokenize identically to the in-memory original.
+  */
+class TokenizerJsonSpec extends AnyFunSuite {
+
+  private def write(content: String): String = {
+    val p = java.nio.file.Files.createTempFile("tok", ".json")
+    java.nio.file.Files.write(p,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  // the current serialization: merges as ["left","right"] pairs
+  private val goldenPairs =
+    """{
+      |  "version": "1.0",
+      |  "normalizer": null,
+      |  "pre_tokenizer": {"type": "WhitespaceSplit"},
+      |  "model": {
+      |    "type": "BPE",
+      |    "unk_token": "<unk>",
+      |    "fuse_unk": false,
+      |    "vocab": {"<unk>": 0, "a": 1, "b": 2, "c": 3, "ab": 4, "abc": 5},
+      |    "merges": [["a", "b"], ["ab", "c"]]
+      |  }
+      |}""".stripMargin
+
+  // the pre-0.20 serialization: merges as "left right" strings
+  private val goldenLegacy = goldenPairs
+    .replace("""[["a", "b"], ["ab", "c"]]""", """["a b", "ab c"]""")
+
+  test("golden load: both merge serializations give the same tokenizer") {
+    for (g <- Seq(goldenPairs, goldenLegacy)) {
+      val t = TokenizerJson.load(write(g))
+      assert(t.bpe.merges.toSeq == Seq(("a", "b"), ("ab", "c")))
+      assert(t.vocab == Map("<unk>" -> 0, "a" -> 1, "b" -> 2, "c" -> 3,
+        "ab" -> 4, "abc" -> 5))
+      assert(t.unkToken.contains("<unk>"))
+      // merge-by-rank encode through the loaded table
+      assert(t.bpe.tokenize("abc").toSeq == Seq("abc"))
+      assert(t.bpe.tokenize("abd").toSeq == Seq("ab", "d"))
+      // ids: known symbols map through vocab, unknown falls to unk
+      assert(t.idsOf("abc").toSeq == Seq(5))
+      assert(t.idsOf("abd").toSeq == Seq(4, 0))
+    }
+  }
+
+  test("save -> load round trip preserves merges, vocab, unk") {
+    val orig = TokenizerJson.load(write(goldenPairs))
+    val p = java.nio.file.Files.createTempFile("tok-rt", ".json").toString
+    TokenizerJson.save(orig, p)
+    val back = TokenizerJson.load(p)
+    assert(back.bpe.merges.toSeq == orig.bpe.merges.toSeq)
+    assert(back.vocab == orig.vocab)
+    assert(back.unkToken == orig.unkToken)
+  }
+
+  test("a trained Bpe round-trips through the file format unchanged") {
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "𝔘𝔫𝔦low" -> 1L) // astral symbols survive the JSON trip
+    val bpe = Bpe.train(corpus, 12)
+    val loaded = TokenizerJson.Loaded(bpe,
+      TokenizerJson.derivedVocab(bpe.merges), None)
+    val p = java.nio.file.Files.createTempFile("tok-train", ".json").toString
+    TokenizerJson.save(loaded, p)
+    val back = TokenizerJson.load(p)
+    for (w <- Seq("low", "lowest", "newest", "𝔘𝔫𝔦low", "unrelated"))
+      assert(back.bpe.tokenize(w).toSeq == bpe.tokenize(w).toSeq,
+        s"tokenization diverged for '$w'")
+  }
+
+  test("derivedVocab: alphabet first (sorted), then merge outputs in order") {
+    val merges = Array(("a", "b"), ("ab", "c"))
+    val v = TokenizerJson.derivedVocab(merges)
+    assert(v == Map("a" -> 0, "b" -> 1, "c" -> 2, "ab" -> 3, "abc" -> 4))
+    // corpus alphabet extends coverage to never-merged symbols
+    val v2 = TokenizerJson.derivedVocab(merges, alphabet = Seq("z", "a"))
+    assert(v2("z") == 3 && v2("ab") == 4 && v2("abc") == 5)
+  }
+
+  test("malformed inputs are rejected, not guessed") {
+    assertThrows[IllegalArgumentException] {
+      TokenizerJson.load(write("""{"model": {"type": "Unigram"}}"""))
+    }
+    assertThrows[IllegalArgumentException] {
+      TokenizerJson.load(write(
+        """{"model": {"type": "BPE", "vocab": {}, "merges": ["a b c"]}}"""))
+    }
+  }
+}
