@@ -787,6 +787,23 @@ object SparkEntry {
               math.round(mm.weightLengthCorrected(ws) * 1e6))
           }
         }.toDF("doc_id", "m", "weight_e6", "weight_lc_e6").orderBy("doc_id")
+    }),
+
+    // Per-language resource selection (reference pipeline.py:253-284: one
+    // worker instantiation per language; content.py:173-185 binds
+    // get_stop_words(language)): the SAME fused pass, each row scored
+    // against its own language's packaged stop list — no grouping shuffle.
+    // The oracle embeds every per-language resource file (de/fr/es/it are
+    // the published stopwords-json blocks), so cross-language scoring —
+    // e.g. German function words appearing in another row's text — is
+    // pinned end-to-end.
+    "q45_stats_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      SignalPass.statsByLang(CodeFiles(s, dir).as[graft.pipeline.CodeFile])
+        .select(col("doc_id"), col("lang"),
+          col("n_stop_words_norm").as("n_stop_words"),
+          col("word_count"))
+        .orderBy("doc_id")
     })
   )
 
@@ -890,14 +907,25 @@ object SparkEntry {
   private val cte = CodeFiles.oracleCte
   private def nrm(c: String) = CodeFiles.normSql(c)
 
-  /** The engine's stop list as a DuckDB array literal — generated from the
-    * SAME packaged resource SignalPass loads, so the oracle always runs
-    * the full production list (570 entries), not a test subset.
+  /** A word list as a DuckDB array literal — generated from the SAME
+    * packaged resources SignalPass loads, so the oracles always run the
+    * full production lists, never a test subset.
     */
-  private val stopListSql: String =
-    SignalPass.StopWords.toSeq.sorted
+  private def listSql(words: Set[String]): String =
+    words.toSeq.sorted
       .map(w => "'" + w.replace("'", "''") + "'")
       .mkString("[", ",", "]")
+
+  private val stopListSql: String = listSql(SignalPass.StopWords)
+
+  /** lang → its packaged stop list, as a SQL CASE over the same resource
+    * files the engine loads (q45's per-language selection twin; unknown
+    * languages get the empty list, like stopWordsFor).
+    */
+  private val stopListByLangSql: String =
+    SignalPass.Languages.map(l =>
+      s"WHEN '$l' THEN ${listSql(SignalPass.StopWordsByLang(l))}")
+      .mkString("CASE lang ", " ", " ELSE CAST([] AS VARCHAR[]) END")
 
   /** Words CTE shared by several oracles. */
   private val wordsCte =
@@ -1455,6 +1483,15 @@ object SparkEntry {
          |       CAST(floor((m*k.a + (m-1)*k.b + m*k.lr + 2.0) * 1e6 + 0.5)
          |         AS BIGINT) AS weight_lc_e6
          |FROM docs CROSS JOIN k
+         |ORDER BY doc_id""".stripMargin,
+
+    "q45_stats_by_lang" ->
+      s"""WITH $cte, $wordsCte
+         |SELECT doc_id, lang,
+         |       CAST(len(list_filter(ws, x -> list_contains(
+         |         $stopListByLangSql, x))) AS BIGINT) AS n_stop_words,
+         |       CAST(len(ws) AS BIGINT) AS word_count
+         |FROM words JOIN code_files USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )
 

@@ -92,6 +92,46 @@ object SignalPass {
     */
   val BlockWords: Set[String] = loadWordList("/graft/ldnoobw_en.txt")
 
+  /** The languages the reference pipeline processes (pipeline.py:253-284
+    * groups shards per language and instantiates each signal with that
+    * language's resources; stop_words.py ships one block per language).
+    */
+  val Languages: Seq[String] = Seq("en", "de", "fr", "es", "it")
+
+  /** Per-language stop lists, loaded once — the published stopwords-json
+    * blocks the reference embeds (stop_words.py:10-609). Stable singleton
+    * instances: the struct caches below key on identity.
+    */
+  val StopWordsByLang: Map[String, Set[String]] =
+    Languages.map(l => l -> (if (l == "en") StopWords
+      else loadWordList(s"/graft/stop_words_$l.txt"))).toMap
+
+  /** Per-language LDNOOBW lists (update_resources.py:107-139 fetches
+    * bad_words/{lang}.txt per language). The packaged files are
+    * deterministic LDNOOBW-shaped stand-ins; the real per-language files
+    * are drop-in replacements. Languages without a packaged list ("it"
+    * here) fall back to the empty set, like a missing bad_words file.
+    */
+  val BlockWordsByLang: Map[String, Set[String]] =
+    Languages.map { l =>
+      l -> (if (l == "en") BlockWords
+      else if (getClass.getResource(s"/graft/ldnoobw_$l.txt") != null)
+        loadWordList(s"/graft/ldnoobw_$l.txt")
+      else Set.empty[String])
+    }.toMap
+
+  private val EmptySet: Set[String] = Set.empty
+
+  /** get_stop_words(language) (utils/stop_words.py:10-12): languages the
+    * reference never processes get the empty list — their stop-signal is
+    * 0, never silently scored against another language's list.
+    */
+  def stopWordsFor(lang: String): Set[String] =
+    StopWordsByLang.getOrElse(lang, EmptySet)
+
+  def blockWordsFor(lang: String): Set[String] =
+    BlockWordsByLang.getOrElse(lang, EmptySet)
+
   /** BPE-ish token pattern shared with the SQL oracle: ASCII letter runs,
     * digit runs, single non-alnum-non-space chars.
     */
@@ -117,26 +157,47 @@ object SignalPass {
       .map { case (wc, ps) => new LenGroup(wc, ps.sorted) }
   }
 
-  @volatile private var blockCache: (Set[String], BlockStructs) = null
+  /** Identity key for the struct caches: the resource lists are stable
+    * singletons (StopWordsByLang/BlockWordsByLang), so reference identity
+    * is the right cache key — deep Set hashing per row would cost more
+    * than the lookup saves.
+    */
+  private final class IdKey(val ref: AnyRef) {
+    override def hashCode: Int = System.identityHashCode(ref)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.ref eq ref
+      case _        => false
+    }
+  }
+
+  // per-list precomputed structures; a MAP (not a single slot) because the
+  // lang-keyed pass interleaves languages row-by-row — a one-entry cache
+  // would rebuild a 600-word struct on every language switch. Bounded: only
+  // ad-hoc caller-built sets could grow it, and those skip caching past 64.
+  private val blockCache =
+    new java.util.concurrent.ConcurrentHashMap[IdKey, BlockStructs]()
 
   private[pipeline] def blockStructs(words: Set[String]): BlockStructs = {
-    val c = blockCache
-    if (c != null && (c._1 eq words)) c._2
+    val k = new IdKey(words)
+    val c = blockCache.get(k)
+    if (c != null) c
     else {
       val built = new BlockStructs(words)
-      blockCache = (words, built)
+      if (blockCache.size < 64) blockCache.putIfAbsent(k, built)
       built
     }
   }
 
-  @volatile private var stopCache: (Set[String], Array[Array[String]]) = null
+  private val stopCache =
+    new java.util.concurrent.ConcurrentHashMap[IdKey, Array[Array[String]]]()
 
   private[pipeline] def stopsByLen(stops: Set[String]): Array[Array[String]] = {
-    val c = stopCache
-    if (c != null && (c._1 eq stops)) c._2
+    val k = new IdKey(stops)
+    val c = stopCache.get(k)
+    if (c != null) c
     else {
       val built = graft.text.WordPunct.stopsByLength(stops)
-      stopCache = (stops, built)
+      if (stopCache.size < 64) stopCache.putIfAbsent(k, built)
       built
     }
   }
@@ -389,5 +450,18 @@ object SignalPass {
   def statsFromDir(spark: SparkSession, sfDir: String): Dataset[DocStats] = {
     import spark.implicits._
     stats(CodeFiles(spark, sfDir).as[CodeFile])
+  }
+
+  /** The LANG-KEYED fused pass: every row scored against its own
+    * language's resources — the reference's per-language worker
+    * instantiation (pipeline.py:253-284 groups shards per language;
+    * content.py:173-185 binds get_stop_words(language) per instance) —
+    * without any per-language grouping shuffle: rows stay where they are,
+    * the per-JVM struct caches make the row-level list switch free.
+    */
+  def statsByLang(files: Dataset[CodeFile]): Dataset[DocStats] = {
+    import files.sparkSession.implicits._
+    files.mapPartitions(_.map(cf =>
+      compute(cf, stopWordsFor(cf.lang), blockWordsFor(cf.lang))))
   }
 }

@@ -158,6 +158,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reasons.contains("lorem_ipsum") || reasons.contains("word_count"))
   }
 
+  test("per-language resources: each row is scored against its own lists") {
+    // reference semantics: the worker for language L binds L's stop list
+    // and L's bad_words file (content.py:173-185, update_resources.py:107)
+    assert(SignalPass.Languages == Seq("en", "de", "fr", "es", "it"))
+    assert(SignalPass.stopWordsFor("de").contains("aber"))
+    assert(SignalPass.stopWordsFor("fr").contains("alors"))
+    assert(!SignalPass.stopWordsFor("en").contains("aber"))
+    assert(SignalPass.stopWordsFor("zh").isEmpty) // outside reference scope
+    assert(SignalPass.blockWordsFor("de").contains("badwordde"))
+    assert(SignalPass.blockWordsFor("it").isEmpty) // no packaged it list
+    def cf(lang: String, content: String) = CodeFile(1L, "r", "p", "c", lang, content)
+    val txt = "aber als damit wird zwischen hello world the of and"
+    val asDe = SignalPass.compute(cf("de", txt),
+      SignalPass.stopWordsFor("de"), SignalPass.blockWordsFor("de"))
+    val asEn = SignalPass.compute(cf("en", txt),
+      SignalPass.stopWordsFor("en"), SignalPass.blockWordsFor("en"))
+    // five German function words vs four English ones ("hello" is in the
+    // stopwords-json en block) in the same text
+    assert(asDe.n_stop_words_norm == 5, s"de scored ${asDe.n_stop_words_norm}")
+    assert(asEn.n_stop_words_norm == 4, s"en scored ${asEn.n_stop_words_norm}")
+    // lang-keyed blocklist: the de stand-in entries only fire for de rows
+    val tox = SignalPass.compute(cf("de", "badwordde text"),
+      SignalPass.stopWordsFor("de"), SignalPass.blockWordsFor("de"))
+    assert(tox.rps_doc_ldnoobw_words == 1.0)
+  }
+
   test("BPE trainer vocab cap: capped training sees exactly the top words") {
     // the cap is the bounded-artifact knob; at the boundary the kept set
     // is the top-maxVocab by (count desc, word asc) and the dropped tail
