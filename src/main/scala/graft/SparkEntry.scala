@@ -804,6 +804,28 @@ object SparkEntry {
           col("n_stop_words_norm").as("n_stop_words"),
           col("word_count"))
         .orderBy("doc_id")
+    }),
+
+    // The packaged winnowing pair operator (WinnowPairs: df-capped
+    // fingerprint equi-join — the scale discipline q42's comment only
+    // DESCRIBED, now code) under a two-sided construction oracle:
+    // byte-identical twins (id%10==3, +200000) MUST surface at overlap
+    // exactly 1.0, and near-twins (id%10==6, +300000: same content plus a
+    // distinct ≥w+k−1-char suffix, which the winnowing guarantee turns
+    // into ≥1 unshared fingerprint) MUST NOT pass tau=0.999 — corpus docs
+    // are ≤ ~700 chars (≤ ~90 fingerprints), so a near-twin caps at
+    // ~n/(n+1) ≈ 0.99 < 0.999. Catches over- AND under-counting.
+    "q46_winnow_pairs" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+      val twins = cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 200000).as("id"), col("content"))
+      val near = cf.filter(col("id") % 10 === 6)
+        .select((col("id") + 300000).as("id"),
+          concat(col("content"), lit(" "),
+            expr("repeat('zq' || id || '_', 10)")).as("content"))
+      graft.similarity.WinnowPairs
+        .pairs(cf.unionAll(twins).unionAll(near), tau = 0.999)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1492,7 +1514,17 @@ object SparkEntry {
          |         $stopListByLangSql, x))) AS BIGINT) AS n_stop_words,
          |       CAST(len(ws) AS BIGINT) AS word_count
          |FROM words JOIN code_files USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // construction truth: exactly the identical-twin pairs at overlap 1.0;
+    // the near-twin injections (id%10==6) stay below tau by the w+k-1
+    // detection guarantee
+    "q46_winnow_pairs" ->
+      s"""WITH $cte
+         |SELECT doc_id AS id_a, doc_id + 200000 AS id_b,
+         |       CAST(1.0 AS DOUBLE) AS overlap
+         |FROM code_files WHERE doc_id % 10 = 3
+         |ORDER BY id_a, id_b""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

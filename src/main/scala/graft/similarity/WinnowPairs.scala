@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** All-pairs winnowing-fingerprint overlap (MOSS-style reuse detection,
+  * Schleimer et al. 2003 §5) as a packaged operator next to
+  * [[NGramJaccard]]: pairs of documents whose winnowed fingerprint sets
+  * overlap (Jaccard) at least `tau`.
+  *
+  * Scale discipline — the document-frequency cap: fingerprints shared by
+  * more than `maxDf` documents are boilerplate (license headers, build
+  * scaffolding shared by thousands of files) and are EXCLUDED before the
+  * pair join — the same hot-key rule PPJoin and the LSH band join apply,
+  * and what MOSS itself does with over-shared fingerprints. Without it one
+  * hot fingerprint creates df² candidate rows; with it a bucket is at most
+  * maxDf² — the join is O(Σ df²) with every term bounded. Overlap is then
+  * measured over each document's KEPT fingerprints (its non-boilerplate
+  * content), so identical twins still score exactly 1.0. The cap is the
+  * operator's semantic contract, not a silent truncation: a document whose
+  * every fingerprint is boilerplate has no non-boilerplate content to
+  * compare and drops out of the result.
+  *
+  * Every shuffle in the plan carries scalars — (id, fp) longs, counts —
+  * never content or fingerprint arrays (PlanSpec pins no-cartesian and
+  * the partial aggregates).
+  */
+object WinnowPairs {
+
+  /** Pairs (id_a < id_b, overlap ≥ tau) from a `(id, content)` input.
+    *
+    * @param maxDf drop fingerprints appearing in more than this many docs
+    */
+  def pairs(docs: DataFrame, tau: Double, k: Int = 25, w: Int = 16,
+            maxDf: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    val fpUdf = udf((c: String) => graft.text.Winnowing.fingerprints(c, k, w))
+    // spread first: a 1-2 partition scan would serialize the per-doc
+    // rolling-hash work; everything after the explode is scalar
+    val fps = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), explode(fpUdf(col("content"))).as("fp"))
+    // document frequency per fingerprint — partial+final agg, then the cap
+    val keptFp = fps.groupBy("fp").count()
+      .filter(col("count") <= maxDf)
+      .select("fp")
+    val kept = fps.join(keptFp, Seq("fp"))
+    // per-doc kept-fingerprint counts (the Jaccard denominators)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    // candidate pairs: equi-join on fp, every bucket ≤ maxDf wide;
+    // count shared fps per pair map-side before the (id_a, id_b) shuffle
+    val inter = kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("overlap",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("overlap") >= tau)
+      .select("id_a", "id_b", "overlap")
+  }
+}

@@ -136,11 +136,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("banded near-dup candidates come from an equi-join, not a cross join") {
-    for (q <- Seq("q32_embed_neardup_lsh", "q42_winnow_dup_check")) {
+    for (q <- Seq("q32_embed_neardup_lsh", "q42_winnow_dup_check",
+      "q46_winnow_pairs")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(!p.contains("CartesianProduct"),
         s"$q lost its equi-join keys:\n$p")
     }
+  }
+
+  test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
+    // the hot-key discipline: the pair join's input passes through the
+    // df filter (count <= maxDf), and the per-pair intersection count is
+    // a partial+final aggregate — no window, no cartesian
+    val p = plan(SparkEntry.queries("q46_winnow_pairs")(spark, sfDir))
+    assert(!p.contains("Window"), s"q46 regressed to a window:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 4, s"expected partial+final aggs for df and inter:\n$p")
+    assert(p.contains("<= 100"),
+      s"df-cap filter (count <= maxDf) missing from the plan:\n$p")
   }
 
   test("hourly rollup does a partial (map-side) aggregation before the shuffle") {

@@ -47,6 +47,41 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == expected)
   }
 
+  test("winnow pairs == brute-force fingerprint overlap (cap not binding)") {
+    import spark.implicits._
+    val base = Seq.tabulate(12)(i =>
+      (i.toLong, s"document number $i with some shared scaffolding text " +
+        s"and a distinctive tail segment ${"xy" * (i + 3)} end")) // > k chars each
+    val docs = (base ++ base.take(4).map { case (i, c) => (i + 100L, c) })
+      .toDF("id", "content")
+    val got = WinnowPairs.pairs(docs, tau = 0.5, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fps = base.map { case (i, c) =>
+      i -> graft.text.Winnowing.fingerprints(c) }.toMap
+    val all = (base ++ base.take(4).map { case (i, c) => (i + 100L, c) })
+      .map { case (i, c) => i -> graft.text.Winnowing.fingerprints(c) }
+    val want = (for {
+      (ia, fa) <- all; (ib, fb) <- all if ia < ib
+      ov = graft.text.Winnowing.overlap(fa, fb) if ov >= 0.5
+    } yield (ia, ib, ov)).toSet
+    assert(fps.nonEmpty && want.nonEmpty)
+    assert(got == want, s"missed=${(want -- got).take(3)} spurious=${(got -- want).take(3)}")
+  }
+
+  test("winnow pairs: the df cap excludes boilerplate fingerprints") {
+    import spark.implicits._
+    // 6 byte-identical docs: every fingerprint has df=6
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, "the same license header text repeated across the corpus " +
+        "with enough length to produce several fingerprints here"))
+      .toDF("id", "content")
+    // cap below the df: all fingerprints are boilerplate -> no pairs
+    assert(WinnowPairs.pairs(docs, tau = 0.5, maxDf = 5).count() == 0)
+    // cap at the df: all 15 identical pairs at overlap exactly 1.0
+    val at = WinnowPairs.pairs(docs, tau = 0.999, maxDf = 6).collect()
+    assert(at.length == 15 && at.forall(_.getDouble(2) == 1.0))
+  }
+
   test("NGramJaccard PPJoin == naive all-pairs Jaccard at sf0.001") {
     import spark.implicits._
     import graft.text.{NGrams, Normalizer, PyCompat}
