@@ -350,12 +350,15 @@ object SparkEntry {
 
     // J2: UT1-style blocklist lookup = broadcast left join on domain;
     // category id or null (content.py:153-165)
+    // J2 through the PRODUCTION parser: a deterministic tarball-layout
+    // fixture (blacklists/<cat>/domains, the published UT1 unpack shape)
+    // is built from the corpus repo set, parsed by Ut1Blocklist (category
+    // filtering + combination-id enumeration), and the resulting dim is
+    // broadcast-left-joined — the oracle re-derives the combination ids
+    // with the same itertools enumeration in SQL.
     "q20_ut1_lookup" -> ((s, dir) => {
-      val ut1 = s.createDataFrame(Seq(
-        ("src1", 3L), ("src4", 7L), ("src7", 3L), ("src11", 12L),
-        ("src17", 7L))).toDF("repo", "ut1_category")
       CodeFiles(s, dir)
-        .join(broadcast(ut1), Seq("repo"), "left")
+        .join(broadcast(ut1Dim(s, dir)), Seq("repo"), "left")
         .select(col("doc_id"), col("repo"), col("ut1_category"))
         .orderBy("doc_id")
     }),
@@ -834,6 +837,39 @@ object SparkEntry {
     */
   private val JsonlFixturePath = "/tmp/graft_fixtures/ccnet_shard.jsonl.gz"
 
+  /** q20's UT1 dim through the production path: write the published
+    * tarball layout (`blacklists/<category>/domains`,
+    * update_resources.py:18-56) deterministically from the corpus repo
+    * set — repo srcN joins adult when N%2==0, gambling when N%3==0,
+    * phishing when N%5==0 — plus an off-category dir and a non-corpus
+    * domain the parser must ignore; then [[Ut1Blocklist.load]] assigns
+    * category-combination ids. Rebuilt idempotently (tiny, fully
+    * determined by the repo set).
+    */
+  private def ut1Dim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cats = Seq("adult", "gambling", "phishing")
+    val repos = CodeFiles(s, dir).select("repo").distinct()
+      .as[String].collect().sorted
+    val root = java.nio.file.Paths.get("/tmp/graft_fixtures/ut1")
+    def put(cat: String, domains: Seq[String]): Unit = {
+      val d = root.resolve("blacklists").resolve(cat)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("domains"),
+        (domains.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    def num(repo: String): Int =
+      "\\d+".r.findFirstIn(repo).map(_.toInt).getOrElse(-1)
+    put("adult", repos.filter(num(_) % 2 == 0) :+ "outside.example")
+    put("gambling", repos.filter(num(_) % 3 == 0))
+    put("phishing", repos.filter(num(_) % 5 == 0))
+    put("sports", repos.take(3)) // outside rawCategories → parser ignores
+    val map = graft.pipeline.Ut1Blocklist.load(root, cats)
+    map.toSeq.sorted.map { case (r, c) => (r, c.toLong) }
+      .toDF("repo", "ut1_category")
+  }
+
   /** q34/q35 marker models, trained once per sf dir (deterministic:
     * seeded SGD on a seeded corpus). */
   private val markerModelCache =
@@ -1133,13 +1169,31 @@ object SparkEntry {
          |FROM code_files
          |ORDER BY doc_id""".stripMargin,
 
+    // the UT1 combination-id enumeration re-derived: all non-empty
+    // subsets of the sorted category list, ordered by (size, lex) —
+    // itertools.chain(combinations(sorted(cats), r) for r in 1..n)
+    // (update_resources.py:18-31) — then each repo's sorted category
+    // combination (from the same N%2/N%3/N%5 fixture rule) joins its id
     "q20_ut1_lookup" ->
-      s"""WITH $cte, ut1(repo, ut1_category) AS (
-         |  VALUES ('src1', CAST(3 AS BIGINT)), ('src4', 7), ('src7', 3),
-         |         ('src11', 12), ('src17', 7)
+      s"""WITH $cte, combos AS (
+         |  SELECT combo, CAST(row_number() OVER (ORDER BY len(combo), combo)
+         |           - 1 AS BIGINT) AS cid
+         |  FROM (SELECT list_filter(['adult','gambling','phishing'],
+         |                 (c, i) -> (m >> (i-1)) & 1 = 1) AS combo
+         |        FROM range(1, 8) AS t(m))
+         |), repo_cats AS (
+         |  SELECT repo, list_filter(['adult','gambling','phishing'], c ->
+         |           (c = 'adult' AND n % 2 = 0) OR
+         |           (c = 'gambling' AND n % 3 = 0) OR
+         |           (c = 'phishing' AND n % 5 = 0)) AS combo
+         |  FROM (SELECT DISTINCT repo,
+         |          CAST(regexp_extract(repo, '[0-9]+') AS INT) AS n
+         |        FROM code_files)
          |)
-         |SELECT doc_id, cf.repo, ut1_category
-         |FROM code_files cf LEFT JOIN ut1 ON cf.repo = ut1.repo
+         |SELECT cf.doc_id, cf.repo, combos.cid AS ut1_category
+         |FROM code_files cf
+         |LEFT JOIN repo_cats rc ON cf.repo = rc.repo AND len(rc.combo) > 0
+         |LEFT JOIN combos ON rc.combo = combos.combo
          |ORDER BY doc_id""".stripMargin,
 
     "q21_dedup_apply" ->
