@@ -818,6 +818,58 @@ object SparkEntry {
     // into ≥1 unshared fingerprint) MUST NOT pass tau=0.999 — corpus docs
     // are ≤ ~700 chars (≤ ~90 fingerprints), so a near-twin caps at
     // ~n/(n+1) ≈ 0.99 < 0.999. Catches over- AND under-counting.
+    // The streaming path under a driver oracle: a REAL Structured
+    // Streaming run (AvailableNow) over the ccnet jsonl.gz fixture through
+    // the tolerant reader, the full fused-pass + FilterPolicy decide, and
+    // the checkpointed exactly-once parquet sink — then the sink's
+    // keep/drop-reason counts. The CONSTRUCTION pins the reasons: content
+    // is synthesized per row index so the FULL policy chain lands on a
+    // known rule (i%4: salad < 50 words → word_count; base+lorem →
+    // lorem_ipsum; base+curly → curly_bracket; base → kept — the base
+    // text passes every earlier Gopher rule, IncrementalFilterSpec pins
+    // each case), making counts closed-form in SQL while the engine runs
+    // every real stage. Conservation: 300 parsed rows, 6 corrupt lines
+    // dropped by the tolerant reader.
+    "q47_stream_filter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.IncrementalFilter
+      graft.sources.JsonlGz.writeFixture(StreamFixturePath, 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+      val sink = tmp.resolve("decided").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val src = s.readStream
+        .schema(graft.sources.JsonlGz.InputSpecSchema)
+        .json(StreamFixtureDir)
+        .filter(col("url").isNotNull)
+      val idx = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val content =
+        when(pmod(idx, lit(4)) === 0, col("raw_content"))
+          .when(pmod(idx, lit(4)) === 1, lit(StreamOracleBase + " lorem ipsum"))
+          .when(pmod(idx, lit(4)) === 2, lit(StreamOracleBase + " {"))
+          .otherwise(lit(StreamOracleBase))
+      val stamped = src.select(
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        idx.as("doc_id"),
+        col("source_domain").as("repo"),
+        col("url").as("path"),
+        col("digest").as("commit"),
+        col("language").as("lang"),
+        content.as("content")).as[IncrementalFilter.StampedFile]
+      IncrementalFilter
+        .writeTo(IncrementalFilter.decide(stamped), sink, ckpt)
+        .start().awaitTermination()
+      val counts = s.read.parquet(sink)
+        .groupBy("drop_reason")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      // the sink/checkpoint are per-run artifacts — sweep them (q33 rule)
+      sweepDir(tmp)
+      counts.toDF("drop_reason", "n_files", "n_kept").orderBy("drop_reason")
+    }),
+
     "q46_winnow_pairs" -> ((s, dir) => {
       val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
       val twins = cf.filter(col("id") % 10 === 3)
@@ -836,6 +888,29 @@ object SparkEntry {
     * the query wrote; content is deterministic and sf-independent.
     */
   private val JsonlFixturePath = "/tmp/graft_fixtures/ccnet_shard.jsonl.gz"
+
+  /** q47's copy of the fixture in its own directory — the streaming file
+    * source requires a directory path, and the stream must not observe
+    * unrelated fixtures.
+    */
+  private val StreamFixtureDir = "/tmp/graft_fixtures/stream_src"
+  private val StreamFixturePath = s"$StreamFixtureDir/ccnet_shard.jsonl.gz"
+
+  /** q47's construction base text: passes every FilterPolicy rule (60
+    * words, mean word length ~7.8, two stop-word hits, all bigrams
+    * distinct) so an appended marker ("lorem ipsum" / "{") lands on
+    * exactly its own rule — IncrementalFilterSpec pins all four cases
+    * through the real SignalPass + FilterPolicy chain.
+    */
+  private[graft] val StreamOracleBase: String =
+    "the of " + (0 until 58).map(j => f"word$j%04d").mkString(" ")
+
+  private def sweepDir(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   /** q20's UT1 dim through the production path: write the published
     * tarball layout (`blacklists/<category>/domains`,
@@ -1569,6 +1644,27 @@ object SparkEntry {
          |       CAST(len(ws) AS BIGINT) AS word_count
          |FROM words JOIN code_files USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // the streaming construction's closed form: reasons from the row
+    // index mod 4 over the same tolerant-read fixture (corrupt lines
+    // excluded exactly as the engine's PERMISSIVE reader drops them)
+    "q47_stream_filter" ->
+      s"""WITH j AS (
+         |  SELECT CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 4 AS m
+         |  FROM read_json('$StreamFixturePath',
+         |    format='newline_delimited', ignore_errors=true,
+         |    columns={'url':'VARCHAR'})
+         |  WHERE url IS NOT NULL
+         |), r AS (
+         |  SELECT CASE m WHEN 0 THEN 'word_count' WHEN 1 THEN 'lorem_ipsum'
+         |                WHEN 2 THEN 'curly_bracket' ELSE '' END AS drop_reason
+         |  FROM j
+         |)
+         |SELECT drop_reason, CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_kept
+         |FROM r GROUP BY drop_reason
+         |ORDER BY drop_reason""".stripMargin,
 
     // construction truth: exactly the identical-twin pairs at overlap 1.0;
     // the near-twin injections (id%10==6) stay below tau by the w+k-1

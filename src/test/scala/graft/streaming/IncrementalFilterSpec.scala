@@ -123,4 +123,19 @@ class IncrementalFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = spark.read.parquet(out).select("doc_id").distinct().count()
     assert(ids == 25, s"expected all 25 distinct docs, got $ids")
   }
+
+  test("q47 construction: each content shape lands on exactly its rule") {
+    // the streaming driver oracle predicts reasons by construction; this
+    // pins each case through the REAL SignalPass + FilterPolicy chain, so
+    // a threshold or signal drift surfaces here before the driver run
+    import graft.pipeline.{CodeFile, FilterPolicy, SignalPass}
+    val base = graft.SparkEntry.StreamOracleBase
+    def reason(content: String): (Boolean, String) =
+      FilterPolicy.evaluate(SignalPass.compute(
+        CodeFile(1L, "r", "p", "c", "en", content)))
+    assert(reason("w1 w2 w3") == (false, "word_count")) // salad < 50 words
+    assert(reason(base + " lorem ipsum") == (false, "lorem_ipsum"))
+    assert(reason(base + " {") == (false, "curly_bracket"))
+    assert(reason(base) == (true, ""))
+  }
 }
