@@ -289,6 +289,13 @@ object SparkEntry {
         lineSum("rps_lines_ending_with_terminal_punctution_mark")
           .cast("long").as("n_terminal_lines"),
         lineSum("rps_lines_num_words").cast("long").as("sum_line_words"),
+        // the synthesized upstream-CCNet originals as VALUES (not just
+        // presence): deterministic from the pre-enrichment text, so the
+        // oracle re-derives them from `documents` directly
+        qs.getField("ccnet_original_length").getItem(0).getField("score")
+          .cast("long").as("original_length"),
+        qs.getField("ccnet_original_nlines").getItem(0).getField("score")
+          .cast("long").as("original_nlines"),
         (present("ccnet_length") + present("ccnet_nlines") +
           present("ccnet_perplexity") + present("ccnet_bucket") +
           present("ccnet_language_score") + present("ccnet_original_length") +
@@ -1573,10 +1580,16 @@ object SparkEntry {
          |         CASE WHEN ${nrm("l")} = '' THEN 0
          |              ELSE len(string_split(${nrm("l")}, ' ')) END)) AS BIGINT)
          |         AS sum_line_words,
+         |       orig.original_length, orig.original_nlines,
          |       CAST(CASE WHEN len(ws) > 0 THEN 7 ELSE 4 END AS BIGINT) AS n_ccnet,
          |       CAST(CASE WHEN len(ws) > 0 THEN 3 ELSE 0 END AS BIGINT) AS n_ml,
          |       CAST(6 AS BIGINT) AS n_dsir
          |FROM code_files JOIN words USING (doc_id) JOIN lines USING (doc_id)
+         |JOIN (SELECT doc_id,
+         |        CAST(length(coalesce(text, '')) AS BIGINT) AS original_length,
+         |        CAST(len(string_split(coalesce(text, ''), chr(10))) AS BIGINT)
+         |          AS original_nlines
+         |      FROM documents) orig USING (doc_id)
          |ORDER BY id""".stripMargin,
 
     // scalar core of the minhash table: published (b, r) band counts when
