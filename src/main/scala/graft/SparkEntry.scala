@@ -825,6 +825,32 @@ object SparkEntry {
     // into ≥1 unshared fingerprint) MUST NOT pass tau=0.999 — corpus docs
     // are ≤ ~700 chars (≤ ~90 fingerprints), so a near-twin caps at
     // ~n/(n+1) ≈ 0.99 < 0.999. Catches over- AND under-counting.
+    // The tokenizer.json interop driver-oracled: the SAME q41 construction,
+    // but the tokenizer reaches TokenCount THROUGH the public file format —
+    // trained merges saved as a HF tokenizer.json, reloaded with
+    // fromPretrained (token_count.py:46's production entry point), counts
+    // must equal q41's closed form exactly.
+    "q48_bpe_pretrained" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CodeFiles(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"),
+          expr("repeat('abab ', CAST(doc_id % 3 + 1 AS INT)) || " +
+            "repeat('abc ', CAST(doc_id % 5 + 1 AS INT)) || " +
+            "repeat('dd ', CAST(doc_id % 2 + 1 AS INT))").as("content"))
+      val bpe = bpeCache.computeIfAbsent(dir, _ =>
+        graft.pipeline.TokenCount.train(corpus.select("content").as[String], 3))
+      val tokPath = "/tmp/graft_fixtures/tokenizer.json"
+      graft.text.TokenizerJson.save(
+        graft.text.TokenizerJson.Loaded(bpe,
+          graft.text.TokenizerJson.derivedVocab(bpe.merges), None), tokPath)
+      graft.pipeline.TokenCount
+        .table(corpus.as[graft.pipeline.CodeFile],
+          graft.pipeline.TokenCount.fromPretrained(tokPath))
+        .orderBy("doc_id")
+    }),
+
     // The streaming path under a driver oracle: a REAL Structured
     // Streaming run (AvailableNow) over the ccnet jsonl.gz fixture through
     // the tolerant reader, the full fused-pass + FilterPolicy decide, and
@@ -1496,6 +1522,16 @@ object SparkEntry {
     // BPE construction oracle: with merges (a,b)→(ab,c)→(ab,ab) the three
     // vocab words encode to 1/1/2 tokens, so num_tokens is closed-form
     "q41_bpe_tokens" ->
+      s"""WITH $cte
+         |SELECT repo AS input_id, doc_id,
+         |       substr("commit", 1, 8) AS snapshot_id,
+         |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
+         |            + 2 * (doc_id % 2 + 1) AS BIGINT) AS num_tokens
+         |FROM code_files
+         |ORDER BY doc_id""".stripMargin,
+
+    // identical closed form through the tokenizer.json round trip
+    "q48_bpe_pretrained" ->
       s"""WITH $cte
          |SELECT repo AS input_id, doc_id,
          |       substr("commit", 1, 8) AS snapshot_id,
