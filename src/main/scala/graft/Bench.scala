@@ -50,7 +50,7 @@ object Bench {
     "q40_lsh_distributed_cc" -> 4.4, "q41_bpe_tokens" -> 0.4,
     "q42_winnow_dup_check" -> 1.3, "q43_embed_clusters" -> 2.5,
     "q44_dsir_hash_oracle" -> 0.5, "q45_stats_by_lang" -> 0.9,
-    "q46_winnow_pairs" -> 1.3, "q47_stream_filter" -> 3.0,
+    "q46_winnow_pairs" -> 3.5, "q47_stream_filter" -> 1.5,
     "q48_bpe_pretrained" -> 0.6)
 
   private def session(cores: Int): SparkSession = {
