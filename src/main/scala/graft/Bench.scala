@@ -149,9 +149,15 @@ object Bench {
         SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(kv => nameFilter(kv._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-          val dt = (System.nanoTime() - t0) / 1e9
+          // same invariant as retryOnce: a thrown query must NEVER
+          // contribute a sample — a 0.2 s failure would otherwise pass
+          // under every storm-triage trigger and publish as the min
+          val dt =
+            try { fn(spark, sfDir).count()
+                  (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name: $e")
+              Double.MaxValue }
           spark.catalog.clearCache()
           // GC hygiene between queries: localCheckpoint blocks and
           // broadcasts are only reclaimed by ContextCleaner AFTER a driver

@@ -844,7 +844,11 @@ object SparkEntry {
       val tokPath = "/tmp/graft_fixtures/tokenizer.json"
       graft.text.TokenizerJson.save(
         graft.text.TokenizerJson.Loaded(bpe,
-          graft.text.TokenizerJson.derivedVocab(bpe.merges), None), tokPath)
+          // pass the full corpus alphabet: 'd' appears in "dd" but no
+          // merge touches it, so the merges-only default would omit it
+          // from the written vocab
+          graft.text.TokenizerJson.derivedVocab(bpe.merges,
+            alphabet = Seq("a", "b", "c", "d")), None), tokPath)
       graft.pipeline.TokenCount
         .table(corpus.as[graft.pipeline.CodeFile],
           graft.pipeline.TokenCount.fromPretrained(tokPath))
@@ -940,9 +944,11 @@ object SparkEntry {
 
   private def sweepDir(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+    val walk = java.nio.file.Files.walk(root) // stream holds dir handles
+    try walk.iterator().asScala.toSeq
       .sortBy(-_.getNameCount)
       .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** q20's UT1 dim through the production path: write the published

@@ -175,6 +175,10 @@ object EmbedNearDup {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b")
+      // duplicate vec_id rows in the INPUT (a re-ingested shard) fan each
+      // candidate out once per copy through the id join-back — restore the
+      // unique-pair contract with a scalar-only dedup (two longs per row)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Dedup clusters over the near-dup pair graph; cluster_id = unsigned

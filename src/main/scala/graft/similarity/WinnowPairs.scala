@@ -30,16 +30,24 @@ object WinnowPairs {
   /** Pairs (id_a < id_b, overlap ≥ tau) from a `(id, content)` input.
     *
     * @param maxDf drop fingerprints appearing in more than this many docs
+    * @param eager materialize the fingerprint table once (default): three
+    *              consumers read it (df cap, per-doc sizes, pair join)
+    *              and the rolling-hash UDF is the dominant CPU cost —
+    *              without it the corpus is re-hashed per consumer. Pass
+    *              false to get the fully lazy plan (PlanSpec).
     */
   def pairs(docs: DataFrame, tau: Double, k: Int = 25, w: Int = 16,
-            maxDf: Int = 100): DataFrame = {
+            maxDf: Int = 100, eager: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val fpUdf = udf((c: String) => graft.text.Winnowing.fingerprints(c, k, w))
     // spread first: a 1-2 partition scan would serialize the per-doc
     // rolling-hash work; everything after the explode is scalar
-    val fps = docs
+    val fpsLazy = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"), explode(fpUdf(col("content"))).as("fp"))
+    // scalar (id, fp) rows only — blocks are reclaimed when the RDD is
+    // GC'd (the leak-free localCheckpoint pattern from NGramJaccard)
+    val fps = if (eager) fpsLazy.localCheckpoint() else fpsLazy
     // document frequency per fingerprint — partial+final agg, then the cap
     val keptFp = fps.groupBy("fp").count()
       .filter(col("count") <= maxDf)
