@@ -892,18 +892,22 @@ object SparkEntry {
         col("digest").as("commit"),
         col("language").as("lang"),
         content.as("content")).as[IncrementalFilter.StampedFile]
-      IncrementalFilter
-        .writeTo(IncrementalFilter.decide(stamped), sink, ckpt)
-        .start().awaitTermination()
-      val counts = s.read.parquet(sink)
-        .groupBy("drop_reason")
-        .agg(count(lit(1)).as("n_files"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .toSeq.sortBy(_._1)
-      // the sink/checkpoint are per-run artifacts — sweep them (q33 rule)
-      sweepDir(tmp)
+      // the sink/checkpoint are per-run artifacts — sweep them even when
+      // the stream throws (q33 rule; a leaked checkpoint would make a
+      // retry resume into an empty exactly-once no-op)
+      val counts =
+        try {
+          IncrementalFilter
+            .writeTo(IncrementalFilter.decide(stamped), sink, ckpt)
+            .start().awaitTermination()
+          s.read.parquet(sink)
+            .groupBy("drop_reason")
+            .agg(count(lit(1)).as("n_files"),
+              sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq.sortBy(_._1)
+        } finally sweepDir(tmp)
       counts.toDF("drop_reason", "n_files", "n_kept").orderBy("drop_reason")
     }),
 
