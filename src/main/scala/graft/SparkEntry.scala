@@ -825,6 +825,26 @@ object SparkEntry {
     // into ≥1 unshared fingerprint) MUST NOT pass tau=0.999 — corpus docs
     // are ≤ ~700 chars (≤ ~90 fingerprints), so a near-twin caps at
     // ~n/(n+1) ≈ 0.99 < 0.999. Catches over- AND under-counting.
+    // Bucketed co-located join: both sides written bucketBy(8, doc_id) as
+    // external tables, then joined — Catalyst proves the co-location and
+    // elides BOTH exchanges (PlanSpec pins zero hash exchanges around the
+    // SortMergeJoin). The pay-the-shuffle-once-at-write-time primitive
+    // every repeated doc_id join (signals ⋈ tokens ⋈ clusters) wants at
+    // corpus scale; values oracled trivially from the corpus.
+    "q49_bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_fixtures/bucketed"
+      graft.pipeline.Bucketed.writeBucketed(
+        CodeFiles(s, dir).select(col("doc_id"), col("repo"), col("lang")),
+        "graft_docs_b", s"$base/docs", "doc_id", buckets = 8)
+      graft.pipeline.Bucketed.writeBucketed(
+        CodeFiles(s, dir).select(col("doc_id"),
+          length(col("content")).cast("long").as("n_chars")),
+        "graft_toks_b", s"$base/toks", "doc_id", buckets = 8)
+      s.table("graft_docs_b").join(s.table("graft_toks_b"), "doc_id")
+        .select("doc_id", "repo", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // The tokenizer.json interop driver-oracled: the SAME q41 construction,
     // but the tokenizer reaches TokenCount THROUGH the public file format —
     // trained merges saved as a HF tokenizer.json, reloaded with
@@ -1537,6 +1557,13 @@ object SparkEntry {
          |       substr("commit", 1, 8) AS snapshot_id,
          |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
          |            + 2 * (doc_id % 2 + 1) AS BIGINT) AS num_tokens
+         |FROM code_files
+         |ORDER BY doc_id""".stripMargin,
+
+    "q49_bucketed_join" ->
+      s"""WITH $cte
+         |SELECT doc_id, repo, lang,
+         |       CAST(length(content) AS BIGINT) AS n_chars
          |FROM code_files
          |ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location — the Spark-native answer to join keys that
+  * repeat across stages. Two tables written `bucketBy(n, key)` with the
+  * same bucket count join with ZERO exchanges: each task zips bucket i of
+  * both sides straight off storage. At 100 TB this is the difference
+  * between re-shuffling the corpus for every doc_id join (signals ⋈
+  * token counts ⋈ dedup clusters all key on it) and paying the shuffle
+  * once at write time — the pre-partitioning the reference bakes into its
+  * per-shard file layout, expressed as Spark bucketing so Catalyst can
+  * PROVE the co-location and elide the exchange (PlanSpec pins it).
+  */
+object Bucketed {
+
+  /** Write `df` as an external parquet table bucketed + sorted by `key`
+    * at `path`. External (explicit path) so the warehouse never lands in
+    * the working directory; overwrite semantics make repeated calls
+    * idempotent.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

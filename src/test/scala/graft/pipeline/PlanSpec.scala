@@ -144,6 +144,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed co-located join runs with zero hash exchanges") {
+    // both sides bucketBy(8, doc_id): Catalyst must prove co-location and
+    // elide the shuffle on BOTH sides of the SortMergeJoin — the
+    // pay-once-at-write-time primitive for repeated doc_id joins.
+    // Broadcast disabled so the tiny test tables can't sidestep the
+    // contract; the only Exchange allowed is the display sort's range
+    // partitioning.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("q49_bucketed_join")(spark, sfDir))
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketing failed to elide the join shuffles:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
