@@ -845,6 +845,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Salted skew join under an oracle: 80% of files are remapped onto one
+    // synthetic mega-repo (the skew the north rule names), then joined to
+    // the per-repo dim through SaltedJoin — the hot key spreads over 16
+    // reducers instead of one, and the result must equal the plain join.
+    // PlanSpec pins the salted exchange + the dim replication.
+    "q50_salted_join" -> ((s, dir) => {
+      val files = CodeFiles(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 10 < 8, lit("megarepo"))
+          .otherwise(col("repo")).as("repo"),
+        length(col("content")).cast("long").as("n_chars"))
+      val dim = files.groupBy("repo").agg(count(lit(1)).as("repo_files"))
+      graft.operators.SaltedJoin.inner(files, dim, "repo",
+          saltSource = col("doc_id"), salts = 16)
+        .select("doc_id", "repo", "n_chars", "repo_files")
+        .orderBy("doc_id")
+    }),
+
+    // As-of join (point-in-time lookup) under a genuinely independent
+    // oracle: DuckDB's native ASOF LEFT JOIN vs the engine's
+    // union+window single-pass form. Each click gets the latest preceding
+    // purchase (per user); 141 clicks at sf0.01 precede any purchase and
+    // pin the null path. Purchases are pre-deduped per (user, ts) — the
+    // operator's documented uniqueness contract.
+    "q51_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("p_value"))
+      graft.operators.AsofJoin.leftAsof(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("asof_ts")).as("p_epoch"),
+          col("asof_p_value").as("p_value"))
+        .orderBy("event_id")
+    }),
+
     // The tokenizer.json interop driver-oracled: the SAME q41 construction,
     // but the tokenizer reaches TokenCount THROUGH the public file format —
     // trained merges saved as a HF tokenizer.json, reloaded with
@@ -1566,6 +1603,36 @@ object SparkEntry {
          |       CAST(length(content) AS BIGINT) AS n_chars
          |FROM code_files
          |ORDER BY doc_id""".stripMargin,
+
+    // plain (unsalted) join — salting must be invisible in the values
+    "q50_salted_join" ->
+      s"""WITH $cte,
+         |skewed AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 < 8 THEN 'megarepo' ELSE repo END AS repo,
+         |         CAST(length(content) AS BIGINT) AS n_chars
+         |  FROM code_files),
+         |dim AS (SELECT repo, count(*) AS repo_files FROM skewed GROUP BY repo)
+         |SELECT f.doc_id, f.repo, f.n_chars, d.repo_files
+         |FROM skewed f JOIN dim d USING (repo)
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — an algorithm-independent twin of
+    // the engine's union+window formulation (floor(epoch) matches Spark's
+    // unix_timestamp second-truncation; ties are impossible by the
+    // (user, ts) pre-dedup)
+    "q51_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT) AS p_epoch,
+        |       p.p_value
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     // identical closed form through the tokenizer.json round trip
     "q48_bpe_pretrained" ->

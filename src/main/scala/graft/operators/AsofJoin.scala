@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (point-in-time lookup) — for every left row, the right row
+  * with the greatest timestamp ≤ the left row's timestamp within the same
+  * key group. Spark has no native operator for this; the naive encodings
+  * are a range θ-join (BroadcastNestedLoop — quadratic, non-startable at
+  * corpus scale) or a per-row correlated subquery. This implementation is
+  * the scale-correct single-pass form: tag both sides, union, ONE hash
+  * shuffle on the key, one ordered window pass that carries the latest
+  * right payload forward (`last(..., ignoreNulls)` over rows up to the
+  * current one), then keep the left rows. Cost class = sessionization
+  * (q24): shuffle + sort, no row-pair blowup, map-side nothing to combine
+  * but also nothing amplified.
+  *
+  * Tie semantics match DuckDB/pandas ASOF (`l.ts >= r.ts`): a right row AT
+  * the left timestamp matches, because right rows order before left rows
+  * at equal (key, ts) via the side tag. The right side must be unique per
+  * (key, ts) — pre-aggregate it (q51 does groupBy(key, ts)) or the carried
+  * row among same-instant duplicates is tie-order-dependent.
+  *
+  * Scale notes: per-key groups must fit a window partition (same contract
+  * as every per-key ordered pass in the engine); for a hot key, compact
+  * the right side first — only distinct (key, ts) rows matter — and shard
+  * the left side by time range against a right side replicated per range
+  * boundary.
+  */
+object AsofJoin {
+
+  /** Left as-of join. Output = all `left` columns + each non-key `right`
+    * column renamed `asof_<name>` (null when no right row precedes the
+    * left row). `left` and `right` must agree on the type of `ts`.
+    */
+  def leftAsof(left: DataFrame, right: DataFrame,
+               key: String, ts: String): DataFrame = {
+    val payload = right.columns.filterNot(_ == key).toSeq
+    val pStruct = struct(payload.map(col): _*)
+    val pType = right.select(pStruct.as("p")).schema("p").dataType
+    val lCols = left.columns.toSeq
+    val lStruct = struct(lCols.map(col): _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    val r = right.select(
+      col(key).as("__k"), col(ts).as("__ats"), lit(0).as("__side"),
+      pStruct.as("__p"), lit(null).cast(lType).as("__l"))
+    val l = left.select(
+      col(key).as("__k"), col(ts).as("__ats"), lit(1).as("__side"),
+      lit(null).cast(pType).as("__p"), lStruct.as("__l"))
+
+    val upTo = Window.partitionBy("__k").orderBy(col("__ats"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(upTo))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(c => col(s"__carry.$c").as(s"asof_$c")): _*)
+  }
+}

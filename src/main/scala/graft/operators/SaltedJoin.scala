@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-defusing equi-join — the mega-repo tool the north rule
+  * names ("salted repartitioning by (repo, path-hash)"). A plain shuffle
+  * join on `repo` sends EVERY file of a mega-repo to one reducer: at
+  * 10^12 files a single hot repo is a multi-TB partition that no executor
+  * can hold, and AQE's skew splitting only rescues sort-merge joins after
+  * the oversized partition has already been written by the map side.
+  * Salting fixes it at the partitioning level: the big side's key becomes
+  * (key, salt) with salt drawn deterministically from a row-unique column,
+  * the small side is replicated once per salt value, and the hot key's
+  * rows spread over `salts` reducers. Semantics are exactly the plain
+  * inner equi-join (PlanSpec pins the salted exchange; the q50 oracle
+  * pins the values).
+  *
+  * Use when the small side is too big to broadcast and the key is skewed;
+  * replication cost = |small| × salts rows, so size `salts` to the skew
+  * (hot-key rows / target partition rows), not to the cluster.
+  */
+object SaltedJoin {
+
+  val SaltCol = "__graft_salt"
+
+  /** Inner equi-join of `big` ⋈ `small` on `key`, with the big side's
+    * shuffle salted `salts` ways. `saltSource` must vary within a key
+    * group (a row-unique column such as doc_id) — hashing it spreads a
+    * hot key's rows uniformly; hashing the key itself would put the whole
+    * group back on one reducer.
+    */
+  def inner(big: DataFrame, small: DataFrame, key: String,
+            saltSource: Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val salted = big.withColumn(SaltCol, pmod(hash(saltSource), lit(salts)))
+    val replicated = small.withColumn(
+      SaltCol, explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-operators-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("salted join equals the plain join on a skewed input") {
+    import spark.implicits._
+    // 900 rows on one hot key, 100 spread over 10 cold keys
+    val big = (0 until 1000).map { i =>
+      (i.toLong, if (i < 900) "hot" else s"cold${i % 10}")
+    }.toDF("row_id", "key")
+    val dim = (Seq("hot") ++ (0 until 10).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, v) => (k, v.toLong) }.toDF("key", "dim_val")
+
+    val salted = SaltedJoin.inner(big, dim, "key", col("row_id"), salts = 8)
+      .select("row_id", "key", "dim_val")
+    val plain = big.join(dim, "key").select("row_id", "key", "dim_val")
+    assert(salted.orderBy("row_id").collect().toSeq ==
+      plain.orderBy("row_id").collect().toSeq)
+  }
+
+  test("salting spreads a hot key across many salt values") {
+    import spark.implicits._
+    val big = (0 until 1000).map(i => (i.toLong, "hot")).toDF("row_id", "key")
+    val nSalts = big
+      .withColumn(SaltedJoin.SaltCol, pmod(hash(col("row_id")), lit(8)))
+      .select(SaltedJoin.SaltCol).distinct().count()
+    assert(nSalts == 8, s"hot key only reached $nSalts of 8 salts")
+  }
+
+  test("as-of join picks the latest right row at or before the left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "u1", 100L), // after r@50 and r@100 -> matches r@100 (>= is inclusive)
+      (2L, "u1", 99L),  // only r@50 precedes
+      (3L, "u1", 10L),  // nothing precedes -> null
+      (4L, "u2", 500L)  // other key: u1 rows must not leak
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", 50L, "a"), ("u1", 100L, "b"), ("u2", 499L, "c")
+    ).toDF("k", "t", "v")
+
+    val got = AsofJoin.leftAsof(left, right, "k", "t")
+      .select("id", "asof_t", "asof_v").orderBy("id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      (1L, Some(100L), Some("b")),
+      (2L, Some(50L), Some("a")),
+      (3L, None, None),
+      (4L, Some(499L), Some("c"))))
+  }
+
+  test("as-of join differentially matches a per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong)).toSeq
+    val right = rnd.shuffle(
+      (for (k <- 0 until 5; t <- 0 until 100 if rnd.nextBoolean()) yield
+        (s"k$k", t.toLong, k * 1000L + t)).toSeq)
+      .groupBy(p => (p._1, p._2)).map(_._2.head).toSeq // unique (k, t)
+
+    val got = AsofJoin.leftAsof(
+        left.toDF("id", "k", "t"), right.toDF("k", "t", "v"), "k", "t")
+      .select("id", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val byKey = right.groupBy(_._1)
+    val want = left.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got == want)
+  }
+}

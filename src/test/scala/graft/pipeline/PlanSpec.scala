@@ -160,6 +160,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("salted join shuffles on (key, salt) and replicates the dim side") {
+    // broadcast disabled so the tiny dim can't sidestep the shuffle the
+    // salt exists to fix: the big side's exchange must partition on the
+    // salt too (the hot repo spreads over `salts` reducers), and the dim
+    // must pass through an explode (one copy per salt value)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("q50_salted_join")(spark, sfDir))
+      val saltedExchange = p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains(graft.operators.SaltedJoin.SaltCol))
+      assert(saltedExchange, s"no salted exchange in plan:\n$p")
+      assert(p.contains("Generate explode"), s"dim side not replicated:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("as-of join is one key shuffle — no row-pair blowup") {
+    val p = plan(SparkEntry.queries("q51_asof_join")(spark, sfDir))
+    // exactly 2 hash exchanges: the purchase (user, ts) dedup agg and the
+    // as-of key shuffle itself — the union+window form adds ONE shuffle,
+    // never a pair join
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles == 2, s"expected exactly 2 hash exchanges, got $keyShuffles:\n$p")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of join degenerated into a θ-join:\n$p")
+  }
+
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
