@@ -52,7 +52,8 @@ object Bench {
     "q44_dsir_hash_oracle" -> 0.5, "q45_stats_by_lang" -> 0.9,
     "q46_winnow_pairs" -> 3.5, "q47_stream_filter" -> 1.5,
     "q48_bpe_pretrained" -> 0.6, "q49_bucketed_join" -> 1.5,
-    "q50_salted_join" -> 1.5, "q51_asof_join" -> 1.0)
+    "q50_salted_join" -> 1.5, "q51_asof_join" -> 1.0,
+    "q52_range_join" -> 1.0, "q53_stratified_sample" -> 0.6)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

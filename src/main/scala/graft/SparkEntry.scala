@@ -882,6 +882,46 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Bucketized range join vs DuckDB's native inequality join (IEJoin —
+    // algorithm-independent): every click inside each purchase's 24 h
+    // attribution window, per user. The bin width equals the window, so
+    // each interval explodes to exactly 2 bins and candidates come from a
+    // (user, bin) equi-join; the exact BETWEEN runs post-join. PlanSpec
+    // pins no-θ-join + the binned exchange.
+    "q52_range_join" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("c_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_us"),
+          (unix_micros(col("ts").cast("timestamp")) + dayUs).as("e_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, purch, "user_id", "c_us", "s_us", "e_us",
+          binWidth = dayUs)
+        .groupBy("p_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min("event_id").as("first_click"),
+          max("event_id").as("last_click"))
+        .orderBy("p_id")
+    }),
+
+    // Stratified deterministic sampling (data mixing): per-language keep
+    // rates 0.5/0.25/0.1 through the shuffle-free Knuth-hash filter; the
+    // oracle recomputes the identical modular arithmetic, so membership —
+    // not just counts — is pinned via the per-stratum id_sum.
+    "q53_stratified_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang")
+      graft.operators.Sampling.stratified(docs, "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // The tokenizer.json interop driver-oracled: the SAME q41 construction,
     // but the tokenizer reaches TokenCount THROUGH the public file format —
     // trained merges saved as a HF tokenizer.json, reloaded with
@@ -1633,6 +1673,35 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // DuckDB plans the BETWEEN as a native inequality join — no bins, an
+    // algorithm-independent twin of the bucketized form
+    "q52_range_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS s_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_id, p.user_id,
+        |       count(*) AS n_clicks,
+        |       min(c.event_id) AS first_click,
+        |       max(c.event_id) AS last_click
+        |FROM purch p JOIN clicks c
+        |  ON c.user_id = p.user_id
+        | AND c.c_us BETWEEN p.s_us AND p.s_us + 86400000000
+        |GROUP BY p.p_id, p.user_id
+        |ORDER BY p.p_id""".stripMargin,
+
+    "q53_stratified_sample" ->
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 10000 <
+        |      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // identical closed form through the tokenizer.json round trip
     "q48_bpe_pretrained" ->

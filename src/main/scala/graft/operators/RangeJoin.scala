@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval-containment) join — match every point to the intervals
+  * that contain it, per key. Spark's native plan for the inequality
+  * predicate is BroadcastNestedLoopJoin: O(|points|·|intervals|) row
+  * pairs, a non-starter at corpus scale. The scale form is bucketization:
+  * quantize time into fixed bins, explode each interval to every bin it
+  * overlaps, key each point by its single bin, take candidates from a
+  * hash EQUI-join on (key, bin), and apply the exact BETWEEN filter after.
+  * Each qualifying pair survives exactly once — a point lives in exactly
+  * one bin, so no post-join dedup is needed.
+  *
+  * Cost model: shuffle volume = |points| + |intervals| × (avg interval
+  * length / binWidth + 1). Size `binWidth` near the typical interval
+  * length (replication ≈ 2×); too small amplifies intervals, too large
+  * degrades the candidate filter toward all-pairs-per-key. Skewed keys
+  * compose with [[SaltedJoin]]'s trick — salt the point side on a
+  * row-unique column and replicate the interval side — when one key owns
+  * the corpus.
+  *
+  * Domain: `pt`/`lo`/`hi` are nonnegative longs on the same scale
+  * (epoch micros in q52); integer `div` keeps bin ids exact where a
+  * double division could round a boundary across bins.
+  */
+object RangeJoin {
+
+  /** Inner join of `points` to the `intervals` whose [lo, hi] (inclusive
+    * both ends) contains `pt`, within the same `key` group.
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame, key: String,
+                      pt: String, lo: String, hi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = points.withColumn("__bin", expr(s"`$pt` div ${binWidth}L"))
+    val exploded = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$lo` div ${binWidth}L"),
+        expr(s"`$hi` div ${binWidth}L"))))
+    binned.join(exploded, Seq(key, "__bin"))
+      .filter(col(pt) >= col(lo) && col(pt) <= col(hi))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-mixing primitive: keep
+  * each stratum (language, source, quality bucket) at its own rate, the
+  * way training-data recipes weight domains. Three properties matter at
+  * corpus scale and all come from the construction:
+  *
+  *  - **Shuffle-free**: the decision is a pure row-local filter
+  *    (`hash(id) mod M < rate·M`), so it composes into any scan with no
+  *    exchange and no sampling-induced skew.
+  *  - **Deterministic & stable**: the same row always samples the same
+  *    way (Knuth multiplicative hash of a row-unique id, no RNG state),
+  *    so reruns, resumed partitions, and two clusters agree — `sample()`
+  *    with a seed is only stable per-partitioning, which a resume does
+  *    not preserve.
+  *  - **Nested**: rate r2 < r1 selects a strict subset of rate r1 —
+  *    lowering a domain's weight never swaps WHICH rows are kept, only
+  *    how many, so downstream caches/dedup stay valid.
+  *
+  * The multiplier is the 32-bit Knuth constant; at test scale
+  * `id · 2654435761` stays far below 2^63 so the SQL oracle computes the
+  * identical value (DuckDB raises on BIGINT overflow rather than
+  * wrapping — at 10^12-id scale the Spark side wraps deterministically
+  * and the oracle contract is the small-scale construction).
+  */
+object Sampling {
+
+  val Mod: Long = 10000L
+
+  /** Keep rows of `df` at `rates(strata_value)` (fraction in [0,1]),
+    * `defaultRate` for strata not in the map. `id` must be a nonnegative
+    * row-unique long column.
+    */
+  def stratified(df: DataFrame, strata: String, id: String,
+                 rates: Map[String, Double],
+                 defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = pmod(col(id) * lit(2654435761L), lit(Mod))
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * Mod)): Column) { case (acc, (k, r)) =>
+      when(col(strata) === k, lit(math.round(r * Mod))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+}

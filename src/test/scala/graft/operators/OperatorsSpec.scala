@@ -65,6 +65,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, Some(499L), Some("c"))))
   }
 
+  test("range join differentially matches the naive filter, incl. boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)).toSeq
+    // intervals span 0-6 bins at binWidth=50; some degenerate (lo == hi)
+    val intervals = (0 until 120).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, s"k${rnd.nextInt(4)}", lo, lo + rnd.nextInt(300).toLong)
+    } ++ points.take(5).map { case (id, k, t) =>
+      (1000L + id, k, t, t) // interval exactly [pt, pt] — both bounds inclusive
+    }
+    val got = RangeJoin.pointInInterval(
+        points.toDF("pt_id", "k", "t"),
+        intervals.toDF("iv_id", "k", "lo", "hi"), "k", "t", "lo", "hi",
+        binWidth = 50L)
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (pid, pk, t) <- points
+      (ivid, ik, lo, hi) <- intervals
+      if pk == ik && t >= lo && t <= hi
+    } yield (pid, ivid)).toSet
+    assert(got == want)
+    assert(want.nonEmpty && points.take(5).forall { case (id, _, _) =>
+      want.contains((id, 1000L + id)) }) // the boundary pairs matched
+  }
+
+  test("stratified sampling is deterministic, per-stratum rated, and nested") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, Seq("en", "de", "zh")(i % 3))).toDF("doc_id", "lang")
+    def ids(rates: Map[String, Double]): Set[Long] =
+      Sampling.stratified(docs, "lang", "doc_id", rates, defaultRate = 0.05)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r1 = ids(Map("en" -> 0.5, "de" -> 0.2))
+    assert(r1 == ids(Map("en" -> 0.5, "de" -> 0.2)), "not deterministic")
+    // membership matches the spec arithmetic exactly
+    val want = (0 until 2000).filter { i =>
+      val b = (i.toLong * 2654435761L) % Sampling.Mod
+      b < (Seq("en", "de", "zh")(i % 3) match {
+        case "en" => 5000L; case "de" => 2000L; case _ => 500L })
+    }.map(_.toLong).toSet
+    assert(r1 == want)
+    // lowering a rate keeps a strict subset — nested samples
+    val r2 = ids(Map("en" -> 0.25, "de" -> 0.2))
+    assert(r2.subsetOf(r1) && r2.size < r1.size)
+  }
+
   test("as-of join differentially matches a per-row scan on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -186,6 +186,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"as-of join degenerated into a θ-join:\n$p")
   }
 
+  test("range join candidates come from a binned equi-join, never a θ-join") {
+    // Spark's native plan for the BETWEEN predicate is
+    // BroadcastNestedLoopJoin (all row pairs); the bucketized form must
+    // shuffle on (key, __bin) with the interval side exploded
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(SparkEntry.queries("q52_range_join")(spark, sfDir))
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"range join degenerated into a θ-join:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("__bin")),
+        s"no binned exchange in plan:\n$p")
+      assert(p.contains("Generate explode"), s"intervals not exploded to bins:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("stratified sampling is a shuffle-free row-local filter") {
+    val p = plan(SparkEntry.queries("q53_stratified_sample")(spark, sfDir))
+    assert(!p.contains("Join"), s"sampling must not join:\n$p")
+    // the only hash exchange is the report's groupBy — the sampling
+    // decision itself adds none
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected only the rollup exchange, got $shuffles:\n$p")
+  }
+
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
