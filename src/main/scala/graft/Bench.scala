@@ -53,7 +53,8 @@ object Bench {
     "q46_winnow_pairs" -> 3.5, "q47_stream_filter" -> 1.5,
     "q48_bpe_pretrained" -> 0.6, "q49_bucketed_join" -> 1.5,
     "q50_salted_join" -> 1.5, "q51_asof_join" -> 1.0,
-    "q52_range_join" -> 1.0, "q53_stratified_sample" -> 0.6)
+    "q52_range_join" -> 1.0, "q53_stratified_sample" -> 0.6,
+    "q54_decontaminate" -> 1.2, "q55_token_budget" -> 0.8)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

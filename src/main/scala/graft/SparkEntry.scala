@@ -922,6 +922,48 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Benchmark decontamination: the eval set is a deterministic token
+    // span (words 4..18) of every 17th doc, so contamination is planted
+    // and the oracle re-derives the identical benchmark from the corpus.
+    // The corpus side never shuffles grams — native-array n-grams probe a
+    // BROADCAST of the benchmark's distinct grams; PlanSpec pins it.
+    "q54_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val words = CodeFiles(s, dir)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }.toDF("doc_id", "ws")
+      val bench = words.filter(col("doc_id") % 17 === 5)
+        .select(slice(col("ws"), 4, 15).as("bws"))
+      graft.operators.Decontaminate
+        .matches(words, "doc_id", "ws", bench, "bws", n = 6, minMatches = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixing: per-language budgets drive the two-pass
+    // totals→threshold→hash-filter path (partial budget for en, an
+    // over-budget full keep for de, the default for the rest); membership
+    // — not just counts — is pinned via id_sum, and the oracle recomputes
+    // the identical integer threshold arithmetic.
+    "q55_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = CodeFiles(s, dir)
+        .select(col("doc_id"), col("lang"), col("content"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, c) =>
+          (id, lang, graft.text.PyCompat.split(
+            graft.text.Normalizer.normalize(c)).length.toLong)
+        }.toDF("doc_id", "lang", "n_tokens")
+      graft.operators.Sampling.byTokenBudget(docs, "lang", "doc_id",
+          "n_tokens", Map("en" -> 3000L, "de" -> 9999999L),
+          defaultBudget = 1000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // The tokenizer.json interop driver-oracled: the SAME q41 construction,
     // but the tokenizer reaches TokenCount THROUGH the public file format —
     // trained merges saved as a HF tokenizer.json, reloaded with
@@ -1702,6 +1744,58 @@ object SparkEntry {
         |      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // the benchmark span, its 6-grams, and the per-doc distinct 6-grams
+    // all re-derived from the corpus — contamination is whatever the
+    // arithmetic says, planted or incidental
+    "q54_decontaminate" ->
+      s"""WITH $cte, $wordsCte, bench AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    list_slice(list_zip(b, b[2:], b[3:], b[4:], b[5:], b[6:]),
+         |               1, len(b) - 5),
+         |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]
+         |         || ' ' || x[5] || ' ' || x[6]))) AS gram
+         |  FROM (SELECT list_slice(ws, 4, 18) AS b FROM words
+         |        WHERE doc_id % 17 = 5)
+         |  WHERE len(b) >= 6
+         |), dg AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_slice(list_zip(ws, ws[2:], ws[3:], ws[4:], ws[5:], ws[6:]),
+         |               1, len(ws) - 5),
+         |    x -> x[1] || ' ' || x[2] || ' ' || x[3] || ' ' || x[4]
+         |         || ' ' || x[5] || ' ' || x[6]))) AS gram
+         |  FROM words WHERE len(ws) >= 6
+         |)
+         |SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+         |FROM dg JOIN bench ON dg.gram = bench.gram
+         |GROUP BY dg.doc_id
+         |HAVING count(*) >= 2
+         |ORDER BY dg.doc_id""".stripMargin,
+
+    // identical integer threshold arithmetic: thr = budget*10000 // total,
+    // full keep when budget >= total, then the same Knuth-hash filter
+    "q55_token_budget" ->
+      s"""WITH $cte, $wordsCte, toks AS (
+         |  SELECT w.doc_id, cf.lang, len(w.ws) AS n_tokens
+         |  FROM words w JOIN code_files cf ON cf.doc_id = w.doc_id
+         |), thr AS (
+         |  SELECT lang,
+         |         CASE WHEN total <= 0 THEN 0
+         |              WHEN b >= total THEN 10000
+         |              ELSE (b * 10000) // total END AS thr
+         |  FROM (SELECT lang, SUM(n_tokens) AS total,
+         |               CASE lang WHEN 'en' THEN 3000
+         |                         WHEN 'de' THEN 9999999
+         |                         ELSE 1000 END AS b
+         |        FROM toks GROUP BY lang)
+         |)
+         |SELECT t.lang, count(*) AS n_docs,
+         |       CAST(sum(t.n_tokens) AS BIGINT) AS tok_sum,
+         |       CAST(sum(t.doc_id) AS BIGINT) AS id_sum
+         |FROM toks t JOIN thr ON thr.lang = t.lang
+         |WHERE (t.doc_id * 2654435761) % 10000 < thr.thr
+         |GROUP BY t.lang
+         |ORDER BY t.lang""".stripMargin,
 
     // identical closed form through the tokenizer.json round trip
     "q48_bpe_pretrained" ->

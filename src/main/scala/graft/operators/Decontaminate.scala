@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag corpus documents that share n-grams
+  * with a held-out evaluation set, the standard pre-training hygiene step
+  * (GPT-3 appx. C / The Pile use 13-gram overlap; the threshold and n are
+  * knobs here). Beyond the reference's operator inventory: its pipeline
+  * filters on quality signals only, but any engine feeding a trainer
+  * needs this next to dedup.
+  *
+  * Scale shape: the corpus side NEVER shuffles its grams — n-grams are
+  * built with native array functions (codegen, no UDF), exploded in-map,
+  * and probed against a BROADCAST of the benchmark's distinct grams (eval
+  * sets are tiny — thousands of docs — vs a 100 TB corpus; the broadcast
+  * is the whole point). Only matching rows reach the per-doc count, and
+  * matches are rare by construction, so the one hash exchange moves a
+  * sliver. Per-doc grams are distinct and benchmark grams are distinct,
+  * so the join emits at most one row per (doc, gram): the count IS the
+  * number of distinct shared grams, no post-dedup.
+  */
+object Decontaminate {
+
+  /** Distinct n-grams of a words-array column, space-joined — pure
+    * Catalyst expressions (sequence/transform/slice), whole-stage
+    * codegen-able. Guarded: fewer than n words yields an empty array
+    * (sequence(1,0) would DESCEND in Spark, not return empty).
+    */
+  def ngramsCol(words: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, gram) with per-doc-distinct grams, one row per gram. */
+  def docGrams(docs: DataFrame, id: String, words: String, n: Int): DataFrame =
+    docs.select(col(id), explode(ngramsCol(col(words), n)).as("gram"))
+
+  /** Per-document count of DISTINCT n-grams shared with `bench`; only
+    * documents with at least `minMatches` survive. Output: (id,
+    * n_matched). `bench` rows are word arrays (`benchWords` column);
+    * drop-in for an eval-set prompt/answer table.
+    */
+  def matches(docs: DataFrame, id: String, words: String,
+              bench: DataFrame, benchWords: String,
+              n: Int, minMatches: Long = 1L): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be >= 1, got $minMatches")
+    val benchGrams = bench
+      .select(explode(ngramsCol(col(benchWords), n)).as("gram")).distinct()
+    docGrams(docs, id, words, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(id).agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
+  /** The corpus with contaminated documents removed (left-anti on
+    * [[matches]]) — the form a pipeline composes before training-set
+    * writes.
+    */
+  def clean(docs: DataFrame, id: String, words: String,
+            bench: DataFrame, benchWords: String,
+            n: Int, minMatches: Long = 1L): DataFrame =
+    docs.join(matches(docs, id, words, bench, benchWords, n, minMatches),
+      Seq(id), "left_anti")
+}

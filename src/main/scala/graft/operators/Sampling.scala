@@ -46,4 +46,43 @@ object Sampling {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Token-budget mixing — keep ≈`budgets(stratum)` tokens of each
+    * stratum, the way training recipes state domain weights ("20 B tokens
+    * of code, 5 B of forums"). Two passes over `df`: an aggregate
+    * computes per-stratum token totals, then each stratum keeps the
+    * `min(1, budget/total)` fraction through the SAME deterministic hash
+    * filter as [[stratified]] (threshold = `budget·Mod div total`,
+    * integer arithmetic — exact and identical on any SQL engine).
+    *
+    * Deliberately NOT a sort-until-cumsum-reaches-budget: a per-stratum
+    * running sum needs a total order per stratum — a full sort whose
+    * biggest partition is the biggest domain, exactly the skew a mixing
+    * step must not introduce. The hash-rate form is shuffle-free on the
+    * corpus side (the totals dim joins back as a BROADCAST of ≤ one row
+    * per stratum), hits the budget to ±one doc's tokens in expectation,
+    * and keeps [[stratified]]'s determinism and nesting (a smaller budget
+    * selects a subset of a larger one).
+    */
+  def byTokenBudget(df: DataFrame, strata: String, id: String,
+                    tokens: String, budgets: Map[String, Long],
+                    defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0),
+      "budgets must be nonnegative")
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultBudget): Column) { case (acc, (k, b)) =>
+      when(col(strata) === k, lit(b)).otherwise(acc)
+    }
+    val thresholds = df.groupBy(strata)
+      .agg(sum(col(tokens)).as("__total"))
+      .withColumn("__budget", budgetCol)
+      .withColumn("__thr",
+        when(col("__total") <= 0, lit(0L))
+          .when(col("__budget") >= col("__total"), lit(Mod))
+          .otherwise(expr(s"(__budget * ${Mod}L) div __total")))
+      .select(col(strata), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strata))
+      .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -114,6 +114,63 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.subsetOf(r1) && r2.size < r1.size)
   }
 
+  test("decontaminate matches a naive distinct-gram intersection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def sent(n: Int) = Array.fill(n)(s"w${rnd.nextInt(40)}")
+    val docs = (0 until 200).map(i => (i.toLong, sent(3 + rnd.nextInt(25))))
+    // plant contamination: spans lifted from real docs, plus random noise
+    // rows and some shorter than n
+    val bench = docs.take(10).map { case (_, ws) => ws.take(8) } ++
+      (0 until 15).map(_ => sent(2 + rnd.nextInt(12)))
+    val n = 4
+    val got = Decontaminate.matches(
+        docs.toDF("doc_id", "ws"), "doc_id", "ws",
+        bench.map(Tuple1(_)).toDF("bws"), "bws", n = n, minMatches = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def grams(ws: Array[String]) =
+      ws.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val bg = bench.flatMap(g => grams(g)).toSet
+    val want = docs.map { case (id, ws) => id -> grams(ws).count(bg) }
+      .filter(_._2 >= 2).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "construction produced no contamination to test")
+    // clean() removes exactly the flagged docs
+    val kept = Decontaminate.clean(docs.toDF("doc_id", "ws"), "doc_id", "ws",
+        bench.map(Tuple1(_)).toDF("bws"), "bws", n = n, minMatches = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == docs.map(_._1).toSet -- want.keySet)
+  }
+
+  test("token-budget sampling: exact threshold arithmetic, full keep, nesting") {
+    import spark.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, Seq("en", "de", "zh")(i % 3), 10L + i % 7))
+      .toDF("doc_id", "lang", "n_tokens")
+    def ids(bEn: Long): Set[Long] =
+      Sampling.byTokenBudget(docs, "lang", "doc_id", "n_tokens",
+          Map("en" -> bEn, "de" -> 1000000L), defaultBudget = 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = ids(4000L)
+    // spec arithmetic: thr = budget*Mod div total (full keep when b >= total)
+    val totals = (0 until 3000).groupBy(i => Seq("en", "de", "zh")(i % 3))
+      .map { case (l, is) => l -> is.map(i => 10L + i % 7).sum }
+    val thr = Map(
+      "en" -> 4000L * Sampling.Mod / totals("en"),
+      "de" -> Sampling.Mod, // 1000000 >= total -> keep all
+      "zh" -> 0L)
+    val want = (0 until 3000).filter { i =>
+      val l = Seq("en", "de", "zh")(i % 3)
+      (i.toLong * 2654435761L) % Sampling.Mod < thr(l)
+    }.map(_.toLong).toSet
+    assert(got == want)
+    assert(want.exists(_ % 3 == 1) && !want.exists(_ % 3 == 2),
+      "de full-keep and zh zero-budget branches not both exercised")
+    // smaller budget selects a strict subset (nested mixing recipes)
+    val lower = ids(2000L)
+    assert(lower.subsetOf(got) && lower.size < got.size)
+  }
+
   test("as-of join differentially matches a per-row scan on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -211,6 +211,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles == 1, s"expected only the rollup exchange, got $shuffles:\n$p")
   }
 
+  test("decontamination probes a broadcast of benchmark grams — corpus grams never sort-merge") {
+    val p = plan(SparkEntry.queries("q54_decontaminate")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side grams must not shuffle into a sort-merge join:\n$p")
+    // native-array gram construction, not a UDF island
+    assert(p.contains("Generate explode"), s"grams not exploded in-map:\n$p")
+  }
+
+  test("token-budget thresholds join back as a broadcast dim") {
+    val p = plan(SparkEntry.queries("q55_token_budget")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum thresholds must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge in the mixing path:\n$p")
+  }
+
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
