@@ -54,7 +54,8 @@ object Bench {
     "q48_bpe_pretrained" -> 0.6, "q49_bucketed_join" -> 1.5,
     "q50_salted_join" -> 1.5, "q51_asof_join" -> 1.0,
     "q52_range_join" -> 1.0, "q53_stratified_sample" -> 0.6,
-    "q54_decontaminate" -> 1.2, "q55_token_budget" -> 0.8)
+    "q54_decontaminate" -> 2.3, "q55_token_budget" -> 1.2,
+    "q56_shuffle_shards" -> 0.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

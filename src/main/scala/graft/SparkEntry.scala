@@ -929,12 +929,16 @@ object SparkEntry {
     // BROADCAST of the benchmark's distinct grams; PlanSpec pins it.
     "q54_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val words = CodeFiles(s, dir)
-        .select(col("doc_id"), col("content")).as[(Long, String)]
-        .map { case (id, c) =>
-          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
-        }.toDF("doc_id", "ws")
-      val bench = words.filter(col("doc_id") % 17 === 5)
+      def tokenized(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("content")).as[(Long, String)]
+          .map { case (id, c) =>
+            (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+          }.toDF("doc_id", "ws")
+      val words = tokenized(CodeFiles(s, dir))
+      // the eval-set filter sits BELOW the tokenize map — the typed map is
+      // opaque to Catalyst, so filtering the mapped output would
+      // re-tokenize the whole corpus to extract a tiny benchmark
+      val bench = tokenized(CodeFiles(s, dir).filter(col("doc_id") % 17 === 5))
         .select(slice(col("ws"), 4, 15).as("bws"))
       graft.operators.Decontaminate
         .matches(words, "doc_id", "ws", bench, "bws", n = 6, minMatches = 2L)
@@ -962,6 +966,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_sum"),
           sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // Deterministic corpus shuffle + sharding: membership via id_sum, the
+    // order head via min_by over the order key (a map-side-combinable
+    // partial aggregate — no per-shard window; shard-local order_key
+    // collisions are impossible below OrderMod distinct ids, so the
+    // arg-min is unique and the oracle is exact).
+    "q56_shuffle_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      graft.operators.Shuffling.assign(docs, "doc_id", nShards = 8)
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+          min_by(col("doc_id"), col("order_key")).as("first_doc"))
+        .orderBy("shard_id")
     }),
 
     // The tokenizer.json interop driver-oracled: the SAME q41 construction,
@@ -1796,6 +1814,18 @@ object SparkEntry {
          |WHERE (t.doc_id * 2654435761) % 10000 < thr.thr
          |GROUP BY t.lang
          |ORDER BY t.lang""".stripMargin,
+
+    // identical double-mod shard/order arithmetic, arg_min for the head
+    "q56_shuffle_shards" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         ((doc_id * 2654435761) % 1000003) % 8 AS shard_id,
+        |         (doc_id * 1103515245) % 1000003 AS order_key
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       arg_min(doc_id, order_key) AS first_doc
+        |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // identical closed form through the tokenizer.json round trip
     "q48_bpe_pretrained" ->

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shuffling + sharding — the last step before a
+  * training run: every document gets a reproducible pseudo-random
+  * position and a balanced shard, so two clusters (or a re-run after a
+  * failure) produce byte-identical training order. Beyond the reference's
+  * inventory (its pipeline ends at filtered/deduped shards) but required
+  * by any consumer that trains on the output.
+  *
+  * Scale shape: the order key and shard id are row-local hash arithmetic
+  * (same multiplicative-hash family as [[Sampling]] — no RNG state, no
+  * `rand()` whose value depends on partition layout). Global order is
+  * (shard_id, order_key): materializing it costs ONE hash exchange on
+  * shard_id plus a within-partition sort — never a global sort, and
+  * shards write independently (each is internally ordered, files
+  * `shard=k` concatenate into the global order). Two documents collide on
+  * `order_key` only past ~`Mod` rows per shard; `id` breaks ties
+  * deterministically.
+  *
+  * Like [[Sampling]], multiplications stay exact for ids < 2^31 so a SQL
+  * oracle reproduces them; past that the Spark side wraps
+  * deterministically (Java long semantics).
+  */
+object Shuffling {
+
+  /** Order-key modulus; a prime, and coprime to both multipliers, so the
+    * key decorrelates from the shard id (shard uses the Knuth constant,
+    * the order key a different odd multiplier).
+    */
+  val OrderMod: Long = 1000003L
+
+  /** Mod-prime BEFORE mod-nShards: a multiplicative hash taken directly
+    * mod 2^k keeps only the hash's weak low bits (the Knuth constant is
+    * ≡1 mod 8, so `id·K mod 8` would degenerate to `id mod 8` — sharding
+    * by id, not by hash). The prime intermediate mixes the high bits in;
+    * the residual imbalance is ≤ nShards/OrderMod.
+    */
+  def shardId(id: Column, nShards: Int): Column =
+    pmod(pmod(id * lit(2654435761L), lit(OrderMod)), lit(nShards.toLong))
+
+  def orderKey(id: Column): Column =
+    pmod(id * lit(1103515245L), lit(OrderMod))
+
+  /** `df` with `shard_id` in [0, nShards) and `order_key` columns added —
+    * the pure row-local assignment, shuffle-free; compose into any scan.
+    */
+  def assign(df: DataFrame, id: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard_id", shardId(col(id), nShards))
+      .withColumn("order_key", orderKey(col(id)))
+  }
+
+  /** The corpus in reproducible shuffled order: each shard's rows
+    * co-located and sorted by (order_key, id). Write with
+    * `.write.partitionBy("shard_id")` for one independently-ordered
+    * file set per shard.
+    */
+  def shuffled(df: DataFrame, id: String, nShards: Int): DataFrame =
+    assign(df, id, nShards)
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("order_key"), col(id))
+}

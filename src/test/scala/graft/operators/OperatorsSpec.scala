@@ -171,6 +171,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lower.subsetOf(got) && lower.size < got.size)
   }
 
+  test("shuffled order is reproducible, conserving, balanced, locally sorted") {
+    import spark.implicits._
+    val docs = (0 until 2000).map(_.toLong).toDF("doc_id")
+    val sh = Shuffling.shuffled(docs, "doc_id", nShards = 8)
+    val run1 = sh.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val run2 = Shuffling.shuffled(docs, "doc_id", nShards = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2, "two runs disagree — training order not reproducible")
+    assert(run1.toSet == (0 until 2000).map(_.toLong).toSet, "lost/duped rows")
+    assert(run1 != run1.sorted, "shuffle produced the identity order")
+    // the prime intermediate keeps shards balanced (the Knuth constant is
+    // ≡1 mod 8 — without it sequential ids would shard as plain id % 8)
+    val sizes = sh.groupBy("shard_id").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.max.toDouble / sizes.min <= 1.6,
+      s"imbalanced shards: ${sizes.toSeq}")
+    // every physical partition is sorted by (shard_id, order_key, id)
+    val sortedFlags = sh.select("shard_id", "order_key", "doc_id").rdd
+      .mapPartitions { it =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        Iterator.single(rows == rows.sorted)
+      }.collect()
+    assert(sortedFlags.forall(identity), "a partition was not locally sorted")
+  }
+
   test("as-of join differentially matches a per-row scan on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -228,6 +228,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"no sort-merge in the mixing path:\n$p")
   }
 
+  test("shuffle-shard order: one hash exchange, local sorts only, no window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val p = plan(graft.operators.Shuffling.shuffled(docs, "doc_id", nShards = 8))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a global sort leaked into the shuffle-shard path:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly the shard_id exchange:\n$p")
+    val q = plan(SparkEntry.queries("q56_shuffle_shards")(spark, sfDir))
+    assert(!q.contains("Window"),
+      s"the order head must come from a partial-agg min_by, not a per-shard window:\n$q")
+  }
+
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
