@@ -968,6 +968,23 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Fractional epoch upsampling (the repetition knob in mixing
+    // recipes): en gets 2 full copies + a deterministic half, de a pure
+    // 0.4 downsample, the rest exactly 1 epoch. The oracle recomputes
+    // per-doc copy counts closed-form — no explode needed in SQL — so
+    // row multiplicity, weighted id_sum, and the max epoch tag are all
+    // pinned.
+    "q57_epoch_mix" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang")
+      graft.operators.Sampling.withEpochs(docs, "lang", "doc_id",
+          Map("en" -> 2.5, "de" -> 0.4), defaultEpochs = 1.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+          max("__epoch").as("max_epoch"))
+        .orderBy("lang")
+    }),
+
     // Deterministic corpus shuffle + sharding: membership via id_sum, the
     // order head via min_by over the order key (a map-side-combinable
     // partial aggregate — no per-shard window; shard-local order_key
@@ -1814,6 +1831,23 @@ object SparkEntry {
          |WHERE (t.doc_id * 2654435761) % 10000 < thr.thr
          |GROUP BY t.lang
          |ORDER BY t.lang""".stripMargin,
+
+    // per-doc copy counts closed-form: floor(epochs) + the hash-filtered
+    // fractional copy; multiplicity = weighted sums, no explode
+    "q57_epoch_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |         (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0 ELSE 1 END)
+        |         + (CASE WHEN (doc_id * 2654435761) % 10000 <
+        |                      (CASE lang WHEN 'en' THEN 5000
+        |                                 WHEN 'de' THEN 4000 ELSE 0 END)
+        |                 THEN 1 ELSE 0 END) AS n_copies
+        |  FROM documents)
+        |SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id * n_copies) AS BIGINT) AS id_sum,
+        |       CAST(max(n_copies) AS BIGINT) AS max_epoch
+        |FROM c WHERE n_copies >= 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // identical double-mod shard/order arithmetic, arg_min for the head
     "q56_shuffle_shards" ->

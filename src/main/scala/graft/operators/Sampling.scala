@@ -64,6 +64,35 @@ object Sampling {
     * and keeps [[stratified]]'s determinism and nesting (a smaller budget
     * selects a subset of a larger one).
     */
+  /** Deterministic fractional upsampling — "2.5 epochs of this domain,
+    * 0.4 of that one", the repetition knob in published mixing recipes.
+    * Each row is emitted `floor(epochs)` times, plus once more for the
+    * `frac(epochs)` fraction chosen by the SAME hash filter as
+    * [[stratified]] (so the extra-copy set nests across recipe tweaks and
+    * reruns, and epochs ≤ 1 degrade to exactly [[stratified]]). Copies
+    * carry `__epoch` = 1..k, so `(id, __epoch)` stays row-unique
+    * downstream. Row-local (explode of a per-row sequence) — no shuffle,
+    * no RNG state; a zero-copy row's empty sequence drops it in the
+    * explode (never `sequence(1, 0)`, which DESCENDS in Spark).
+    */
+  def withEpochs(df: DataFrame, strata: String, id: String,
+                 epochs: Map[String, Double],
+                 defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(_ >= 0),
+      "epochs must be nonnegative")
+    def per(f: Double => Long): Column =
+      epochs.toSeq.sortBy(_._1).foldLeft(lit(f(defaultEpochs)): Column) {
+        case (acc, (k, e)) => when(col(strata) === k, lit(f(e))).otherwise(acc)
+      }
+    val whole = per(e => math.floor(e).toLong)
+    val fracThr = per(e => math.round((e - math.floor(e)) * Mod))
+    val bucket = pmod(col(id) * lit(2654435761L), lit(Mod))
+    val copies = whole + when(bucket < fracThr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__epoch",
+      explode(when(copies >= 1, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<long>"))))
+  }
+
   def byTokenBudget(df: DataFrame, strata: String, id: String,
                     tokens: String, budgets: Map[String, Long],
                     defaultBudget: Long = 0L): DataFrame = {

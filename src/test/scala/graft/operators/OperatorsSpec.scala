@@ -171,6 +171,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lower.subsetOf(got) && lower.size < got.size)
   }
 
+  test("epoch upsampling emits exact per-row copy counts with epoch tags") {
+    import spark.implicits._
+    val docs = (0 until 1200).map(i =>
+      (i.toLong, Seq("en", "de", "zh")(i % 3))).toDF("doc_id", "lang")
+    val got = Sampling.withEpochs(docs, "lang", "doc_id",
+        Map("en" -> 2.5, "de" -> 0.4, "zh" -> 0.0))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n"), sort_array(collect_list("__epoch")).as("tags"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getSeq[Long](2)))).toMap
+    val want = (0 until 1200).flatMap { i =>
+      val (whole, thr) = Seq("en", "de", "zh")(i % 3) match {
+        case "en" => (2L, 5000L); case "de" => (0L, 4000L); case _ => (0L, 0L)
+      }
+      val extra = if ((i.toLong * 2654435761L) % Sampling.Mod < thr) 1L else 0L
+      val k = whole + extra
+      if (k >= 1) Some(i.toLong -> ((k, (1L to k).toSeq))) else None
+    }.toMap
+    assert(got == want)
+    // all three shapes occurred: 2-vs-3 copies (en), 0-vs-1 (de), none (zh)
+    val ns = want.values.map(_._1).toSet
+    assert(ns == Set(1L, 2L, 3L) && !want.keySet.exists(_ % 3 == 2))
+    // epochs <= 1 degrades to stratified's selection exactly
+    val frac = Sampling.withEpochs(docs, "lang", "doc_id",
+        Map("en" -> 0.5), defaultEpochs = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val strat = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(frac == strat)
+  }
+
   test("shuffled order is reproducible, conserving, balanced, locally sorted") {
     import spark.implicits._
     val docs = (0 until 2000).map(_.toLong).toDF("doc_id")

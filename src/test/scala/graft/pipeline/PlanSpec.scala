@@ -228,6 +228,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), s"no sort-merge in the mixing path:\n$p")
   }
 
+  test("epoch upsampling is a shuffle-free row-local explode") {
+    val p = plan(SparkEntry.queries("q57_epoch_mix")(spark, sfDir))
+    assert(!p.contains("Join"), s"epoch mixing must not join:\n$p")
+    assert(p.contains("Generate explode"), s"copies not exploded in-map:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected only the rollup exchange, got $shuffles:\n$p")
+  }
+
   test("shuffle-shard order: one hash exchange, local sorts only, no window") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
     val p = plan(graft.operators.Shuffling.shuffled(docs, "doc_id", nShards = 8))
