@@ -1085,6 +1085,42 @@ object SparkEntry {
       counts.toDF("drop_reason", "n_files", "n_kept").orderBy("drop_reason")
     }),
 
+    // Streaming exact dedup driver-oracled: content collapses to 7
+    // classes across the 300-row fixture, the AvailableNow run admits
+    // each digest once through the checkpointed exactly-once sink, and
+    // n_rows = 1 per digest IS the guarantee (no duplicate escaped, no
+    // class lost). DuckDB recomputes the class digests with its own
+    // sha256. Cross-RESTART state is pinned separately in
+    // IncrementalDedupSpec (a second run over a new file re-admits
+    // nothing).
+    "q58_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.{IncrementalDedup, IncrementalFilter}
+      graft.sources.JsonlGz.writeFixture(StreamFixturePath, 300)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup")
+      val sink = tmp.resolve("unique").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val src = s.readStream
+        .schema(graft.sources.JsonlGz.InputSpecSchema)
+        .json(StreamFixtureDir)
+        .filter(col("url").isNotNull)
+      val idx = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val unique = IncrementalDedup.dedup(
+        IncrementalDedup.withDigest(
+          src.select(concat(lit("dup-class-"), pmod(idx, lit(7)))
+            .as("content")))
+          .select("digest"))
+      val rows =
+        try {
+          IncrementalFilter.writeTo(unique, sink, ckpt).start()
+            .awaitTermination()
+          s.read.parquet(sink)
+            .groupBy("digest").agg(count(lit(1)).as("n_rows"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        } finally sweepDir(tmp)
+      import s.implicits._
+      rows.toDF("digest", "n_rows").orderBy("digest")
+    }),
+
     "q46_winnow_pairs" -> ((s, dir) => {
       val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
       val twins = cf.filter(col("id") % 10 === 3)
@@ -1831,6 +1867,21 @@ object SparkEntry {
          |WHERE (t.doc_id * 2654435761) % 10000 < thr.thr
          |GROUP BY t.lang
          |ORDER BY t.lang""".stripMargin,
+
+    // DuckDB's own sha256 over the re-derived content classes; exactly
+    // one surviving row per admitted digest
+    "q58_stream_dedup" ->
+      s"""WITH j AS (
+         |  SELECT CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 7 AS k
+         |  FROM read_json('$StreamFixturePath',
+         |    format='newline_delimited', ignore_errors=true,
+         |    columns={'url':'VARCHAR'})
+         |  WHERE url IS NOT NULL
+         |)
+         |SELECT sha256('dup-class-' || CAST(k AS VARCHAR)) AS digest,
+         |       CAST(1 AS BIGINT) AS n_rows
+         |FROM (SELECT DISTINCT k FROM j)
+         |ORDER BY digest""".stripMargin,
 
     // per-doc copy counts closed-form: floor(epochs) + the hash-filtered
     // fractional copy; multiplicity = weighted sums, no explode

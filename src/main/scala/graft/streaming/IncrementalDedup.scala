@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (Structured Streaming) exact deduplication — the
+  * streaming twin of the batch min-per-digest aggregate (SURVEY §2.8
+  * D7/D8): a continuously-arriving corpus (new crawl dumps, new pushes)
+  * must admit each content digest once across ALL micro-batches, and a
+  * restarted job must remember what it has admitted.
+  *
+  * Scale shape: state is one entry per DISTINCT digest, partitioned by
+  * digest hash in the state store (RocksDB/HDFS-backed on a cluster) —
+  * the state exchange is the same hash shuffle the batch aggregate pays,
+  * and lookups stay per-partition. Unbounded state IS the semantics
+  * (dedup is global); where a TTL is acceptable, [[dedupRecent]] bounds
+  * state to the watermark horizon. Keeper choice: first arrival wins
+  * (cross-batch arrival order), vs the batch path's order-independent
+  * min-id keeper — the admitted digest SET is identical, only the
+  * surviving row's identity can differ; documented deviation.
+  */
+object IncrementalDedup {
+
+  /** The batch content digest (D8 parity: sha256 hex of content). */
+  def withDigest(rows: DataFrame, content: String = "content"): DataFrame =
+    rows.withColumn("digest", sha2(col(content), 256))
+
+  /** First-occurrence-wins streaming dedup on `digest`, global across
+    * micro-batches AND restarts (state checkpoints with the query).
+    */
+  def dedup(rows: DataFrame, digest: String = "digest"): DataFrame =
+    rows.dropDuplicates(digest)
+
+  /** Bounded-state variant: a digest is deduplicated only against
+    * occurrences within the watermark horizon; expired entries leave the
+    * state store and the digest can be admitted again. The memory knob
+    * for sinks that tolerate long-horizon repeats.
+    */
+  def dedupRecent(rows: DataFrame, digest: String, eventTime: String,
+                  watermark: String): DataFrame =
+    rows.withWatermark(eventTime, watermark)
+      .dropDuplicatesWithinWatermark(digest)
+
+  /** Streaming dup-pressure lineage: watermarked per-window occurrence
+    * counts per digest (append mode emits finalized windows only) — the
+    * A3 dup-count summary as a stream.
+    */
+  def dupCounts(rows: DataFrame, digest: String, eventTime: String,
+                windowLen: String = "1 hour",
+                watermark: String = "2 hours"): DataFrame =
+    rows.withWatermark(eventTime, watermark)
+      .groupBy(window(col(eventTime), windowLen), col(digest))
+      .agg(count(lit(1)).as("n_seen"))
+      .select(col("window.start").as("window_start"), col(digest),
+        col("n_seen"))
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-dedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sweep(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  test("digests admitted once across micro-batches, first batch wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val unique = IncrementalDedup.dedup(
+      IncrementalDedup.withDigest(
+        source.toDS().toDF("doc_id", "content")))
+    val q = unique.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, "aa"), (2L, "bb"), (3L, "aa")) // in-batch dup
+      q.processAllAvailable()
+      source.addData((4L, "aa"), (5L, "cc")) // cross-batch dup + new
+      q.processAllAvailable()
+      val rows = spark.table("sdedup")
+        .select("doc_id", "content").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.map(_._2).sorted.toSeq == Seq("aa", "bb", "cc"))
+      // the cross-batch duplicate (doc 4) lost to batch 1's occurrence
+      assert(!rows.map(_._1).contains(4L))
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint re-admits nothing already seen") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_restart")
+    try {
+      val srcDir = java.nio.file.Files.createDirectory(tmp.resolve("src"))
+      val sink = tmp.resolve("sink").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      def writeFile(name: String, contents: Seq[String]): Unit =
+        java.nio.file.Files.write(srcDir.resolve(name),
+          contents.map(c => s"""{"content":"$c"}""")
+            .mkString("\n").getBytes("UTF-8"))
+      def runOnce(): Unit = {
+        val src = spark.readStream.schema("content STRING")
+          .json(srcDir.toString)
+        val unique = IncrementalDedup.dedup(
+          IncrementalDedup.withDigest(src).select("digest", "content"))
+        unique.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      writeFile("a.json", Seq("x", "y", "x"))
+      runOnce()
+      assert(spark.read.parquet(sink).select("content")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+      // a NEW file repeating old digests plus one new — the restarted
+      // query must remember x/y from its checkpointed state
+      writeFile("b.json", Seq("x", "z", "y", "z"))
+      runOnce()
+      assert(spark.read.parquet(sink).select("content")
+        .collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y", "z"))
+    } finally sweep(tmp)
+  }
+
+  test("watermark-bounded dedup re-admits a digest after state expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2026-08-17 $h%02d:$m%02d:00")
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val unique = IncrementalDedup.dedupRecent(
+      source.toDS().toDF("ts", "digest"), "digest", "ts", "2 hours")
+    val q = unique.writeStream.format("memory").queryName("sdedup_ttl")
+      .outputMode("append").start()
+    try {
+      source.addData((ts(1), "a"), (ts(1, 30), "a")) // within horizon: once
+      q.processAllAvailable()
+      source.addData((ts(10), "w")) // advance the watermark past a's state
+      q.processAllAvailable()
+      q.processAllAvailable() // let the eviction batch commit
+      source.addData((ts(10, 30), "a")) // beyond the horizon: re-admitted
+      q.processAllAvailable()
+      val as = spark.table("sdedup_ttl").filter(col("digest") === "a").count()
+      assert(as == 2, s"expected re-admission after expiry, got $as row(s)")
+    } finally q.stop()
+  }
+}
