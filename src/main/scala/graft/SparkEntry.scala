@@ -968,6 +968,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Quantized ANN: the q09 brute-force top-10, but scored over int8
+    // codes — the only arrays crossing the broadcast are 1-byte-element
+    // codes. Quantized dot products are integer-valued, so scores (and
+    // therefore ranks) are exactly reproducible in SQL; the oracle
+    // re-derives the identical codes and ranks them with its own cosine.
+    "q59_ann_quantized" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.similarity.Quantize.int8(
+            transform(col("embedding"), x => x.cast("double"))).as("qv"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          graft.similarity.Quantize.cosine(col("qv"), col("qqv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Fractional epoch upsampling (the repetition knob in mixing
     // recipes): en gets 2 full copies + a deterministic half, de a pure
     // 0.4 downsample, the rest exactly 1 epoch. The oracle recomputes
@@ -1882,6 +1907,34 @@ object SparkEntry {
          |       CAST(1 AS BIGINT) AS n_rows
          |FROM (SELECT DISTINCT k FROM j)
          |ORDER BY digest""".stripMargin,
+
+    // identical per-vector symmetric int8 arithmetic; integer-valued dot
+    // products make the ranks engine-independent
+    "q59_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), q8 AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax > 0
+        |              THEN list_transform(vec, x -> round(x * 127.0 / amax))
+        |              ELSE list_transform(vec, x -> 0.0) END AS qv
+        |  FROM (SELECT vec_id, vec,
+        |               list_max(list_transform(vec, x -> abs(x))) AS amax
+        |        FROM e)
+        |), q AS (
+        |  SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |         list_cosine_similarity(e.qv, q.qqv) AS cos
+        |  FROM q8 e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // per-doc copy counts closed-form: floor(epochs) + the hash-filtered
     // fractional copy; multiplicity = weighted sums, no explode

@@ -1,0 +1,56 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Int8 embedding quantization — the memory lever for ANN at corpus
+  * scale: a 64-dim float64 vector costs 512 bytes; its int8 code costs
+  * 64 (+8 for the decode scale). At 10^9 vectors that is 512 GB → 72 GB —
+  * the difference between spilling every candidate join and keeping
+  * codes resident.
+  *
+  * Scheme: PER-VECTOR symmetric scaling, `q_i = round(127·x_i / max|x|)`.
+  * Cosine similarity is invariant to per-vector positive scaling, so
+  * quantized cosine differs from exact cosine only by rounding — no
+  * fitted calibration model, no training pass, row-local and
+  * shuffle-free (pure Catalyst array expressions, codegen-able). A
+  * quantized dot product is an INTEGER-valued double sum (≤ 127²·dims ≪
+  * 2^53), so quantized scores are exactly reproducible across engines
+  * and summation orders — unlike raw float scores.
+  *
+  * Compose: quantize once at ingest, run candidate generation (LSH bands
+  * / IVF cells) and coarse scoring over codes, re-score survivors with
+  * the full vectors joined back by id.
+  */
+object Quantize {
+
+  /** The int8 code of a double-array column; a zero vector maps to the
+    * zero code (no NaN from 0/0).
+    */
+  def int8(vec: Column): Column = {
+    val amax = array_max(transform(vec, x => abs(x)))
+    when(amax > 0,
+      transform(vec, x => round(x * lit(127.0) / amax).cast("tinyint")))
+      .otherwise(transform(vec, x => lit(0.toByte)))
+  }
+
+  /** The decode scale to store beside the code (`x_i ≈ q_i · scale`). */
+  def scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / lit(127.0)
+
+  /** Dequantized approximation, max per-element error scale/2. */
+  def decode(code: Column, scale: Column): Column =
+    transform(code, q => q.cast("double") * scale)
+
+  /** Cosine similarity between two int8 codes (exact integer arithmetic
+    * in double carriers); null when either code is all-zero (ANSI-safe —
+    * no divide-by-zero).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def d(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val denom = sqrt(d(a, a)) * sqrt(d(b, b))
+    when(denom > 0, d(a, b) / denom)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Int8 quantization contracts: bounded reconstruction error, scale
+  * invariance of the code (what makes quantized cosine a faithful cosine
+  * proxy), integer-valued quantized dot products (what makes q59's ranks
+  * engine-independent), and zero-vector safety.
+  */
+class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-quantize-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(vecs: Seq[Array[Double]]) = {
+    import spark.implicits._
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "vec")
+  }
+
+  private val rnd = new scala.util.Random(7)
+  private val sample: Seq[Array[Double]] =
+    Seq.fill(40)(Array.fill(64)(rnd.nextGaussian()))
+
+  test("decode error is bounded by scale/2 per element") {
+    val rows = df(sample)
+      .select(col("id"), col("vec"),
+        Quantize.decode(Quantize.int8(col("vec")), Quantize.scale(col("vec")))
+          .as("dec"),
+        Quantize.scale(col("vec")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val d = r.getSeq[Double](2)
+      val s = r.getDouble(3)
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= s / 2 + 1e-12, s"x=$x dec=$y scale=$s")
+      }
+    }
+  }
+
+  test("code is invariant to positive per-vector scaling") {
+    val base = df(sample).select(col("id"), Quantize.int8(col("vec")).as("q"))
+    val scaled = df(sample.map(_.map(_ * 37.5)))
+      .select(col("id"), Quantize.int8(col("vec")).as("q"))
+    val a = base.orderBy("id").collect().map(_.getSeq[Byte](1))
+    val b = scaled.orderBy("id").collect().map(_.getSeq[Byte](1))
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("quantized cosine tracks exact cosine within rounding tolerance") {
+    val exact = (a: Array[Double], b: Array[Double]) => {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = sample.grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    import spark.implicits._
+    val got = pairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a.toSeq, b.toSeq) }
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        Quantize.cosine(Quantize.int8(col("a")), Quantize.int8(col("b")))
+          .as("qcos"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    pairs.zip(got).foreach { case ((a, b), q) =>
+      // per-element relative rounding error ≤ 1/254; 64 dims keeps the
+      // cosine of unit-free codes within ~2e-2 of the float value
+      assert(math.abs(exact(a, b) - q) < 2e-2, s"exact=${exact(a, b)} q=$q")
+    }
+  }
+
+  test("quantized dot products are exact integers (reproducible ranks)") {
+    val rows = df(sample)
+      .select(Quantize.int8(col("vec")).as("q"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q"), col("q"),
+            (p, qq) => p.cast("double") * qq.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      .collect().map(_.getDouble(1))
+    rows.foreach(d => assert(d == math.rint(d) && d <= 127.0 * 127 * 64))
+  }
+
+  test("zero vector quantizes to the zero code without NaN") {
+    val rows = df(Seq(Array.fill(8)(0.0)))
+      .select(Quantize.int8(col("vec")).as("q"),
+        Quantize.cosine(Quantize.int8(col("vec")), Quantize.int8(col("vec")))
+          .as("c"))
+      .collect()
+    assert(rows.head.getSeq[Byte](0).forall(_ == 0))
+    assert(rows.head.get(1) == null)
+  }
+}
