@@ -56,7 +56,8 @@ object Bench {
     "q52_range_join" -> 1.0, "q53_stratified_sample" -> 0.6,
     "q54_decontaminate" -> 2.3, "q55_token_budget" -> 1.2,
     "q56_shuffle_shards" -> 0.5, "q57_epoch_mix" -> 0.5,
-    "q58_stream_dedup" -> 1.5, "q59_ann_quantized" -> 1.0)
+    "q58_stream_dedup" -> 1.5, "q59_ann_quantized" -> 1.0,
+    "q60_substr_dedup" -> 5.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

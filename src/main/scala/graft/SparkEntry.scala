@@ -993,6 +993,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ExactSubstr dedup (Lee et al. 2107.06499): every substring of
+    // ≥ 40 chars occurring twice anywhere in the corpus is cut from ALL
+    // its occurrences. dupCorpus's injected full copies become full-doc
+    // spans; the word-salad corpus also shares plenty of organic 40-char
+    // runs. The oracle re-derives the duplicated-gram set from actual
+    // substrings (engine uses 64-bit rolling hashes — collision-free at
+    // this scale by construction), merges windows with the same
+    // gap-≤-L rule, and rebuilds the cleaned text with string_agg.
+    "q60_substr_dedup" -> ((s, dir) => {
+      graft.dedupe.ExactSubstr.clean(dupCorpus(s, dir), "id", "content", 40)
+        .select(col("id"), col("n_spans"), col("removed_chars"),
+          sha2(col("content"), 256).as("cleaned_sha256"))
+        .orderBy("id")
+    }),
+
     // Fractional epoch upsampling (the repetition knob in mixing
     // recipes): en gets 2 full copies + a deterministic half, de a pure
     // 0.4 downsample, the rest exactly 1 epoch. The oracle recomputes
@@ -1935,6 +1950,61 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // duplicated 40-grams from ACTUAL substrings (hash-independent);
+    // islands break when the position gap exceeds L — identical to the
+    // engine's fixed-width window merge; cleaned text rebuilt from the
+    // keep segments between spans
+    "q60_substr_dedup" ->
+      s"""WITH $cte, $dupCorpusCte,
+         |pos AS (
+         |  SELECT id, p, substring(content, p, 40) AS g
+         |  FROM (SELECT id, content,
+         |               unnest(range(1, length(content) - 38)) AS p
+         |        FROM corpus WHERE length(content) >= 40)
+         |), dup AS (
+         |  SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+         |), dp AS (
+         |  SELECT pos.id, pos.p FROM pos JOIN dup USING (g)
+         |), isl AS (
+         |  SELECT id, p, sum(CASE WHEN prev IS NULL OR p - prev > 40
+         |                         THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY id ORDER BY p) AS island
+         |  FROM (SELECT id, p,
+         |               lag(p) OVER (PARTITION BY id ORDER BY p) AS prev
+         |        FROM dp)
+         |), sp AS (
+         |  SELECT id, min(p) AS s, max(p) + 40 AS e
+         |  FROM isl GROUP BY id, island
+         |), spc AS (
+         |  SELECT id, count(*) AS n_spans, sum(e - s) AS removed
+         |  FROM sp GROUP BY id
+         |), seg AS (
+         |  SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1)
+         |           AS ks, s AS ke
+         |  FROM sp
+         |  UNION ALL
+         |  SELECT sp.id, max(sp.e) AS ks,
+         |         any_value(length(c.content)) + 1 AS ke
+         |  FROM sp JOIN corpus c USING (id) GROUP BY sp.id
+         |), agg AS (
+         |  SELECT s.id,
+         |         string_agg(substring(c.content, s.ks, s.ke - s.ks),
+         |                    '' ORDER BY s.ks) AS cleaned
+         |  FROM seg s JOIN corpus c USING (id)
+         |  WHERE s.ke > s.ks
+         |  GROUP BY s.id
+         |)
+         |SELECT c.id,
+         |       CAST(coalesce(spc.n_spans, 0) AS BIGINT) AS n_spans,
+         |       CAST(coalesce(spc.removed, 0) AS BIGINT) AS removed_chars,
+         |       sha256(CASE WHEN spc.id IS NULL THEN c.content
+         |                   ELSE coalesce(agg.cleaned, '') END)
+         |         AS cleaned_sha256
+         |FROM corpus c
+         |LEFT JOIN spc ON spc.id = c.id
+         |LEFT JOIN agg ON agg.id = c.id
+         |ORDER BY c.id""".stripMargin,
 
     // per-doc copy counts closed-form: floor(epochs) + the hash-filtered
     // fractional copy; multiplicity = weighted sums, no explode

@@ -1,0 +1,177 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplicate-span removal — the "ExactSubstr" dedup of
+  * Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better" (arXiv:2107.06499): any substring of length ≥ `minLen` that
+  * occurs more than once in the corpus is removed from EVERY document
+  * that contains it (all copies, including the first — boilerplate,
+  * licenses, quoted passages). The published implementation builds a
+  * single-node suffix array; that cannot shard. The Spark-native
+  * formulation uses the gram identity instead:
+  *
+  *   a substring of length ≥ L is duplicated
+  *     ⟺ every one of its L-grams is duplicated,
+  *   and the union of the flagged grams' [p, p+L) windows inside one
+  *   document is EXACTLY the union of its maximal duplicated regions —
+  *   a duplicated region of length M ≥ L flags positions p..p+M−L and
+  *   their window union is [p, p+M), nothing more.
+  *
+  * So the whole operator is: emit one 64-bit rolling hash per codepoint
+  * position, keep hashes with global multiplicity ≥ 2, and merge the
+  * surviving fixed-width windows per document. Every exchange carries
+  * only `(h, id, pos)` scalars — document text never shuffles; the text
+  * is re-read (not cached) for the final row-local cut, because at
+  * 10^14 positions recomputing a rolling hash is cheaper than
+  * materializing the position table.
+  *
+  * Hashing: 64-bit polynomial rolling hash over codepoints (wraparound
+  * arithmetic). For non-adversarial corpora the expected number of
+  * colliding position pairs is n²/2^65 (≈ 0.003 at 10^8 positions); a
+  * collision removes one spurious window, never corrupts text. Inputs
+  * crafted against mod-2^64 polynomial hashing (Thue–Morse strings)
+  * would need the 128-bit double-hash upgrade.
+  *
+  * Positions are 0-based CODEPOINT offsets (astral-safe; Python/DuckDB
+  * string semantics, not UTF-16 code units).
+  */
+object ExactSubstr {
+
+  private val B = 1000003L // odd base; wraparound mod 2^64
+
+  /** `(id, pos)` of every position whose `minLen`-gram occurs ≥ 2 times
+    * corpus-wide (in any document, including the same one).
+    */
+  def duplicatedPositions(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val L = minLen
+    val positions = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val cps = text.codePoints.toArray
+          val n = cps.length
+          if (n < L) Iterator.empty
+          else {
+            var bl = 1L // B^(L-1) for the rolling head removal
+            var i = 1
+            while (i < L) { bl *= B; i += 1 }
+            var h = 0L
+            i = 0
+            while (i < L) { h = h * B + cps(i); i += 1 }
+            val out = new Array[(Long, Long, Long)](n - L + 1)
+            out(0) = (h, id, 0L)
+            var p = 1
+            while (p <= n - L) {
+              h = (h - cps(p - 1) * bl) * B + cps(p + L - 1)
+              out(p) = (h, id, p.toLong)
+              p += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("h", "id", "pos")
+    // multiplicity ≥ 2: the partial agg collapses hot boilerplate grams
+    // map-side, so the exchange never amplifies on skew
+    val dup = positions.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    // both sides are hash-partitioned on h; 1:N per key, no fanout
+    positions.join(dup, "h").select("id", "pos")
+  }
+
+  /** Maximal duplicated spans per document:
+    * `(id, span_start, span_end)` — 0-based codepoint offsets, end
+    * exclusive, non-overlapping, sorted. Documents with no duplicated
+    * substring produce no rows.
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            minLen: Int): DataFrame = {
+    mergedSpans(docs, idCol, textCol, minLen)
+      .select(col("id"), explode(col("spans")).as("sp"))
+      .select(col("id"), col("sp.s").as("span_start"),
+        col("sp.e").as("span_end"))
+  }
+
+  /** `(id, spans)` with spans the merged interval array — pure Catalyst
+    * fold over the sorted position list (row-local; windows of fixed
+    * width L merge exactly when the position gap ≤ L).
+    */
+  private def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int): DataFrame = {
+    val L = minLen
+    val ps = duplicatedPositions(docs, idCol, textCol, minLen)
+      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    def lastOf(acc: Column): Column = element_at(acc, -1)
+    ps.select(col("id"),
+      aggregate(
+        col("ps"),
+        array().cast("array<struct<s:long,e:long>>"),
+        (acc, p) => when(size(acc) === 0 || p > lastOf(acc)("e"),
+          concat(acc, array(struct(p.as("s"), (p + L).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(lastOf(acc)("s").as("s"), (p + L).as("e")))))
+      ).as("spans"))
+  }
+
+  /** Removes every duplicated span from every document. Output keeps the
+    * input columns with `textCol` rewritten, plus `n_spans` and
+    * `removed_chars` (codepoints). `removed_chars + codepoints(textCol)`
+    * equals the original codepoint length. The cut itself is row-local
+    * (one typed map after an id-keyed left join of the span arrays).
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            minLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withSpans = docs.join(
+      mergedSpans(docs, idCol, textCol, minLen)
+        .withColumnRenamed("id", "__esid"),
+      col(idCol).cast("long") === col("__esid"), "left")
+    val others = docs.columns.filter(c => c != textCol)
+    val reordered = withSpans.select(
+      (col(textCol).as("__t") +: col("spans").as("__spans") +:
+        others.map(col)): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      reordered.schema.fields.drop(2) ++ Seq(
+        org.apache.spark.sql.types.StructField(textCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_spans",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("removed_chars",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    reordered.map({ row =>
+      val text = row.getString(0)
+      val rest = Range(2, row.length).map(row.get)
+      if (row.isNullAt(1) || text == null)
+        org.apache.spark.sql.Row.fromSeq(rest ++ Seq(text, 0L, 0L))
+      else {
+        val sp = row.getSeq[org.apache.spark.sql.Row](1)
+        val cps = text.codePoints.toArray
+        val sb = new java.lang.StringBuilder(cps.length)
+        var cursor = 0
+        var removed = 0L
+        sp.foreach { r =>
+          val s = r.getLong(0).toInt
+          val e = math.min(r.getLong(1), cps.length.toLong).toInt
+          var i = cursor
+          while (i < s) { sb.appendCodePoint(cps(i)); i += 1 }
+          removed += (e - s)
+          cursor = e
+        }
+        var i = cursor
+        while (i < cps.length) { sb.appendCodePoint(cps(i)); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(
+          rest ++ Seq(sb.toString, sp.length.toLong, removed))
+      }
+    })(enc).toDF(schema.fieldNames: _*)
+  }
+}

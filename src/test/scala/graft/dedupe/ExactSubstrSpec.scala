@@ -1,0 +1,168 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExactSubstr contracts: the gram-union identity (flagged windows union
+  * to EXACTLY the maximal duplicated regions), a seeded differential
+  * against the naive substring-multiset spec, conservation through
+  * `clean`, and codepoint (not UTF-16) offset semantics on astral text.
+  */
+class ExactSubstrSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-exactsubstr-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(docs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("id", "content")
+  }
+
+  /** Naive spec: positions whose L-gram (as an actual string over
+    * codepoints) occurs ≥ 2 times corpus-wide; spans = merged windows.
+    */
+  private def naiveSpans(docs: Seq[(Long, String)], L: Int)
+      : Map[Long, Seq[(Long, Long)]] = {
+    val counts = collection.mutable.Map.empty[String, Int]
+    val cps = docs.map { case (id, t) => id -> t.codePoints.toArray }
+    cps.foreach { case (_, a) =>
+      (0 to a.length - L).foreach { i =>
+        val g = new String(a, i, L)
+        counts(g) = counts.getOrElse(g, 0) + 1
+      }
+    }
+    cps.flatMap { case (id, a) =>
+      val ps = (0 to a.length - L)
+        .filter(i => counts(new String(a, i, L)) >= 2)
+      if (ps.isEmpty) None
+      else {
+        val spans = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        ps.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2)
+            spans(spans.length - 1) = (spans.last._1, p + L)
+          else spans += ((p.toLong, (p + L).toLong))
+        }
+        Some(id -> spans.toSeq)
+      }
+    }.toMap
+  }
+
+  private def engineSpans(df: DataFrame, L: Int): Map[Long, Seq[(Long, Long)]] =
+    ExactSubstr.spans(df, "id", "content", L)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("a planted shared region yields exactly its maximal span in both docs") {
+    val shared = ('a' to 'z').mkString * 4 // 104 chars, unique inside itself
+    // distinct chars flank the block in each doc, so the maximal
+    // duplicated substring is exactly `shared`
+    val d1 = s"left context totally unique one!${shared}?right tail unique one"
+    val d2 = s"other beginning entirely different two<${shared}>closing words two"
+    val L = 20
+    val got = engineSpans(docsDf(Seq(1L -> d1, 2L -> d2)), L)
+    val s1 = d1.indexOf(shared).toLong
+    val s2 = d2.indexOf(shared).toLong
+    assert(got(1L) == Seq((s1, s1 + shared.length)))
+    assert(got(2L) == Seq((s2, s2 + shared.length)))
+  }
+
+  test("differential vs the naive substring-multiset spec (seeded corpus)") {
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("sort", "key", "scan", "join", "the", "merge")
+    val base = Seq.tabulate(30) { i =>
+      i.toLong -> Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // inject exact copies and partial overlaps
+    val docs = base ++ base.take(5).map { case (id, t) => (id + 100) -> t } ++
+      base.slice(5, 8).map { case (id, t) =>
+        (id + 200) -> (s"prefix$id " + t.drop(t.length / 2) + s" suffix$id")
+      }
+    for (l <- Seq(12, 25)) {
+      assert(engineSpans(docsDf(docs), l) == naiveSpans(docs, l),
+        s"span sets diverge from the naive spec at L=$l")
+    }
+  }
+
+  test("clean conserves codepoints and removes exactly the spans") {
+    val shared = "0123456789" * 6
+    val docs = Seq(1L -> s"alpha bravo $shared charlie", 2L -> s"delta $shared echo",
+      3L -> "no duplicated content here at all")
+    val L = 15
+    val out = ExactSubstr.clean(docsDf(docs), "id", "content", L)
+      .select("id", "content", "n_spans", "removed_chars")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val naive = naiveSpans(docs, L)
+    docs.foreach { case (id, t) =>
+      val (cleaned, nSpans, removed) = out(id)
+      val spans = naive.getOrElse(id, Seq.empty)
+      assert(nSpans == spans.length)
+      assert(removed == spans.map { case (s, e) => e - s }.sum)
+      assert(cleaned.codePointCount(0, cleaned.length) + removed ==
+        t.codePointCount(0, t.length))
+      // rebuild expected cleaned text from the naive spans
+      val cps = t.codePoints.toArray
+      val keep = cps.indices.filterNot(i =>
+        spans.exists { case (s, e) => i >= s && i < e })
+      val expected = {
+        val sb = new java.lang.StringBuilder
+        keep.foreach(i => sb.appendCodePoint(cps(i)))
+        sb.toString
+      }
+      assert(cleaned == expected)
+    }
+  }
+
+  test("offsets are codepoint-based: astral plane text") {
+    // 𝔘 is U+1D518 (two UTF-16 code units, one codepoint)
+    val shared = "𝔘nicode-astral-shared-block"
+    val d1 = s"head one(${shared})tail one"
+    val d2 = s"top two![${shared}]bottom two"
+    val L = shared.codePointCount(0, shared.length)
+    val got = engineSpans(docsDf(Seq(1L -> d1, 2L -> d2)), L)
+    val pre1 = "head one(".length.toLong // pure BMP prefix: cp == utf16 len
+    assert(got(1L) == Seq((pre1, pre1 + L)))
+    val cleaned = ExactSubstr.clean(docsDf(Seq(1L -> d1, 2L -> d2)),
+      "id", "content", L)
+      .filter(col("id") === 1L).select("content").head().getString(0)
+    assert(cleaned == "head one()tail one")
+  }
+
+  test("docs shorter than minLen and in-doc periodic repeats") {
+    val periodic = "ab" * 40 // every 10-gram repeats within the doc
+    val docs = Seq(1L -> "tiny", 2L -> periodic)
+    val got = engineSpans(docsDf(docs), 10)
+    assert(!got.contains(1L))
+    assert(got(2L) == Seq((0L, periodic.length.toLong)))
+  }
+
+  test("the heavy exchanges carry only (h, id, pos) scalars — never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = ExactSubstr.spans(
+        docsDf(Seq(1L -> ("xy" * 50), 2L -> ("xy" * 50))),
+        "id", "content", 10)
+      val ex = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(ex.nonEmpty)
+      ex.foreach { e =>
+        val strings = e.output.filter(_.dataType == StringType)
+        assert(strings.isEmpty,
+          s"position shuffle carries strings ${strings.map(_.name)}:\n${e.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
