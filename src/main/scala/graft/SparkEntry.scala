@@ -1008,6 +1008,18 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Paragraph-level dedup (the cc_net discipline upstream of the
+    // reference): every later occurrence of a repeated paragraph drops,
+    // the first stays in place, blanks are exempt. The enrichment's
+    // shared lines ("A clean line of prose.", the lorem block) plus
+    // dupCorpus's full copies exercise cross-doc and whole-doc drops.
+    "q61_paragraph_dedup" -> ((s, dir) => {
+      graft.dedupe.ParagraphDedup.clean(dupCorpus(s, dir), "id", "content")
+        .select(col("id"), col("n_paras_removed"),
+          sha2(col("content"), 256).as("cleaned_sha256"))
+        .orderBy("id")
+    }),
+
     // Fractional epoch upsampling (the repetition knob in mixing
     // recipes): en gets 2 full copies + a deterministic half, de a pure
     // 0.4 downsample, the rest exactly 1 epoch. The oracle recomputes
@@ -2003,6 +2015,40 @@ object SparkEntry {
          |         AS cleaned_sha256
          |FROM corpus c
          |LEFT JOIN spc ON spc.id = c.id
+         |LEFT JOIN agg ON agg.id = c.id
+         |ORDER BY c.id""".stripMargin,
+
+    // global first-wins over actual paragraph text (hash-independent);
+    // blanks exempt; cleaned text rebuilt from the kept positions
+    "q61_paragraph_dedup" ->
+      s"""WITH $cte, $dupCorpusCte,
+         |paras AS (
+         |  SELECT id, i - 1 AS idx, l[i] AS para
+         |  FROM (SELECT id, l, unnest(range(1, len(l) + 1)) AS i
+         |        FROM (SELECT id, string_split(content, chr(10)) AS l
+         |              FROM corpus))
+         |), ded AS (
+         |  SELECT id, idx,
+         |         row_number() OVER (PARTITION BY para ORDER BY id, idx)
+         |           AS rn
+         |  FROM paras WHERE trim(para) <> ''
+         |), dropped AS (
+         |  SELECT id, idx FROM ded WHERE rn > 1
+         |), kept AS (
+         |  SELECT p.id, p.idx, p.para FROM paras p
+         |  ANTI JOIN dropped d ON p.id = d.id AND p.idx = d.idx
+         |), agg AS (
+         |  SELECT id, string_agg(para, chr(10) ORDER BY idx) AS cleaned
+         |  FROM kept GROUP BY id
+         |), drc AS (
+         |  SELECT id, count(*) AS n_removed FROM dropped GROUP BY id
+         |)
+         |SELECT c.id,
+         |       CAST(coalesce(drc.n_removed, 0) AS BIGINT)
+         |         AS n_paras_removed,
+         |       sha256(coalesce(agg.cleaned, '')) AS cleaned_sha256
+         |FROM corpus c
+         |LEFT JOIN drc ON drc.id = c.id
          |LEFT JOIN agg ON agg.id = c.id
          |ORDER BY c.id""".stripMargin,
 

@@ -1,0 +1,124 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ParagraphDedup contracts: global first-wins semantics (cross-doc and
+  * in-doc), blank-paragraph exemption, idempotence, a seeded differential
+  * against the naive global-hash-set spec, and the scalar-shuffle plan
+  * discipline.
+  */
+class ParagraphDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-paragraphdedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(docs: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("id", "content")
+  }
+
+  private def cleanMap(docs: Seq[(Long, String)]): Map[Long, (String, Long)] =
+    ParagraphDedup.clean(df(docs), "id", "content")
+      .select("id", "content", "n_paras_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  /** Naive spec: walk docs in (id, idx) order with one global seen-set;
+    * blanks always kept.
+    */
+  private def naive(docs: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+    val seen = collection.mutable.Set.empty[String]
+    docs.sortBy(_._1).map { case (id, t) =>
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var removed = 0L
+      t.split(java.util.regex.Pattern.quote("\n"), -1).foreach { p =>
+        if (p.trim.isEmpty) out += p
+        else if (seen.add(p)) out += p
+        else removed += 1
+      }
+      id -> ((out.mkString("\n"), removed))
+    }.toMap
+  }
+
+  test("first occurrence survives; later cross-doc and in-doc copies drop") {
+    val docs = Seq(
+      1L -> "unique alpha\nshared boilerplate line\nunique beta",
+      2L -> "shared boilerplate line\nunique gamma\nshared boilerplate line",
+      3L -> "unique delta\nshared boilerplate line")
+    val got = cleanMap(docs)
+    assert(got(1L) == (("unique alpha\nshared boilerplate line\nunique beta", 0L)))
+    assert(got(2L) == (("unique gamma", 2L)))
+    assert(got(3L) == (("unique delta", 1L)))
+  }
+
+  test("blank paragraphs are exempt — gaps never splice") {
+    val docs = Seq(
+      1L -> "a\n\nb\n\nc",
+      2L -> "d\n\ne\n\nf")
+    val got = cleanMap(docs)
+    assert(got(1L) == (("a\n\nb\n\nc", 0L)))
+    assert(got(2L) == (("d\n\ne\n\nf", 0L))) // blanks shared but kept
+  }
+
+  test("differential vs the naive global-set spec (seeded corpus)") {
+    val rnd = new scala.util.Random(20260817L)
+    val lines = Vector("the scan", "a join", "sort keys", "merge step",
+      "batch io", " ", "")
+    val docs = Seq.tabulate(40) { i =>
+      i.toLong -> Seq.fill(3 + rnd.nextInt(8))(lines(rnd.nextInt(lines.size)))
+        .mkString("\n")
+    }
+    assert(cleanMap(docs) == naive(docs))
+  }
+
+  test("idempotent: cleaning a cleaned corpus removes nothing") {
+    val docs = Seq(
+      1L -> "x\ncommon\ny", 2L -> "common\nz", 3L -> "common\nx")
+    val once = ParagraphDedup.clean(df(docs), "id", "content")
+      .select("id", "content").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val twice = cleanMap(once)
+    once.foreach { case (id, t) => assert(twice(id) == ((t, 0L))) }
+  }
+
+  test("pass-through columns and null text survive") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb", "en"), (2L, "a\nc", "de"),
+      (3L, null.asInstanceOf[String], "fr")).toDF("id", "content", "lang")
+    val out = ParagraphDedup.clean(docs, "id", "content")
+      .select("id", "content", "lang", "n_paras_removed").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2),
+        r.getLong(3)))).toMap
+    assert(out(2L) == ((Some("c"), "de", 1L)))
+    assert(out(3L) == ((None, "fr", 0L)))
+  }
+
+  test("dedup shuffles carry (h, id, idx) scalars — never paragraph text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.StringType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = ParagraphDedup.duplicatePositions(
+        df(Seq(1L -> "a\nb", 2L -> "a\nc")), "id", "content")
+      val ex = d.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(ex.nonEmpty)
+      ex.foreach { e =>
+        val strings = e.output.filter(_.dataType == StringType)
+        assert(strings.isEmpty,
+          s"paragraph shuffle carries strings ${strings.map(_.name)}:\n${e.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
