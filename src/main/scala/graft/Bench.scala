@@ -57,7 +57,8 @@ object Bench {
     "q54_decontaminate" -> 2.3, "q55_token_budget" -> 1.2,
     "q56_shuffle_shards" -> 0.5, "q57_epoch_mix" -> 0.5,
     "q58_stream_dedup" -> 1.5, "q59_ann_quantized" -> 1.0,
-    "q60_substr_dedup" -> 5.0, "q61_paragraph_dedup" -> 0.8)
+    "q60_substr_dedup" -> 5.0, "q61_paragraph_dedup" -> 0.8,
+    "q62_ann_refined" -> 4.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

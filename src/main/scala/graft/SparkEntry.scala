@@ -1008,6 +1008,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Two-stage quantized ANN: coarse top-30 per query over int8 codes
+    // (integer-valued scores — engine-independent cut), exact top-10
+    // re-score of the survivors with the full vectors joined back by
+    // id. The oracle replays both stages.
+    "q62_ann_refined" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      graft.similarity.Quantize.topKRefined(
+          emb, "vec_id", "vec",
+          emb.filter(col("vec_id") < 5), "vec_id", "vec",
+          k = 10, coarseK = 30, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // Paragraph-level dedup (the cc_net discipline upstream of the
     // reference): every later occurrence of a repeated paragraph drops,
     // the first stays in place, blanks are exempt. The enrichment's
@@ -2017,6 +2032,42 @@ object SparkEntry {
          |LEFT JOIN spc ON spc.id = c.id
          |LEFT JOIN agg ON agg.id = c.id
          |ORDER BY c.id""".stripMargin,
+
+    // both stages replayed: integer-exact quantized coarse cut, then
+    // exact cosine over the joined-back full vectors
+    "q62_ann_refined" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), q8 AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax > 0
+        |              THEN list_transform(vec, x -> round(x * 127.0 / amax))
+        |              ELSE list_transform(vec, x -> 0.0) END AS qv
+        |  FROM (SELECT vec_id, vec,
+        |               list_max(list_transform(vec, x -> abs(x))) AS amax
+        |        FROM e)
+        |), q AS (
+        |  SELECT vec_id AS query_id, qv AS qqv FROM q8 WHERE vec_id < 5
+        |), coarse AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(e.qv, q.qqv) DESC,
+        |                      e.vec_id ASC) AS crank
+        |    FROM q8 e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |  WHERE crank <= 30
+        |), resc AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         row_number() OVER (PARTITION BY c.query_id
+        |           ORDER BY list_cosine_similarity(ev.vec, qe.vec) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM coarse c
+        |  JOIN e ev ON ev.vec_id = c.vec_id
+        |  JOIN e qe ON qe.vec_id = c.query_id
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id FROM resc
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // global first-wins over actual paragraph text (hash-independent);
     // blanks exempt; cleaned text rebuilt from the kept positions

@@ -1,6 +1,7 @@
 package graft.similarity
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Int8 embedding quantization — the memory lever for ANN at corpus
@@ -52,5 +53,59 @@ object Quantize {
         lit(0.0), (acc, v) => acc + v)
     val denom = sqrt(d(a, a)) * sqrt(d(b, b))
     when(denom > 0, d(a, b) / denom)
+  }
+
+  /** Two-stage ANN — the composition the codes exist for. Stage 1 scores
+    * int8 CODES against a broadcast of the quantized queries and keeps the
+    * top `coarseK` per query: the only arrays in the whole coarse stage
+    * are 1-byte-element codes, so the resident set and the broadcast are
+    * ~8× smaller than float64 — at 10^9 vectors the difference between a
+    * spilling scan and an in-memory one. Stage 2 re-scores ONLY the
+    * survivors with exact cosine: the full vectors cross one id-keyed
+    * join (coarseK rows per query), never the coarse stage.
+    *
+    * Equals exact brute force whenever the true top-k survive the coarse
+    * cut (per-vector symmetric quantization tracks cosine to ~1e-2 at 64
+    * dims, so coarseK of a few × k is ample); deterministic regardless —
+    * coarse scores are integer-valued and both stages tie-break on
+    * (score desc, vec_id asc).
+    *
+    * @return (query_id, rank, vec_id) with rank 1..k by exact cosine
+    */
+  def topKRefined(vecs: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, coarseK: Int,
+                  excludeSelf: Boolean = false): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val v = vecs.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("vec"))
+    val q = queries.select(col(qidCol).cast("long").as("query_id"),
+      col(qvecCol).as("qvec"))
+    val codes = v.select(col("vec_id"), int8(col("vec")).as("code"))
+    val qcodes = q.select(col("query_id"), int8(col("qvec")).as("qcode"))
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val paired = codes.crossJoin(broadcast(qcodes))
+    val scoped =
+      if (excludeSelf) paired.filter(col("vec_id") =!= col("query_id"))
+      else paired
+    val survivors = scoped
+      .withColumn("qcos", cosine(col("code"), col("qcode")))
+      .withColumn("crank", row_number().over(wCoarse))
+      .filter(col("crank") <= coarseK)
+      .select("query_id", "vec_id")
+    val dot: (Column, Column) => Column = (x, y) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, u) => acc + u)
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    survivors
+      .join(v, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("vec"), col("qvec")) /
+        (sqrt(dot(col("vec"), col("vec"))) * sqrt(dot(col("qvec"), col("qvec")))))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"))
   }
 }

@@ -98,4 +98,67 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.getSeq[Byte](0).forall(_ == 0))
     assert(rows.head.get(1) == null)
   }
+
+  private def bruteTopK(vecs: Seq[Array[Double]], queryIds: Seq[Int],
+                        k: Int): Map[Long, Seq[Long]] = {
+    val exact = (a: Array[Double], b: Array[Double]) => {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    queryIds.map { qi =>
+      qi.toLong -> vecs.zipWithIndex.filter(_._2 != qi)
+        .map { case (v, i) => (i.toLong, exact(vecs(qi), v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("topKRefined with full coarseK equals exact brute force") {
+    val got = Quantize.topKRefined(df(sample), "id", "vec",
+        df(sample).filter(col("id") < 3), "id", "vec",
+        k = 5, coarseK = sample.size, excludeSelf = true)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got == bruteTopK(sample, Seq(0, 1, 2), 5))
+  }
+
+  test("topKRefined recall is perfect at modest coarseK on near-dup twins") {
+    // plant twins: each query's true top-1 is its own slightly-perturbed
+    // copy — the coarse int8 cut must never lose it
+    val twinned = sample ++ sample.take(5).map(_.map(_ * 1.0 + 1e-3))
+    val got = Quantize.topKRefined(df(twinned), "id", "vec",
+        df(twinned).filter(col("id") < 5), "id", "vec",
+        k = 1, coarseK = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0 until 5).foreach { qi =>
+      assert(got(qi.toLong) == (sample.size + qi).toLong,
+        s"query $qi lost its twin through the coarse cut")
+    }
+  }
+
+  test("coarse stage shuffles/broadcasts carry int8 codes, never doubles") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Quantize.topKRefined(df(sample), "id", "vec",
+        df(sample).filter(col("id") < 3), "id", "vec",
+        k = 5, coarseK = 10, excludeSelf = true)
+        .queryExecution.executedPlan
+      val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.nonEmpty)
+      // the coarse broadcast must be the code side: no double arrays in
+      // the FIRST (coarse) broadcast — only the refine-stage broadcast
+      // may carry the full query vectors
+      val coarseB = bcasts.filter(_.output.exists(_.name == "qcode"))
+      assert(coarseB.nonEmpty, "expected the quantized-query broadcast")
+      coarseB.foreach { b =>
+        val dbl = b.output.filter(a => a.dataType match {
+          case ArrayType(DoubleType, _) => true; case _ => false
+        })
+        assert(dbl.isEmpty,
+          s"coarse broadcast carries double arrays ${dbl.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
