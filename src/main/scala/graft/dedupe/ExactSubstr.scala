@@ -100,25 +100,31 @@ object ExactSubstr {
         col("sp.e").as("span_end"))
   }
 
-  /** `(id, spans)` with spans the merged interval array — pure Catalyst
-    * fold over the sorted position list (row-local; windows of fixed
-    * width L merge exactly when the position gap ≤ L).
+  /** `(id, spans)` with spans the merged interval array. The merge is a
+    * LINEAR row-local pass (windows of fixed width L merge exactly when
+    * the position gap ≤ L) — deliberately a Scala function rather than a
+    * Catalyst `aggregate` fold: the fold rebuilds its accumulator array
+    * per element, O(P²) in the duplicated-position count, and a wholly
+    * duplicated multi-MB document (the MOST common case — exact copies)
+    * has millions of flagged positions.
     */
   private def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
                           minLen: Int): DataFrame = {
     val L = minLen
-    val ps = duplicatedPositions(docs, idCol, textCol, minLen)
-      .groupBy("id").agg(sort_array(collect_list(col("pos"))).as("ps"))
-    def lastOf(acc: Column): Column = element_at(acc, -1)
-    ps.select(col("id"),
-      aggregate(
-        col("ps"),
-        array().cast("array<struct<s:long,e:long>>"),
-        (acc, p) => when(size(acc) === 0 || p > lastOf(acc)("e"),
-          concat(acc, array(struct(p.as("s"), (p + L).as("e")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(lastOf(acc)("s").as("s"), (p + L).as("e")))))
-      ).as("spans"))
+    val merge = udf { ps: Array[Long] =>
+      java.util.Arrays.sort(ps) // collect_list order is nondeterministic
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      ps.foreach { p =>
+        if (out.nonEmpty && p <= out.last._2)
+          out(out.length - 1) = (out.last._1, p + L)
+        else out += ((p, p + L))
+      }
+      out.toSeq
+    }
+    duplicatedPositions(docs, idCol, textCol, minLen)
+      .groupBy("id").agg(collect_list(col("pos")).as("ps"))
+      .select(col("id"), merge(col("ps"))
+        .cast("array<struct<s:long,e:long>>").as("spans"))
   }
 
   /** Removes every duplicated span from every document. Output keeps the

@@ -146,6 +146,17 @@ class ExactSubstrSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == Seq((0L, periodic.length.toLong)))
   }
 
+  test("a wholly-duplicated large doc merges in linear time") {
+    // ~150k flagged positions per copy: the span merge must be the
+    // linear pass, not an O(P²) accumulator rebuild (which would take
+    // minutes here and days on a real multi-MB exact copy)
+    val rnd = new scala.util.Random(99L)
+    val big = Seq.fill(150000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val got = engineSpans(docsDf(Seq(1L -> big, 2L -> big)), 40)
+    assert(got(1L) == Seq((0L, big.length.toLong)))
+    assert(got(2L) == Seq((0L, big.length.toLong)))
+  }
+
   test("the heavy exchanges carry only (h, id, pos) scalars — never text") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
