@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * partial agg — no skew amplification), duplicate POSITIONS come back
   * as `(id, idx)` scalars, and the document text itself only ever
   * crosses its one natural id-keyed join; the rebuild (drop the listed
-  * indices, re-join with the separator) is pure Catalyst array
-  * expressions — no UDF, no typed map.
+  * sorted indices, re-join with the separator) is one row-local linear
+  * pass.
   *
   * Blank-after-trim paragraphs are exempt (never dedup keys, never
   * dropped): deduping the empty string would silently splice every
@@ -52,25 +52,43 @@ object ParagraphDedup {
   /** Rewrites `textCol` with every duplicate paragraph occurrence
     * removed (the first copy stays in place; blank paragraphs always
     * stay). Adds `n_paras_removed`. All other columns pass through.
+    *
+    * The rebuild is a row-local linear pass (sorted drop indices walked
+    * alongside the split) — deliberately NOT
+    * `filter(…, array_contains(drops, i))`: that membership test is a
+    * linear scan per paragraph, O(paras × drops) per doc, and a
+    * heavily-boilerplate 10⁵-paragraph document would pay 10¹⁰
+    * comparisons.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             sep: String = "\n"): DataFrame = {
     val dropped = duplicatePositions(docs, idCol, textCol, sep)
-      .groupBy("id").agg(collect_list(col("idx")).as("__dropped"))
+      .groupBy("id").agg(sort_array(collect_list(col("idx"))).as("__dropped"))
       .withColumnRenamed("id", "__pdid")
     val joined = docs.join(dropped,
       col(idCol).cast("long") === col("__pdid"), "left")
-    val drops = coalesce(col("__dropped"), array().cast("array<int>"))
-    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
-    val kept = filter(
-      transform(parts, (p, i) => struct(p.as("p"), i.as("i"))),
-      s => not(array_contains(drops, s("i"))))
-    val rebuilt = array_join(transform(kept, s => s("p")), sep)
+    val sepStr = sep
+    val rebuild = udf { (text: String, drops: Array[Int]) =>
+      if (text == null) null
+      else {
+        val parts = text.split(java.util.regex.Pattern.quote(sepStr), -1)
+        val out = new collection.mutable.ArrayBuffer[String](
+          parts.length - drops.length)
+        var d = 0
+        var i = 0
+        while (i < parts.length) { // drops arrive sorted ascending
+          if (d < drops.length && drops(d) == i) d += 1
+          else out += parts(i)
+          i += 1
+        }
+        out.mkString(sepStr)
+      }
+    }
     joined
       .withColumn("n_paras_removed",
         coalesce(size(col("__dropped")).cast("long"), lit(0L)))
-      .withColumn(textCol, when(col(textCol).isNull, col(textCol))
-        .otherwise(rebuilt))
+      .withColumn(textCol, rebuild(col(textCol),
+        coalesce(col("__dropped"), array().cast("array<int>"))))
       .drop("__pdid", "__dropped")
   }
 }
