@@ -147,6 +147,11 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.executedPlan
       val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
       assert(bcasts.nonEmpty)
+      // both rank filters must push as group limits: each map partition
+      // ships at most coarseK/k rows per query into the window exchange —
+      // never the full N-per-query sort on one reducer
+      assert(plan.toString.split("WindowGroupLimit").length - 1 >= 2,
+        s"expected both coarse and exact group-limit pushdowns:\n$plan")
       // the coarse broadcast must be the code side: no double arrays in
       // the FIRST (coarse) broadcast — only the refine-stage broadcast
       // may carry the full query vectors
