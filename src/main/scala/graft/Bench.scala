@@ -58,7 +58,8 @@ object Bench {
     "q56_shuffle_shards" -> 0.5, "q57_epoch_mix" -> 0.5,
     "q58_stream_dedup" -> 1.5, "q59_ann_quantized" -> 1.0,
     "q60_substr_dedup" -> 5.0, "q61_paragraph_dedup" -> 0.8,
-    "q62_ann_refined" -> 4.0)
+    "q62_ann_refined" -> 4.0, "q63_top_ngrams" -> 2.5,
+    "q64_adaptive_cutoff" -> 0.6, "q65_url_dedup" -> 0.8)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1199,6 +1199,74 @@ object SparkEntry {
       graft.similarity.WinnowPairs
         .pairs(cf.unionAll(twins).unionAll(near), tau = 0.999)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Corpus-wide n-gram heavy hitters (the WIMBD corpus-audit pass):
+    // total occurrence counts of word 3-grams over the normalized
+    // corpus, global top-20 under the (count desc, gram asc) total
+    // order — so the cut is deterministic even through count ties. The
+    // gram table never globally sorts: the top-k is per-partition heaps
+    // merged on the driver (TakeOrderedAndProject, HeavyHittersSpec
+    // pins it), and hot grams collapse in the map-side partial count.
+    "q63_top_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val words = CodeFiles(s, dir)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }.toDF("doc_id", "ws")
+      graft.operators.HeavyHitters.topK(
+          graft.operators.HeavyHitters.occurrenceCounts(words, "ws", 3), 20)
+        .orderBy(col("c").desc, col("gram").asc)
+    }),
+
+    // Adaptive per-language quality cutoff (the CCNet discipline:
+    // per-language quantiles, not one absolute threshold). Score is the
+    // collision-free integer n_chars·100000 + doc_id, so the 30th
+    // percentile element is unique; keepAbove's survivors therefore pin
+    // BOTH membership (id_sum) and the quantile element itself
+    // (min(score) = the cutoff — Spark's exact-below-accuracy
+    // percentile_approx and DuckDB's quantile_disc pick the same rank
+    // ceil(p·n), ThresholdsSpec pins the rule).
+    "q64_adaptive_cutoff" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") * 100000 + col("doc_id")).cast("double")
+            .as("score"))
+      graft.operators.Thresholds.keepAbove(docs, Seq("lang"), "score", 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"),
+          min("score").as("cutoff"))
+        .orderBy("lang")
+    }),
+
+    // URL canonicalization + first-wins dedup: five messy variants of
+    // the same page (authority case + fragment, default port + utm,
+    // tracking-param combinations, whitespace + trailing slash) are
+    // synthesized from doc_id arithmetic; groups key on doc_id % 197
+    // (prime, so the 2-3 members of a group draw DIFFERENT variants —
+    // a composite modulus would hand every group a single variant and
+    // test nothing). The oracle computes the expected canonical form
+    // directly from the arithmetic — construction-pinning every rule
+    // without replaying the regexes — and re-derives the first-wins
+    // winner and group size.
+    "q65_url_dedup" -> ((s, dir) => {
+      val g = col("doc_id") % 197
+      val v = col("doc_id") % 5
+      val base = concat(lit("example-"), g, lit(".com/article/"), g)
+      val url = when(v === 0, concat(lit("https://"), base))
+        .when(v === 1, concat(lit("HTTPS://EXAMPLE-"), g,
+          lit(".COM/article/"), g, lit("#frag-"), g))
+        .when(v === 2, concat(lit("https://example-"), g,
+          lit(".com:443/article/"), g, lit("?utm_source=feed")))
+        .when(v === 3, concat(lit("https://"), base,
+          lit("?utm_campaign=x&gclid=g"), g))
+        .otherwise(concat(lit("  https://"), base, lit("/ ")))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"))
+      graft.dedupe.UrlDedup.dedupByUrl(docs, "doc_id", "url")
+        .select(col("doc_id"), col("canonical_url"), col("n_dups"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2325,7 +2393,47 @@ object SparkEntry {
          |SELECT doc_id AS id_a, doc_id + 200000 AS id_b,
          |       CAST(1.0 AS DOUBLE) AS overlap
          |FROM code_files WHERE doc_id % 10 = 3
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q63_top_ngrams" ->
+      s"""WITH $cte, $wordsCte, g AS (
+         |  SELECT unnest(list_transform(
+         |    list_slice(list_zip(ws, ws[2:], ws[3:]), 1, len(ws) - 2),
+         |    x -> x[1] || ' ' || x[2] || ' ' || x[3])) AS gram
+         |  FROM words WHERE len(ws) >= 3
+         |)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS c
+         |FROM g GROUP BY gram
+         |ORDER BY c DESC, gram LIMIT 20""".stripMargin,
+
+    "q64_adaptive_cutoff" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |         CAST(n_chars * 100000 + doc_id AS DOUBLE) AS score
+        |  FROM documents
+        |), thr AS (
+        |  SELECT lang, quantile_disc(score, 0.3) AS t FROM sc GROUP BY lang
+        |)
+        |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       min(score) AS cutoff
+        |FROM sc JOIN thr ON sc.lang = thr.lang
+        |WHERE score >= t
+        |GROUP BY sc.lang ORDER BY sc.lang""".stripMargin,
+
+    "q65_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://example-' || (doc_id % 197) || '.com/article/'
+        |           || (doc_id % 197) AS canonical_url
+        |  FROM documents
+        |), w AS (
+        |  SELECT canonical_url, min(doc_id) AS keep_id,
+        |         CAST(count(*) AS BIGINT) AS n_dups
+        |  FROM u GROUP BY canonical_url
+        |)
+        |SELECT keep_id AS doc_id, canonical_url, n_dups
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,84 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + first-wins dedup — the cheapest dedup pass a
+  * web corpus runs, BEFORE any content hashing: CCNet and RefinedWeb
+  * both drop refetches of the same page first (RefinedWeb §3/appendix
+  * lists exactly this normalization: lowercase the authority, strip the
+  * fragment, strip tracking parameters), because the same page arrives
+  * under `HTTPS://Example.COM/a#top` and `https://example.com/a?utm_...`
+  * across crawls.
+  *
+  * The canonicalizer is a chain of pure Catalyst string/regexp
+  * expressions — row-local, whole-stage codegen, no UDF (patterns use
+  * java.util.regex lookarounds; the oracle never replays them — q65 is
+  * construction-based). Rules, in order:
+  *
+  *   1. trim surrounding whitespace;
+  *   2. strip the `#fragment`;
+  *   3. lowercase the scheme and authority (ONLY that prefix — paths
+  *      are case-sensitive on most origins and stay untouched);
+  *   4. strip default ports `:80` (http) / `:443` (https);
+  *   5. strip tracking parameters (`utm_*`, `fbclid`, `gclid`) wherever
+  *      they sit in the query string, keeping every other parameter and
+  *      the `?`/`&` structure well-formed;
+  *   6. strip a single trailing `/` (root or deep path) and a left-over
+  *      bare `?`.
+  *
+  * A non-URL string flows through rules 1-2 and 5-6 harmlessly (rule 3
+  * matches nothing without `://`) — the canonicalizer never throws, so
+  * crawl-metadata junk columns are safe inputs.
+  *
+  * Scale shape of the dedup: the only exchange keyed by URL carries
+  * `(canonical_url, id)` scalars — canonical URLs are short and
+  * maximally Zipfian (hot pages collapse in the map-side partial
+  * min/count agg, the exact-dedup D7 discipline). Winners come back as
+  * an id-keyed join (AQE broadcasts it when the winner set is small;
+  * at full scale it is a plain hash join on the id both sides already
+  * carry). Document payload columns cross that one id join, never the
+  * URL exchange.
+  */
+object UrlDedup {
+
+  private def lowerAuthority(u: Column): Column = {
+    val pre = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    concat(lower(pre), u.substr(length(pre) + lit(1), length(u)))
+  }
+
+  /** The canonical form of a URL column (rules above; idempotent). */
+  def canonicalize(url: Column): Column = {
+    // Spark's trim() strips only 0x20 — crawl metadata carries tabs too
+    val u1 = regexp_replace(
+      regexp_replace(url, "^\\s+|\\s+$", ""), "#.*$", "")
+    val u2 = lowerAuthority(u1)
+    val u3 = regexp_replace(u2, "^(http://[^/?:]+):80(?=[/?]|$)", "$1")
+    val u4 = regexp_replace(u3, "^(https://[^/?:]+):443(?=[/?]|$)", "$1")
+    val track = "(?:utm_[A-Za-z0-9_]*|fbclid|gclid)"
+    // non-leading tracking params, then a leading one followed by more,
+    // then a lone leading one
+    val u5 = regexp_replace(u4, s"&$track=[^&]*", "")
+    val u6 = regexp_replace(u5, s"\\?$track=[^&]*&", "?")
+    val u7 = regexp_replace(u6, s"\\?$track=[^&]*$$", "")
+    // bare `?` BEFORE the slash rule: `…/a/?` must reach `…/a`, not stop
+    // at `…/a/` (idempotence)
+    regexp_replace(regexp_replace(u7, "\\?$", ""), "([^/])/$", "$1")
+  }
+
+  /** First-wins dedup by canonical URL: keeps the minimum-`idCol` row of
+    * every canonical group, adding `canonical_url` and `n_dups` (the
+    * group size, 1 for unique pages). All input columns pass through.
+    */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = docs.withColumn("canonical_url", canonicalize(col(urlCol)))
+    val winners = canon
+      .select(col("canonical_url"), col(idCol).cast("long").as("__uid"))
+      .groupBy("canonical_url")
+      .agg(min(col("__uid")).as("__keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("__keep_id"), col("n_dups"))
+    canon
+      .join(winners, col(idCol).cast("long") === col("__keep_id"))
+      .drop("__keep_id")
+  }
+}

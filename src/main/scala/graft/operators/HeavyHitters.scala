@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide n-gram statistics — the "what is actually in my corpus"
+  * analytics pass (WIMBD, arXiv:2310.20707, runs exactly this to audit
+  * C4/Pile/RedPajama; the reference's own most_common_words notebooks do
+  * it per-shard). Two counting semantics, both standard:
+  *
+  *   - occurrences: every n-gram instance counts (WIMBD's "count all
+  *     n-grams");
+  *   - document frequency: each document counts a gram once — the
+  *     boilerplate detector's statistic (a gram in half the corpus's
+  *     DOCUMENTS is template text even if each doc has it once).
+  *
+  * Scale shape: this is word-count. The gram explode is pure Catalyst
+  * (sequence/slice/concat_ws — codegen, no UDF), the count is a hash
+  * aggregate with map-side partial combine (hot boilerplate grams
+  * collapse BEFORE the exchange — the gram distribution is maximally
+  * Zipfian, which is precisely when partial aggregation pays), and the
+  * global top-k never sorts the gram table: `orderBy(...).limit(k)`
+  * compiles to TakeOrderedAndProject — per-partition top-k heaps, the
+  * driver merges P·k rows. k is the only driver-resident quantity.
+  *
+  * The distinct-gram table itself stays distributed end-to-end; at
+  * 10^11 distinct grams it is a big but hash-sharded aggregate, the
+  * same shape Spark's own wordcount scales with. No sketch is needed
+  * for exact top-k; a Space-Saving/CMS pass would only relax the one
+  * full shuffle this keeps, at the price of approximate counts.
+  */
+object HeavyHitters {
+
+  /** ALL n-grams of a words-array column (duplicates kept — occurrence
+    * semantics), space-joined, pure Catalyst. Fewer than n words yields
+    * the empty array (sequence(1,0) would descend, not stop).
+    */
+  def allNgramsCol(words: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (gram, c) — total occurrence counts across the corpus. */
+  def occurrenceCounts(docs: DataFrame, words: String, n: Int): DataFrame =
+    docs.select(explode(allNgramsCol(col(words), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+
+  /** (gram, c) — document frequencies (per-doc-distinct grams). */
+  def docFrequencies(docs: DataFrame, words: String, n: Int): DataFrame =
+    docs.select(explode(Decontaminate.ngramsCol(col(words), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+
+  /** The k most frequent rows of a (gram, c) table, ties broken by gram
+    * ascending so the cut is total-order deterministic. Compiles to
+    * TakeOrderedAndProject — never a global sort.
+    */
+  def topK(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    counts.orderBy(col("c").desc, col("gram").asc).limit(k)
+  }
+}

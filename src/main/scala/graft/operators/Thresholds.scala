@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Adaptive per-group quantile cutoffs — "keep the best (1−p) of each
+  * language/source" instead of one hand-tuned absolute threshold. This
+  * is how production quality filters set their knobs (CCNet buckets by
+  * per-language perplexity TERCILES, not absolute perplexity:
+  * cc_net/mine.py computes per-lang cutoffs from a sampled histogram;
+  * Gopher/RefinedWeb tune per-source): an absolute cutoff that keeps
+  * 70% of English keeps 5% of Thai, because score distributions differ
+  * by group.
+  *
+  * Scale shape: the quantile is `percentile_approx` — a
+  * Greenwald-Khanna sketch, partial-aggregable (per-partition sketches
+  * merge associatively map-side), so one pass over 100 TB produces every
+  * group's cutoff with bounded relative-rank error 1/accuracy and
+  * O(accuracy·log n) sketch memory per group. The cutoff table has one
+  * row per group — broadcast back; the filter itself never shuffles the
+  * corpus. Below `accuracy` rows per group the sketch is EXACT and
+  * returns the element at rank ceil(p·n) — the same element DuckDB's
+  * quantile_disc picks, which is what makes the oracle direct rather
+  * than construction-based.
+  */
+object Thresholds {
+
+  /** One row per group: (group..., threshold) — the group's p-quantile
+    * of `scoreCol` (an actual data element, rank ceil(p·n); exact while
+    * the group has ≤ accuracy rows, ε = 1/accuracy relative rank
+    * beyond).
+    */
+  def perGroupQuantile(df: DataFrame, groupCols: Seq[String],
+                       scoreCol: String, p: Double,
+                       accuracy: Int = 1000000): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile_approx(col(scoreCol), lit(p), lit(accuracy))
+        .as("threshold"))
+  }
+
+  /** Rows whose score is ≥ their own group's p-quantile (strictly: the
+    * quantile element itself survives). The threshold table is tiny —
+    * one row per group — and crosses as a broadcast; the corpus side
+    * does not shuffle.
+    */
+  def keepAbove(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                p: Double, accuracy: Int = 1000000): DataFrame = {
+    val thr = perGroupQuantile(df, groupCols, scoreCol, p, accuracy)
+    df.join(broadcast(thr), groupCols)
+      .filter(col(scoreCol) >= col("threshold"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UrlDedup contracts: every canonicalization rule alone and stacked,
+  * idempotence over messy fuzz inputs, non-URL passthrough safety,
+  * first-wins dedup semantics, and the scalar-URL-exchange plan shape.
+  */
+class UrlDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-urldedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(UrlDedup.canonicalize(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+  }
+
+  test("each rule: trim, fragment, authority case, default ports, tracking params, trailing slash") {
+    val cases = Seq(
+      "  https://a.com/x \t" -> "https://a.com/x",
+      "https://a.com/x#section-2" -> "https://a.com/x",
+      "HTTPS://WWW.Example.COM/CaseSensitivePath" ->
+        "https://www.example.com/CaseSensitivePath",
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "https://a.com:8443/x" -> "https://a.com:8443/x", // non-default kept
+      "http://a.com:443/x" -> "http://a.com:443/x",     // wrong-scheme port kept
+      "https://a.com/x?utm_source=feed" -> "https://a.com/x",
+      "https://a.com/x?utm_a=1&utm_b=2&gclid=z" -> "https://a.com/x",
+      "https://a.com/x?id=7&utm_campaign=c" -> "https://a.com/x?id=7",
+      "https://a.com/x?utm_campaign=c&id=7" -> "https://a.com/x?id=7",
+      "https://a.com/x?fbclid=abc&id=7&utm_x=1" -> "https://a.com/x?id=7",
+      "https://a.com/" -> "https://a.com",
+      "https://a.com/deep/path/" -> "https://a.com/deep/path",
+      "https://a.com/x?" -> "https://a.com/x",
+      "https://a.com/x/?" -> "https://a.com/x")
+    cases.foreach { case (in, want) =>
+      assert(canon(in) == Seq(want), s"canonicalize($in)")
+    }
+  }
+
+  test("rules stack: the fully-messy form reaches the clean form") {
+    assert(canon(" HTTPS://Site.COM:443/article/9?utm_source=a&utm_medium=b#frag ")
+      == Seq("https://site.com/article/9"))
+  }
+
+  test("non-URL junk flows through without matching authority rules") {
+    assert(canon("not a url at all") == Seq("not a url at all"))
+    assert(canon("") == Seq(""))
+    // utm params are scrubbed even without a scheme — query-string rules
+    // are position-anchored on ?/&, not on the scheme
+    assert(canon("/relative/path?utm_source=x") == Seq("/relative/path"))
+  }
+
+  test("canonicalize is idempotent over messy fuzz inputs") {
+    val rnd = new scala.util.Random(77)
+    val schemes = Seq("https://", "HTTPS://", "http://", "HTTP://")
+    val hosts = Seq("A.com", "a.com:443", "b.org:80", "Sub.B.ORG")
+    val paths = Seq("/x", "/x/", "/X/y", "/", "")
+    val queries = Seq("", "?utm_a=1", "?id=2&utm_b=3", "?utm_c=4&id=5", "?")
+    val frags = Seq("", "#f", "#a/b?c")
+    val urls = (0 until 200).map { _ =>
+      schemes(rnd.nextInt(4)) + hosts(rnd.nextInt(4)) + paths(rnd.nextInt(5)) +
+        queries(rnd.nextInt(5)) + frags(rnd.nextInt(3))
+    }
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    once.zip(twice).zip(urls).foreach { case ((a, b), in) =>
+      assert(a == b, s"not idempotent on $in: $a -> $b")
+    }
+  }
+
+  test("dedupByUrl keeps the min-id row per canonical group with the group size") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://a.com/x?utm_source=1", "ten"),
+      (3L, "HTTPS://A.COM/x#top", "three"),
+      (7L, "https://a.com/x/", "seven"),
+      (5L, "https://b.com/y", "five"))
+      .toDF("id", "url", "payload")
+    val got = UrlDedup.dedupByUrl(docs, "id", "url")
+      .select("id", "canonical_url", "n_dups", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (3L, "https://a.com/x", 3L, "three"),
+      (5L, "https://b.com/y", 1L, "five")))
+  }
+
+  test("the URL exchange carries scalars and partially aggregates; payload never shuffles by URL") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = (0L until 100L)
+        .map(i => (i, s"https://h${i % 7}.com/p${i % 13}", "x" * 50))
+        .toDF("id", "url", "payload")
+      val plan = UrlDedup.dedupByUrl(docs, "id", "url")
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the canonical_url-keyed exchange must not carry the payload
+      val urlKeyed = exchanges.filter(
+        _.outputPartitioning.toString.contains("canonical_url"))
+      assert(urlKeyed.nonEmpty, s"expected a canonical_url exchange:\n$plan")
+      urlKeyed.foreach { e =>
+        assert(!e.output.exists(_.name == "payload"),
+          s"payload crossed the URL exchange: ${e.output.map(_.name)}")
+      }
+      assert(plan.toString.contains("partial_min") ||
+        plan.toString.contains("Partial"),
+        s"expected map-side partial min/count on the URL key:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HeavyHitters contracts: occurrence vs document-frequency semantics
+  * (hand-checked and differential against a naive Scala count), the
+  * short-doc guard, deterministic top-k tie-breaks, and the
+  * TakeOrderedAndProject plan shape (global top-k must never be a global
+  * sort).
+  */
+class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-heavyhitters-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(docs: Seq[(Long, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    docs.toDF("id", "ws")
+  }
+
+  private def naiveOcc(docs: Seq[(Long, Seq[String])], n: Int): Map[String, Long] =
+    docs.flatMap(_._2.sliding(n).filter(_.length == n).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+
+  private def naiveDf(docs: Seq[(Long, Seq[String])], n: Int): Map[String, Long] =
+    docs.flatMap(_._2.sliding(n).filter(_.length == n).map(_.mkString(" ")).distinct)
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+
+  private def toMap(counts: DataFrame): Map[String, Long] =
+    counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("occurrence counts every instance, doc frequency counts each doc once") {
+    val docs = Seq(
+      1L -> Seq("a", "b", "a", "b", "a", "b"), // "a b" x3, "b a" x2 in ONE doc
+      2L -> Seq("a", "b", "c"),
+      3L -> Seq("x", "y"))
+    val occ = toMap(HeavyHitters.occurrenceCounts(df(docs), "ws", 2))
+    assert(occ("a b") == 4L) // 3 + 1
+    assert(occ("b a") == 2L)
+    val dfq = toMap(HeavyHitters.docFrequencies(df(docs), "ws", 2))
+    assert(dfq("a b") == 2L) // docs 1 and 2
+    assert(dfq("b a") == 1L)
+    assert(dfq("x y") == 1L)
+  }
+
+  test("documents shorter than n contribute nothing") {
+    val docs = Seq(1L -> Seq("a", "b"), 2L -> Seq[String](), 3L -> Seq("c"))
+    assert(HeavyHitters.occurrenceCounts(df(docs), "ws", 3).count() == 0L)
+    assert(toMap(HeavyHitters.occurrenceCounts(df(docs), "ws", 2)) ==
+      Map("a b" -> 1L))
+  }
+
+  test("differential vs the naive spec on a seeded random corpus") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("w0", "w1", "w2", "w3", "w4", "w5")
+    val docs = (0 until 60).map { i =>
+      i.toLong -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    for (n <- Seq(1, 2, 3)) {
+      assert(toMap(HeavyHitters.occurrenceCounts(df(docs), "ws", n)) ==
+        naiveOcc(docs, n), s"occurrence mismatch at n=$n")
+      assert(toMap(HeavyHitters.docFrequencies(df(docs), "ws", n)) ==
+        naiveDf(docs, n), s"doc-frequency mismatch at n=$n")
+    }
+  }
+
+  test("topK tie-breaks on gram ascending — the cut is deterministic") {
+    val docs = Seq(
+      1L -> Seq("z", "z", "a", "a", "m", "m", "q"))
+    // unigram counts: z=2 a=2 m=2 q=1; top-2 must be the two SMALLEST
+    // gram strings among the count-2 ties
+    val top = HeavyHitters.topK(
+      HeavyHitters.occurrenceCounts(df(docs), "ws", 1), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq("a" -> 2L, "m" -> 2L))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, never a global sort") {
+    val docs = (0L until 50L).map(i => i -> Seq("a", "b", "c", "d"))
+    val plan = HeavyHitters.topK(
+        HeavyHitters.occurrenceCounts(df(docs), "ws", 2), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k heaps:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"global top-k must not range-shuffle the gram table:\n$plan")
+    // the count itself must partially aggregate map-side
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"expected a map-side partial count:\n$plan")
+  }
+}

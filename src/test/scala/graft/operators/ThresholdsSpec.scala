@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Thresholds contracts: the exact-below-accuracy rank rule (the
+  * element at ceil(p·n) — the same element DuckDB's quantile_disc
+  * picks, which q64's direct oracle relies on), keepAbove's survivor
+  * arithmetic, multi-partition sketch merging, and the broadcast plan
+  * shape (the corpus side of keepAbove must not shuffle).
+  */
+class ThresholdsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-thresholds-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Distinct shuffled scores 0.5, 1.5, …, spread over 4 partitions so
+    * the per-partition sketches genuinely merge.
+    */
+  private def scores(g: String, n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => g -> (((i * 7919) % n) * 1.0 + 0.5))
+
+  private def df(rows: Seq[(String, Double)]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(rows, 4).toDF("g", "s")
+  }
+
+  test("below accuracy the quantile is the exact element at rank ceil(p*n)") {
+    for (n <- Seq(7, 100, 501); p <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val rows = scores("en", n)
+      val thr = Thresholds.perGroupQuantile(df(rows), Seq("g"), "s", p)
+        .collect()(0).getDouble(1)
+      val expected = rows.map(_._2).sorted.apply(math.ceil(p * n).toInt - 1)
+      assert(thr == expected, s"n=$n p=$p: got $thr expected $expected")
+    }
+  }
+
+  test("per-group: each group gets its own cutoff") {
+    val rows = scores("en", 100) ++ scores("th", 10).map {
+      case (g, s) => (g, s + 1000.0) } // disjoint ranges
+    val thr = Thresholds.perGroupQuantile(df(rows), Seq("g"), "s", 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thr("en") == 29.5) // rank ceil(.3*100)=30 of 0.5..99.5
+    assert(thr("th") == 1002.5) // rank 3 of 1000.5..1009.5
+  }
+
+  test("keepAbove keeps exactly n - ceil(p*n) + 1 rows per group, the top ones") {
+    val rows = scores("en", 100) ++ scores("th", 10)
+    val kept = Thresholds.keepAbove(df(rows), Seq("g"), "s", 0.3)
+      .groupBy("g").agg(count(lit(1)).as("n"), min("s").as("lo"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(kept("en") == ((71L, 29.5))) // 100 - 30 + 1, floor = the cutoff
+    assert(kept("th") == ((8L, 2.5)))   // 10 - 3 + 1
+  }
+
+  test("the threshold table crosses as a broadcast — no corpus shuffle for the filter") {
+    val plan = Thresholds.keepAbove(df(scores("en", 100)), Seq("g"), "s", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the cutoff table broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle into the cutoff join:\n$plan")
+  }
+
+  test("rejects degenerate p and accuracy") {
+    intercept[IllegalArgumentException] {
+      Thresholds.perGroupQuantile(df(scores("en", 10)), Seq("g"), "s", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Thresholds.perGroupQuantile(df(scores("en", 10)), Seq("g"), "s", 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Thresholds.perGroupQuantile(df(scores("en", 10)), Seq("g"), "s", 0.5,
+        accuracy = 10)
+    }
+  }
+}
