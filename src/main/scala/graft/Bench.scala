@@ -59,7 +59,9 @@ object Bench {
     "q58_stream_dedup" -> 1.5, "q59_ann_quantized" -> 1.0,
     "q60_substr_dedup" -> 5.0, "q61_paragraph_dedup" -> 0.8,
     "q62_ann_refined" -> 4.0, "q63_top_ngrams" -> 2.5,
-    "q64_adaptive_cutoff" -> 0.6, "q65_url_dedup" -> 0.8)
+    "q64_adaptive_cutoff" -> 0.6, "q65_url_dedup" -> 0.8,
+    "q66_incremental_lsh" -> 3.0, "q67_seq_packing" -> 0.8,
+    "q68_kmeans_clusters" -> 1.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1267,6 +1267,84 @@ object SparkEntry {
       graft.dedupe.UrlDedup.dedupByUrl(docs, "doc_id", "url")
         .select(col("doc_id"), col("canonical_url"), col("n_dups"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental LSH dedup against the stored corpus band index — the
+    // continuous-crawl flow: a new batch of exact copies (ids ≡ 3 mod
+    // 10, +700000) MUST band-collide with their sources (J=1 collides
+    // in every band) and be flagged, while disjoint-vocabulary rows
+    // (`zzq…` tokens, Jaccard 0 with everything) pass. Only the match
+    // DECISION is oracled: the corpus contains organic near-dup pairs
+    // (e.g. 58~293 at sf0.01), so the unsigned-min match_id of a copy
+    // legitimately lands on an organic neighbor, not its source —
+    // that id's min contract is pinned in IncrementalLshSpec instead.
+    // The index side never shuffles — the spec pins the inverted
+    // broadcast too.
+    "q66_incremental_lsh" -> ((s, dir) => {
+      import s.implicits._
+      def toWords(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String)].map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      val cf = CodeFiles(s, dir).select(col("doc_id").as("id"), col("content"))
+      val index = graft.dedupe.Lsh.bandedSignatures(toWords(cf), hasher, 0.7)
+      val incoming = cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 700000).as("id"), col("content"))
+        .unionAll(cf.filter(col("id") % 10 === 6)
+          .select((col("id") + 800000).as("id"),
+            expr("repeat('zzq' || id || 'w ', 20)").as("content")))
+      val matches = graft.dedupe.Lsh.matchesAgainst(index,
+        graft.dedupe.Lsh.bandedSignatures(toWords(incoming), hasher, 0.7))
+        .withColumnRenamed("inc_id", "id")
+      incoming.select("id").join(matches, Seq("id"), "left")
+        .select(col("id"), col("match_id").isNotNull.as("matched"))
+        .orderBy("id")
+    }),
+
+    // Sequence packing (GPT-style concat-and-chunk): every 13th doc's
+    // exact layout — shard, running token offset, chunk span — under
+    // the deterministic Shuffling order, seqLen 2048, n_chars standing
+    // in for the token count. The oracle replays the identical modular
+    // arithmetic and the per-shard window cumsum in SQL, so offsets and
+    // straddle spans are pinned to the row.
+    "q67_seq_packing" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "n_chars")
+      graft.operators.Packing
+        .concatChunk(docs, "doc_id", "n_chars", nShards = 8, seqLen = 2048L)
+        .filter(col("doc_id") % 13 === 0)
+        .select("doc_id", "shard_id", "token_offset", "chunk_first",
+          "chunk_last")
+        .orderBy("doc_id")
+    }),
+
+    // Distributed k-means (the SemDeDup clustering primitive): cluster
+    // structure is PLANTED — +100 on dimension (vec_id % 5) dwarfs the
+    // unit-norm embedding noise — and the init is deterministic (the
+    // vectors of vec_ids 0..4, one per planted group, SQL-derivable),
+    // so Lloyd provably converges to the planted partition and every
+    // assignment is closed-form vec_id % 5. The engine still runs the
+    // real distributed path: broadcast centroids, row-local assignment,
+    // treeAggregate mean updates — nothing cluster-keyed ever shuffles.
+    "q68_kmeans_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 5
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v0"))
+        .withColumn("vec", transform(col("v0"), (x, i) =>
+          x + when(i === (col("vec_id") % k).cast("int"), lit(100.0))
+            .otherwise(lit(0.0))))
+        .select("vec_id", "vec")
+      val init = emb.filter(col("vec_id") < k).orderBy("vec_id")
+        .select("vec").as[Array[Double]].collect()
+      val cs = graft.similarity.KMeans.fit(
+        emb.select("vec").as[Array[Double]], init, iters = 4)
+      graft.similarity.KMeans.assign(emb, "vec", cs)
+        .filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
     })
   )
 
@@ -2433,7 +2511,42 @@ object SparkEntry {
         |  FROM u GROUP BY canonical_url
         |)
         |SELECT keep_id AS doc_id, canonical_url, n_dups
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q66_incremental_lsh" ->
+      s"""WITH $cte
+         |SELECT doc_id + 700000 AS id, true AS matched
+         |FROM code_files WHERE doc_id % 10 = 3
+         |UNION ALL
+         |SELECT doc_id + 800000 AS id, false AS matched
+         |FROM code_files WHERE doc_id % 10 = 6
+         |ORDER BY id""".stripMargin,
+
+    "q67_seq_packing" ->
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |         ((doc_id * 2654435761) % 1000003) % 8 AS shard_id,
+        |         (doc_id * 1103515245) % 1000003 AS order_key
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n_chars, shard_id,
+        |         CAST(COALESCE(SUM(n_chars) OVER (
+        |           PARTITION BY shard_id ORDER BY order_key, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS token_offset
+        |  FROM a
+        |)
+        |SELECT doc_id, shard_id, token_offset,
+        |       token_offset // 2048 AS chunk_first,
+        |       CASE WHEN n_chars > 0
+        |            THEN (token_offset + n_chars - 1) // 2048
+        |            ELSE token_offset // 2048 END AS chunk_last
+        |FROM o WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q68_kmeans_clusters" ->
+      """SELECT vec_id, CAST(vec_id % 5 AS BIGINT) AS cluster
+        |FROM embeddings WHERE vec_id % 7 = 0
+        |ORDER BY vec_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -233,6 +233,53 @@ object Lsh {
     minhash.join(comp, Seq("id_int"), "inner")
       .select("id", "id_int", "cluster_id", "shard_id")
   }
+
+  /** Incremental dedup: match an incoming batch against the STORED band
+    * index of the existing corpus — the continuous-crawl flow ("is this
+    * new page a near-dup of ANYTHING already ingested?") that must not
+    * re-cluster the corpus per snapshot. run_lsh.py has no incremental
+    * path (it reprocesses the full signature table); this is the
+    * composition its stored bands exist for.
+    *
+    * Scale shape — deliberately inverted from `edges()`: the INDEX is
+    * 10^9+ rows and must neither shuffle nor re-hash, while one crawl
+    * shard's band table is broadcast-sized. So the incoming bands
+    * BROADCAST and the index streams partition-local through one
+    * BroadcastHashJoin probe (with a stored index bucketed by (band,
+    * sig) this is a pure scan-side probe; nothing moves). Only the
+    * match sliver — scalar (inc_id, id) pairs — reaches the min-agg
+    * exchange, map-side combined, unsigned order as everywhere.
+    *
+    * @param index  stored corpus bands: (id, band, sig)
+    * @param banded incoming batch bands, same layout (bandedSignatures)
+    * @return (inc_id, match_id): one row per incoming id with ≥1 band
+    *         collision; match_id = unsigned-min colliding corpus id
+    */
+  def matchesAgainst(index: DataFrame, banded: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    index.join(
+        broadcast(banded.select(col("id").as("inc_id"), col("band"),
+          col("sig"))),
+        Seq("band", "sig"))
+      .groupBy("inc_id")
+      .agg(fromUnsignedOrder(min(toUnsignedOrder(col("id"))))
+        .as("match_id"))
+  }
+
+  /** The incoming docs that matched NOTHING in the index — the rows a
+    * continuous pipeline appends (after which their bands join the
+    * index). Within-batch near-dups are a separate concern: run
+    * `clusters` on the survivors when the batch itself needs dedup.
+    */
+  def filterNew(incoming: Dataset[(Long, Array[String])], index: DataFrame,
+                hasher: MinHasher, threshold: Double): DataFrame = {
+    // the incoming bands are consumed once (the broadcast side), so no
+    // persist — unlike clusters(), where edges() double-scans
+    val matched =
+      matchesAgainst(index, bandedSignatures(incoming, hasher, threshold))
+        .select(col("inc_id").as("id"))
+    incoming.toDF("id", "words").join(matched, Seq("id"), "left_anti")
+  }
 }
 
 /** SimHash near-dup fingerprints: 64-bit sign-of-weighted-bit-votes over

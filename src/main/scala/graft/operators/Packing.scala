@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the trainer-side step after shuffling: documents
+  * concatenate in training order and split into fixed-`seqLen` chunks
+  * (the GPT-style "concat and chunk" that every causal-LM data loader
+  * performs; docs can straddle a chunk boundary). Computing the layout
+  * inside the engine makes it REPRODUCIBLE and random-access: any
+  * worker can ask "which documents feed chunk c of shard s?" without
+  * replaying the stream.
+  *
+  * Semantics: within each shard (deterministic [[Shuffling]] order),
+  * each document starts at the running token offset; it covers chunks
+  * `offset div seqLen .. (offset+tokens−1) div seqLen` (its own chunk
+  * when empty). Chunk ids are PER SHARD — global addressing is the pair
+  * (shard_id, chunk_id), which is what keeps the whole layout
+  * embarrassingly parallel.
+  *
+  * Scale shape: ONE hash exchange on shard_id, then a per-shard LOCAL
+  * sort + running sum (an unbounded-preceding window — Spark evaluates
+  * it in one streaming pass over the sorted partition, no buffering of
+  * the frame). No global sort, no driver state; shards pack
+  * independently, exactly like [[Shuffling.shuffled]] writes. The
+  * cumulative sum is the only sequential dependency and it is per
+  * shard — 10^5 shards at 100 TB keeps every partition bounded.
+  *
+  * Integer-exact (token counts are longs), so a SQL window replays it.
+  */
+object Packing {
+
+  /** Adds `shard_id`, `order_key`, `token_offset` (tokens before this
+    * doc in its shard), `chunk_first`, `chunk_last`, `n_chunks` (how
+    * many seqLen-chunks the doc touches).
+    */
+  def concatChunk(docs: DataFrame, idCol: String, tokensCol: String,
+                  nShards: Int, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy("shard_id")
+      .orderBy(col("order_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val toks = col(tokensCol).cast("long")
+    Shuffling.assign(docs, idCol, nShards)
+      .withColumn("token_offset", coalesce(sum(toks).over(w), lit(0L)))
+      .withColumn("chunk_first",
+        expr(s"token_offset DIV CAST($seqLen AS BIGINT)"))
+      .withColumn("chunk_last",
+        when(toks > 0,
+          expr(s"(token_offset + $tokensCol - 1) DIV CAST($seqLen AS BIGINT)"))
+          .otherwise(col("chunk_first")))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1L)
+  }
+
+  /** Per-shard layout summary: total tokens, chunk count (= the number
+    * of training sequences the shard yields, ceil-divided), and docs
+    * spanning a boundary. One partial-agg pass over the packed table.
+    */
+  def shardSummary(packed: DataFrame, tokensCol: String,
+                   seqLen: Long): DataFrame =
+    packed.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("total_tokens"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L))
+          .as("n_straddlers"))
+      .withColumn("n_seqs",
+        expr(s"(total_tokens + ${seqLen - 1}) DIV CAST($seqLen AS BIGINT)"))
+}

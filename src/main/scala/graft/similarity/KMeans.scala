@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the clustering
+  * primitive behind semantic dedup (SemDeDup, arXiv:2303.09540, dedups
+  * WITHIN k-means cells) and corpus bucketing, and the full-data
+  * alternative to [[IvfFlat.trainCentroids]]'s driver-side sample when
+  * the quantizer must see everything.
+  *
+  * Scale shape per iteration: centroids broadcast (k·dim doubles),
+  * assignment is a row-local map (no shuffle), and the mean
+  * recomputation is ONE `treeAggregate` — every executor folds its
+  * partitions into a k×dim sum grid, a tree of merges combines them,
+  * and the driver only ever holds k·dim doubles. No groupBy, no
+  * exploded (cluster, dim) rows, nothing keyed by cluster id ever
+  * shuffles: the iteration cost is exactly one pass over the vectors.
+  * Empty clusters keep their previous centroid (deterministic — no
+  * reseeding RNG mid-run).
+  *
+  * Determinism: assignments are exact (nearest centroid, lowest index
+  * wins ties); the summed means are floating-point and associativity-
+  * sensitive across partition layouts, which moves centroids by ULPs —
+  * harmless for assignment on any data with real cluster structure.
+  */
+object KMeans {
+
+  /** Nearest-centroid index by squared euclidean distance; lowest index
+    * wins ties.
+    */
+  def nearest(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ctr.length)
+      while (i < n) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd iterations from explicit initial centroids (deterministic
+    * seeding is the caller's choice: a hash-picked sample, one row per
+    * known stratum, or [[IvfFlat.trainCentroids]] output to refine).
+    * Returns the final centroids.
+    */
+  def fit(vecs: Dataset[Array[Double]], init: Array[Array[Double]],
+          iters: Int): Array[Array[Double]] = {
+    require(init.nonEmpty, "need at least one initial centroid")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val k = init.length
+    val dim = init.head.length
+    var centroids = init.map(_.clone())
+    val spark = vecs.sparkSession
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) =
+        try {
+          vecs.rdd.treeAggregate(
+            (Array.fill(k)(new Array[Double](dim)), new Array[Long](k)))(
+            seqOp = { case ((s, n), v) =>
+              val c = nearest(v, bc.value)
+              n(c) += 1
+              var i = 0
+              val lim = math.min(dim, v.length)
+              while (i < lim) { s(c)(i) += v(i); i += 1 }
+              (s, n)
+            },
+            combOp = { case ((s1, n1), (s2, n2)) =>
+              var c = 0
+              while (c < k) {
+                n1(c) += n2(c)
+                var i = 0
+                while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+                c += 1
+              }
+              (s1, n1)
+            })
+        } finally bc.destroy()
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) > 0) {
+          val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }
+          m
+        } else centroids(c) // empty cell: keep (deterministic)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** The input with a `cluster` column — a row-local broadcast map,
+    * shuffle-free; compose into any downstream groupBy/dedup.
+    */
+  def assign(vecs: DataFrame, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame = {
+    val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+    val near = udf { v: Array[Double] =>
+      if (v == null) -1 else nearest(v, bc.value)
+    }
+    vecs.withColumn("cluster", near(col(vecCol)))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental LSH dedup against a stored band index: exact and
+  * near-copy incoming rows match their source (unsigned-min match id),
+  * disjoint-vocabulary rows pass, null-signature short rows pass (the
+  * P4 semantics — no bands, no match), filterNew keeps exactly the
+  * survivors, and the plan broadcasts the INCOMING side while the index
+  * streams join-local (the index must never shuffle).
+  */
+class IncrementalLshSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-incremental-lsh-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val hasher = new MinHasher(128, 13, 42L)
+
+  /** Doc i = 30 words over a per-doc vocabulary — pairwise Jaccard 0. */
+  private def corpusWords(i: Long): Array[String] =
+    Array.tabulate(30)(j => s"w${i}_${j % 20}")
+
+  private def ds(rows: Seq[(Long, Array[String])]): Dataset[(Long, Array[String])] = {
+    import spark.implicits._
+    rows.toDS()
+  }
+
+  private lazy val index: DataFrame =
+    Lsh.bandedSignatures(ds((0L until 40L).map(i => i -> corpusWords(i))),
+      hasher, 0.7)
+
+  test("exact copies match their source; disjoint-vocab rows do not") {
+    val incoming = Seq(
+      1003L -> corpusWords(3),
+      1007L -> corpusWords(7),
+      2001L -> Array.tabulate(30)(j => s"zzq2001_$j"),
+      2002L -> Array.tabulate(30)(j => s"zzq2002_$j"))
+    val got = Lsh.matchesAgainst(index,
+        Lsh.bandedSignatures(ds(incoming), hasher, 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1003L -> 3L, 1007L -> 7L))
+  }
+
+  test("a one-word perturbation of a corpus doc still matches (J ~ 0.9 at threshold 0.7)") {
+    val near = corpusWords(11).clone()
+    near(29) = "perturbed_tail_token"
+    val got = Lsh.matchesAgainst(index,
+        Lsh.bandedSignatures(ds(Seq(5011L -> near)), hasher, 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5011L -> 11L))
+  }
+
+  test("match_id is the UNSIGNED min over colliding corpus ids") {
+    // two identical corpus rows, one with the sign bit set: unsigned
+    // order puts the positive id first
+    val negId = java.lang.Long.parseUnsignedLong("9223372036854775816")
+    val idx = Lsh.bandedSignatures(
+      ds(Seq(negId -> corpusWords(0), 123L -> corpusWords(0))), hasher, 0.7)
+    val got = Lsh.matchesAgainst(idx,
+        Lsh.bandedSignatures(ds(Seq(900L -> corpusWords(0))), hasher, 0.7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(900L -> 123L))
+  }
+
+  test("filterNew keeps exactly the unmatched plus null-signature shorts") {
+    val incoming = Seq(
+      1003L -> corpusWords(3),                               // dup → dropped
+      2001L -> Array.tabulate(30)(j => s"zzq2001_$j"),       // fresh → kept
+      3001L -> Array("too", "short"))                        // no sig → kept
+    val kept = Lsh.filterNew(ds(incoming), index, hasher, 0.7)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2001L, 3001L))
+  }
+
+  test("the incoming side broadcasts; the index never shuffles into the probe") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Lsh.matchesAgainst(index,
+          Lsh.bandedSignatures(ds(Seq(1003L -> corpusWords(3))), hasher, 0.7))
+        .queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bcasts.nonEmpty && bcasts.forall(_.output.exists(_.name == "inc_id")),
+        s"the broadcast must be the incoming bands:\n$plan")
+      assert(!plan.toString.contains("SortMergeJoin"),
+        s"the index must probe through a broadcast join, never sort-merge:\n$plan")
+      // the only shuffle is the post-sliver min-agg on inc_id
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.forall(
+        _.outputPartitioning.toString.contains("inc_id")),
+        s"unexpected index-side shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packing contracts: the concat-and-chunk layout against a naive
+  * sequential replay (offsets, chunk spans, straddlers), zero-token and
+  * boundary-exact docs, per-shard independence (layout invariant to
+  * input partitioning), summary arithmetic, and the plan shape (one
+  * shard exchange, local sort, no global sort).
+  */
+class PackingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-packing-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: Seq[(Long, Long)], parts: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(rows, parts).toDF("id", "n_tokens")
+  }
+
+  /** Naive replay: group by shard, sort by (order_key, id), run the
+    * sequential cumulative offset.
+    */
+  private def naive(rows: Seq[(Long, Long)], nShards: Int, seqLen: Long)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def shardOf(id: Long) =
+      math.floorMod(math.floorMod(id * 2654435761L, 1000003L), nShards.toLong)
+    def keyOf(id: Long) = math.floorMod(id * 1103515245L, 1000003L)
+    rows.groupBy { case (id, _) => shardOf(id) }.flatMap { case (s, docs) =>
+      var off = 0L
+      docs.sortBy { case (id, _) => (keyOf(id), id) }.map { case (id, t) =>
+        val first = off / seqLen
+        val last = if (t > 0) (off + t - 1) / seqLen else first
+        val r = id -> ((s, off, first, last))
+        off += t
+        r
+      }
+    }
+  }
+
+  test("differential vs the naive sequential replay") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0L until 300L).map(i => i -> rnd.nextInt(700).toLong)
+    val got = Packing.concatChunk(df(rows), "id", "n_tokens", 5, 512L)
+      .select("id", "shard_id", "token_offset", "chunk_first", "chunk_last")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == naive(rows, 5, 512L))
+  }
+
+  test("zero-token docs occupy their current chunk without advancing it") {
+    val rows = Seq(1L -> 10L, 2L -> 0L, 3L -> 10L, 4L -> 0L, 5L -> 7L)
+    val got = Packing.concatChunk(df(rows), "id", "n_tokens", 1, 8L)
+      .select("id", "token_offset", "chunk_first", "chunk_last", "n_chunks")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    got.foreach { case (id, off, first, last, n) =>
+      val t = rows.toMap.apply(id)
+      if (t == 0L) assert(first == last && n == 1L, s"empty doc $id")
+      else assert(last == (off + t - 1) / 8L && n == last - first + 1L)
+    }
+    // offsets replay the naive sequential walk exactly
+    val want = naive(rows, 1, 8L)
+    got.foreach { case (id, off, first, last, _) =>
+      assert(want(id) == ((0L, off, first, last)), s"doc $id layout")
+    }
+  }
+
+  test("a doc ending exactly on a boundary does not straddle") {
+    // single shard, known order: find the first doc's span with
+    // seqLen-exact tokens
+    val got = Packing.concatChunk(df(Seq(42L -> 512L), 1), "id", "n_tokens",
+        1, 512L)
+      .select("token_offset", "chunk_first", "chunk_last", "n_chunks")
+      .collect()(0)
+    assert(got.getLong(0) == 0L && got.getLong(1) == 0L &&
+      got.getLong(2) == 0L && got.getLong(3) == 1L)
+  }
+
+  test("layout is invariant to input partitioning") {
+    val rows = (0L until 200L).map(i => i -> (i % 90))
+    val a = Packing.concatChunk(df(rows, 1), "id", "n_tokens", 4, 256L)
+    val b = Packing.concatChunk(df(rows, 7), "id", "n_tokens", 4, 256L)
+    val key = (d: DataFrame) => d
+      .select("id", "shard_id", "token_offset", "chunk_first", "chunk_last")
+      .collect().map(_.toSeq).toSet
+    assert(key(a) == key(b))
+  }
+
+  test("shardSummary: totals, straddlers, ceil-divided sequence count") {
+    val rows = (0L until 100L).map(i => i -> 100L)
+    val packed = Packing.concatChunk(df(rows), "id", "n_tokens", 3, 512L)
+    val sums = Packing.shardSummary(packed, "n_tokens", 512L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byShard = packed.select("shard_id", "n_chunks").collect()
+      .groupBy(_.getLong(0))
+    byShard.foreach { case (s, rs) =>
+      val (nDocs, total, straddle, nSeqs) = sums(s)
+      assert(nDocs == rs.length.toLong)
+      assert(total == rs.length * 100L)
+      assert(straddle == rs.count(_.getLong(1) > 1).toLong)
+      assert(nSeqs == (total + 511L) / 512L)
+    }
+  }
+
+  test("one shard exchange + local sort — never a global range sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Packing.concatChunk(df((0L until 50L).map(i => i -> 10L)),
+          "id", "n_tokens", 4, 128L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("rangepartitioning"),
+        s"packing must not global-sort:\n$plan")
+      assert(plan.split("hashpartitioning").length - 1 <= 2,
+        s"expected the single shard_id exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMeans contracts: a differential against a naive single-threaded
+  * Lloyd implementation (same init → same assignments, centroids equal
+  * to summation-order tolerance), recovery of well-separated planted
+  * clusters across multi-partition input, empty-cluster retention,
+  * tie-break determinism, and the shuffle-free assignment plan.
+  */
+class KMeansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-kmeans-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def naiveFit(data: Seq[Array[Double]], init: Array[Array[Double]],
+                       iters: Int): Array[Array[Double]] = {
+    var cs = init.map(_.clone())
+    for (_ <- 0 until iters) {
+      val groups = data.groupBy(v => KMeans.nearest(v, cs))
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        groups.get(c) match {
+          case Some(vs) =>
+            val m = new Array[Double](old.length)
+            vs.foreach(v => (0 until old.length).foreach(i => m(i) += v(i)))
+            (0 until old.length).foreach(i => m(i) /= vs.length)
+            m
+          case None => old
+        }
+      }
+    }
+    cs
+  }
+
+  private def planted(n: Int, k: Int, dim: Int, sep: Double)
+      : Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(31337)
+    (0 until n).map { i =>
+      val g = i % k
+      Array.tabulate(dim)(d =>
+        (if (d == g) sep else 0.0) + rnd.nextGaussian() * 0.1)
+    }
+  }
+
+  private def ds(data: Seq[Array[Double]], parts: Int = 4) = {
+    import spark.implicits._
+    spark.createDataset(spark.sparkContext.parallelize(data, parts))
+  }
+
+  test("differential vs naive Lloyd: same init, same assignments") {
+    val data = planted(120, 4, 8, 5.0)
+    val init = Array.tabulate(4)(g => data(g)) // one seed per planted group
+    val got = KMeans.fit(ds(data), init, iters = 5)
+    val want = naiveFit(data, init, iters = 5)
+    // centroids agree to summation-order tolerance…
+    got.zip(want).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // …and induce identical assignments
+    data.foreach(v =>
+      assert(KMeans.nearest(v, got) == KMeans.nearest(v, want)))
+  }
+
+  test("well-separated planted clusters are recovered exactly") {
+    val data = planted(200, 5, 16, 100.0)
+    val init = Array.tabulate(5)(g => data(g))
+    val cs = KMeans.fit(ds(data, 7), init, iters = 3)
+    data.zipWithIndex.foreach { case (v, i) =>
+      assert(KMeans.nearest(v, cs) == i % 5, s"vector $i misassigned")
+    }
+  }
+
+  test("an empty cluster keeps its previous centroid") {
+    val data = Seq(Array(0.0, 0.0), Array(0.1, 0.0), Array(10.0, 0.0))
+    val far = Array(1e6, 1e6) // captures nothing
+    val cs = KMeans.fit(ds(data, 1), Array(Array(0.0, 0.0), far), iters = 4)
+    assert(cs(1).sameElements(far))
+    assert(math.abs(cs(0)(0) - (0.0 + 0.1 + 10.0) / 3) < 1e-12)
+  }
+
+  test("nearest tie-breaks on the lowest centroid index") {
+    val cs = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    assert(KMeans.nearest(Array(0.0, 0.0), cs) == 0)
+  }
+
+  test("assign is a shuffle-free row-local map") {
+    import spark.implicits._
+    val df = planted(50, 3, 4, 10.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val out = KMeans.assign(df, "vec",
+      Array(Array(10.0, 0, 0, 0), Array(0, 10.0, 0, 0), Array(0, 0, 10.0, 0)))
+    val plan = out.queryExecution.executedPlan
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"assignment must not shuffle:\n$plan")
+    // null vectors get the -1 sentinel
+    val withNull = df.unionByName(Seq((999L, null.asInstanceOf[Array[Double]]))
+      .toDF("id", "vec"))
+    val got = KMeans.assign(withNull, "vec", Array(Array(0.0, 0, 0, 0)))
+      .filter(col("id") === 999L).select("cluster").collect()(0).getInt(0)
+    assert(got == -1)
+  }
+}
