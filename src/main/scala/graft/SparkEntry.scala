@@ -1345,6 +1345,37 @@ object SparkEntry {
         .filter(col("vec_id") % 7 === 0)
         .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
         .orderBy("vec_id")
+    }),
+
+    // Pretokenized export (the step after counting: publish the id
+    // sequence once instead of re-tokenizing per epoch). The q41/q48
+    // forced-merge construction makes the FULL sequence closed-form:
+    // merges land (a,b)→ab, then (ab,c)→abc (F(abc)=3N > F(abab)=2N at
+    // every sf), then (ab,ab)→abab; derivedVocab ids a..d = 0..3, ab=4,
+    // abc=5, abab=6 — so a doc's ids are
+    // [6]·(i%3+1) ++ [5]·(i%5+1) ++ [3,3]·(i%2+1), emitted dash-joined
+    // so the oracle pins every position, not just the count.
+    "q69_pretokenized" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CodeFiles(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"),
+          expr("repeat('abab ', CAST(doc_id % 3 + 1 AS INT)) || " +
+            "repeat('abc ', CAST(doc_id % 5 + 1 AS INT)) || " +
+            "repeat('dd ', CAST(doc_id % 2 + 1 AS INT))").as("content"))
+      val bpe = bpeCache.computeIfAbsent(dir, _ =>
+        graft.pipeline.TokenCount.train(corpus.select("content").as[String], 3))
+      val loaded = graft.text.TokenizerJson.Loaded(bpe,
+        graft.text.TokenizerJson.derivedVocab(bpe.merges,
+          alphabet = Seq("a", "b", "c", "d")), None)
+      graft.pipeline.TokenCount
+        .encodeTable(corpus.as[graft.pipeline.CodeFile], loaded)
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string")))
+            .as("ids_str"),
+          col("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2546,7 +2577,18 @@ object SparkEntry {
     "q68_kmeans_clusters" ->
       """SELECT vec_id, CAST(vec_id % 5 AS BIGINT) AS cluster
         |FROM embeddings WHERE vec_id % 7 = 0
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q69_pretokenized" ->
+      s"""WITH $cte
+         |SELECT doc_id,
+         |       rtrim(repeat('6-', doc_id % 3 + 1)
+         |             || repeat('5-', doc_id % 5 + 1)
+         |             || repeat('3-3-', doc_id % 2 + 1), '-') AS ids_str,
+         |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
+         |            + 2 * (doc_id % 2 + 1) AS BIGINT) AS n_tokens
+         |FROM code_files
+         |ORDER BY doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

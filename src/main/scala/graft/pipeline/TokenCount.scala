@@ -69,4 +69,33 @@ object TokenCount {
         b.countTokens(cf.content, memo)))
     }.toDF("input_id", "doc_id", "snapshot_id", "num_tokens")
   }
+
+  /** Pretokenized export — one row per document with the full vocab-id
+    * sequence, the artifact a trainer ingests directly (the step after
+    * counting: publish `ids` once instead of re-tokenizing per epoch).
+    * Same shape as [[table]]: tokenizer broadcast, per-partition memo of
+    * per-WORD id arrays (documents share most of their vocabulary, so
+    * the BPE dynamic program runs once per distinct word per partition);
+    * row-local, shuffle-free, composes into any downstream write.
+    */
+  def encodeTable(files: Dataset[CodeFile],
+                  loaded: graft.text.TokenizerJson.Loaded): DataFrame = {
+    import files.sparkSession.implicits._
+    val bc = files.sparkSession.sparkContext.broadcast(loaded)
+    files.mapPartitions { it =>
+      val l = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+      it.map { cf =>
+        val words = graft.text.PyCompat.split(cf.content)
+        val out = Array.newBuilder[Int]
+        var i = 0
+        while (i < words.length) {
+          out ++= memo.getOrElseUpdate(words(i), l.idsOf(words(i)))
+          i += 1
+        }
+        val ids = out.result()
+        (cf.doc_id, ids, ids.length.toLong)
+      }
+    }.toDF("doc_id", "ids", "n_tokens")
+  }
 }

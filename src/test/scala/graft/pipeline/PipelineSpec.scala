@@ -198,4 +198,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("aa" -> 16L, "bb" -> 8L, "cc" -> 8L), 2)
     assert(capped.merges.toSeq == direct.merges.toSeq)
   }
+
+  test("encodeTable: per-doc id sequences equal word-by-word idsOf, unk fills gaps") {
+    import spark.implicits._
+    val bpe = graft.text.Bpe.train(Seq("abab" -> 10L, "abc" -> 5L), 3)
+    val vocab = graft.text.TokenizerJson.derivedVocab(bpe.merges,
+      alphabet = Seq("a", "b", "c"))
+    val loaded = graft.text.TokenizerJson.Loaded(bpe, vocab, None)
+    val docs = Seq(
+      CodeFile(1L, "r", "p", "c", "en", "abab abc abab"),
+      CodeFile(2L, "r", "p", "c", "en", "abc zz abab"), // zz: out-of-vocab
+      CodeFile(3L, "r", "p", "c", "en", ""))
+    val got = TokenCount.encodeTable(docs.toDS(), loaded)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getLong(2)))).toMap
+    docs.foreach { cf =>
+      val want = graft.text.PyCompat.split(cf.content)
+        .flatMap(loaded.idsOf).toSeq
+      assert(got(cf.doc_id) == ((want, want.length.toLong)),
+        s"doc ${cf.doc_id}")
+    }
+    // out-of-vocab symbols surface as the -1 sentinel (no unk token)
+    assert(got(2L)._1.contains(-1))
+    assert(got(3L) == ((Seq.empty[Int], 0L)))
+  }
 }
