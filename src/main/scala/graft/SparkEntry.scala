@@ -1376,6 +1376,40 @@ object SparkEntry {
             .as("ids_str"),
           col("n_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup (arXiv:2303.09540): k-means cells, then cosine dedup ONLY
+    // within each cell — the real operator runs end-to-end (distributed
+    // Lloyd fit, broadcast assign, within-cell self-join, codegen'd dot,
+    // CC + unsigned-min survivors) over a closed-form construction:
+    // vec = 20·e_{id%8} + 5·e_{8 + id div 8} on 64 dims for id < 400
+    // (one anchor dim per cell, one UNIQUE identity dim per member),
+    // plus a doubled-copy twin at id+100000 for id % 10 == 3. Same-cell
+    // non-twin cosine is exactly 400/425 ≈ 0.9412 (anchors align,
+    // identities are orthogonal); a twin's cosine to its original is 1
+    // (scaling preserves direction). tau = 0.99 splits them with ≥ 0.049
+    // margin, so survivors = every original id, hash-independent in SQL.
+    "q70_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 400)
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 63), d -> CASE " +
+            "WHEN d = CAST(vec_id % 8 AS INT) THEN 20.0D " +
+            "WHEN d = CAST(8 + (vec_id DIV 8) AS INT) THEN 5.0D " +
+            "ELSE 0.0D END)").as("vec"))
+      val twins = base.filter(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("vec"), x => x * 2).as("vec"))
+      val emb = base.unionByName(twins)
+      // init = the actual member vectors of ids 0..7 (identity dim 8 for
+      // all of them: id div 8 = 0) — one seed per planted cell
+      val init = Array.tabulate(8)(c => Array.tabulate(64)(d =>
+        if (d == c) 20.0 else if (d == 8) 5.0 else 0.0))
+      val cs = graft.similarity.KMeans.fit(
+        emb.select("vec").as[Array[Double]], init, iters = 3)
+      graft.similarity.SemDeDup.dedup(emb, "vec_id", "vec", cs, tau = 0.99)
+        .select("vec_id").orderBy("vec_id")
     })
   )
 
@@ -2588,7 +2622,12 @@ object SparkEntry {
          |       CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
          |            + 2 * (doc_id % 2 + 1) AS BIGINT) AS n_tokens
          |FROM code_files
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // every original survives; every +100000 twin loses the unsigned-min
+    "q70_semdedup" ->
+      """SELECT vec_id FROM embeddings WHERE vec_id < 400
+        |ORDER BY vec_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

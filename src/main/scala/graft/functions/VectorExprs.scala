@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the engine's hottest scalar: the dense
+  * dot product over `array<double>` embedding vectors (exact-cosine
+  * scoring in AnnLsh/IvfFlat/EmbedNearDup/Quantize — millions of
+  * evaluations per candidate join).
+  *
+  * Why an Expression and not the previous two stand-ins:
+  *   - `aggregate(zip_with(x, y, _*_), 0.0, _+_)` stays an INTERPRETED
+  *     higher-order expression (no codegen, a boxed lambda call per
+  *     element, an allocated intermediate array per row);
+  *   - a Scala UDF gets primitive arrays but still breaks whole-stage
+  *     codegen at the projection boundary and copies both arrays per call.
+  * This expression participates in whole-stage codegen: the generated
+  * code is a tight `getDouble(i)` loop over the columnar/unsafe array
+  * representation — no per-row allocation, no boxing, no codegen fence.
+  *
+  * Semantics (kept bit-identical to both stand-ins so every existing
+  * DuckDB oracle hash still matches): left-to-right summation over
+  * `min(x.length, y.length)` elements; null if either array is null.
+  * Element nulls are not supported (embedding vectors are dense) — same
+  * contract as the UDF it replaces.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+
+  /** Column-API entry point — drop-in for the former UDF / fold. */
+  def dot_product(x: Column, y: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(x), ColumnBridge.expression(y)))
+
+  /** Exact cosine from one normalization pass: dot(x,y)/(nx*ny) with the
+    * norms computed by the same expression (`sqrt(dot(v,v))`).
+    */
+  def cosine(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dot_product(x, y) / (sqrt(dot_product(x, x)) * sqrt(dot_product(y, y)))
+  }
+
+  /** Registers `dot_product` in a live session's function registry so SQL
+    * text can use it (`SELECT dot_product(vec, qvec) ...`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "dot_product", info, builder)
+
+  private def info = new ExpressionInfo(
+    classOf[DotProduct].getCanonicalName, "dot_product")
+  private def builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2,
+      s"dot_product expects 2 arguments, got ${children.length}")
+    DotProduct(children.head, children(1))
+  }
+}
+
+/** `SparkSessionExtensions` hook: pass
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` to make
+  * `dot_product` available in SQL on every session of the application —
+  * the deployment-grade registration path (no driver-side register call).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+}

@@ -78,8 +78,10 @@ object AnnLsh {
       masks.map(c ^ _)
     })
 
-    val dot: (Column, Column) => Column = (x, y) =>
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    // native codegen'd expression — same left-to-right summation as the
+    // former aggregate(zip_with(...)) fold, but inside whole-stage codegen
+    val dot: (Column, Column) => Column =
+      graft.functions.VectorExprs.dot_product
 
     val data = emb.withColumn("bucket", bucketUdf(col("vec")))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))

@@ -23,25 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object EmbedNearDup {
 
-  /** Dot product as a compiled tight loop. The declarative alternative
-    * (`aggregate(zip_with(...))`) stays an INTERPRETED higher-order
-    * expression in Catalyst — no codegen — and at pair-join volume
-    * (millions of rows × 64 dims) it dominated the whole query; the udf
-    * is ~20× faster here despite the boxing toll.
+  /** Dot product as the native codegen'd [[graft.functions.DotProduct]]
+    * expression: a tight `getDouble(i)` loop INSIDE whole-stage codegen —
+    * no boxing, no per-row array copy, no codegen fence. (History: the
+    * declarative `aggregate(zip_with(...))` stays interpreted and
+    * dominated the pair join; a primitive-array UDF was ~20× faster but
+    * still copied both arrays and fenced codegen at the projection.)
     */
-  // Array[Double] parameters make Spark hand the UDF PRIMITIVE arrays
-  // (ArrayData.toDoubleArray) instead of boxing every element into a
-  // Seq[Double]: same values, a fraction of the garbage — at pair-join
-  // volume the boxed path's allocation burst was what dragged these
-  // queries into full GCs late in long multi-query sessions.
-  private val dotUdf = udf { (x: Array[Double], y: Array[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }
-    s
-  }
-  private val dot: (Column, Column) => Column = (x, y) => dotUdf(x, y)
+  private val dot: (Column, Column) => Column =
+    graft.functions.VectorExprs.dot_product
 
   /** Deterministic near-dup injection for verification (same pattern as
     * the q25/q26 exact-twin construction): every vec_id ≡ 3 (mod 10)

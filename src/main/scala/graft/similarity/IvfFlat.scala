@@ -104,8 +104,10 @@ object IvfFlat {
     val probesUdf = udf((v: Array[Double]) =>
       probeCells(v, centroids.value, nprobe))
 
-    val dot: (Column, Column) => Column = (x, y) =>
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    // native codegen'd expression — same left-to-right summation as the
+    // former aggregate(zip_with(...)) fold, but inside whole-stage codegen
+    val dot: (Column, Column) => Column =
+      graft.functions.VectorExprs.dot_product
 
     val data = emb.withColumn("cell", cellUdf(col("vec")))
       .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))

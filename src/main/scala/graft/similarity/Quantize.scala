@@ -48,9 +48,12 @@ object Quantize {
     * no divide-by-zero).
     */
   def cosine(a: Column, b: Column): Column = {
+    // element-wise cast then the native codegen'd dot — identical math to
+    // the former interpreted fold (cast-to-double per element, summed
+    // left-to-right), but inside whole-stage codegen
     def d(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorExprs.dot_product(
+        x.cast("array<double>"), y.cast("array<double>"))
     val denom = sqrt(d(a, a)) * sqrt(d(b, b))
     when(denom > 0, d(a, b) / denom)
   }

@@ -1,0 +1,95 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedupe.Lsh
+import graft.functions.VectorExprs
+
+/** Semantic dedup (SemDeDup, arXiv:2303.09540): k-means the embedding
+  * space, then near-dup ONLY within each cell — the quadratic cosine work
+  * is bounded by cell size instead of corpus size, and the cells carry the
+  * semantic structure LSH bands can't (paraphrases land in the same cell
+  * even when no band collides).
+  *
+  * Composition of the engine's existing scale-shaped primitives:
+  *   1. [[KMeans.assign]] — centroids broadcast, row-local, shuffle-free;
+  *   2. self-join on the SCALAR cluster id — each vector's array crosses
+  *      the candidate exchange exactly once per side (the same array-
+  *      shuffle discipline the banded embed join was rebuilt to);
+  *   3. exact cosine via the codegen'd [[graft.functions.DotProduct]] on
+  *      co-clustered pairs only;
+  *   4. [[Lsh.connectedComponents]] + unsigned-min survivor — the
+  *      engine-wide dedup contract (q25/q29/q43 all pin it).
+  *
+  * At 100 TB the knob is k: SemDeDup's published configuration keeps cells
+  * at ~10^4 vectors regardless of corpus size (k ≈ N / 10^4), which keeps
+  * the per-cell pair count bounded and the whole stage embarrassingly
+  * parallel across cells. Cell sizes are data-dependent, so [[pairs]]
+  * logs the largest cell instead of silently absorbing a skewed one.
+  */
+object SemDeDup {
+
+  /** Co-clustered near-dup pairs: (id_a, id_b, cos) with id_a < id_b in
+    * UNSIGNED order (the reference's uint64 id space) and cos ≥ tau.
+    *
+    * `eager = true` (the default) persists the assigned table — it feeds
+    * the cell-size probe and BOTH join sides, so without it the scan +
+    * assignment runs three times — and materializes the result so the
+    * persisted table never leaks into the caller's session (the q06
+    * pattern). `eager = false` returns the pure lazy plan (for plan
+    * inspection and composition; skips the size probe, which is an
+    * action).
+    */
+  def pairs(emb: DataFrame, idCol: String, vecCol: String,
+            centroids: Array[Array[Double]], tau: Double,
+            eager: Boolean = true): DataFrame = {
+    val dot: (Column, Column) => Column = VectorExprs.dot_product
+    val assigned0 = KMeans.assign(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")),
+      "vec", centroids)
+      .withColumn("nrm", sqrt(dot(col("vec"), col("vec"))))
+    val assigned = if (eager)
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else assigned0
+    try {
+      if (eager) {
+        val sizes = assigned.groupBy("cluster").count()
+          .agg(max("count").as("mx"), count(lit(1)).as("cells")).head()
+        val maxCell = if (sizes.isNullAt(0)) 0L else sizes.getLong(0)
+        if (maxCell > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"SemDeDup: ${sizes.getLong(1)} non-empty cells, largest " +
+              s"$maxCell rows (pair work within a cell is quadratic — " +
+              s"raise k if this cell dominates)")
+      }
+      val a = assigned.select(col("cluster"), col("id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cluster"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+      val out = a.join(b, "cluster")
+        .filter(Lsh.toUnsignedOrder(col("id_a")) <
+          Lsh.toUnsignedOrder(col("id_b")))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= tau)
+        .select("id_a", "id_b", "cos")
+      if (eager) out.localCheckpoint() else out
+    } finally if (eager) assigned.unpersist(blocking = false)
+  }
+
+  /** Survivors after semantic dedup: connected components over the pair
+    * graph, keep the unsigned-min id per component. Returns the input
+    * rows that survive (left-anti join on the drop set — drops are the
+    * component members that are NOT their component's min).
+    */
+  def dedup(emb: DataFrame, idCol: String, vecCol: String,
+            centroids: Array[Array[Double]], tau: Double): DataFrame = {
+    val p = pairs(emb, idCol, vecCol, centroids, tau)
+    val comps = Lsh.connectedComponents(
+      p.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val drops = comps.filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    emb.join(drops.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column ↔ Expression bridge (`ExpressionUtils`)
+  * `private[sql]` — the Column API is backed by `ColumnNode`s now and the
+  * catalyst `Expression` world is reachable only from inside the sql
+  * package tree. This two-liner lives in a `org.apache.spark.sql`
+  * subpackage purely to re-export that bridge for graft's native
+  * expressions (the standard pattern for third-party catalyst extensions
+  * on Spark 4). Nothing else of graft lives outside the `graft` package.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session-level function registration (the registry lives behind the
+    * `private[sql]` sessionState; the application-level alternative is the
+    * public `spark.sql.extensions` hook — see graft.functions.GraftExtensions).
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+}

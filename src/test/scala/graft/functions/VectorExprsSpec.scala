@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the native codegen'd DotProduct expression: bit-identity
+  * with both stand-ins it replaced (the interpreted aggregate/zip_with
+  * fold and the primitive-array UDF loop — the existing DuckDB oracle
+  * hashes depend on this), identical results through the compiled
+  * (doGenCode) and interpreted (nullSafeEval) paths, whole-stage-codegen
+  * participation, null/length edge cases, and the two registration
+  * routes (session registry + spark.sql.extensions).
+  */
+class VectorExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-vectorexprs-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new scala.util.Random(42)
+  private def vec(n: Int): Seq[Double] = Seq.fill(n)(rnd.nextGaussian())
+
+  test("bit-identical to the interpreted fold AND the reference loop") {
+    import spark.implicits._
+    val rows = Seq.fill(200)((vec(64), vec(64))) ++
+      Seq((vec(3), vec(7)), (Seq.empty[Double], vec(4))) // length mismatch
+    val df = rows.toDF("x", "y")
+    val got = df.select(
+      VectorExprs.dot_product(col("x"), col("y")).as("native"),
+      aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).as("fold")).collect()
+    got.zip(rows).foreach { case (r, (x, y)) =>
+      val n = math.min(x.length, y.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i) * y(i); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(s), "native vs reference loop")
+      // the fold nulls out on length mismatch (zip_with pads with null);
+      // on equal lengths it must be bit-identical
+      if (x.length == y.length)
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          "native vs interpreted fold")
+    }
+  }
+
+  test("compiled and interpreted expression paths agree; codegen engages") {
+    // build from range via array() — CreateArray is codegen'd (a local Seq
+    // would be constant-folded away; transform() is itself a non-codegen
+    // higher-order function and would fence the projection)
+    val df = spark.range(50).select(
+      array((0 until 16).map(i => sin(col("id") + lit(i))): _*).as("x"),
+      array((0 until 16).map(i => cos(col("id") * lit(i))): _*).as("y"))
+    val q = df.select(VectorExprs.dot_product(col("x"), col("y")).as("d"))
+    val wsc = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.toString.contains("dot_product")),
+      "the dot_product projection must sit INSIDE a WholeStageCodegen " +
+        s"span, got:\n${q.queryExecution.executedPlan}")
+    val compiled = q.collect().map(_.getDouble(0)).toSeq
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = q.collect().map(_.getDouble(0)).toSeq
+      assert(compiled.map(java.lang.Double.doubleToLongBits) ==
+        interpreted.map(java.lang.Double.doubleToLongBits))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
+  test("null arrays null out; type mismatch rejected at analysis") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]]),
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))).toDF("x", "y")
+    val got = df.select(VectorExprs.dot_product(col("x"), col("y"))).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 11.0)
+    val ints = Seq((Seq(1, 2), Seq(3, 4))).toDF("x", "y")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VectorExprs.dot_product(col("x"), col("y"))).collect()
+    }
+  }
+
+  test("SQL registration: session registry and extensions hook") {
+    VectorExprs.register(spark)
+    val viaSql = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 11.0)
+    // the extensions hook builds the same expression
+    val ext = new GraftExtensions
+    val e = DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 11.0)
+    assert(ext != null)
+  }
+
+  test("cosine helper: unit for identical vectors, -1 for negated") {
+    import spark.implicits._
+    val df = Seq((vec(32), 0)).toDF("v", "k")
+      .select(col("v"), transform(col("v"), x => -x).as("nv"))
+    val r = df.select(
+      VectorExprs.cosine(col("v"), col("v")).as("same"),
+      VectorExprs.cosine(col("v"), col("nv")).as("neg")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+  }
+}

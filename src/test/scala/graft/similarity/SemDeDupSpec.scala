@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SemDeDup contracts: the pair set equals the naive spec (assign every
+  * vector to its nearest centroid, enumerate same-cell pairs, keep
+  * cos ≥ tau), dedup keeps the unsigned-min id per duplicate component
+  * (transitively), and the candidate join's plan discipline — arrays
+  * cross the exchange exactly once per side, keyed by the scalar cell id.
+  */
+class SemDeDupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-semdedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new scala.util.Random(11)
+  private val dim = 8
+
+  /** 3 well-separated blobs + exact scaled copies inside blob 0. */
+  private def corpus(): Seq[(Long, Array[Double])] = {
+    def blob(center: Int): Array[Double] =
+      Array.tabulate(dim)(d =>
+        (if (d == center) 30.0 else 0.0) + rnd.nextGaussian())
+    val base = (0L until 60L).map(i => i -> blob((i % 3).toInt))
+    val copies = base.filter(_._1 % 10 == 4).map { case (i, v) =>
+      (i + 1000L) -> v.map(_ * 1.5)
+    }
+    base ++ copies
+  }
+
+  private def naiveCos(x: Array[Double], y: Array[Double]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < dim) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  test("pairs == naive same-cell cos >= tau spec") {
+    import spark.implicits._
+    val rows = corpus()
+    val emb = rows.toDF("vec_id", "vec")
+    val init = rows.take(3).map(_._2)
+    val cs = KMeans.fit(emb.select("vec").as[Array[Double]], init.toArray, 3)
+    val tau = 0.99
+    val got = SemDeDup.pairs(emb, "vec_id", "vec", cs, tau)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assignOf = rows.map { case (i, v) =>
+      i -> KMeans.nearest(v, cs)
+    }.toMap
+    val want = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && assignOf(ia) == assignOf(ib)
+      if naiveCos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "construction must produce duplicate pairs")
+    assert(got == want)
+  }
+
+  test("dedup keeps the unsigned-min per component, transitively") {
+    import spark.implicits._
+    // a chain inside one cell: 5 -> 6 -> 7 are pairwise near (scaled
+    // copies), plus an unrelated far vector in the same cell
+    val v = Array.tabulate(dim)(d => if (d == 0) 25.0 else 1.0)
+    val far = Array.tabulate(dim)(d => if (d == 1) 25.0 else -1.0)
+    val rows = Seq(
+      5L -> v, 6L -> v.map(_ * 2), 7L -> v.map(_ * 4), 9L -> far)
+    val emb = rows.toDF("vec_id", "vec")
+    val cs = Array(v.map(_ * 1.0)) // one cell: everything co-clustered
+    val out = SemDeDup.dedup(emb, "vec_id", "vec", cs, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(5L, 9L))
+  }
+
+  test("candidate join: arrays cross exactly one exchange per side, keyed by cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    val rows = corpus()
+    val emb = rows.toDF("vec_id", "vec")
+    val cs = rows.take(3).map(_._2).toArray
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SemDeDup.pairs(emb, "vec_id", "vec", cs, 0.99, eager = false)
+      val plan = p.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct") &&
+        !plan.toString.contains("BroadcastNestedLoop"),
+        s"cell pairing must be an equi-join:\n$plan")
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      val arrayEx = hashEx.filter(
+        _.output.exists(_.dataType.isInstanceOf[ArrayType]))
+      // at most one per join side (Spark may plan the second side as a
+      // ReusedExchange of the first — fewer is fine, more is the
+      // amplification bug this pin exists for)
+      assert(arrayEx.nonEmpty && arrayEx.size <= 2,
+        s"vectors must cross at most one exchange per join side, got " +
+          s"${arrayEx.size}:\n$plan")
+      arrayEx.foreach { e =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.flatMap(_.references).map(_.name).toSet
+        assert(keys == Set("cluster"),
+          s"array exchange must be keyed by the scalar cell id, got $keys")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
