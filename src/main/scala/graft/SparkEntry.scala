@@ -1410,6 +1410,26 @@ object SparkEntry {
         emb.select("vec").as[Array[Double]], init, iters = 3)
       graft.similarity.SemDeDup.dedup(emb, "vec_id", "vec", cs, tau = 0.99)
         .select("vec_id").orderBy("vec_id")
+    }),
+
+    // Okapi BM25 keyword search — a REAL (non-construction) oracle: the
+    // whole ranking function re-derives in SQL over the same normalized
+    // words (q63's proven tokenization parity). Scores are e4-rounded on
+    // output (the q13 discipline — ln/avg last-ulp differences between
+    // engines vanish, ranks come from each engine's own full-precision
+    // scores with the (score desc, doc_id) tie-break).
+    "q71_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val words = CodeFiles(s, dir)
+        .select(col("doc_id"), col("content")).as[(Long, String)]
+        .map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }.toDF("doc_id", "ws")
+      val queries = Seq(0L -> Seq("spark", "window"),
+        1L -> Seq("merge", "sort", "join"), 2L -> Seq("lorem", "ipsum"))
+      graft.similarity.Bm25.topK(words, "doc_id", "ws", queries, k = 10)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -2627,7 +2647,46 @@ object SparkEntry {
     // every original survives; every +100000 twin loses the unsigned-min
     "q70_semdedup" ->
       """SELECT vec_id FROM embeddings WHERE vec_id < 400
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q71_bm25_search" ->
+      s"""WITH $cte, $wordsCte,
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(ws) AS term FROM words)
+         |  GROUP BY doc_id, term
+         |),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM words),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |              avg(len(ws)) AS avgdl FROM words),
+         |q(query_id, term) AS (VALUES
+         |  (0, 'spark'), (0, 'window'),
+         |  (1, 'merge'), (1, 'sort'), (1, 'join'),
+         |  (2, 'lorem'), (2, 'ipsum')),
+         |dfq AS (
+         |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM q) GROUP BY term
+         |),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |         sum( ln(1 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |              * (tf.tf * 2.2)
+         |              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+         |         ) AS s
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, st
+         |  GROUP BY q.query_id, tf.doc_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, doc_id, s,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY s DESC, doc_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(rnk AS BIGINT) AS rank, doc_id, round(s, 4) AS score
+         |FROM ranked WHERE rnk <= 10
+         |ORDER BY query_id, rank""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

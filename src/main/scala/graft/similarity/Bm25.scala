@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 top-k keyword search over the corpus — the lexical
+  * counterpart to the embedding ANN family (AnnLsh/IvfFlat/topKRefined):
+  * "which documents best match these query terms", scored by the
+  * classic probabilistic ranking function
+  *
+  *   score(q, d) = Σ_t  ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+  *                      · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Scale shape — the corpus is never globally shuffled:
+  *   1. per-doc term frequencies are a ROW-LOCAL map (ws → Map[term,tf]
+  *      exploded), no (doc, term) exchange;
+  *   2. the query-term dictionary BROADCASTS into one BroadcastHashJoin
+  *      probe — only the matching sliver of postings survives the scan
+  *      (the q66 inverted-broadcast discipline: the big side streams);
+  *   3. df / query-attach / idf join back as broadcast dims over the
+  *      sliver; the only hash shuffle is the (query_id, doc_id) score
+  *      aggregation on the sliver — scalars, map-side combinable;
+  *   4. top-k per query is a rank window the optimizer pushes down as
+  *      WindowGroupLimit (never a full per-query sort on one reducer).
+  *
+  * Determinism: ties break on (score desc, doc_id asc); identical
+  * documents tie exactly (same tf/dl ⇒ same float path).
+  */
+object Bm25 {
+
+  private val tfMap = udf { ws: Seq[String] =>
+    val m = scala.collection.mutable.HashMap.empty[String, Int]
+    ws.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+    m.toMap
+  }
+
+  /** Top-k docs per query.
+    *
+    * @param words   (idCol: long-castable, wsCol: array<string>) — one row
+    *                per document, already tokenized (the caller picks the
+    *                tokenizer; q71 uses the engine's normalize+split).
+    *                Persisted internally: it feeds the corpus-stats pass
+    *                and the postings pass.
+    * @param queries small driver-side list (query_id, terms); duplicate
+    *                terms within a query are collapsed (set semantics).
+    * @return (query_id, rank, doc_id, score), rank 1..k per query by
+    *         (score desc, doc_id asc)
+    */
+  def topK(words: DataFrame, idCol: String, wsCol: String,
+           queries: Seq[(Long, Seq[String])], k: Int,
+           k1: Double = 1.2, b: Double = 0.75,
+           eager: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val w0 = words.select(col(idCol).cast("long").as("doc_id"),
+      col(wsCol).as("ws"))
+    // eager (default): persist — words feeds the stats pass AND the
+    // postings pass; the sliver checkpoint below frees it before return.
+    // eager = false keeps the lazy plan for inspection/composition.
+    val w = if (eager)
+      w0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else w0
+    try {
+      // corpus stats: N over ALL docs (empty included — they dilute
+      // avgdl exactly as they would in a real index build)
+      val st = w.agg(count(lit(1)).as("n"),
+        avg(size(col("ws"))).as("avgdl")).head()
+      val n = st.getLong(0).toDouble
+      val avgdl = st.getDouble(1)
+
+      val postings = w.select(col("doc_id"),
+          size(col("ws")).cast("double").as("dl"),
+          explode(tfMap(col("ws"))))
+        .select(col("doc_id"), col("dl"), col("key").as("term"),
+          col("value").cast("double").as("tf"))
+
+      val qt = queries.flatMap { case (qid, ts) =>
+        ts.distinct.map(t => (qid, t))
+      }.toDF("query_id", "term")
+
+      // ONE corpus pass: the distinct query vocabulary broadcasts, the
+      // postings stream through the probe; only matches materialize
+      val sliver0 = postings
+        .join(broadcast(qt.select("term").distinct()), "term")
+      val sliver = // small; materializing frees the persisted words below
+        if (eager) sliver0.localCheckpoint() else sliver0
+
+      val dfPerTerm = sliver.groupBy("term").agg(count(lit(1)).as("df"))
+
+      val scored = sliver
+        .join(broadcast(qt), "term")
+        .join(broadcast(dfPerTerm), "term")
+        .withColumn("contrib",
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("contrib").as("score"))
+
+      val wnd = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(wnd).cast("long"))
+        .filter(col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    } finally if (eager) w.unpersist(blocking = false)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 contracts: exact equality with a naive driver-side scorer
+  * (every tf/df/dl/avgdl interaction, empty docs diluting avgdl,
+  * duplicate query terms collapsing), deterministic doc_id tie-break on
+  * identical documents, and the plan discipline — the corpus never
+  * shuffles (query vocabulary broadcasts into the postings probe), the
+  * only hash exchanges sit on the matched sliver's scalars, and the
+  * per-query rank filter pushes down as WindowGroupLimit.
+  */
+class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-bm25-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val docs: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "sql", "window", "spark"),
+    2L -> Seq("merge", "sort", "join", "join", "join", "sql"),
+    3L -> Seq("spark", "window", "window", "merge"),
+    4L -> Seq.empty[String], // dilutes avgdl, matches nothing
+    5L -> Seq("lorem", "ipsum", "dolor"),
+    6L -> Seq("spark", "sql", "window", "spark"), // identical to doc 1
+    7L -> Seq("sort", "sort", "sort", "sort", "sort", "sort", "sort"))
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  private def naive(queries: Seq[(Long, Seq[String])], k: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    val n = docs.size.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / n
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (t, o) => t -> o.size.toDouble }
+    }.toMap
+    val dl = docs.map { case (id, ws) => id -> ws.size.toDouble }.toMap
+    queries.flatMap { case (qid, terms0) =>
+      val terms = terms0.distinct
+      val scored = docs.flatMap { case (id, _) =>
+        val s = terms.map { t =>
+          val f = tf(id).getOrElse(t, 0.0)
+          if (f == 0.0) 0.0
+          else {
+            val df = docs.count(d => tf(d._1).contains(t)).toDouble
+            math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+              (f * (k1 + 1.0)) /
+              (f + k1 * ((1.0 - b) + b * dl(id) / avgdl))
+          }
+        }.sum
+        if (s > 0.0) Some(id -> s) else None
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, (i + 1).toLong, id, s) }
+    }
+  }
+
+  test("topK equals the naive BM25 spec exactly") {
+    import spark.implicits._
+    val words = docs.toDF("doc_id", "ws")
+    val queries = Seq(
+      0L -> Seq("spark", "window", "spark"), // dup term collapses
+      1L -> Seq("sort", "join"),
+      2L -> Seq("missing"), // matches nothing → no rows
+      3L -> Seq("lorem"))
+    val got = Bm25.topK(words, "doc_id", "ws", queries, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = naive(queries, 3).sortBy(t => (t._1, t._2))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      want.map(t => (t._1, t._2, t._3)).toSeq)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._4 - w._4) < 1e-12, s"score mismatch: $g vs $w")
+    }
+  }
+
+  test("identical documents tie exactly, broken by doc_id") {
+    import spark.implicits._
+    val words = docs.toDF("doc_id", "ws")
+    val got = Bm25.topK(words, "doc_id", "ws",
+      Seq(0L -> Seq("spark")), k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 1 and 6 are identical → identical scores, doc 1 ranks first
+    val byDoc = got.map(t => t._2 -> t).toMap
+    assert(byDoc(1L)._3 == byDoc(6L)._3)
+    assert(byDoc(1L)._1 < byDoc(6L)._1)
+  }
+
+  test("plan: corpus never shuffles; sliver-only scalar exchanges; WindowGroupLimit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val words = docs.toDF("doc_id", "ws")
+        .repartition(4) // defeat LocalTableScan collapsing
+      val q = Bm25.topK(words, "doc_id", "ws",
+        Seq(0L -> Seq("spark", "window")), k = 2, eager = false)
+      val plan = q.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"query vocabulary must broadcast into the postings probe:\n$plan")
+      assert(plan.toString.contains("WindowGroupLimit"),
+        s"the rank<=k filter must push down as WindowGroupLimit:\n$plan")
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      hashEx.foreach { e =>
+        val keys = e.outputPartitioning.asInstanceOf[HashPartitioning]
+          .expressions.flatMap(_.references).map(_.name).toSet
+        // (query_id, doc_id) score agg and query_id window shuffles move
+        // the matched sliver; a term-keyed exchange is the df agg — legal
+        // ONLY above the broadcast probe (i.e. over the sliver, never the
+        // raw corpus) or over the local query dictionary
+        assert(keys == Set("query_id", "doc_id") || keys == Set("query_id")
+            || (keys == Set("term") &&
+                (e.treeString.contains("BroadcastHashJoin") ||
+                 e.treeString.contains("LocalTableScan"))),
+          s"unexpected hash exchange on $keys — the corpus side must " +
+            s"never shuffle:\n$plan")
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"word arrays must never cross an exchange:\n${e.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
