@@ -1430,6 +1430,82 @@ object SparkEntry {
       graft.similarity.Bm25.topK(words, "doc_id", "ws", queries, k = 10)
         .withColumn("score", round(col("score"), 4))
         .orderBy("query_id", "rank")
+    }),
+
+    // Fuzzy (MinHash-LSH) decontamination: corpus content is rebuilt
+    // closed-form — docs with doc_id % 10 == 3 carry a per-doc eval
+    // phrase the bench set copies VERBATIM (identical minhash ⇒ collides
+    // in every band ⇒ flagged), every other doc a per-doc unique
+    // vocabulary (13-shingle sets pairwise DISJOINT ⇒ Jaccard 0, can
+    // never band-collide — the organic enrichment boilerplate made real
+    // short docs legitimately near-dup the eval set, so the natural
+    // corpus can't pin a closed form). The real inverted-broadcast probe
+    // runs end-to-end.
+    "q72_fuzzy_decontam" -> ((s, dir) => {
+      import s.implicits._
+      def toWords(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String)].map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      val cf = CodeFiles(s, dir).select(col("doc_id").as("id"),
+        expr("CASE WHEN doc_id % 10 = 3 THEN repeat('ev' || doc_id || 'tok ', 30) " +
+          "ELSE repeat('uw' || doc_id || 'x ', 30) END").as("content"))
+      val bench = cf.filter(col("id") % 10 === 3)
+        .select((col("id") + 900000L).as("id"), col("content"))
+      val flagged = graft.operators.Decontaminate.fuzzyMatches(
+        toWords(cf), toWords(bench), hasher, 0.7)
+      cf.select("id")
+        .join(flagged.select(col("id"), lit(true).as("hit")), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Streaming near-dup dedup driver-oracled over a REAL two-batch
+    // AvailableNow run (maxFilesPerTrigger=1, file mtimes pin the batch
+    // order): batch A carries 9 repeated-token classes → its 9 class-min
+    // ids are admitted; batch B's even rows repeat A's classes → ALL
+    // rejected through the persistent band index (the cross-batch path),
+    // its odd rows carry 11 fresh classes → their in-batch class-min ids
+    // admit. Survivors are pure modular arithmetic: {0..8} ∪ 1000+{min
+    // odd idx ≡ c (mod 11)} = 1000+{1,3,..,21 odd}.
+    "q73_stream_lsh_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val fixA = s"$StreamLshFixtureDir/a.jsonl.gz"
+      val fixB = s"$StreamLshFixtureDir/b.jsonl.gz"
+      graft.sources.JsonlGz.writeFixture(fixA, 300)
+      graft.sources.JsonlGz.writeFixture(fixB, 300)
+      // batch order = file mtime order (latestFirst=false default)
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(fixA),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L))
+      java.nio.file.Files.setLastModifiedTime(java.nio.file.Paths.get(fixB),
+        java.nio.file.attribute.FileTime.fromMillis(1700000060000L))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_q73")
+      val (idxDir, sinkDir, ckpt) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString, tmp.resolve("ckpt").toString)
+      val src = s.readStream
+        .schema(graft.sources.JsonlGz.InputSpecSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(StreamLshFixtureDir)
+        .filter(col("url").isNotNull)
+      val idx = regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+      val isB = input_file_name().contains("b.jsonl")
+      val id = idx + when(isB, 1000L).otherwise(0L)
+      val cls = when(!isB || idx % 2 === 0,
+        concat(lit("cls"), pmod(idx, lit(9))))
+        .otherwise(concat(lit("fresh"), pmod(idx, lit(11))))
+      val words = src.select(id.as("id"), array_repeat(cls, 20).as("words"))
+        .as[(Long, Array[String])]
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      val survivors =
+        try {
+          graft.streaming.StreamingLshDedup.start(words, hasher, 0.7,
+            idxDir, sinkDir, ckpt).awaitTermination()
+          graft.streaming.StreamingLshDedup.readAdmitted(s, sinkDir)
+            .collect().map(_.getLong(0)).toSeq.sorted
+        } finally sweepDir(tmp)
+      survivors.toDF("id").orderBy("id")
     })
   )
 
@@ -1444,6 +1520,7 @@ object SparkEntry {
     */
   private val StreamFixtureDir = "/tmp/graft_fixtures/stream_src"
   private val StreamFixturePath = s"$StreamFixtureDir/ccnet_shard.jsonl.gz"
+  private val StreamLshFixtureDir = "/tmp/graft_fixtures/stream_lsh_src"
 
   /** q47's construction base text: passes every FilterPolicy rule (60
     * words, mean word length ~7.8, two stop-word hits, all bigrams
@@ -2686,7 +2763,21 @@ object SparkEntry {
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |       CAST(rnk AS BIGINT) AS rank, doc_id, round(s, 4) AS score
          |FROM ranked WHERE rnk <= 10
-         |ORDER BY query_id, rank""".stripMargin
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q72_fuzzy_decontam" ->
+      s"""WITH $cte
+         |SELECT doc_id, doc_id % 10 = 3 AS contaminated
+         |FROM code_files ORDER BY doc_id""".stripMargin,
+
+    // batch A admits its 9 class minima {0..8}; batch B's repeats all
+    // hit the index, its 11 fresh classes admit min odd idx ≡ c (mod 11)
+    "q73_stream_lsh_dedup" ->
+      """SELECT CAST(v AS BIGINT) AS id FROM (VALUES
+        |  (0),(1),(2),(3),(4),(5),(6),(7),(8),
+        |  (1001),(1003),(1005),(1007),(1009),(1011),
+        |  (1013),(1015),(1017),(1019),(1021)) t(v)
+        |ORDER BY id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

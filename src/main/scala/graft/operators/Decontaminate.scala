@@ -66,4 +66,52 @@ object Decontaminate {
             n: Int, minMatches: Long = 1L): DataFrame =
     docs.join(matches(docs, id, words, bench, benchWords, n, minMatches),
       Seq(id), "left_anti")
+
+  /** FUZZY decontamination — the exact-gram [[matches]] misses light
+    * paraphrases (one substituted word kills all n grams that cross it);
+    * this variant flags corpus documents whose MinHash-LSH bands collide
+    * with any eval document, i.e. estimated Jaccard ≥ `threshold` (the
+    * same banding [[graft.dedupe.Lsh]] uses for fuzzy dedup — an eval doc
+    * is "in" the corpus if fuzzy dedup would have merged them).
+    *
+    * Scale shape mirrors [[matches]] with the SAME inverted broadcast:
+    * the corpus's banded signatures stream map-local (never shuffle — at
+    * 10^12 files that table is the corpus × bands), the eval set's bands
+    * broadcast into one BroadcastHashJoin probe, and only the matched
+    * sliver reaches the per-doc aggregate (unsigned-min bench id + hit
+    * count, map-side combinable).
+    *
+    * @return (id, bench_id = unsigned-min matching eval doc, n_bench =
+    *         distinct matching eval docs)
+    */
+  def fuzzyMatches(docs: org.apache.spark.sql.Dataset[(Long, Array[String])],
+                   bench: org.apache.spark.sql.Dataset[(Long, Array[String])],
+                   hasher: graft.dedupe.MinHasher,
+                   threshold: Double): DataFrame = {
+    import graft.dedupe.Lsh
+    val corpusBands = Lsh.bandedSignatures(docs, hasher, threshold)
+    val benchBands = Lsh.bandedSignatures(bench, hasher, threshold)
+    corpusBands
+      .join(broadcast(benchBands.select(col("id").as("bench_id"),
+        col("band"), col("sig"))), Seq("band", "sig"))
+      .select("id", "bench_id").distinct()
+      .groupBy("id")
+      .agg(Lsh.fromUnsignedOrder(
+          min(Lsh.toUnsignedOrder(col("bench_id")))).as("bench_id"),
+        count(lit(1)).as("n_bench"))
+  }
+
+  /** The corpus with fuzzily-contaminated documents removed. `docs` pairs
+    * with `corpus` by the id column (the words dataset is the tokenized
+    * view of the same table).
+    */
+  def fuzzyClean(corpus: DataFrame, id: String,
+                 docs: org.apache.spark.sql.Dataset[(Long, Array[String])],
+                 bench: org.apache.spark.sql.Dataset[(Long, Array[String])],
+                 hasher: graft.dedupe.MinHasher,
+                 threshold: Double): DataFrame =
+    corpus.join(
+      fuzzyMatches(docs, bench, hasher, threshold)
+        .withColumnRenamed("id", id).select(id),
+      Seq(id), "left_anti")
 }

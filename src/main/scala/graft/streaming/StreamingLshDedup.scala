@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructType}
+
+import graft.dedupe.{Lsh, MinHasher}
+
+/** Streaming NEAR-duplicate dedup — the fuzzy twin of
+  * [[IncrementalDedup]]: a continuously-arriving corpus where each new
+  * document must be admitted only if it is not a near-dup (MinHash-LSH,
+  * estimated Jaccard ≥ threshold) of ANYTHING admitted before, across
+  * micro-batches AND restarts.
+  *
+  * Unlike exact dedup, the state here (one row per admitted doc × band)
+  * is a TABLE, not a state-store key set — at 10^9 admitted docs × 9
+  * bands it belongs in parquet, not RocksDB. So the operator is a
+  * foreachBatch loop around the engine's batch primitives:
+  *
+  *   1. PROBE — the stored band index streams map-local through one
+  *      BroadcastHashJoin against the (small) batch's bands
+  *      ([[Lsh.matchesAgainst]]'s inverted broadcast: the 10^9-row index
+  *      never shuffles);
+  *   2. batch-INTERNAL near-dups collapse through the usual banded
+  *      edges → connected components → unsigned-min keeper (the
+  *      engine-wide dedup contract);
+  *   3. survivors append to the sink, their bands append to the index.
+  *
+  * Exactly-once across restarts: each batch writes under `batch=<id>`
+  * directories gated by `_COMMITTED` markers (the CorpusCatalog
+  * discipline — rename failures throw, a marker is written only after
+  * its data rename succeeds). A replayed batch id is a no-op, so a crash
+  * between the sink write and the checkpoint advance cannot double-admit.
+  * First-batch-wins: earlier batches' admissions beat later arrivals
+  * (cross-batch arrival order), the same documented deviation from the
+  * batch path's global unsigned-min as [[IncrementalDedup]].
+  */
+object StreamingLshDedup {
+
+  private val bandSchema = new StructType()
+    .add("id", LongType).add("band", IntegerType).add("sig", BinaryType)
+
+  /** Committed band-index partitions as one DataFrame (empty-schema DF
+    * when nothing is committed yet).
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val committed = listCommitted(spark, indexDir)
+    if (committed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        bandSchema)
+    else spark.read.schema(bandSchema).parquet(committed: _*)
+  }
+
+  /** Committed sink partitions (admitted doc ids). */
+  def readAdmitted(spark: SparkSession, sinkDir: String): DataFrame = {
+    val committed = listCommitted(spark, sinkDir)
+    if (committed.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("id", LongType))
+    else spark.read.parquet(committed: _*)
+  }
+
+  private def listCommitted(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new HPath(s.getPath, "_COMMITTED")))
+      .map(_.getPath.toString)
+  }
+
+  private def committed(fs: FileSystem, dir: String, batchId: Long): Boolean =
+    fs.exists(new HPath(s"$dir/batch=$batchId/_COMMITTED"))
+
+  /** Write `df` under `dir/batch=<id>` atomically: stage → rename → touch
+    * the marker; a false rename return throws (never a silent
+    * marker-visible empty partition).
+    */
+  private def commitBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = new HPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new HPath(s"$dir/.staging-$batchId")
+    val target = new HPath(s"$dir/batch=$batchId")
+    if (fs.exists(staging) && !fs.delete(staging, true))
+      throw new java.io.IOException(s"cannot clear stale staging $staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target) && !fs.delete(target, true))
+      throw new java.io.IOException(s"cannot clear stale target $target")
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
+    if (!fs.createNewFile(new HPath(target, "_COMMITTED")))
+      throw new java.io.IOException(s"marker create failed under $target")
+  }
+
+  /** One micro-batch: probe the stored index, collapse batch-internal
+    * near-dups, commit survivors + their bands. Public so the spec can
+    * drive batches directly.
+    */
+  def processBatch(batch: Dataset[(Long, Array[String])],
+                   hasher: MinHasher, threshold: Double,
+                   indexDir: String, sinkDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new HPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // idempotent replay: a committed batch id is a finished batch
+    if (committed(fs, indexDir, batchId) && committed(fs, sinkDir, batchId))
+      return
+    val banded = Lsh.bandedSignatures(batch, hasher, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = readIndex(spark, indexDir)
+      val hit = Lsh.matchesAgainst(index, banded)
+        .select(col("inc_id").as("id"))
+      val fresh = banded.join(hit, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val drops = Lsh.connectedComponents(Lsh.edges(fresh))
+          .filter(col("id") =!= col("cluster_id")).select("id")
+        val survivorBands = fresh.join(drops, Seq("id"), "left_anti")
+          .localCheckpoint()
+        // index first, sink second: a crash in between replays the batch
+        // (sink marker missing), and the index commit is idempotent
+        commitBatch(survivorBands, indexDir, batchId)
+        commitBatch(survivorBands.select("id").distinct(), sinkDir, batchId)
+      } finally fresh.unpersist(blocking = false)
+    } finally banded.unpersist(blocking = false)
+  }
+
+  /** Start the stream: `stream` is a streaming Dataset of (id, words).
+    * AvailableNow by default — the backfill/cron shape; pass a processing
+    * trigger for the continuous shape.
+    */
+  def start(stream: Dataset[(Long, Array[String])],
+            hasher: MinHasher, threshold: Double,
+            indexDir: String, sinkDir: String, checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    implicit val enc = stream.encoder
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[(Long, Array[String])], batchId: Long) =>
+        processBatch(batch, hasher, threshold, indexDir, sinkDir, batchId)
+      }
+      .start()
+  }
+}

@@ -142,6 +142,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == docs.map(_._1).toSet -- want.keySet)
   }
 
+  test("fuzzy decontaminate == per-band signature-collision spec; clean conserves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def sent(n: Int) = Array.fill(n)(s"w${rnd.nextInt(500)}")
+    val docs = (0L until 80L).map(i => i -> sent(60 + rnd.nextInt(60)))
+    // bench: 5 verbatim copies, one near-dup of doc 2 with ONE word
+    // appended (adds exactly one 13-shingle: jaccard = (L-12)/(L-11)
+    // ≈ 0.99 — a mid-doc substitution would kill 13 shingles and leave
+    // band collision a coin flip at threshold 0.7), and noise rows
+    val para = docs(2)._2 :+ "APPENDED"
+    val bench = docs.take(5).map { case (i, ws) => (i + 900L) -> ws } ++
+      Seq(905L -> para) ++
+      (0 until 10).map(j => (910L + j) -> sent(40))
+    val hasher = new graft.dedupe.MinHasher(128, 13, 7L)
+    val thr = 0.7
+    val got = Decontaminate.fuzzyMatches(
+        docs.toDS(), bench.toDS(), hasher, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive spec: a corpus doc is flagged iff ANY band value equals the
+    // same band of ANY bench doc (replayed driver-side from the hasher)
+    val (nb, rows) = graft.dedupe.MinHasher.BandsRows(thr)
+    def bandsOf(ws: Array[String]): Option[Seq[Seq[Byte]]] =
+      Option(hasher.signature(ws)).map(s =>
+        hasher.bands(s, nb, rows).map(_.toSeq).toSeq)
+    val benchBands = bench.flatMap { case (bid, ws) =>
+      bandsOf(ws).toSeq.flatMap(bs => bs.zipWithIndex.map {
+        case (bv, i) => (i, bv) -> bid })
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+    val want = docs.flatMap { case (id, ws) =>
+      bandsOf(ws).flatMap { bs =>
+        val hits = bs.zipWithIndex.flatMap { case (bv, i) =>
+          benchBands.keys.filter(_ == (i, bv)) }
+        val bids = bs.zipWithIndex.flatMap { case (bv, i) =>
+          bench.collect { case (bid, bws)
+            if bandsOf(bws).exists(b2 => b2(i) == bv) => bid } }.distinct
+        if (bids.isEmpty) None
+        else Some((id, bids.min, bids.size.toLong))
+      }
+    }
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1))
+    // the construction must exercise both copies and the paraphrase
+    val flagged = got.map(_._1).toSet
+    assert((0L until 5L).forall(flagged) && flagged(2L))
+    assert(got.find(_._1 == 2L).exists(_._3 >= 2L),
+      "doc 2 must match both its copy and its paraphrase")
+    // fuzzyClean removes exactly the flagged ids
+    val kept = Decontaminate.fuzzyClean(
+        docs.toDF("doc_id", "ws").select(col("doc_id"), col("ws")), "doc_id",
+        docs.toDS(), bench.toDS(), hasher, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == docs.map(_._1).toSet -- flagged)
+  }
+
   test("token-budget sampling: exact threshold arithmetic, full keep, nesting") {
     import spark.implicits._
     val docs = (0 until 3000).map(i =>

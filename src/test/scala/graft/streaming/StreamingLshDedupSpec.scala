@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedupe.MinHasher
+
+/** Streaming near-dup dedup contracts: first-batch-wins across
+  * micro-batches (exact copies AND high-Jaccard near-dups), batch-internal
+  * collapse via the unsigned-min contract, restart-safe index (a fresh
+  * query over the same dirs re-admits nothing), and idempotent batch
+  * replay (a re-delivered batch id is a no-op — the exactly-once story).
+  */
+class StreamingLshDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-lsh-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sweep(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private val hasher = new MinHasher(128, 13, 42L)
+  // 100-token docs: an appended word leaves Jaccard 88/89 ≈ 0.99 — far
+  // above the 0.7 banding threshold (deterministic under the fixed seed)
+  private def doc(cls: String): Array[String] =
+    Array.tabulate(100)(i => s"$cls-w$i")
+
+  private def admitted(sinkDir: String): Set[Long] =
+    StreamingLshDedup.readAdmitted(spark, sinkDir)
+      .collect().map(_.getLong(0)).toSet
+
+  test("first batch wins across micro-batches; in-batch unsigned-min") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slsh")
+    try {
+      val (idxDir, sinkDir, ckpt) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString, tmp.resolve("ckpt").toString)
+      val source = MemoryStream[(Long, Array[String])]
+      // continuous trigger: AvailableNow would snapshot the (empty)
+      // source at start and finish before addData
+      val q = StreamingLshDedup.start(source.toDS(), hasher, 0.7,
+        idxDir, sinkDir, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      try {
+        // batch 0: two classes + an in-batch exact copy + a near-dup
+        source.addData((5L, doc("a")), (2L, doc("b")), (9L, doc("a")),
+          (7L, doc("a") :+ "appended"))
+        q.processAllAvailable()
+        assert(admitted(sinkDir) == Set(2L, 5L))
+        // batch 1: cross-batch copy + cross-batch near-dup + fresh class
+        source.addData((1L, doc("a")), (3L, doc("b") :+ "tail"),
+          (4L, doc("c")))
+        q.processAllAvailable()
+        assert(admitted(sinkDir) == Set(2L, 4L, 5L))
+      } finally q.stop()
+    } finally sweep(tmp)
+  }
+
+  test("restart: a new query over the same index re-admits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_restart")
+    try {
+      val (idxDir, sinkDir) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString)
+      def runOnce(ckpt: String, data: Seq[(Long, Array[String])]): Unit = {
+        val source = MemoryStream[(Long, Array[String])]
+        val q = StreamingLshDedup.start(source.toDS(), hasher, 0.7,
+          idxDir, sinkDir, ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+        try { source.addData(data: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      runOnce(tmp.resolve("c1").toString, Seq(10L -> doc("x"), 11L -> doc("y")))
+      assert(admitted(sinkDir) == Set(10L, 11L))
+      // a NEW query (fresh checkpoint ⇒ batch ids restart at 0, but the
+      // index is durable): copies rejected, fresh admitted — note the
+      // fresh checkpoint reuses batchId 0, so survivors land under a
+      // replayed batch dir only if not already committed
+      runOnce(tmp.resolve("c2").toString, Seq(12L -> doc("x")))
+      assert(admitted(sinkDir) == Set(10L, 11L))
+    } finally sweep(tmp)
+  }
+
+  test("replayed batch id is a no-op (exactly-once)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_replay")
+    try {
+      val (idxDir, sinkDir) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString)
+      val b0 = Seq(1L -> doc("p"), 2L -> doc("q")).toDS()
+      StreamingLshDedup.processBatch(b0, hasher, 0.7, idxDir, sinkDir, 0L)
+      assert(admitted(sinkDir) == Set(1L, 2L))
+      // the replay delivers DIFFERENT data under the same batch id (the
+      // at-least-once failure mode) — the committed batch must win
+      val replay = Seq(3L -> doc("r")).toDS()
+      StreamingLshDedup.processBatch(replay, hasher, 0.7, idxDir, sinkDir, 0L)
+      assert(admitted(sinkDir) == Set(1L, 2L))
+      // the same data under a NEW batch id admits normally
+      StreamingLshDedup.processBatch(replay, hasher, 0.7, idxDir, sinkDir, 1L)
+      assert(admitted(sinkDir) == Set(1L, 2L, 3L))
+    } finally sweep(tmp)
+  }
+}
