@@ -63,7 +63,8 @@ object Bench {
     "q66_incremental_lsh" -> 3.0, "q67_seq_packing" -> 0.8,
     "q68_kmeans_clusters" -> 1.5, "q69_pretokenized" -> 1.2,
     "q70_semdedup" -> 2.0, "q71_bm25_search" -> 2.5,
-    "q72_fuzzy_decontam" -> 3.5, "q73_stream_lsh_dedup" -> 6.0)
+    "q72_fuzzy_decontam" -> 3.5, "q73_stream_lsh_dedup" -> 6.0,
+    "q74_time_travel" -> 4.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1506,6 +1506,30 @@ object SparkEntry {
             .collect().map(_.getLong(0)).toSeq.sorted
         } finally sweepDir(tmp)
       survivors.toDF("id").orderBy("id")
+    }),
+
+    // Snapshot time travel: five sequential partition commits (driver-
+    // side loop ⇒ marker order IS commit order, strictly increasing
+    // nanos), then every snapshot read back AS OF its id. Cumulative row
+    // counts are pure arithmetic over doc_id % 5 — and the read at
+    // snapshot i must NOT see partitions committed after it, which is
+    // exactly what the oracle's g <= i bound pins.
+    "q74_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tt")
+      val rows =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val cf = CodeFiles(s, dir)
+          (0 until 5).foreach { k =>
+            cat.commitPartition("tt", s"k$k",
+              cf.filter(col("doc_id") % 5 === k))
+          }
+          cat.snapshots("tt").map { sn =>
+            (sn.id, sn.key, cat.readTableAsOf("tt", sn.id).count())
+          }
+        } finally sweepDir(tmp)
+      rows.toDF("snapshot_id", "key", "rows_cum").orderBy("snapshot_id")
     })
   )
 
@@ -2777,7 +2801,16 @@ object SparkEntry {
         |  (0),(1),(2),(3),(4),(5),(6),(7),(8),
         |  (1001),(1003),(1005),(1007),(1009),(1011),
         |  (1013),(1015),(1017),(1019),(1021)) t(v)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q74_time_travel" ->
+      s"""WITH $cte, c AS (
+         |  SELECT CAST(doc_id % 5 AS INT) AS g FROM code_files
+         |)
+         |SELECT CAST(i AS BIGINT) AS snapshot_id, 'k' || i AS key,
+         |       (SELECT count(*) FROM c WHERE g <= i) AS rows_cum
+         |FROM generate_series(0, 4) t(i)
+         |ORDER BY snapshot_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -126,6 +126,64 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     spark.read.parquet(paths: _*)
   }
 
+  /** The table's snapshot log: one snapshot per committed partition
+    * (Iceberg's append-commit granularity here), ordered by commit time —
+    * the marker is written atomically LAST, so marker order IS the
+    * visibility order. Snapshot ids are dense 0..n-1 in that order.
+    */
+  def snapshots(table: String): Seq[CorpusCatalog.Snapshot] = {
+    val d = commitDir(table)
+    if (!fs.exists(d)) return Seq.empty
+    val R = """\{"partition":"(.*)","rows":(\d+),"committed_at_nanos":(\d+)\}""".r
+    fs.listStatus(d).iterator
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val body = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        body match {
+          case R(key, rows, at) => (key, rows.toLong, at.toLong)
+          case _ => throw new java.io.IOException(
+            s"unparseable commit marker ${st.getPath}: $body")
+        }
+      }
+      .toSeq.sortBy { case (key, _, at) => (at, key) }
+      .zipWithIndex
+      .map { case ((key, rows, at), i) =>
+        CorpusCatalog.Snapshot(i.toLong, key, rows, at) }
+  }
+
+  /** Time travel: the table as of snapshot `snapshotId` — exactly the
+    * partitions committed up to and including it. The data files are
+    * immutable once committed (append-only snapshots), so an old
+    * snapshot read is reproducible forever, like Iceberg's
+    * `VERSION AS OF`.
+    */
+  def readTableAsOf(table: String, snapshotId: Long): DataFrame = {
+    val upTo = snapshots(table).filter(_.id <= snapshotId)
+    require(upTo.nonEmpty,
+      s"no snapshots of $table at or before id $snapshotId")
+    val paths = upTo.map(s =>
+      new HPath(tableDir(table), s"part=${s.key}").toString)
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Roll the table back to `snapshotId`: commit markers AFTER it are
+    * removed, making the later partitions invisible to every read path
+    * (their data dirs linger as uncommitted debris, exactly the state a
+    * killed writer leaves, and are replaced on re-commit). Iceberg's
+    * `rollback_to_snapshot`.
+    */
+  def rollbackTo(table: String, snapshotId: Long): Unit =
+    snapshots(table).filter(_.id > snapshotId).foreach { s =>
+      if (!fs.delete(markerFile(table, s.key), false))
+        throw new java.io.IOException(
+          s"rollback: cannot remove marker for ${s.key}")
+    }
+
   /** Append lineage/metrics rows (files_in/files_out/drop-reason counts per
     * stage per partition — the north rule's metrics table).
     */
@@ -144,6 +202,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 
   private[pipeline] def deleteRecursively(dir: HPath): Unit =
     fs.delete(dir, true)
+}
+
+object CorpusCatalog {
+  /** One append commit: dense `id` in commit order, the partition it
+    * added, its row count, and the marker's wall-clock nanos.
+    */
+  final case class Snapshot(id: Long, key: String, rows: Long,
+                            committedAtNanos: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

@@ -71,6 +71,47 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total == 500, s"metrics rows should conserve files, got $total")
   }
 
+  test("snapshot log, time travel, rollback re-opens partitions") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft_cat_tt")
+    try {
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      val df = (0L until 100L).toDF("id")
+      Seq("a", "b", "c").zipWithIndex.foreach { case (k, i) =>
+        cat.commitPartition("t", k, df.filter(col("id") % 3 === i))
+      }
+      val snaps = cat.snapshots("t")
+      assert(snaps.map(s => (s.id, s.key)) ==
+        Seq((0L, "a"), (1L, "b"), (2L, "c")), "dense ids in commit order")
+      assert(snaps.map(_.committedAtNanos) ==
+        snaps.map(_.committedAtNanos).sorted)
+      // time travel: snapshot i sees exactly the first i+1 partitions
+      assert(cat.readTableAsOf("t", 0L).count() == 34) // id%3==0: 34 ids
+      assert(cat.readTableAsOf("t", 1L).count() == 67)
+      assert(cat.readTableAsOf("t", 2L).count() == 100)
+      assert(cat.readTableAsOf("t", 2L).collect().map(_.getLong(0)).sorted
+        .sameElements(0L until 100L))
+      // a replayed old snapshot is unaffected by later commits
+      cat.commitPartition("t", "d", df.limit(0))
+      assert(cat.readTableAsOf("t", 1L).count() == 67)
+      // rollback: later partitions turn invisible AND re-open for commit
+      cat.rollbackTo("t", 1L)
+      assert(cat.snapshots("t").map(_.key) == Seq("a", "b"))
+      assert(cat.readTable("t").count() == 67)
+      assert(!cat.isCommitted("t", "c"))
+      assert(cat.commitPartition("t", "c", df.filter(col("id") % 3 === 2)))
+      assert(cat.readTable("t").count() == 100)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("checkpointed run scans the corpus ONCE — no per-partition rescans") {
     // the round-1 implementation filtered + re-ran the decide pipeline per
     // key: ~P full scans and 2× compute per partition. Guard: total records
