@@ -1530,6 +1530,39 @@ object SparkEntry {
           }
         } finally sweepDir(tmp)
       rows.toDF("snapshot_id", "key", "rows_cum").orderBy("snapshot_id")
+    }),
+
+    // Retrieval-quality evaluation as a first-class operator: recall@10
+    // of the int8-QUANTIZED brute-force ranking against the exact one —
+    // a REAL oracle, because BOTH rankings re-derive in DuckDB (exact
+    // ranks are the proven q09 oracle, quantized ranks the proven q59
+    // one: integer-valued scores make them engine-independent) and the
+    // intersection arithmetic is exact.
+    "q75_ann_recall" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+      def top10(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10).select("query_id", "vec_id")
+      }
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val truth = top10(emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine(col("vec"), col("qvec"))))
+      val emb8 = emb.select(col("vec_id"),
+        graft.similarity.Quantize.int8(col("vec")).as("qv"))
+      val q8 = emb8.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      val approx = top10(emb8.crossJoin(broadcast(q8))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          graft.similarity.Quantize.cosine(col("qv"), col("qqv"))))
+      graft.similarity.Recall.atK(approx, truth).orderBy("query_id")
     })
   )
 
@@ -2810,7 +2843,51 @@ object SparkEntry {
          |SELECT CAST(i AS BIGINT) AS snapshot_id, 'k' || i AS key,
          |       (SELECT count(*) FROM c WHERE g <= i) AS rows_cum
          |FROM generate_series(0, 4) t(i)
-         |ORDER BY snapshot_id""".stripMargin
+         |ORDER BY snapshot_id""".stripMargin,
+
+    "q75_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 5
+        |), truth AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(e.vec, q.qvec) DESC,
+        |                      e.vec_id ASC) AS rank
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 10
+        |), q8 AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax > 0
+        |              THEN list_transform(vec, x -> round(x * 127.0 / amax))
+        |              ELSE list_transform(vec, x -> 0.0) END AS qv
+        |  FROM (SELECT vec_id, vec,
+        |               list_max(list_transform(vec, x -> abs(x))) AS amax
+        |        FROM e)
+        |), approx AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT qq.query_id, e.vec_id,
+        |           row_number() OVER (PARTITION BY qq.query_id
+        |             ORDER BY list_cosine_similarity(e.qv, qq.qqv) DESC,
+        |                      e.vec_id ASC) AS rank
+        |    FROM q8 e CROSS JOIN
+        |         (SELECT vec_id AS query_id, qv AS qqv FROM q8
+        |          WHERE vec_id < 5) qq
+        |    WHERE e.vec_id <> qq.query_id)
+        |  WHERE rank <= 10
+        |), hits AS (
+        |  SELECT t.query_id, count(*) AS c
+        |  FROM truth t JOIN approx a USING (query_id, vec_id)
+        |  GROUP BY t.query_id
+        |)
+        |SELECT q.query_id, CAST(10 AS BIGINT) AS k,
+        |       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(h.c, 0) AS DOUBLE) / 10 AS recall
+        |FROM (SELECT DISTINCT query_id FROM truth) q
+        |LEFT JOIN hits h ON q.query_id = h.query_id
+        |ORDER BY q.query_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,45 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation: recall@k of an approximate top-k result
+  * against the exact one — the number every ANN knob (bands, probes,
+  * coarseK, quantization) is tuned by. An engine that ships approximate
+  * search without a distributed way to MEASURE it invites silent recall
+  * rot at exactly the scale where spot checks stop working.
+  *
+  * Scale shape: both inputs are top-k tables (k rows per query — slivers,
+  * not corpora); the hit count is one scalar equi-join on
+  * (query_id, vec_id) + a per-query count, map-side combinable. Truth
+  * defines k per query (ragged truth — e.g. fewer than k neighbors above
+  * a floor — divides by its own size, not a global constant).
+  */
+object Recall {
+
+  /** Per-query recall: (query_id, k, n_hits, recall). Queries present in
+    * `truth` but absent from `approx` score 0 (they were asked and got
+    * nothing); queries only in `approx` are ignored (nothing to recall).
+    */
+  def atK(approx: DataFrame, truth: DataFrame,
+          queryCol: String = "query_id", idCol: String = "vec_id")
+      : DataFrame = {
+    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("vec_id"))
+    val a = approx.select(col(queryCol).as("query_id"), col(idCol).as("vec_id"))
+    val hits = t.join(a, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    t.groupBy("query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("k"))
+          .as("recall"))
+  }
+
+  /** Macro-averaged recall over queries (one row: n_queries,
+    * mean_recall).
+    */
+  def mean(perQuery: DataFrame): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      avg("recall").as("mean_recall"))
+}

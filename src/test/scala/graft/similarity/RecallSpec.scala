@@ -1,0 +1,53 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall@k contracts: exact arithmetic vs a naive set intersection,
+  * ragged truth (per-query k), zero-hit queries scored 0 (not dropped),
+  * approx-only queries ignored, and the macro average.
+  */
+class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-recall-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("per-query recall equals the naive intersection; ragged truth; mean") {
+    import spark.implicits._
+    val truth = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), // k=4
+      (1L, 10L), (1L, 11L), // k=2
+      (2L, 20L)) // k=1, approx returns nothing for it
+      .toDF("query_id", "vec_id")
+    val approx = Seq(
+      (0L, 2L), (0L, 3L), (0L, 99L), (0L, 98L), // 2 of 4
+      (1L, 10L), (1L, 11L), // 2 of 2
+      (7L, 1L)) // query not in truth: ignored
+      .toDF("query_id", "vec_id")
+    val got = Recall.atK(approx, truth).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      0L -> ((4L, 2L, 0.5)),
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((1L, 0L, 0.0))))
+    val m = Recall.mean(Recall.atK(approx, truth)).head()
+    assert(m.getLong(0) == 3L)
+    assert(math.abs(m.getDouble(1) - 0.5) < 1e-15)
+  }
+
+  test("identical tables give recall 1.0 everywhere") {
+    import spark.implicits._
+    val t = (0L until 30L).map(i => (i % 3, i)).toDF("query_id", "vec_id")
+    val rows = Recall.atK(t, t).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getDouble(3) == 1.0 && r.getLong(1) == 10L))
+  }
+}
