@@ -101,11 +101,15 @@ object VectorExprs {
 
   private def info = new ExpressionInfo(
     classOf[DotProduct].getCanonicalName, "dot_product")
-  private def builder: Seq[Expression] => Expression = { children =>
+  // shared by both registration routes — wrong arity must be an analysis
+  // error, never a silently-ignored third argument
+  private[functions] def arityCheckedBuilder
+      : Seq[Expression] => Expression = { children =>
     require(children.length == 2,
       s"dot_product expects 2 arguments, got ${children.length}")
     DotProduct(children.head, children(1))
   }
+  private def builder = arityCheckedBuilder
 }
 
 /** `SparkSessionExtensions` hook: pass
@@ -118,5 +122,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      VectorExprs.arityCheckedBuilder))
 }

@@ -60,6 +60,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * committed (resume semantics).
     */
   def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
+    validateKey(key) // before any data write — no weird-named debris dirs
     if (isCommitted(table, key)) return false
     val partPath = new HPath(tableDir(table), s"part=$key")
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
@@ -86,6 +87,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     */
   def commitStaged(table: String, key: String, stagedDir: HPath,
                    rows: Long): Boolean = {
+    validateKey(key)
     if (isCommitted(table, key)) return false
     val target = new HPath(tableDir(table), s"part=$key")
     if (fs.exists(target)) // uncommitted debris from a killed run
@@ -101,13 +103,29 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     true
   }
 
+  private val KeyPattern = "[A-Za-z0-9._=-]+".r
+
+  // keys land verbatim in dir names AND the marker json the snapshot
+  // log parses — reject anything outside the safe charset at COMMIT
+  // time rather than brick snapshots()/readTableAsOf later
+  private def validateKey(key: String): Unit =
+    require(KeyPattern.matches(key),
+      s"partition key '$key' outside [A-Za-z0-9._=-]+ — unsafe for " +
+        "directory names and the snapshot log")
+
   private def writeMarker(table: String, key: String, rows: Long): Unit = {
+    validateKey(key)
     if (!fs.mkdirs(commitDir(table)))
       throw new java.io.IOException(s"mkdirs failed: ${commitDir(table)}")
     val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
+    // committed_at_ms orders snapshots ACROSS process restarts (nanoTime
+    // has an arbitrary per-boot origin); seq_nanos breaks same-millisecond
+    // ties within one JVM (nanoTime is monotonic there)
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"partition":"$key","rows":$rows,"committed_at_nanos":${System.nanoTime()}}"""
+      (s"""{"partition":"$key","rows":$rows,""" +
+        s""""committed_at_ms":${System.currentTimeMillis()},""" +
+        s""""seq_nanos":${System.nanoTime()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, markerFile(table, key)))
@@ -134,7 +152,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   def snapshots(table: String): Seq[CorpusCatalog.Snapshot] = {
     val d = commitDir(table)
     if (!fs.exists(d)) return Seq.empty
-    val R = """\{"partition":"(.*)","rows":(\d+),"committed_at_nanos":(\d+)\}""".r
+    val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
+      """"committed_at_ms":(\d+),"seq_nanos":(\d+)\}""").r
     fs.listStatus(d).iterator
       .filter(_.getPath.getName.endsWith(".json"))
       .map { st =>
@@ -145,15 +164,19 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           buf.toString("UTF-8")
         } finally in.close()
         body match {
-          case R(key, rows, at) => (key, rows.toLong, at.toLong)
+          case R(key, rows, ms, nanos) =>
+            (key, rows.toLong, ms.toLong, nanos.toLong)
           case _ => throw new java.io.IOException(
             s"unparseable commit marker ${st.getPath}: $body")
         }
       }
-      .toSeq.sortBy { case (key, _, at) => (at, key) }
+      // wall-clock ms orders across restarts/hosts; per-JVM monotonic
+      // nanos breaks same-millisecond ties from one writer; key breaks
+      // the (pathological) rest deterministically
+      .toSeq.sortBy { case (key, _, ms, nanos) => (ms, nanos, key) }
       .zipWithIndex
-      .map { case ((key, rows, at), i) =>
-        CorpusCatalog.Snapshot(i.toLong, key, rows, at) }
+      .map { case ((key, rows, ms, _), i) =>
+        CorpusCatalog.Snapshot(i.toLong, key, rows, ms) }
   }
 
   /** Time travel: the table as of snapshot `snapshotId` — exactly the
@@ -206,10 +229,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 
 object CorpusCatalog {
   /** One append commit: dense `id` in commit order, the partition it
-    * added, its row count, and the marker's wall-clock nanos.
+    * added, its row count, and the marker's wall-clock epoch millis.
     */
   final case class Snapshot(id: Long, key: String, rows: Long,
-                            committedAtNanos: Long)
+                            committedAtMs: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

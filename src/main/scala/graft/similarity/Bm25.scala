@@ -68,6 +68,15 @@ object Bm25 {
       val st = w.agg(count(lit(1)).as("n"),
         avg(size(col("ws"))).as("avgdl")).head()
       val n = st.getLong(0).toDouble
+      // empty corpus: avg over zero rows is null — an empty top-k beats
+      // an opaque NPE out of getDouble
+      if (st.isNullAt(1)) {
+        import org.apache.spark.sql.types._
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType().add("query_id", LongType).add("rank", LongType)
+            .add("doc_id", LongType).add("score", DoubleType))
+      }
       val avgdl = st.getDouble(1)
 
       val postings = w.select(col("doc_id"),

@@ -24,8 +24,14 @@ object Recall {
   def atK(approx: DataFrame, truth: DataFrame,
           queryCol: String = "query_id", idCol: String = "vec_id")
       : DataFrame = {
+    // distinct both sides: a buggy upstream emitting a duplicate
+    // (query, id) row must not inflate n_hits past the true intersection
+    // (recall > 1 would mask exactly the defect this metric exists to
+    // catch)
     val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("vec_id"))
+      .distinct()
     val a = approx.select(col(queryCol).as("query_id"), col(idCol).as("vec_id"))
+      .distinct()
     val hits = t.join(a, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     t.groupBy("query_id").agg(count(lit(1)).as("k"))

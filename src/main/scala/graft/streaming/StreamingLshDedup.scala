@@ -43,10 +43,15 @@ object StreamingLshDedup {
     .add("id", LongType).add("band", IntegerType).add("sig", BinaryType)
 
   /** Committed band-index partitions as one DataFrame (empty-schema DF
-    * when nothing is committed yet).
+    * when nothing is committed yet). `excludeKey` drops one batch dir
+    * from the view — the crash-replay guard: a batch re-run after its
+    * index commit landed must not probe its OWN bands (every doc would
+    * self-hit, the batch would commit an empty sink, and its admissions
+    * would be lost forever).
     */
-  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val committed = listCommitted(spark, indexDir)
+  def readIndex(spark: SparkSession, indexDir: String,
+                excludeKey: Option[String] = None): DataFrame = {
+    val committed = listCommitted(spark, indexDir, excludeKey)
     if (committed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         bandSchema)
@@ -55,36 +60,47 @@ object StreamingLshDedup {
 
   /** Committed sink partitions (admitted doc ids). */
   def readAdmitted(spark: SparkSession, sinkDir: String): DataFrame = {
-    val committed = listCommitted(spark, sinkDir)
+    val committed = listCommitted(spark, sinkDir, None)
     if (committed.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         new StructType().add("id", LongType))
     else spark.read.parquet(committed: _*)
   }
 
-  private def listCommitted(spark: SparkSession, dir: String): Seq[String] = {
+  private def listCommitted(spark: SparkSession, dir: String,
+                            excludeKey: Option[String]): Seq[String] = {
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => !excludeKey.contains(s.getPath.getName.stripPrefix("batch=")))
       .filter(s => fs.exists(new HPath(s.getPath, "_COMMITTED")))
       .map(_.getPath.toString)
   }
 
-  private def committed(fs: FileSystem, dir: String, batchId: Long): Boolean =
-    fs.exists(new HPath(s"$dir/batch=$batchId/_COMMITTED"))
+  // each dir resolves its OWN FileSystem — index and sink may live on
+  // different schemes (hdfs index, s3a sink)
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Write `df` under `dir/batch=<id>` atomically: stage → rename → touch
-    * the marker; a false rename return throws (never a silent
-    * marker-visible empty partition).
+  private def committed(spark: SparkSession, dir: String,
+                        key: String): Boolean =
+    fsOf(spark, dir).exists(new HPath(s"$dir/batch=$key/_COMMITTED"))
+
+  /** Write `df` under `dir/batch=<key>` atomically: stage → rename →
+    * touch the marker; a false rename return throws (never a silent
+    * marker-visible empty partition). An ALREADY-COMMITTED key is a
+    * no-op — a committed batch dir is immutable, never overwritten (the
+    * crash-replay path re-runs a batch whose index commit landed but
+    * whose sink commit did not).
     */
-  private def commitBatch(df: DataFrame, dir: String, batchId: Long): Unit = {
+  private def commitBatch(df: DataFrame, dir: String, key: String): Unit = {
     val spark = df.sparkSession
-    val fs = new HPath(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new HPath(s"$dir/.staging-$batchId")
-    val target = new HPath(s"$dir/batch=$batchId")
+    val fs = fsOf(spark, dir)
+    val target = new HPath(s"$dir/batch=$key")
+    if (fs.exists(new HPath(target, "_COMMITTED"))) return
+    val staging = new HPath(s"$dir/.staging-$key")
     if (fs.exists(staging) && !fs.delete(staging, true))
       throw new java.io.IOException(s"cannot clear stale staging $staging")
     df.write.mode("overwrite").parquet(staging.toString)
@@ -96,23 +112,39 @@ object StreamingLshDedup {
       throw new java.io.IOException(s"marker create failed under $target")
   }
 
+  /** Commit-key namespace for one logical stream: derived from the
+    * CHECKPOINT location, so restarts of the same checkpoint (which
+    * replay the same batch ids with the same data) share keys and stay
+    * idempotent, while a NEW checkpoint over the same durable index/sink
+    * (whose batch ids restart at 0 carrying fresh data) gets its own
+    * namespace instead of silently colliding into old commits.
+    */
+  def runNamespace(checkpointDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   /** One micro-batch: probe the stored index, collapse batch-internal
     * near-dups, commit survivors + their bands. Public so the spec can
     * drive batches directly.
     */
   def processBatch(batch: Dataset[(Long, Array[String])],
                    hasher: MinHasher, threshold: Double,
-                   indexDir: String, sinkDir: String, batchId: Long): Unit = {
+                   indexDir: String, sinkDir: String, batchId: Long,
+                   runNs: String = ""): Unit = {
     val spark = batch.sparkSession
-    val fs = new HPath(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // idempotent replay: a committed batch id is a finished batch
-    if (committed(fs, indexDir, batchId) && committed(fs, sinkDir, batchId))
+    val key = if (runNs.isEmpty) batchId.toString else s"$runNs-$batchId"
+    // idempotent replay: a fully-committed batch key is a finished batch
+    if (committed(spark, indexDir, key) && committed(spark, sinkDir, key))
       return
     val banded = Lsh.bandedSignatures(batch, hasher, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val index = readIndex(spark, indexDir)
+      // exclude this batch's OWN key from the probe: a crash between the
+      // index commit and the sink commit replays the batch, and probing
+      // its just-committed bands would self-hit every doc
+      val index = readIndex(spark, indexDir, excludeKey = Some(key))
       val hit = Lsh.matchesAgainst(index, banded)
         .select(col("inc_id").as("id"))
       val fresh = banded.join(hit, Seq("id"), "left_anti")
@@ -123,9 +155,11 @@ object StreamingLshDedup {
         val survivorBands = fresh.join(drops, Seq("id"), "left_anti")
           .localCheckpoint()
         // index first, sink second: a crash in between replays the batch
-        // (sink marker missing), and the index commit is idempotent
-        commitBatch(survivorBands, indexDir, batchId)
-        commitBatch(survivorBands.select("id").distinct(), sinkDir, batchId)
+        // (sink marker missing); the replay recomputes the identical
+        // survivor set (same data, same excluded-self probe) and
+        // commitBatch skips the already-committed index dir
+        commitBatch(survivorBands, indexDir, key)
+        commitBatch(survivorBands.select("id").distinct(), sinkDir, key)
       } finally fresh.unpersist(blocking = false)
     } finally banded.unpersist(blocking = false)
   }
@@ -139,11 +173,12 @@ object StreamingLshDedup {
             indexDir: String, sinkDir: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     implicit val enc = stream.encoder
+    val ns = runNamespace(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[(Long, Array[String])], batchId: Long) =>
-        processBatch(batch, hasher, threshold, indexDir, sinkDir, batchId)
+        processBatch(batch, hasher, threshold, indexDir, sinkDir, batchId, ns)
       }
       .start()
   }

@@ -114,6 +114,17 @@ class VectorExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ext != null)
   }
 
+  test("wrong arity through SQL registration is an error, not silence") {
+    VectorExprs.register(spark)
+    intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0d), array(1.0d), array(1.0d))")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1.0d))").collect()
+    }
+  }
+
   test("cosine helper: unit for identical vectors, -1 for negated") {
     import spark.implicits._
     val df = Seq((vec(32), 0)).toDF("v", "k")

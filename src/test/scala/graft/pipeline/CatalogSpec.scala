@@ -85,8 +85,7 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       val snaps = cat.snapshots("t")
       assert(snaps.map(s => (s.id, s.key)) ==
         Seq((0L, "a"), (1L, "b"), (2L, "c")), "dense ids in commit order")
-      assert(snaps.map(_.committedAtNanos) ==
-        snaps.map(_.committedAtNanos).sorted)
+      assert(snaps.map(_.committedAtMs) == snaps.map(_.committedAtMs).sorted)
       // time travel: snapshot i sees exactly the first i+1 partitions
       assert(cat.readTableAsOf("t", 0L).count() == 34) // id%3==0: 34 ids
       assert(cat.readTableAsOf("t", 1L).count() == 67)
@@ -96,6 +95,11 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       // a replayed old snapshot is unaffected by later commits
       cat.commitPartition("t", "d", df.limit(0))
       assert(cat.readTableAsOf("t", 1L).count() == 67)
+      // unsafe keys rejected at commit time (they land verbatim in dir
+      // names and the marker json the snapshot log parses)
+      intercept[IllegalArgumentException] {
+        cat.commitPartition("t", "bad\"key", df.limit(1))
+      }
       // rollback: later partitions turn invisible AND re-open for commit
       cat.rollbackTo("t", 1L)
       assert(cat.snapshots("t").map(_.key) == Seq("a", "b"))

@@ -96,6 +96,14 @@ class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byDoc(1L)._1 < byDoc(6L)._1)
   }
 
+  test("empty corpus returns an empty top-k, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[String])].toDF("doc_id", "ws")
+    val out = Bm25.topK(empty, "doc_id", "ws", Seq(0L -> Seq("spark")), k = 3)
+    assert(out.columns.toSeq == Seq("query_id", "rank", "doc_id", "score"))
+    assert(out.count() == 0)
+  }
+
   test("plan: corpus never shuffles; sliver-only scalar exchanges; WindowGroupLimit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

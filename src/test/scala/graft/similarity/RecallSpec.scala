@@ -43,6 +43,15 @@ class RecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(m.getDouble(1) - 0.5) < 1e-15)
   }
 
+  test("duplicate (query, id) rows never inflate recall past 1.0") {
+    import spark.implicits._
+    val truth = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "vec_id")
+    val approx = Seq((0L, 1L), (0L, 1L), (0L, 1L), (0L, 2L))
+      .toDF("query_id", "vec_id") // buggy upstream: v1 emitted 3×
+    val r = Recall.atK(approx, truth).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getDouble(3) == 1.0)
+  }
+
   test("identical tables give recall 1.0 everywhere") {
     import spark.implicits._
     val t = (0L until 30L).map(i => (i % 3, i)).toDF("query_id", "vec_id")

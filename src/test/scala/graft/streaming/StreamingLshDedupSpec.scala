@@ -87,12 +87,37 @@ class StreamingLshDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       runOnce(tmp.resolve("c1").toString, Seq(10L -> doc("x"), 11L -> doc("y")))
       assert(admitted(sinkDir) == Set(10L, 11L))
-      // a NEW query (fresh checkpoint ⇒ batch ids restart at 0, but the
-      // index is durable): copies rejected, fresh admitted — note the
-      // fresh checkpoint reuses batchId 0, so survivors land under a
-      // replayed batch dir only if not already committed
-      runOnce(tmp.resolve("c2").toString, Seq(12L -> doc("x")))
-      assert(admitted(sinkDir) == Set(10L, 11L))
+      // a NEW query (fresh checkpoint ⇒ batch ids restart at 0) over the
+      // SAME durable index/sink: the checkpoint-derived commit namespace
+      // keeps its batch 0 distinct from c1's batch 0, so the copy is
+      // rejected through the index and the genuinely new doc admits
+      runOnce(tmp.resolve("c2").toString,
+        Seq(12L -> doc("x"), 13L -> doc("z")))
+      assert(admitted(sinkDir) == Set(10L, 11L, 13L))
+    } finally sweep(tmp)
+  }
+
+  test("crash between index and sink commits: replay re-admits, index intact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_crash")
+    try {
+      val (idxDir, sinkDir) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString)
+      val b0 = Seq(1L -> doc("p"), 2L -> doc("q")).toDS()
+      StreamingLshDedup.processBatch(b0, hasher, 0.7, idxDir, sinkDir, 0L)
+      // simulate the crash window: index batch committed, sink commit lost
+      val sinkBatch = java.nio.file.Paths.get(sinkDir, "batch=0")
+      java.nio.file.Files.delete(sinkBatch.resolve("_COMMITTED"))
+      assert(admitted(sinkDir) == Set.empty[Long])
+      // the replay must NOT self-hit against its own committed bands
+      // (which would commit an empty sink and erase the admissions)
+      StreamingLshDedup.processBatch(b0, hasher, 0.7, idxDir, sinkDir, 0L)
+      assert(admitted(sinkDir) == Set(1L, 2L))
+      // and the committed index dir was never overwritten: a later copy
+      // of doc p is still rejected
+      StreamingLshDedup.processBatch(Seq(9L -> doc("p")).toDS(),
+        hasher, 0.7, idxDir, sinkDir, 1L)
+      assert(admitted(sinkDir) == Set(1L, 2L))
     } finally sweep(tmp)
   }
 
