@@ -64,7 +64,8 @@ object Bench {
     "q68_kmeans_clusters" -> 1.5, "q69_pretokenized" -> 1.2,
     "q70_semdedup" -> 2.0, "q71_bm25_search" -> 2.5,
     "q72_fuzzy_decontam" -> 3.5, "q73_stream_lsh_dedup" -> 6.0,
-    "q74_time_travel" -> 4.0, "q75_ann_recall" -> 2.0)
+    "q74_time_travel" -> 4.0, "q75_ann_recall" -> 2.0,
+    "q76_temperature_mix" -> 0.8)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1563,6 +1563,26 @@ object SparkEntry {
         .withColumn("cos",
           graft.similarity.Quantize.cosine(col("qv"), col("qqv"))))
       graft.similarity.Recall.atK(approx, truth).orderBy("query_id")
+    }),
+
+    // Temperature (α = 0.5) mixture sampling — the XLM-R rebalancing
+    // rule over the documents table's languages, token budget = 2/5 of
+    // the corpus total (integer arithmetic both sides). α = 0.5 makes
+    // the share weights pass through sqrt — correctly-rounded in IEEE
+    // 754, so the per-stratum integer thresholds re-derive exactly in
+    // SQL (the pow() caveat other α carry does not apply).
+    "q76_temperature_mix" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_tokens"))
+      val grand = docs.agg(sum("n_tokens")).head().getLong(0)
+      graft.operators.Sampling
+        .byTemperature(docs, "lang", "doc_id", "n_tokens",
+          alpha = 0.5, totalBudget = grand * 2L / 5L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tok_sum"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
   )
 
@@ -2887,7 +2907,36 @@ object SparkEntry {
         |       CAST(coalesce(h.c, 0) AS DOUBLE) / 10 AS recall
         |FROM (SELECT DISTINCT query_id FROM truth) q
         |LEFT JOIN hits h ON q.query_id = h.query_id
-        |ORDER BY q.query_id""".stripMargin
+        |ORDER BY q.query_id""".stripMargin,
+
+    "q76_temperature_mix" ->
+      """WITH src AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), g AS (
+        |  SELECT (2 * sum(n_tokens)) // 5 AS budget FROM src
+        |), t AS (
+        |  SELECT lang, sum(n_tokens) AS total FROM src GROUP BY lang
+        |), d AS (
+        |  SELECT sum(sqrt(CAST(total AS DOUBLE))) AS denom
+        |  FROM (SELECT total FROM t ORDER BY lang)
+        |), thr AS (
+        |  SELECT lang,
+        |         CASE WHEN total <= 0 THEN 0
+        |              WHEN b >= total THEN 10000
+        |              ELSE (b * 10000) // total END AS thr
+        |  FROM (SELECT lang, total,
+        |               CAST(floor(sqrt(CAST(total AS DOUBLE)) / denom
+        |                          * budget) AS BIGINT) AS b
+        |        FROM t, d, g)
+        |)
+        |SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(s.n_tokens) AS BIGINT) AS tok_sum,
+        |       CAST(sum(s.doc_id) AS BIGINT) AS id_sum
+        |FROM src s JOIN thr ON thr.lang = s.lang
+        |WHERE (s.doc_id * 2654435761) % 10000 < thr.thr
+        |GROUP BY s.lang
+        |ORDER BY s.lang""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -114,4 +114,56 @@ object Sampling {
       .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Temperature (α) mixture sampling — the XLM-R / mT5 rebalancing rule:
+    * stratum i's share of the token budget is nᵢ^α / Σ nⱼ^α, so α = 1
+    * keeps natural proportions, α → 0 approaches uniform across strata,
+    * and in between low-resource strata are upweighted. The computed
+    * per-stratum budget is capped at the stratum's own total (no
+    * upsampling here — compose [[withEpochs]] for >1-epoch strata) and
+    * applied through the same deterministic integer-threshold hash filter
+    * as [[byTokenBudget]]: reproducible, shuffle-free on the data side,
+    * totals move through one broadcast dim.
+    *
+    * Determinism note: thresholds pass through `pow(total, α)` doubles.
+    * At α = 0.5 that is `sqrt` — correctly-rounded in IEEE 754, so the
+    * threshold arithmetic is engine-exact; other α are reproducible
+    * within Spark but carry the usual last-ulp pow() caveat across
+    * engines.
+    */
+  def byTemperature(df: DataFrame, strata: String, id: String,
+                    tokens: String, alpha: Double,
+                    totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(totalBudget >= 0, s"totalBudget must be nonnegative")
+    val totals = df.groupBy(strata).agg(sum(col(tokens)).as("__total"))
+    // α = 0.5 routes through sqrt EXPLICITLY: IEEE sqrt is
+    // correctly-rounded everywhere, while pow(x, 0.5) is only
+    // special-cased to sqrt in some libm implementations — explicit sqrt
+    // keeps the thresholds bit-identical across engines
+    def powD(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    def powC(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    // the weight denominator is one scalar — computed once on the driver
+    // from the (tiny) per-stratum totals in stratum order (a fixed
+    // summation order keeps the last-ulp value reproducible), never a
+    // second corpus pass
+    val denom = totals.orderBy(strata).select(col("__total")).collect()
+      .map(r => powD(math.max(0L, r.getLong(0)).toDouble)).sum
+    val thresholds = totals
+      .withColumn("__share",
+        powC(greatest(col("__total"), lit(0L)).cast("double"))
+          / lit(denom))
+      .withColumn("__budget", floor(col("__share") * lit(totalBudget.toDouble))
+        .cast("long"))
+      .withColumn("__thr",
+        when(col("__total") <= 0, lit(0L))
+          .when(col("__budget") >= col("__total"), lit(Mod))
+          .otherwise(expr(s"(__budget * ${Mod}L) div __total")))
+      .select(col(strata), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strata))
+      .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))
+      .drop("__thr")
+  }
 }

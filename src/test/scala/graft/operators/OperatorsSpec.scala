@@ -142,6 +142,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == docs.map(_._1).toSet -- want.keySet)
   }
 
+  test("temperature sampling: exact spec arithmetic, low-resource upweighting") {
+    import spark.implicits._
+    val docs = (0 until 3000).map { i =>
+      val lang = if (i % 10 == 0) "rare" else "big" // 10:90 token skew
+      (i.toLong, lang, 10L + i % 7)
+    }.toDF("doc_id", "lang", "n_tokens")
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    val budget = rows.map(_._3).sum * 2 / 5
+    val got = Sampling.byTemperature(docs, "lang", "doc_id", "n_tokens",
+        alpha = 0.5, totalBudget = budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the spec arithmetic exactly
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val denom = totals.toSeq.sortBy(_._1).map(t => math.sqrt(t._2.toDouble)).sum
+    val thr = totals.map { case (l, tot) =>
+      val b = math.floor(math.sqrt(tot.toDouble) / denom * budget).toLong
+      l -> (if (tot <= 0) 0L else if (b >= tot) Sampling.Mod
+            else b * Sampling.Mod / tot)
+    }
+    val want = rows.filter { case (id, l, _) =>
+      math.floorMod(id * 2654435761L, Sampling.Mod) < thr(l)
+    }.map(_._1).toSet
+    assert(got == want)
+    // α = 0.5 upweights the rare stratum: its keep RATE beats the big one
+    assert(thr("rare") > thr("big"),
+      s"expected low-resource upweighting, got $thr")
+    // determinism across invocations
+    val again = Sampling.byTemperature(docs, "lang", "doc_id", "n_tokens",
+        alpha = 0.5, totalBudget = budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   test("fuzzy decontaminate == per-band signature-collision spec; clean conserves") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
