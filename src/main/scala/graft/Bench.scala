@@ -61,11 +61,11 @@ object Bench {
     "q62_ann_refined" -> 4.0, "q63_top_ngrams" -> 2.5,
     "q64_adaptive_cutoff" -> 0.6, "q65_url_dedup" -> 0.8,
     "q66_incremental_lsh" -> 3.0, "q67_seq_packing" -> 0.8,
-    "q68_kmeans_clusters" -> 1.5, "q69_pretokenized" -> 1.2,
+    "q68_kmeans_clusters" -> 1.5, "q69_pretokenized" -> 0.7,
     "q70_semdedup" -> 2.0, "q71_bm25_search" -> 2.5,
-    "q72_fuzzy_decontam" -> 3.5, "q73_stream_lsh_dedup" -> 6.0,
-    "q74_time_travel" -> 4.0, "q75_ann_recall" -> 2.0,
-    "q76_temperature_mix" -> 0.8)
+    "q72_fuzzy_decontam" -> 0.6, "q73_stream_lsh_dedup" -> 5.5,
+    "q74_time_travel" -> 3.5, "q75_ann_recall" -> 1.2,
+    "q76_temperature_mix" -> 1.7)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
