@@ -1583,6 +1583,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("tok_sum"), sum("doc_id").as("id_sum"))
         .orderBy("lang")
+    }),
+
+    // Quality-aware dedup keeper: each planted 3-member near-dup cluster
+    // {d, d+100000, d+200000} (verbatim copies over synthetic
+    // disjoint-vocab content — the q72 discipline) keeps its
+    // HIGHEST-SCORE member, score = id % 7. The three scores are always
+    // distinct (100000 ≡ 5, 200000 ≡ 3 (mod 7), and {m, m+5, m+3} are
+    // pairwise different mod 7), so the argmax — and the whole output —
+    // is closed-form CASE arithmetic while the real LSH → CC → max_by
+    // path runs end-to-end.
+    "q77_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      def toWords(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String)].map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      val base = CodeFiles(s, dir).select(col("doc_id").as("id"),
+        expr("CASE WHEN doc_id % 10 = 3 THEN repeat('ev' || doc_id || 'tok ', 30) " +
+          "ELSE repeat('uw' || doc_id || 'x ', 30) END").as("content"))
+      val corpus = base
+        .unionAll(base.filter(col("id") % 10 === 3)
+          .select((col("id") + 100000L).as("id"), col("content")))
+        .unionAll(base.filter(col("id") % 10 === 3)
+          .select((col("id") + 200000L).as("id"), col("content")))
+      val comps = graft.dedupe.Lsh.clusters(toWords(corpus), hasher, 0.7)
+      val scores = corpus.select(col("id"),
+        (col("id") % 7).cast("double").as("score"))
+      graft.dedupe.Lsh.keepBest(comps, scores)
+        .select(col("cluster_id"), col("keep_id"),
+          col("keep_score").cast("long").as("keep_score"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -2936,7 +2968,24 @@ object SparkEntry {
         |FROM src s JOIN thr ON thr.lang = s.lang
         |WHERE (s.doc_id * 2654435761) % 10000 < thr.thr
         |GROUP BY s.lang
-        |ORDER BY s.lang""".stripMargin
+        |ORDER BY s.lang""".stripMargin,
+
+    // cluster_id = unsigned-min member = the original d; keeper = the
+    // member with max(id % 7) among {d, d+100000, d+200000} — always a
+    // unique argmax since {m, (m+5)%7, (m+3)%7} are pairwise distinct
+    "q77_keep_best" ->
+      s"""WITH $cte, b AS (
+         |  SELECT doc_id AS d, doc_id % 7 AS m FROM code_files
+         |  WHERE doc_id % 10 = 3
+         |)
+         |SELECT d AS cluster_id,
+         |       CASE WHEN m > (m+5) % 7 AND m > (m+3) % 7 THEN d
+         |            WHEN (m+5) % 7 > m AND (m+5) % 7 > (m+3) % 7
+         |              THEN d + 100000
+         |            ELSE d + 200000 END AS keep_id,
+         |       CAST(greatest(m, (m+5) % 7, (m+3) % 7) AS BIGINT)
+         |         AS keep_score
+         |FROM b ORDER BY cluster_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -216,6 +216,39 @@ object Lsh {
     * sign bit set for ~half of real rows, so the whole path runs in
     * unsigned order.
     */
+  /** Quality-aware keeper selection over a component table: production
+    * near-dup pipelines keep the BEST member of each duplicate cluster
+    * (highest quality score), not the smallest id — the min-id contract
+    * is the reference's tie-break, kept here as exactly that: ties on
+    * score fall back to the unsigned-min id, so with constant scores
+    * this degrades to the engine-wide contract.
+    *
+    * One broadcast-or-shuffled scalar join (id, cluster_id, score) + a
+    * map-side-combinable max_by per cluster — no window, no sort (the
+    * same skew discipline as [[edges]]: a hot cluster folds in partial
+    * aggregates instead of funneling into one reducer's sort).
+    *
+    * @param components (id, cluster_id) — [[connectedComponents]] /
+    *                   [[clusters]] output
+    * @param scores     (id, score) — any quality signal (higher = better)
+    * @return (cluster_id, keep_id, keep_score)
+    */
+  def keepBest(components: DataFrame, scores: DataFrame,
+               idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    val joined = components.join(
+      scores.select(col(idCol).as("id"), col(scoreCol).cast("double")
+        .as("__score")), Seq("id"))
+    // tie-break inside max_by's ordering struct: bitwise NOT of the
+    // unsigned-order id is strictly order-REVERSING with no overflow
+    // (unlike negation at Long.MinValue — reachable for sha1 id_ints),
+    // so max(struct) picks max score, then MIN unsigned id
+    joined.groupBy("cluster_id")
+      .agg(
+        max_by(col("id"), struct(col("__score"),
+          bitwise_not(toUnsignedOrder(col("id"))))).as("keep_id"),
+        max(col("__score")).as("keep_score"))
+  }
+
   def clustersFromTable(minhash: DataFrame, threshold: Double,
                         maxDriverEdges: Long = 2000000L): DataFrame = {
     val sigCol = f"signature_sim${threshold}%.1f".replace('.', '_')

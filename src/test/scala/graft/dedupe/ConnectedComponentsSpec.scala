@@ -92,4 +92,26 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(gotDist == got)
   }
+
+  test("keepBest: max score wins; ties fall back to the unsigned-min id") {
+    import spark.implicits._
+    // cluster A {1,2,3}: distinct scores → argmax (id 2). cluster B
+    // {10, -5}: a sign-bit id with TIED scores → unsigned order makes
+    // 10 the min (−5 is a huge uint64), so 10 keeps. cluster C {7}:
+    // singleton keeps itself.
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (-5L, 10L), (7L, 7L)).toDF("id", "cluster_id")
+    val scores = Seq(1L -> 0.2, 2L -> 0.9, 3L -> 0.5,
+      10L -> 0.4, -5L -> 0.4, 7L -> 0.1).toDF("id", "score")
+    val got = Lsh.keepBest(comps, scores).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(1L -> ((2L, 0.9)), 10L -> ((10L, 0.4)),
+      7L -> ((7L, 0.1))))
+    // constant scores degrade to the engine-wide unsigned-min contract
+    val flat = Seq(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 10L -> 1.0,
+      -5L -> 1.0, 7L -> 1.0).toDF("id", "score")
+    val gotFlat = Lsh.keepBest(comps, flat).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFlat == Map(1L -> 1L, 10L -> 10L, 7L -> 7L))
+  }
 }
