@@ -207,6 +207,34 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           s"rollback: cannot remove marker for ${s.key}")
     }
 
+  /** Offline maintenance: physically remove INVISIBLE data — part dirs
+    * without a commit marker (killed writers, [[rollbackTo]] leftovers)
+    * and stale staging dirs. Committed data is never touched, so every
+    * read path is unaffected; rolled-back partitions stop being
+    * re-commitable in place (their data is gone — exactly Iceberg's
+    * expire-snapshots + remove-orphan-files contract). Do NOT run
+    * concurrently with a writer: an in-flight uncommitted partition is
+    * indistinguishable from debris by design (visibility IS the marker).
+    * Returns the number of directories removed.
+    */
+  def vacuum(table: String): Int = {
+    val committed = committedPartitions(table)
+    val td = tableDir(table)
+    var removed = 0
+    listChildNames(td).foreach {
+      case name if name.startsWith("part=") &&
+          !committed.contains(name.stripPrefix("part=")) =>
+        deleteRecursively(new HPath(td, name)); removed += 1
+      case "_staging" =>
+        listChildNames(new HPath(td, "_staging")).foreach { child =>
+          deleteRecursively(new HPath(new HPath(td, "_staging"), child))
+          removed += 1
+        }
+      case _ => ()
+    }
+    removed
+  }
+
   /** Append lineage/metrics rows (files_in/files_out/drop-reason counts per
     * stage per partition — the north rule's metrics table).
     */

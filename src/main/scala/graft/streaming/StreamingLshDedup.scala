@@ -132,11 +132,14 @@ object StreamingLshDedup {
   def processBatch(batch: Dataset[(Long, Array[String])],
                    hasher: MinHasher, threshold: Double,
                    indexDir: String, sinkDir: String, batchId: Long,
-                   runNs: String = ""): Unit = {
+                   runNs: String = "",
+                   metricsDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    import spark.implicits._
     val key = if (runNs.isEmpty) batchId.toString else s"$runNs-$batchId"
     // idempotent replay: a fully-committed batch key is a finished batch
-    if (committed(spark, indexDir, key) && committed(spark, sinkDir, key))
+    if (committed(spark, indexDir, key) && committed(spark, sinkDir, key)
+        && metricsDir.forall(committed(spark, _, key)))
       return
     val banded = Lsh.bandedSignatures(batch, hasher, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -152,16 +155,37 @@ object StreamingLshDedup {
       try {
         val drops = Lsh.connectedComponents(Lsh.edges(fresh))
           .filter(col("id") =!= col("cluster_id")).select("id")
-        val survivorBands = fresh.join(drops, Seq("id"), "left_anti")
+        val survivors = fresh.join(drops, Seq("id"), "left_anti")
           .localCheckpoint()
         // index first, sink second: a crash in between replays the batch
         // (sink marker missing); the replay recomputes the identical
         // survivor set (same data, same excluded-self probe) and
         // commitBatch skips the already-committed index dir
-        commitBatch(survivorBands, indexDir, key)
-        commitBatch(survivorBands.select("id").distinct(), sinkDir, key)
+        commitBatch(survivors, indexDir, key)
+        commitBatch(survivors.select("id").distinct(), sinkDir, key)
+        // lineage: n_in = n_index_dups + n_internal_dups + n_admitted,
+        // conservation a monitor can assert per batch. Committed under
+        // the same marker discipline, so replays never double-count.
+        // (Counts come from the persisted/checkpointed slivers — cheap.)
+        metricsDir.foreach { md =>
+          val nIn = banded.select("id").distinct().count()
+          val nFresh = fresh.select("id").distinct().count()
+          val nAdmitted = survivors.select("id").distinct().count()
+          commitBatch(Seq((key, nIn, nIn - nFresh, nFresh - nAdmitted,
+            nAdmitted)).toDF("batch_key", "n_in", "n_index_dups",
+            "n_internal_dups", "n_admitted"), md, key)
+        }
       } finally fresh.unpersist(blocking = false)
     } finally banded.unpersist(blocking = false)
+  }
+
+  /** Committed per-batch lineage rows (see `metricsDir` on
+    * [[processBatch]]/[[start]]).
+    */
+  def readMetrics(spark: SparkSession, metricsDir: String): DataFrame = {
+    val committed = listCommitted(spark, metricsDir, None)
+    require(committed.nonEmpty, s"no committed metrics under $metricsDir")
+    spark.read.parquet(committed: _*)
   }
 
   /** Start the stream: `stream` is a streaming Dataset of (id, words).
@@ -171,14 +195,16 @@ object StreamingLshDedup {
   def start(stream: Dataset[(Long, Array[String])],
             hasher: MinHasher, threshold: Double,
             indexDir: String, sinkDir: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            metricsDir: Option[String] = None): StreamingQuery = {
     implicit val enc = stream.encoder
     val ns = runNamespace(checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[(Long, Array[String])], batchId: Long) =>
-        processBatch(batch, hasher, threshold, indexDir, sinkDir, batchId, ns)
+        processBatch(batch, hasher, threshold, indexDir, sinkDir, batchId,
+          ns, metricsDir)
       }
       .start()
   }

@@ -107,6 +107,21 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!cat.isCommitted("t", "c"))
       assert(cat.commitPartition("t", "c", df.filter(col("id") % 3 === 2)))
       assert(cat.readTable("t").count() == 100)
+      // vacuum: invisible data (rollback leftovers, killed-writer debris,
+      // stale staging) is physically removed; committed data untouched
+      cat.rollbackTo("t", 1L) // part=c AND the empty part=d become debris
+      Files.createDirectories(tmp.resolve("t/part=zz")) // killed writer
+      Files.write(tmp.resolve("t/part=zz/junk.parquet"), Array[Byte](1))
+      cat.newStagingDir("t") // stale staging
+      val removed = cat.vacuum("t")
+      assert(removed == 4, s"expected 4 dirs removed, got $removed")
+      assert(!Files.exists(tmp.resolve("t/part=c")))
+      assert(!Files.exists(tmp.resolve("t/part=zz")))
+      assert(cat.readTable("t").count() == 67) // committed a+b intact
+      assert(cat.vacuum("t") == 0) // idempotent
+      // a vacuumed rolled-back partition re-commits from scratch
+      assert(cat.commitPartition("t", "c", df.filter(col("id") % 3 === 2)))
+      assert(cat.readTable("t").count() == 100)
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(tmp)

@@ -121,6 +121,36 @@ class StreamingLshDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally sweep(tmp)
   }
 
+  test("lineage metrics conserve: n_in = index_dups + internal_dups + admitted") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_metrics")
+    try {
+      val (idxDir, sinkDir, mDir) = (tmp.resolve("idx").toString,
+        tmp.resolve("sink").toString, tmp.resolve("m").toString)
+      // batch 0: 2 classes + 1 internal dup
+      StreamingLshDedup.processBatch(
+        Seq(1L -> doc("a"), 2L -> doc("b"), 3L -> doc("a")).toDS(),
+        hasher, 0.7, idxDir, sinkDir, 0L, metricsDir = Some(mDir))
+      // batch 1: 1 index dup + 1 fresh
+      StreamingLshDedup.processBatch(
+        Seq(4L -> doc("a"), 5L -> doc("c")).toDS(),
+        hasher, 0.7, idxDir, sinkDir, 1L, metricsDir = Some(mDir))
+      val m = StreamingLshDedup.readMetrics(spark, mDir).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(m("0") == ((3L, 0L, 1L, 2L)))
+      assert(m("1") == ((2L, 1L, 0L, 1L)))
+      m.values.foreach { case (in, idx, internal, adm) =>
+        assert(in == idx + internal + adm, "lineage conservation")
+      }
+      // replay never double-counts (committed metrics key is a no-op)
+      StreamingLshDedup.processBatch(
+        Seq(9L -> doc("zzz")).toDS(),
+        hasher, 0.7, idxDir, sinkDir, 1L, metricsDir = Some(mDir))
+      assert(StreamingLshDedup.readMetrics(spark, mDir).count() == 2)
+    } finally sweep(tmp)
+  }
+
   test("replayed batch id is a no-op (exactly-once)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_slsh_replay")
