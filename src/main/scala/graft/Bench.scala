@@ -65,7 +65,8 @@ object Bench {
     "q70_semdedup" -> 2.0, "q71_bm25_search" -> 2.5,
     "q72_fuzzy_decontam" -> 0.6, "q73_stream_lsh_dedup" -> 5.5,
     "q74_time_travel" -> 3.5, "q75_ann_recall" -> 1.2,
-    "q76_temperature_mix" -> 1.7, "q77_keep_best" -> 2.5)
+    "q76_temperature_mix" -> 1.7, "q77_keep_best" -> 2.5,
+    "q78_simhash_hotbucket" -> 1.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -1615,6 +1615,30 @@ object SparkEntry {
         .select(col("cluster_id"), col("keep_id"),
           col("keep_score").cast("long").as("keep_score"))
         .orderBy("cluster_id")
+    }),
+
+    // SimHash hot-bucket construction oracle: a planted 600-member bucket
+    // (ids 0..599, identical content ⇒ identical fingerprints ⇒ one
+    // (band, key) bucket per band, df = 600 > hotBucketCap = 256) MUST
+    // take the min-node star path — exactly the 599 pairs (0, i, 0),
+    // never the C(600,2) = 179,700 all-pairs blowup — while a 3-member
+    // bucket (ids 1000-1002, disjoint vocab) stays on the exact
+    // all-pairs path (3 pairs). Ten disjoint-vocab singletons (2000-2009)
+    // pin that band-collision candidates are hamming-filtered, not
+    // emitted. All content is synthesized (the q72 discipline: corpus
+    // content has organic near-dups, constructions must not key on it),
+    // so the expected pair set is closed-form.
+    "q78_simhash_hotbucket" -> ((s, dir) => {
+      import s.implicits._
+      val hotWords = (0 until 40).map(j => s"hot$j").toArray
+      val coldWords = (0 until 40).map(j => s"cold$j").toArray
+      val hot = s.range(0L, 600L).map(id => (id.longValue, hotWords))
+      val small = s.range(1000L, 1003L).map(id => (id.longValue, coldWords))
+      val noise = s.range(2000L, 2010L).map(id =>
+        (id.longValue, (0 until 40).map(j => s"n${id}w$j").toArray))
+      graft.dedupe.SimHash
+        .nearDuplicates(hot.union(small).union(noise), 3, hotBucketCap = 256)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2985,7 +3009,19 @@ object SparkEntry {
          |            ELSE d + 200000 END AS keep_id,
          |       CAST(greatest(m, (m+5) % 7, (m+3) % 7) AS BIGINT)
          |         AS keep_score
-         |FROM b ORDER BY cluster_id""".stripMargin
+         |FROM b ORDER BY cluster_id""".stripMargin,
+
+    // closed-form from the construction: the hot bucket's star edges
+    // (0, 1..599) at hamming 0 plus the small bucket's 3 exact pairs;
+    // singleton noise contributes nothing (hamming-filtered)
+    "q78_simhash_hotbucket" ->
+      """SELECT CAST(0 AS BIGINT) AS id_a, CAST(i.range AS BIGINT) AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM range(1, 600) i
+        |UNION ALL
+        |SELECT CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(0 AS BIGINT)
+        |FROM (VALUES (1000, 1001), (1000, 1002), (1001, 1002)) t(a, b)
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

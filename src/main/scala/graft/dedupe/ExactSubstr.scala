@@ -128,39 +128,45 @@ object ExactSubstr {
   }
 
   /** Removes every duplicated span from every document. Output keeps the
-    * input columns with `textCol` rewritten, plus `n_spans` and
-    * `removed_chars` (codepoints). `removed_chars + codepoints(textCol)`
-    * equals the original codepoint length. The cut itself is row-local
-    * (one typed map after an id-keyed left join of the span arrays).
+    * input columns IN THEIR INPUT ORDER with `textCol` rewritten in
+    * place, plus `n_spans` and `removed_chars` (codepoints) appended.
+    * `removed_chars + codepoints(textCol)` equals the original codepoint
+    * length. The cut itself is row-local (one typed map after an
+    * id-keyed left join of the span arrays). Internal join columns use
+    * collision-proof `__es`-prefixed names, so an input that already has
+    * a `spans` column passes through untouched.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             minLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(!docs.columns.contains("n_spans") &&
+      !docs.columns.contains("removed_chars"),
+      "clean() appends n_spans/removed_chars; rename the input's columns")
     val withSpans = docs.join(
       mergedSpans(docs, idCol, textCol, minLen)
-        .withColumnRenamed("id", "__esid"),
+        .withColumnRenamed("id", "__esid")
+        .withColumnRenamed("spans", "__es_spans"),
       col(idCol).cast("long") === col("__esid"), "left")
-    val others = docs.columns.filter(c => c != textCol)
-    val reordered = withSpans.select(
-      (col(textCol).as("__t") +: col("spans").as("__spans") +:
-        others.map(col)): _*)
+    val textIdx = docs.columns.indexOf(textCol)
+    require(textIdx >= 0, s"no column $textCol in input")
+    // spans first, then every input column in caller order (types kept)
+    val packed = withSpans.select(
+      (col("__es_spans") +: docs.columns.map(c => col(s"`$c`"))): _*)
     val schema = org.apache.spark.sql.types.StructType(
-      reordered.schema.fields.drop(2) ++ Seq(
-        org.apache.spark.sql.types.StructField(textCol,
-          org.apache.spark.sql.types.StringType),
+      packed.schema.fields.drop(1) ++ Seq(
         org.apache.spark.sql.types.StructField("n_spans",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("removed_chars",
           org.apache.spark.sql.types.LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    reordered.map({ row =>
-      val text = row.getString(0)
-      val rest = Range(2, row.length).map(row.get)
-      if (row.isNullAt(1) || text == null)
-        org.apache.spark.sql.Row.fromSeq(rest ++ Seq(text, 0L, 0L))
+    packed.map({ row =>
+      val text = row.getString(1 + textIdx)
+      val orig = Range(1, row.length).map(row.get)
+      if (row.isNullAt(0) || text == null)
+        org.apache.spark.sql.Row.fromSeq(orig ++ Seq(0L, 0L))
       else {
-        val sp = row.getSeq[org.apache.spark.sql.Row](1)
+        val sp = row.getSeq[org.apache.spark.sql.Row](0)
         val cps = text.codePoints.toArray
         val sb = new java.lang.StringBuilder(cps.length)
         var cursor = 0
@@ -176,7 +182,7 @@ object ExactSubstr {
         var i = cursor
         while (i < cps.length) { sb.appendCodePoint(cps(i)); i += 1 }
         org.apache.spark.sql.Row.fromSeq(
-          rest ++ Seq(sb.toString, sp.length.toLong, removed))
+          orig.updated(textIdx, sb.toString) ++ Seq(sp.length.toLong, removed))
       }
     })(enc).toDF(schema.fieldNames: _*)
   }

@@ -343,9 +343,27 @@ object SimHash {
 
   /** Candidate pairs by 16-bit band collision, verified by hamming ≤ k.
     * Pure DataFrame after the fingerprint map: posexplode of 4 bands →
-    * self-join on (band, key) → bit_count(xor) filter.
+    * per-bucket candidates → bit_count(xor) filter.
+    *
+    * Scale shape (the hot-bucket discipline): a boilerplate-heavy corpus
+    * can put 10^5-10^6 near-identical docs behind ONE (band, key) — an
+    * unbounded within-bucket self-join is O(df²) there, 10^10+ candidate
+    * rows at 100× scale. So buckets are sized first (a map-side-combinable
+    * count per (band, key), the same partial-agg shape as [[Lsh.edges]]):
+    *   - df ≤ `hotBucketCap`: exact within-bucket all-pairs (the candidate
+    *     join is O(Σ min(df, cap)²), every term bounded);
+    *   - df > `hotBucketCap`: min-node star edges — each member pairs only
+    *     with the bucket's unsigned-min id, linear in df. Star edges
+    *     under-report transitive pairs INSIDE a hot bucket but preserve
+    *     connectivity for downstream clustering (connected components over
+    *     the verified pairs reach the same members), and a hamming ball
+    *     that wide is precisely where pair enumeration stops being a
+    *     meaningful output. Nothing is dropped silently — hot buckets keep
+    *     emitting (capped, not skipped), unlike a WinnowPairs-style maxDf
+    *     cut.
     */
-  def nearDuplicates(docs: Dataset[(Long, Array[String])], maxHamming: Int): DataFrame = {
+  def nearDuplicates(docs: Dataset[(Long, Array[String])], maxHamming: Int,
+                     hotBucketCap: Int = 256): DataFrame = {
     import docs.sparkSession.implicits._
     // spread before the per-row fingerprint map: a small scan arrives in
     // 1-2 partitions and would run the 64-bit vote loop 2-wide (the same
@@ -358,10 +376,40 @@ object SimHash {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
-    val a = banded.toDF("id_a", "fp_a", "band", "key")
-    val b = banded.toDF("id_b", "fp_b", "band", "key")
-    a.join(b, Seq("band", "key"))
+    // bucket sizes + unsigned-min member, partial-aggregated (one row per
+    // (band, key) per input partition crosses the shuffle — no hot-bucket
+    // sort task); groups of 1 can't pair, drop them before the join back
+    val groups = banded
+      .groupBy("band", "key")
+      .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
+        .as("min_node"), count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val withDf = banded.join(groups, Seq("band", "key"))
+    // exact all-pairs inside bounded buckets
+    val small = withDf.filter(col("df") <= hotBucketCap)
+    val a = small.select(col("band"), col("key"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = small.select(col("band"), col("key"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    val smallPairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("fp_a"), col("id_b"), col("fp_b"))
+    // hot buckets: one star edge per member to the bucket min — O(df),
+    // never O(df²); the min side's fingerprint comes from one extra
+    // equi-join against the (id, fp) table
+    val starPairs = withDf
+      .filter(col("df") > hotBucketCap && col("id") =!= col("min_node"))
+      .select(col("id").as("m_id"), col("fp").as("m_fp"), col("min_node"))
+      .join(fps.select(col("id").as("min_node"), col("fp").as("min_fp")),
+        Seq("min_node"))
+      .select(
+        least(col("m_id"), col("min_node")).as("id_a"),
+        when(col("m_id") < col("min_node"), col("m_fp"))
+          .otherwise(col("min_fp")).as("fp_a"),
+        greatest(col("m_id"), col("min_node")).as("id_b"),
+        when(col("m_id") < col("min_node"), col("min_fp"))
+          .otherwise(col("m_fp")).as("fp_b"))
+    smallPairs.unionAll(starPairs)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       // filter BEFORE distinct: hamming is per-row and cheap; distinct is a

@@ -105,15 +105,27 @@ object Sampling {
     val thresholds = df.groupBy(strata)
       .agg(sum(col(tokens)).as("__total"))
       .withColumn("__budget", budgetCol)
-      .withColumn("__thr",
-        when(col("__total") <= 0, lit(0L))
-          .when(col("__budget") >= col("__total"), lit(Mod))
-          .otherwise(expr(s"(__budget * ${Mod}L) div __total")))
+      .withColumn("__thr", thrExpr)
       .select(col(strata), col("__thr"))
     df.join(broadcast(thresholds), Seq(strata))
       .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** `__thr = (__budget * Mod) div __total`, bounded above by Mod. The
+    * multiply runs in DECIMAL(38,0): a Long budget above ~9.2e14 tokens
+    * (Long.MaxValue / Mod — real at 10^12-file scale) would overflow a
+    * bigint multiply to a NEGATIVE threshold and silently drop the whole
+    * stratum; decimal keeps it exact at any Long budget, and the quotient
+    * (< Mod, since budget < total here) casts back to bigint losslessly.
+    * Integer-exact, so every existing DuckDB oracle value is unchanged.
+    */
+  private def thrExpr: Column =
+    when(col("__total") <= 0, lit(0L))
+      .when(col("__budget") >= col("__total"), lit(Mod))
+      .otherwise(
+        expr(s"CAST(CAST(__budget AS DECIMAL(38,0)) * ${Mod}L div __total" +
+          " AS BIGINT)"))
 
   /** Temperature (α) mixture sampling — the XLM-R / mT5 rebalancing rule:
     * stratum i's share of the token budget is nᵢ^α / Σ nⱼ^α, so α = 1
@@ -157,10 +169,7 @@ object Sampling {
           / lit(denom))
       .withColumn("__budget", floor(col("__share") * lit(totalBudget.toDouble))
         .cast("long"))
-      .withColumn("__thr",
-        when(col("__total") <= 0, lit(0L))
-          .when(col("__budget") >= col("__total"), lit(Mod))
-          .otherwise(expr(s"(__budget * ${Mod}L) div __total")))
+      .withColumn("__thr", thrExpr)
       .select(col(strata), col("__thr"))
     df.join(broadcast(thresholds), Seq(strata))
       .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))

@@ -44,11 +44,22 @@ object Thresholds {
     * quantile element itself survives). The threshold table is tiny —
     * one row per group — and crosses as a broadcast; the corpus side
     * does not shuffle.
+    *
+    * NULL group keys are a group like any other: `groupBy` already
+    * aggregates them into their own threshold row, and the join back is
+    * null-safe (`<=>`, still a broadcast-hashable key), so NULL-group
+    * rows are filtered by their own quantile — not silently dropped by a
+    * non-null-safe equi-join.
     */
   def keepAbove(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                 p: Double, accuracy: Int = 1000000): DataFrame = {
-    val thr = perGroupQuantile(df, groupCols, scoreCol, p, accuracy)
-    df.join(broadcast(thr), groupCols)
+    val thr = groupCols.foldLeft(
+      perGroupQuantile(df, groupCols, scoreCol, p, accuracy)) {
+      (t, c) => t.withColumnRenamed(c, s"__thr_$c")
+    }
+    val cond = groupCols.map(c => col(c) <=> col(s"__thr_$c")).reduce(_ && _)
+    df.join(broadcast(thr), cond)
       .filter(col(scoreCol) >= col("threshold"))
+      .drop(groupCols.map(c => s"__thr_$c"): _*)
   }
 }

@@ -154,6 +154,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.exists(d)) return Seq.empty
     val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"committed_at_ms":(\d+),"seq_nanos":(\d+)\}""").r
+    // pre-round-4 marker shape: a single committed_at_nanos (JVM-monotonic
+    // clock). A catalog written by the old build must keep its snapshot
+    // log readable — synthesize ms = nanos/1e6 and reuse nanos as the
+    // tie-break seq. Legacy markers order correctly among themselves;
+    // against NEW wall-clock markers the synthesized ms is from a
+    // different clock, so a mixed log's relative order across the format
+    // boundary is only deterministic, not chronological (one-time
+    // migration caveat — re-committing any legacy partition upgrades it).
+    val LegacyR = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
+      """"committed_at_nanos":(\d+)\}""").r
     fs.listStatus(d).iterator
       .filter(_.getPath.getName.endsWith(".json"))
       .map { st =>
@@ -166,6 +176,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         body match {
           case R(key, rows, ms, nanos) =>
             (key, rows.toLong, ms.toLong, nanos.toLong)
+          case LegacyR(key, rows, nanos) =>
+            (key, rows.toLong, nanos.toLong / 1000000L, nanos.toLong)
           case _ => throw new java.io.IOException(
             s"unparseable commit marker ${st.getPath}: $body")
         }

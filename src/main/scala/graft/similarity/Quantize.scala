@@ -97,8 +97,11 @@ object Quantize {
       .withColumn("crank", row_number().over(wCoarse))
       .filter(col("crank") <= coarseK)
       .select("query_id", "vec_id")
-    val dot: (Column, Column) => Column = (x, y) =>
-      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, u) => acc + u)
+    // native codegen'd expression — same left-to-right double summation as
+    // the former aggregate(zip_with(...)) interpreted fold (bit-identical;
+    // VectorExprsSpec pins the parity), but inside whole-stage codegen
+    val dot: (Column, Column) => Column =
+      graft.functions.VectorExprs.dot_product
     val wExact = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     survivors

@@ -118,10 +118,32 @@ object StreamingLshDedup {
     * idempotent, while a NEW checkpoint over the same durable index/sink
     * (whose batch ids restart at 0 carrying fresh data) gets its own
     * namespace instead of silently colliding into old commits.
+    *
+    * The path is FS-qualified before hashing: restarting the same
+    * checkpoint under a different spelling (trailing slash, relative vs
+    * absolute, scheme-qualified) must land in the SAME namespace —
+    * otherwise a crash-replayed batch stops excluding its own previously
+    * committed bands, every doc self-hits, and the replay commits an
+    * empty sink (the exact loss the excludeKey guard prevents).
+    * Migration note: a checkpoint created by a pre-qualification build
+    * whose spelling was not already in qualified form re-namespaces once
+    * on upgrade; the only exposure is the single in-flight batch a
+    * restart replays, which re-commits under the new namespace
+    * (duplicate rows for that batch — fail-safe) rather than vanishing.
     */
-  def runNamespace(checkpointDir: String): String = {
+  def runNamespace(spark: SparkSession, checkpointDir: String): String = {
+    val p = new HPath(checkpointDir)
+    // makeQualified pins scheme/authority + absolutizes; URI.normalize
+    // collapses the ./.. segments Hadoop's Path keeps; authority is
+    // rebuilt explicitly because a user-supplied "file:/x" carries a NULL
+    // authority while the qualified form of "/x" carries an EMPTY one —
+    // same location, different toString
+    val u = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.normalize()
+    val qualified =
+      s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
     val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 
@@ -198,7 +220,7 @@ object StreamingLshDedup {
             trigger: Trigger = Trigger.AvailableNow(),
             metricsDir: Option[String] = None): StreamingQuery = {
     implicit val enc = stream.encoder
-    val ns = runNamespace(checkpointDir)
+    val ns = runNamespace(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -123,6 +123,31 @@ class ExactSubstrSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clean preserves caller column order; a 'spans' input column passes through") {
+    // internal names are __es-prefixed, so an input that already carries
+    // `spans` must not hit an ambiguous-reference AnalysisException; and
+    // the output keeps the input columns in their input order (textCol
+    // rewritten in place), with n_spans/removed_chars appended
+    import org.apache.spark.sql.functions._
+    val shared = "0123456789" * 6
+    val docs = docsDf(Seq(1L -> s"alpha bravo $shared charlie",
+        2L -> s"delta $shared echo"))
+      .withColumn("spans", array(lit("user-data")))
+      .select(col("spans"), col("content"), col("id")) // text NOT last
+    val out = ExactSubstr.clean(docs, "id", "content", 15)
+    assert(out.columns.toSeq ==
+      Seq("spans", "content", "id", "n_spans", "removed_chars"),
+      s"column order not preserved: ${out.columns.toSeq}")
+    val rows = out.collect()
+    assert(rows.forall(_.getSeq[String](0) == Seq("user-data")),
+      "caller's spans column was clobbered")
+    assert(rows.forall(_.getLong(3) == 1L), "span removal lost in reorder")
+    // appended names must not silently shadow caller columns
+    intercept[IllegalArgumentException] {
+      ExactSubstr.clean(docs.withColumn("n_spans", lit(0)), "id", "content", 15)
+    }
+  }
+
   test("offsets are codepoint-based: astral plane text") {
     // 𝔘 is U+1D518 (two UTF-16 code units, one codepoint)
     val shared = "𝔘nicode-astral-shared-block"

@@ -258,6 +258,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lower.subsetOf(got) && lower.size < got.size)
   }
 
+  test("token budgets near Long.MaxValue do not overflow the threshold") {
+    // thr = budget*Mod runs in DECIMAL(38,0): a bigint multiply would wrap
+    // negative above ~9.2e14 tokens and silently drop the whole stratum
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, "en", Long.MaxValue / 200))
+      .toDF("doc_id", "lang", "n_tokens")
+    // budget = half the stratum total (not >= total, so the division
+    // branch — the overflowing one — is the path taken)
+    val budget = (Long.MaxValue / 200) * 50
+    val got = Sampling.byTokenBudget(docs, "lang", "doc_id", "n_tokens",
+        Map("en" -> budget)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = (0 until 100).filter(i =>
+      (i.toLong * 2654435761L) % Sampling.Mod < Sampling.Mod / 2)
+      .map(_.toLong).toSet
+    assert(got == want, "huge-budget stratum was dropped or mis-thresholded")
+  }
+
   test("epoch upsampling emits exact per-row copy counts with epoch tags") {
     import spark.implicits._
     val docs = (0 until 1200).map(i =>

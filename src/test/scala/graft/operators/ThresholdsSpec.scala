@@ -62,6 +62,23 @@ class ThresholdsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept("th") == ((8L, 2.5)))   // 10 - 3 + 1
   }
 
+  test("NULL group keys form their own group — filtered, not dropped") {
+    // a NULL group must be quantile-filtered like any other group (the
+    // join back is null-safe); before the fix those rows vanished
+    import spark.implicits._
+    val rows = scores("en", 100).map { case (g, s) => (g: String, s) } ++
+      scores("xx", 10).map { case (_, s) => (null: String, s) }
+    val d = spark.sparkContext.parallelize(rows, 4).toDF("g", "s")
+    val kept = Thresholds.keepAbove(d, Seq("g"), "s", 0.3)
+    assert(kept.columns.toSeq == Seq("g", "s", "threshold"))
+    val byG = kept.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("s").as("lo")).collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(byG(Some("en")) == ((71L, 29.5)))
+    assert(byG(None) == ((8L, 2.5)), "NULL group lost its rows")
+  }
+
   test("the threshold table crosses as a broadcast — no corpus shuffle for the filter") {
     val plan = Thresholds.keepAbove(df(scores("en", 100)), Seq("g"), "s", 0.5)
       .queryExecution.executedPlan.toString

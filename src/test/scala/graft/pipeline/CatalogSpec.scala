@@ -131,6 +131,49 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("legacy committed_at_nanos markers stay readable (no format brick)") {
+    // a catalog written by the pre-round-4 build (single
+    // committed_at_nanos field) must keep snapshots()/readTableAsOf()/
+    // rollbackTo() working: ms is synthesized as nanos/1e6, nanos is the
+    // tie-break seq, and re-committing upgrades the marker in place
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft_cat_legacy")
+    try {
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      val df = (0L until 30L).toDF("id")
+      cat.commitPartition("t", "a", df.filter(col("id") % 2 === 0))
+      cat.commitPartition("t", "b", df.filter(col("id") % 2 === 1))
+      // rewrite partition a's marker into the legacy shape, dated BEFORE b
+      val marker = tmp.resolve("t/_commits/a.json")
+      val rows = 15L
+      // rewriting behind Hadoop's back: drop the stale .crc sidecar too
+      def rewrite(body: String): Unit = {
+        Files.deleteIfExists(tmp.resolve("t/_commits/.a.json.crc"))
+        Files.write(marker, body.getBytes("UTF-8"))
+      }
+      rewrite(s"""{"partition":"a","rows":$rows,"committed_at_nanos":1000000}""")
+      val snaps = cat.snapshots("t")
+      assert(snaps.map(s => (s.id, s.key)) == Seq((0L, "a"), (1L, "b")),
+        s"legacy marker broke the snapshot log: $snaps")
+      assert(snaps.head.rows == rows && snaps.head.committedAtMs == 1L)
+      assert(cat.readTableAsOf("t", 0L).count() == 15)
+      cat.rollbackTo("t", 0L)
+      assert(cat.snapshots("t").map(_.key) == Seq("a"))
+      assert(cat.readTable("t").count() == 15)
+      // a truly unparseable marker still fails loudly, not silently
+      rewrite("{\"garbage\":true}")
+      intercept[java.io.IOException] { cat.snapshots("t") }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("checkpointed run scans the corpus ONCE — no per-partition rescans") {
     // the round-1 implementation filtered + re-ran the decide pipeline per
     // key: ~P full scans and 2× compute per partition. Guard: total records

@@ -135,6 +135,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggs >= 2, s"no partial aggregation on (band, sig):\n$p")
   }
 
+  test("SimHash hot buckets take star edges — no unbounded per-bucket self-join") {
+    // a boilerplate mega-bucket (identical fingerprints) above hotBucketCap
+    // must emit ONE star edge per member to the bucket min — linear, never
+    // the C(df,2) all-pairs blowup (the round-4 scale-killer)
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma")
+    val hot = spark.range(0L, 30L).map(id => (id.longValue, words))
+    val got = graft.dedupe.SimHash
+      .nearDuplicates(hot, 3, hotBucketCap = 10)
+      .collect()
+    assert(got.length == 29, s"expected 29 star pairs, got ${got.length}")
+    assert(got.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L),
+      "star pairs must anchor at the bucket min with hamming 0")
+    // at/below the cap the exact all-pairs path still runs: C(5,2) = 10
+    val small = spark.range(0L, 5L).map(id => (id.longValue, words))
+    assert(graft.dedupe.SimHash
+      .nearDuplicates(small, 3, hotBucketCap = 10).count() == 10)
+    // plan: bucket sizing is a map-side-combinable partial aggregate
+    // feeding equi-joins — no window sort of a hot bucket, no cross join
+    val p = plan(graft.dedupe.SimHash.nearDuplicates(hot, 3, hotBucketCap = 10))
+    assert(!p.contains("Window"), s"SimHash regressed to a bucket window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"SimHash candidates lost their equi-join keys:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2, s"no partial aggregation sizing the buckets:\n$p")
+  }
+
   test("banded near-dup candidates come from an equi-join, not a cross join") {
     for (q <- Seq("q32_embed_neardup_lsh", "q42_winnow_dup_check",
       "q46_winnow_pairs")) {

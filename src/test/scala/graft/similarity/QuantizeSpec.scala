@@ -136,6 +136,21 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact rescore runs the native dot_product, not the interpreted fold") {
+    // the last aggregate(zip_with(...)) call site (round-4 VERDICT nit):
+    // the refine stage must score with the codegen'd DotProduct expression
+    // — bit-identical summation (VectorExprsSpec pins the parity), so the
+    // brute-force equality test above is unchanged — with no interpreted
+    // higher-order functions left in the plan
+    val p = Quantize.topKRefined(df(sample), "id", "vec",
+        df(sample).filter(col("id") < 3), "id", "vec",
+        k = 5, coarseK = 10, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dot_product"), s"native DotProduct missing:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      s"interpreted fold survives in the refine stage:\n$p")
+  }
+
   test("coarse stage shuffles/broadcasts carry int8 codes, never doubles") {
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.types.{ArrayType, DoubleType}

@@ -42,6 +42,20 @@ class StreamingLshDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingLshDedup.readAdmitted(spark, sinkDir)
       .collect().map(_.getLong(0)).toSet
 
+  test("runNamespace is spelling-invariant (qualified path, not the string)") {
+    // a restart that spells the same checkpoint differently (trailing
+    // slash, relative, scheme-qualified) MUST land in the same commit-key
+    // namespace — otherwise a crash-replayed batch stops excluding its own
+    // committed bands, self-hits on every doc, and commits an empty sink
+    val base = StreamingLshDedup.runNamespace(spark, "/tmp/graft_ns_ckpt")
+    for (alias <- Seq("/tmp/graft_ns_ckpt/", "file:/tmp/graft_ns_ckpt",
+      "/tmp/./graft_ns_ckpt", "/tmp/graft_ns_ckpt//"))
+      assert(StreamingLshDedup.runNamespace(spark, alias) == base,
+        s"spelling '$alias' changed the namespace")
+    assert(StreamingLshDedup.runNamespace(spark, "/tmp/graft_ns_other")
+      != base, "distinct checkpoints must not share a namespace")
+  }
+
   test("first batch wins across micro-batches; in-batch unsigned-min") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
