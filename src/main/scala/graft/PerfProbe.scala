@@ -59,6 +59,48 @@ object PerfProbe {
         Bench.flagshipOnce(spark, sfDir, replicas, models)._1
       }
     }
+
+    // 10×-input linearity stress for the two operators with the largest
+    // per-row fan-out (VERDICT r4 #8): each runs at k and 10k replicas —
+    // a linear operator holds its rows/s within storm noise; a
+    // superlinear one collapses at the 10× level. Replicated docs get
+    // DISTINCT ids but IDENTICAL content, the worst case for both
+    // (every gram duplicated everywhere; every doc near-dups everything).
+    if (sys.env.contains("SPARK_GRAFT_PROBE_SUBSTR")) {
+      val base = sys.env("SPARK_GRAFT_PROBE_SUBSTR").toInt
+      def corpus(k: Int) = CodeFiles(spark, sfDir)
+        .crossJoin(broadcast(spark.range(k).toDF("rep")))
+        .select((col("doc_id") + col("rep") * 1000000L).as("id"),
+          col("content"))
+      for (k <- Seq(base, base * 10)) {
+        time(s"exact-substr x$k") {
+          graft.dedupe.ExactSubstr.clean(corpus(k), "id", "content", 40)
+            .count()
+        }
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STREAMLSH")) {
+      val base = sys.env("SPARK_GRAFT_PROBE_STREAMLSH").toInt
+      val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
+      def words(k: Int) = CodeFiles(spark, sfDir)
+        .crossJoin(broadcast(spark.range(k).toDF("rep")))
+        .select((col("doc_id") + col("rep") * 1000000L).as("id"),
+          col("content"))
+        .as[(Long, String)]
+        .map { case (id, c) =>
+          (id, graft.text.PyCompat.split(graft.text.Normalizer.normalize(c)))
+        }
+      val perRep = CodeFiles(spark, sfDir).count()
+      for (k <- Seq(base, base * 10)) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_probe_slsh_$k").toString
+        time(s"stream-lsh batch x$k") {
+          graft.streaming.StreamingLshDedup.processBatch(
+            words(k), hasher, 0.7, s"$root/index", s"$root/sink", 0L)
+          k * perRep
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -7,15 +7,137 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode / feature-extract / frame-sample run
   * as batched functions inside mapPartitions (the JVM analogue of
   * `mapInPandas` — same batch shape: iterator of row batches in, iterator
-  * out). The actual codec is STUBBED with a deterministic fake (no
-  * image/audio libraries ship in this sandbox); everything Spark-side —
-  * schema, partitioning, batch shape, null handling — is real and tested.
+  * out).
+  *
+  * What is REAL here: container-header parsing (PNG IHDR / JPEG SOF0-2 /
+  * WAV fmt — pure byte-offset reads, no codec library), schema,
+  * partitioning, batch shape, null handling. What stays a deterministic
+  * STUB (no image/audio codecs ship in this sandbox, honestly marked):
+  * pixel/sample DECODING (`fakeDecodeFeatures` — a byte histogram standing
+  * in for an embedding extractor) and video frame sampling
+  * (`fakeFrameCount` — block counting standing in for an MP4 demuxer).
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-                                 n_frames: Long, features: Array[Float])
+                                 n_frames: Long, width: Option[Int],
+                                 height: Option[Int], sample_rate: Option[Int],
+                                 channels: Option[Int], features: Array[Float])
+
+  /** Container dims parsed straight off the header bytes: (width, height)
+    * for PNG/JPEG, (sample_rate, channels) for WAV; all-None for unknown,
+    * truncated, or headerless payloads. Format detection by magic bytes,
+    * never by the `kind` tag — a mislabeled payload parses as what it IS.
+    */
+  final case class Dims(width: Option[Int], height: Option[Int],
+                        sampleRate: Option[Int], channels: Option[Int])
+  val NoDims: Dims = Dims(None, None, None, None)
+
+  def parseDims(p: Array[Byte]): Dims = {
+    @inline def u8(i: Int): Int = p(i) & 0xFF
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(from: Int, until: Int): String =
+      new String(p, from, until - from, java.nio.charset.StandardCharsets.US_ASCII)
+
+    if (p.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+      u8(3) == 'G' && u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A &&
+      u8(7) == 0x0A && ascii(12, 16) == "IHDR") {
+      // PNG: 8-byte signature, first chunk must be IHDR; width/height are
+      // the first two big-endian u32 of its data (offsets 16/20)
+      Dims(Some(be32(16)), Some(be32(20)), None, None)
+    } else if (p.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk marker segments from SOI until a start-of-frame
+      // (SOF0 baseline / SOF1 extended / SOF2 progressive); height at
+      // payload offset 1 (be16), width at 3. Standalone markers
+      // (RSTn/EOI/TEM) carry no length field.
+      var i = 2
+      var out = NoDims
+      var done = false
+      while (!done && i + 3 < p.length) {
+        if (u8(i) != 0xFF) done = true // not a marker: corrupt/truncated
+        else {
+          val m = u8(i + 1)
+          if (m == 0xFF) i += 1 // fill byte
+          else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) i += 2
+          else {
+            val len = be16(i + 2)
+            if ((m == 0xC0 || m == 0xC1 || m == 0xC2) && i + 8 < p.length) {
+              out = Dims(Some(be16(i + 7)), Some(be16(i + 5)), None, None)
+              done = true
+            } else if (len < 2) done = true // malformed length
+            else i += 2 + len
+          }
+        }
+      }
+      out
+    } else if (p.length >= 12 && ascii(0, 4) == "RIFF" &&
+      ascii(8, 12) == "WAVE") {
+      // WAV: RIFF chunk scan for "fmt " (chunks are (id, le32 size, data),
+      // word-aligned); channels at data offset 2 (le16), sample rate at 4
+      // (le32). The canonical 44-byte header parses on the first hop.
+      var i = 12
+      var out = NoDims
+      var done = false
+      while (!done && i + 8 <= p.length) {
+        val id = ascii(i, i + 4)
+        val sz = le32(i + 4)
+        if (sz < 0 || sz > p.length) done = true // size claim beyond the
+        // payload: corrupt (also keeps `i` from wrapping Int on the hop)
+        else if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+          out = Dims(None, None, Some(le32(i + 12)), Some(le16(i + 10)))
+          done = true
+        } else i += 8 + sz + (sz & 1)
+      }
+      out
+    } else NoDims
+  }
+
+  /** Minimal valid-enough PNG header: signature + IHDR chunk (bit depth 8,
+    * truecolor, zero CRC — CRCs are not validated by offset readers).
+    * 33 bytes, a constant the q19 oracle relies on.
+    */
+  def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0) // CRC (unchecked)
+    b.array()
+  }
+
+  /** Minimal JPEG: SOI + one SOF0 segment (precision 8, 3 components).
+    * 21 bytes, a constant the q19 oracle relies on.
+    */
+  def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(21)
+    b.put(0xFF.toByte).put(0xD8.toByte) // SOI
+    b.put(0xFF.toByte).put(0xC0.toByte).putShort(17) // SOF0, len
+    b.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    for (c <- 1 to 3)
+      b.put(c.toByte).put(0x11.toByte).put(if (c == 1) 0.toByte else 1.toByte)
+    b.array()
+  }
+
+  /** Canonical 44-byte PCM WAV header (16-bit samples), body length wired
+    * into the RIFF/data sizes.
+    */
+  def wavHeader(sampleRate: Int, channels: Int, bodyLen: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + bodyLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+    b.putShort(16)
+    b.put("data".getBytes).putInt(bodyLen)
+    b.array()
+  }
 
   /** ===== STUBBED DECODER =====
     * Stands in for an image/audio decode. Deterministic: a 16-bin byte
@@ -44,28 +166,47 @@ object Multimodal {
     if (payload.isEmpty) 0L else (payload.length / 16 + stride - 1) / stride
 
   /** Synthesize a deterministic media table from the documents corpus:
-    * payload = utf-8 bytes of the text (an opaque blob as far as the
-    * pipeline is concerned), kind cycling over image/audio/video.
+    * kind cycles image/audio/video; image rows carry a REAL PNG or JPEG
+    * header (alternating, dims derived from media_id), audio rows a REAL
+    * 44-byte WAV header, video rows a bare blob (headerless — the parser
+    * must yield nulls); the body is the doc text's utf-8 bytes either way
+    * (an opaque blob as far as the pipeline is concerned).
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val body = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 =>
+            val hdr = if (id % 2 == 0)
+              pngHeader(100 + (id % 900).toInt, 50 + (id % 500).toInt)
+            else jpegHeader(100 + (id % 900).toInt, 50 + (id % 500).toInt)
+            MediaRow(id, "image", hdr ++ body)
+          case 1 =>
+            val hdr = wavHeader(8000 + (id % 8).toInt * 4000,
+              1 + (id % 2).toInt, body.length)
+            MediaRow(id, "audio", hdr ++ body)
+          case _ => MediaRow(id, "video", body)
+        }
+      }.toDF()
   }
 
   /** The extract job: batched per-partition decode with executor-side
     * reusable state (the model/codec handle a real decoder would hold).
+    * Header dims are parsed for real; features/frames are the stubs.
     */
   def extract(media: DataFrame, frameStride: Int = 4): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { batch =>
       // executor-side "codec" init would happen here, once per partition
       batch.map { m =>
+        val d = parseDims(m.payload)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
           fakeFrameCount(m.payload, frameStride),
+          d.width, d.height, d.sampleRate, d.channels,
           fakeDecodeFeatures(m.payload))
       }
     }.toDF()

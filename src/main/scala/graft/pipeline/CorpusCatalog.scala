@@ -21,16 +21,34 @@ import org.apache.spark.sql.functions._
   * data, so a killed job never exposes partial partitions.
   *
   * Layout under `root/<table>/`:
-  *   part=<key>/...parquet      per-partition data (written via temp dir +
-  *                              rename)
-  *   _commits/<key>.json        commit marker (files, rows, wall time)
-  *   _metrics/...parquet        lineage/metrics rows (appended per commit)
+  *   part=<key>@<nonce>/...parquet  per-commit data dir — WRITE-ONCE and
+  *                                  never contended (Iceberg's immutable
+  *                                  data-file discipline); the marker, not
+  *                                  the dir name, decides visibility
+  *   _commits/<key>.json            commit marker (rows, the data dir it
+  *                                  points at, wall time)
+  *   _metrics/...parquet            lineage/metrics rows (appended per
+  *                                  commit)
   *
   * Resume = skip partitions that already have a commit marker — the
   * reference's SUCCESS/FAIL ledger (worker.py:119-126, 375-394) made
   * table-native. Each partition commit writes its marker last (temp file +
   * rename), so a killed job re-processes only uncommitted partitions and
   * the output is idempotent.
+  *
+  * Concurrency (the Iceberg optimistic-commit shape, adapted to a plain
+  * FS): every commit attempt writes a UNIQUE data dir, so concurrent
+  * writers never touch each other's bytes; the marker is the single
+  * contention point. Distinct keys commit fully independently. Two
+  * simultaneous committers of the SAME key resolve to exactly one
+  * complete visible version — a later attempt that finds the marker
+  * already present aborts (returns false) and removes its own orphan; if
+  * the underlying FS lets a marker rename replace an existing marker, the
+  * last marker wins and the earlier version's dir becomes an orphan.
+  * Either way readers only ever see a marker pointing at a complete,
+  * immutable dir. Orphans are reclaimed by [[vacuum]], whose
+  * `olderThanMs` grace window (Iceberg's remove-orphan-files retention)
+  * keeps a LIVE writer's in-flight dirs safe from a racing vacuum.
   */
 final class CorpusCatalog(val root: String, spark: SparkSession) {
 
@@ -56,18 +74,28 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   def isCommitted(table: String, key: String): Boolean =
     fs.exists(markerFile(table, key))
 
-  /** Write one partition's rows and commit atomically. No-op if already
-    * committed (resume semantics).
+  /** The unique per-attempt data dir name the marker will reference.
+    * `@` is outside the key charset (so names parse back unambiguously)
+    * and is path-safe on posix/HDFS/object stores.
+    */
+  private def newDataDirName(key: String): String =
+    s"part=$key@${System.nanoTime()}"
+
+  /** Write one partition's rows and commit atomically. No-op (false) if
+    * already committed — resume semantics — or if a concurrent committer
+    * wins the marker race (this attempt's data dir is removed, nothing
+    * half-visible remains).
     */
   def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
     validateKey(key) // before any data write — no weird-named debris dirs
     if (isCommitted(table, key)) return false
-    val partPath = new HPath(tableDir(table), s"part=$key")
+    val dirName = newDataDirName(key)
+    val partPath = new HPath(tableDir(table), dirName)
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
     // row count from the written footers — the input plan runs ONCE
     val rows = df.sparkSession.read.parquet(partPath.toString).count()
-    writeMarker(table, key, rows)
-    true
+    if (tryWriteMarker(table, key, rows, dirName)) true
+    else { fs.delete(partPath, true); false } // lost the same-key race
   }
 
   /** A fresh staging directory for a single-job partitioned write; staged
@@ -81,17 +109,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   }
 
   /** Promote one staged partition dir (written by `partitionBy(pkey)`) to
-    * its committed location: directory rename (atomic on file/HDFS), then
-    * the marker. Leftovers of a crashed earlier run at the target are
-    * replaced — they were never visible (no marker).
+    * its committed location: directory rename (atomic on file/HDFS) into a
+    * UNIQUE per-attempt dir, then the marker. The target is never
+    * contended — a concurrent committer of the same key renames into its
+    * own dir and the marker race decides, exactly like [[commitPartition]].
     */
   def commitStaged(table: String, key: String, stagedDir: HPath,
                    rows: Long): Boolean = {
     validateKey(key)
     if (isCommitted(table, key)) return false
-    val target = new HPath(tableDir(table), s"part=$key")
-    if (fs.exists(target)) // uncommitted debris from a killed run
-      fs.delete(target, true)
+    val dirName = newDataDirName(key)
+    val target = new HPath(tableDir(table), dirName)
     // Hadoop rename REPORTS failure (false) instead of throwing like
     // NIO's ATOMIC_MOVE did — swallowing it would write a marker over a
     // missing data dir and break the "a killed job never exposes partial
@@ -99,8 +127,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.rename(stagedDir, target))
       throw new java.io.IOException(
         s"commit rename failed: $stagedDir -> $target")
-    writeMarker(table, key, rows)
-    true
+    if (tryWriteMarker(table, key, rows, dirName)) true
+    else { fs.delete(target, true); false } // lost the same-key race
   }
 
   private val KeyPattern = "[A-Za-z0-9._=-]+".r
@@ -113,7 +141,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       s"partition key '$key' outside [A-Za-z0-9._=-]+ — unsafe for " +
         "directory names and the snapshot log")
 
-  private def writeMarker(table: String, key: String, rows: Long): Unit = {
+  /** The commit point: tmp marker + rename. Returns false when the key is
+    * already committed at rename time — the same-key optimistic-commit
+    * loser's signal to clean up its own data dir. On an FS whose rename
+    * replaces an existing target, simultaneous racers both "win" and the
+    * last marker decides — still one complete visible version.
+    */
+  private def tryWriteMarker(table: String, key: String, rows: Long,
+                             dirName: String): Boolean = {
     validateKey(key)
     if (!fs.mkdirs(commitDir(table)))
       throw new java.io.IOException(s"mkdirs failed: ${commitDir(table)}")
@@ -123,24 +158,27 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // ties within one JVM (nanoTime is monotonic there)
     val out = fs.create(tmp, true)
     try out.write(
-      (s"""{"partition":"$key","rows":$rows,""" +
+      (s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
         s""""committed_at_ms":${System.currentTimeMillis()},""" +
         s""""seq_nanos":${System.nanoTime()}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, markerFile(table, key)))
-      throw new java.io.IOException(
-        s"marker rename failed: $tmp -> ${markerFile(table, key)}")
+    // last-moment re-check narrows the both-rename window to FS races the
+    // rename itself resolves (see scaladoc)
+    if (isCommitted(table, key)) { fs.delete(tmp, false); return false }
+    if (fs.rename(tmp, markerFile(table, key))) true
+    else { fs.delete(tmp, false); false }
   }
 
-  /** Read all committed partitions of a table (uncommitted part dirs —
-    * from a killed writer — are invisible, like an Iceberg snapshot read).
+  /** Read all committed partitions of a table (uncommitted/orphan part
+    * dirs — from a killed or racing writer — are invisible: only dirs a
+    * marker points at are read, like an Iceberg snapshot read).
     */
   def readTable(table: String): DataFrame = {
-    val keys = committedPartitions(table)
-    require(keys.nonEmpty, s"no committed partitions in $table")
-    val paths = keys.toSeq.sorted
-      .map(k => new HPath(tableDir(table), s"part=$k").toString)
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val paths = snaps.sortBy(_.key)
+      .map(s => new HPath(tableDir(table), s.dir).toString)
     spark.read.parquet(paths: _*)
   }
 
@@ -153,6 +191,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val d = commitDir(table)
     if (!fs.exists(d)) return Seq.empty
     val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
+      """"dir":"(part=[A-Za-z0-9._=@-]+)",""" +
+      """"committed_at_ms":(\d+),"seq_nanos":(\d+)\}""").r
+    // round-4 marker shape (no dir field — data lived at part=<key>):
+    // synthesize the legacy location so pre-upgrade catalogs keep reading
+    val R4 = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"committed_at_ms":(\d+),"seq_nanos":(\d+)\}""").r
     // pre-round-4 marker shape: a single committed_at_nanos (JVM-monotonic
     // clock). A catalog written by the old build must keep its snapshot
@@ -174,10 +217,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           buf.toString("UTF-8")
         } finally in.close()
         body match {
-          case R(key, rows, ms, nanos) =>
-            (key, rows.toLong, ms.toLong, nanos.toLong)
+          case R(key, rows, dir, ms, nanos) =>
+            (key, rows.toLong, dir, ms.toLong, nanos.toLong)
+          case R4(key, rows, ms, nanos) =>
+            (key, rows.toLong, s"part=$key", ms.toLong, nanos.toLong)
           case LegacyR(key, rows, nanos) =>
-            (key, rows.toLong, nanos.toLong / 1000000L, nanos.toLong)
+            (key, rows.toLong, s"part=$key",
+              nanos.toLong / 1000000L, nanos.toLong)
           case _ => throw new java.io.IOException(
             s"unparseable commit marker ${st.getPath}: $body")
         }
@@ -185,10 +231,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // wall-clock ms orders across restarts/hosts; per-JVM monotonic
       // nanos breaks same-millisecond ties from one writer; key breaks
       // the (pathological) rest deterministically
-      .toSeq.sortBy { case (key, _, ms, nanos) => (ms, nanos, key) }
+      .toSeq.sortBy { case (key, _, _, ms, nanos) => (ms, nanos, key) }
       .zipWithIndex
-      .map { case ((key, rows, ms, _), i) =>
-        CorpusCatalog.Snapshot(i.toLong, key, rows, ms) }
+      .map { case ((key, rows, dir, ms, _), i) =>
+        CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir) }
   }
 
   /** Time travel: the table as of snapshot `snapshotId` — exactly the
@@ -201,8 +247,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val upTo = snapshots(table).filter(_.id <= snapshotId)
     require(upTo.nonEmpty,
       s"no snapshots of $table at or before id $snapshotId")
-    val paths = upTo.map(s =>
-      new HPath(tableDir(table), s"part=${s.key}").toString)
+    val paths = upTo.map(s => new HPath(tableDir(table), s.dir).toString)
     spark.read.parquet(paths: _*)
   }
 
@@ -219,28 +264,36 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           s"rollback: cannot remove marker for ${s.key}")
     }
 
-  /** Offline maintenance: physically remove INVISIBLE data — part dirs
-    * without a commit marker (killed writers, [[rollbackTo]] leftovers)
-    * and stale staging dirs. Committed data is never touched, so every
-    * read path is unaffected; rolled-back partitions stop being
-    * re-commitable in place (their data is gone — exactly Iceberg's
-    * expire-snapshots + remove-orphan-files contract). Do NOT run
-    * concurrently with a writer: an in-flight uncommitted partition is
-    * indistinguishable from debris by design (visibility IS the marker).
-    * Returns the number of directories removed.
+  /** Maintenance: physically remove INVISIBLE data — part dirs no commit
+    * marker points at (killed writers, same-key race losers,
+    * [[rollbackTo]] leftovers) and stale staging dirs. Committed data is
+    * never touched, so every read path is unaffected; rolled-back
+    * partitions stop being re-commitable in place (their data is gone —
+    * exactly Iceberg's expire-snapshots + remove-orphan-files contract).
+    *
+    * `olderThanMs` is Iceberg's remove-orphan-files retention made
+    * explicit: only marker-less dirs whose modification time is at least
+    * that old are reclaimed, so a vacuum RACING a live writer never
+    * removes a dir that is about to be committed — an in-flight dir is
+    * younger than any sane grace window, and the post-rename pre-marker
+    * window is milliseconds. Pass 0 only when no writer can be live (the
+    * offline-maintenance case). Returns the number of dirs removed.
     */
-  def vacuum(table: String): Int = {
-    val committed = committedPartitions(table)
+  def vacuum(table: String, olderThanMs: Long = 0L): Int = {
+    val referenced = snapshots(table).map(_.dir).toSet
     val td = tableDir(table)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def oldEnough(p: HPath): Boolean =
+      fs.getFileStatus(p).getModificationTime <= cutoff
     var removed = 0
     listChildNames(td).foreach {
-      case name if name.startsWith("part=") &&
-          !committed.contains(name.stripPrefix("part=")) =>
+      case name if name.startsWith("part=") && !referenced.contains(name) &&
+          oldEnough(new HPath(td, name)) =>
         deleteRecursively(new HPath(td, name)); removed += 1
       case "_staging" =>
         listChildNames(new HPath(td, "_staging")).foreach { child =>
-          deleteRecursively(new HPath(new HPath(td, "_staging"), child))
-          removed += 1
+          val p = new HPath(new HPath(td, "_staging"), child)
+          if (oldEnough(p)) { deleteRecursively(p); removed += 1 }
         }
       case _ => ()
     }
@@ -269,10 +322,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 
 object CorpusCatalog {
   /** One append commit: dense `id` in commit order, the partition it
-    * added, its row count, and the marker's wall-clock epoch millis.
+    * added, its row count, the marker's wall-clock epoch millis, and the
+    * data dir the marker points at (`part=<key>@<nonce>`; plain
+    * `part=<key>` for pre-upgrade markers).
     */
   final case class Snapshot(id: Long, key: String, rows: Long,
-                            committedAtMs: Long)
+                            committedAtMs: Long, dir: String)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

@@ -29,9 +29,16 @@ object NGramJaccard {
     * survives only because it clearCache()s between queries; library
     * callers won't). Pass `eager = false` to get the lazy plan (used by
     * the plan-contract tests).
+    *
+    * No SILENT quadratic: in eager mode the surviving candidate-pair
+    * count is counted and logged before verification, and
+    * `maxCandidates > 0` turns it into a fail-LOUD guard — the call
+    * throws (naming the count and the MinHash-LSH alternative) instead of
+    * grinding through an all-pairs explosion nobody asked for. Exactness
+    * is never silently traded: the operator refuses, it does not sample.
     */
   def pairs(docs: Dataset[(Long, Array[String])], n: Int, tau: Double,
-            eager: Boolean = true): DataFrame = {
+            eager: Boolean = true, maxCandidates: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(tau > 0.0 && tau <= 1.0, s"tau out of range: $tau")
@@ -87,10 +94,32 @@ object NGramJaccard {
       .filter((col("ub") + 1) * (1 + tau) >= (col("sz_a") + col("sz_b")) * tau)
       .select("id_a", "id_b", "sz_a", "sz_b")
 
+    // candidate-volume guard (eager mode): verification cost is
+    // candidates × shingles-per-doc — count it, say it, and optionally
+    // refuse. The count persists the (small, scalar) candidate table so
+    // verification reuses it instead of recomputing the prefix join.
+    val guarded = if (!eager) candidates else {
+      val c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+      val nCand = c.count()
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ngram-jaccard: $nCand candidate pairs survive the PPJoin filters" +
+          s" (n=$n, tau=$tau)")
+      if (maxCandidates > 0L && nCand > maxCandidates) {
+        sh.unpersist(blocking = false) // refuse without leaking the caches
+        c.unpersist(blocking = false)
+        throw new IllegalArgumentException(
+          s"ngram-jaccard candidate count $nCand exceeds maxCandidates " +
+            s"$maxCandidates — this operator is the exact small-N tool; at " +
+            "this scale run MinHash-LSH (Lsh.clusters) instead, or raise " +
+            "the cap deliberately")
+      }
+      c
+    }
+
     // verification: count shared shingles straight off the (id, shingle)
     // table — the oracle's own shape; no per-doc collected arrays
     val result = sh.select(col("id").as("id_a"), col("shingle"))
-      .join(candidates, "id_a")
+      .join(guarded, "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -101,6 +130,7 @@ object NGramJaccard {
     if (eager) {
       val out = result.localCheckpoint() // materializes before the unpersist
       sh.unpersist(blocking = false)
+      guarded.unpersist(blocking = false)
       out
     } else result
   }

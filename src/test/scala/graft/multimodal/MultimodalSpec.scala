@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Container-header parsing contracts: the dims come from real byte-offset
+  * reads (PNG IHDR / JPEG SOF marker walk / WAV fmt chunk scan), survive
+  * preceding segments/chunks, and degrade to None — never a throw — on
+  * truncated, headerless, or corrupt payloads (q19 pins the end-to-end
+  * table; this spec pins the parser edges the corpus fixtures don't hit).
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  import Multimodal._
+
+  test("PNG IHDR dims round-trip, including > 32767 (unsigned-ish reads)") {
+    for ((w, h) <- Seq((1, 1), (997, 463), (40000, 33333))) {
+      val d = parseDims(pngHeader(w, h) ++ Array.fill(10)(7.toByte))
+      assert(d == Dims(Some(w), Some(h), None, None))
+    }
+  }
+
+  test("JPEG SOF0 dims parse after interleaved APP/COM segments") {
+    val (w, h) = (640, 480)
+    val base = jpegHeader(w, h)
+    // splice APP0 + COM segments between SOI and SOF0 — a real camera
+    // JPEG never has SOF first; the marker walk must skip, not bail
+    val app0 = Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte) ++
+      Array.fill(14)(0x4A.toByte)
+    val com = Array(0xFF, 0xFE, 0x00, 0x05).map(_.toByte) ++
+      "abc".getBytes
+    val spliced = base.take(2) ++ app0 ++ com ++ base.drop(2) ++
+      Array.fill(6)(1.toByte)
+    assert(parseDims(spliced) == Dims(Some(w), Some(h), None, None))
+    // progressive SOF2 counts too
+    val sof2 = spliced.clone()
+    sof2(2 + app0.length + com.length + 1) = 0xC2.toByte
+    assert(parseDims(sof2) == Dims(Some(w), Some(h), None, None))
+  }
+
+  test("WAV fmt chunk parses, including behind a leading non-fmt chunk") {
+    val hdr = wavHeader(44100, 2, 100)
+    assert(parseDims(hdr) == Dims(None, None, Some(44100), Some(2)))
+    // LIST chunk before fmt (odd size exercises word alignment)
+    val list = "LIST".getBytes ++
+      Array(5, 0, 0, 0).map(_.toByte) ++ "INFOx".getBytes ++
+      Array(0.toByte) // pad
+    val shuffled = hdr.take(12) ++ list ++ hdr.drop(12)
+    assert(parseDims(shuffled) == Dims(None, None, Some(44100), Some(2)))
+  }
+
+  test("headerless, truncated, and corrupt payloads yield NoDims, no throw") {
+    val cases = Seq(
+      Array.empty[Byte],
+      "plain text body".getBytes,
+      pngHeader(10, 10).take(15), // truncated before IHDR dims
+      Array(0xFF, 0xD8, 0xFF).map(_.toByte), // JPEG cut mid-marker
+      Array(0xFF, 0xD8).map(_.toByte) ++ "garbage".getBytes, // no marker
+      "RIFF1234WAVE".getBytes, // WAV with no chunks
+      "RIFF1234WAVEfmt ".getBytes ++ Array(0xFF, 0xFF, 0xFF, 0x7F)
+        .map(_.toByte)) // fmt claims 2 GiB on a 20-byte payload
+    cases.foreach(p => assert(parseDims(p) == NoDims, p.mkString(",")))
+  }
+
+  test("detection is by magic bytes, not the kind tag") {
+    // a 'video'-tagged payload that is actually a PNG parses as a PNG —
+    // offset readers must trust the bytes (mislabeled corpora are normal)
+    val d = parseDims(pngHeader(64, 32))
+    assert(d.width.contains(64) && d.height.contains(32))
+  }
+}

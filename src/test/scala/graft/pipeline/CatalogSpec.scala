@@ -108,20 +108,79 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cat.commitPartition("t", "c", df.filter(col("id") % 3 === 2)))
       assert(cat.readTable("t").count() == 100)
       // vacuum: invisible data (rollback leftovers, killed-writer debris,
-      // stale staging) is physically removed; committed data untouched
-      cat.rollbackTo("t", 1L) // part=c AND the empty part=d become debris
+      // stale staging) is physically removed; committed data untouched.
+      // Unreferenced part=c dirs: the pre-rollback commit AND the
+      // re-commit each wrote their own @nonce dir — both are debris now.
+      cat.rollbackTo("t", 1L) // both part=c@* and the empty part=d@*
       Files.createDirectories(tmp.resolve("t/part=zz")) // killed writer
       Files.write(tmp.resolve("t/part=zz/junk.parquet"), Array[Byte](1))
       cat.newStagingDir("t") // stale staging
+      def partDirs(prefix: String): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(tmp.resolve("t"))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(prefix)).toSeq
+        finally s.close()
+      }
       val removed = cat.vacuum("t")
-      assert(removed == 4, s"expected 4 dirs removed, got $removed")
-      assert(!Files.exists(tmp.resolve("t/part=c")))
-      assert(!Files.exists(tmp.resolve("t/part=zz")))
+      assert(removed == 5, s"expected 5 dirs removed, got $removed")
+      assert(partDirs("part=c").isEmpty && partDirs("part=zz").isEmpty)
       assert(cat.readTable("t").count() == 67) // committed a+b intact
       assert(cat.vacuum("t") == 0) // idempotent
       // a vacuumed rolled-back partition re-commits from scratch
       assert(cat.commitPartition("t", "c", df.filter(col("id") % 3 === 2)))
       assert(cat.readTable("t").count() == 100)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  test("concurrent writers: distinct keys land; same key resolves to ONE version") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft_cat_conc")
+    try {
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      // distinct-partition commits from two threads: both must be visible
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(cat.commitPartition("t", "k1", (0L until 40L).toDF("id")))
+      val fb = Future(cat.commitPartition("t", "k2", (100L until 130L).toDF("id")))
+      assert(Await.result(fa, 120.seconds) && Await.result(fb, 120.seconds))
+      assert(cat.readTable("t").count() == 70)
+      // same-key double commit (different contents racing): exactly one
+      // complete version ends up visible, and the marker's row count
+      // matches the data it points at — never a marker over the loser's
+      // bytes, never two versions, never a torn dir
+      val g1 = Future(cat.commitPartition("t", "kk", (0L until 7L).toDF("id")))
+      val g2 = Future(cat.commitPartition("t", "kk", (0L until 13L).toDF("id")))
+      Await.result(g1, 120.seconds); Await.result(g2, 120.seconds)
+      val snap = cat.snapshots("t").filter(_.key == "kk")
+      assert(snap.size == 1, s"expected one kk snapshot, got $snap")
+      val visible = spark.read
+        .parquet(tmp.resolve(s"t/${snap.head.dir}").toString).count()
+      assert(visible == snap.head.rows,
+        s"marker says ${snap.head.rows} rows but dir has $visible")
+      assert(Set(7L, 13L).contains(visible))
+      // sequential re-commit of a committed key stays a no-op
+      assert(!cat.commitPartition("t", "kk", (0L until 99L).toDF("id")))
+      // vacuum grace: a fresh marker-less dir (a LIVE writer's in-flight
+      // data) survives a graced vacuum; only an aged orphan is reclaimed
+      Files.createDirectories(tmp.resolve("t/part=live@777"))
+      assert(cat.vacuum("t", olderThanMs = 3600000L) == 0,
+        "graced vacuum reclaimed a fresh in-flight dir")
+      assert(Files.exists(tmp.resolve("t/part=live@777")))
+      val reclaimed = cat.vacuum("t") // grace 0: offline maintenance
+      assert(reclaimed >= 1) // the fake in-flight dir (+ race-loser orphan
+      // when the FS resolved the marker race by replacement)
+      assert(!Files.exists(tmp.resolve("t/part=live@777")))
+      assert(cat.readTable("t").count() == 70 + visible)
     } finally {
       import scala.jdk.CollectionConverters._
       val walk = Files.walk(tmp)
@@ -154,6 +213,16 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         Files.write(marker, body.getBytes("UTF-8"))
       }
       rewrite(s"""{"partition":"a","rows":$rows,"committed_at_nanos":1000000}""")
+      // a legacy catalog's data lived at plain part=<key>: move the new
+      // writer's @nonce dir there so the fixture is layout-faithful
+      locally {
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(tmp.resolve("t"))
+        val aDir = try s.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part=a@")).get
+        finally s.close()
+        Files.move(aDir, tmp.resolve("t/part=a"))
+      }
       val snaps = cat.snapshots("t")
       assert(snaps.map(s => (s.id, s.key)) == Seq((0L, "a"), (1L, "b")),
         s"legacy marker broke the snapshot log: $snaps")

@@ -72,9 +72,13 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("n_ml") == 3L)
       assert(r.getAs[Long]("n_dsir") == 6L)
     }
+    // q16 now carries the golden-oracled (id, id_int) projection; the
+    // id_int contract (sha1 first-8 little-endian) re-checks here against
+    // the library function, row by row
     val q16 = SparkEntry.queries("q16_signals_table")(spark, sfDir).collect()
     assert(q16.length == 500)
-    q16.foreach(r => assert(r.getAs[String]("signals_digest").length == 64))
+    q16.foreach(r => assert(
+      r.getAs[Long]("id_int") == SignalsTable.idInt(r.getAs[String]("id"))))
   }
 
   test("minhash table bands have the published shapes; short docs null") {
@@ -190,10 +194,12 @@ class TablesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(f.sum - 1.0f) < 1e-3 || r.getAs[Long]("n_bytes") == 0)
       assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
     }
-    // the q19 scalar projection keeps only the oracle-checkable columns
+    // the q19 scalar projection keeps only the oracle-checkable columns,
+    // now including the header-parsed dims
     val q19 = SparkEntry.queries("q19_multimodal")(spark, sfDir)
     assert(q19.schema.fieldNames.toSeq ==
-      Seq("media_id", "kind", "n_bytes", "n_frames"))
+      Seq("media_id", "kind", "n_bytes", "n_frames",
+        "width", "height", "sample_rate", "channels"))
     assert(q19.count() == 500)
   }
 }

@@ -108,6 +108,23 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"spurious=${(got.keySet -- expected.keySet).take(5)}")
   }
 
+  test("NGramJaccard refuses loudly above maxCandidates, naming the count") {
+    // 30 identical docs -> C(30,2) = 435 candidate pairs: far over a cap
+    // of 100, so the exact small-N tool must throw (with the measured
+    // count and the LSH alternative in the message), never silently grind
+    // or silently sample. Under the cap, same input, same exact result.
+    import spark.implicits._
+    val words = Array.tabulate(10)(i => s"t$i")
+    val docs = spark.range(0L, 30L).map(id => (id.longValue, words))
+    val e = intercept[IllegalArgumentException] {
+      NGramJaccard.pairs(docs, 3, 0.5, maxCandidates = 100L)
+    }
+    assert(e.getMessage.contains("435") && e.getMessage.contains("Lsh"),
+      e.getMessage)
+    assert(NGramJaccard.pairs(docs, 3, 0.5, maxCandidates = 500L)
+      .count() == 435L)
+  }
+
   test("near-dup clusters: cluster_id is the min member of each twin pair") {
     val cl = EmbedNearDup.clusters(EmbedNearDup.pairsExact(emb, 0.7))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Golden-oracle generator for the RP-table hash tails (q16/q17).
+
+DuckDB 1.0 has no sha1(), so the sha1-derived id_int (worker.py:240-244)
+and the minhash band bytes (minhash.py:87-95) cannot be re-derived in the
+oracle SQL. They ARE integer-exact though — no float summation order in
+sight — so this script recomputes them INDEPENDENTLY in Python (hashlib +
+integer arithmetic; the same transliteration discipline as gen_goldens.py)
+over the deterministic sf0.01 gate corpus and emits VALUES-based oracle
+SQL bodies as resources the engine's oracleSql map serves verbatim.
+
+Self-validating: before writing anything it re-derives every constant
+DedupeSpec pins (permutation stream head, permutation checksum,
+sha1_hash32, a full signature head, band bytes) and aborts on mismatch.
+
+Run: python3 tools/gen_table_goldens.py /root/testdata/sf0.01
+Writes: src/main/resources/graft/q16_oracle_sf001.sql
+        src/main/resources/graft/q17_oracle_sf001.sql
+"""
+import hashlib, re, string, sys, unicodedata
+
+MASK64 = (1 << 64) - 1
+LMAX63 = (1 << 63) - 1
+P = (1 << 61) - 1
+MAXH = (1 << 32) - 1
+NGRAM = 13
+NPERM = 128
+BANDS_ROWS = [("0.7", 14, 9), ("0.8", 9, 13), ("0.9", 5, 25), ("1.0", 1, 128)]
+
+# --- normalization: same transliteration as gen_goldens.py -----------------
+TT = str.maketrans("", "", string.punctuation)
+
+def normalize(text):
+    text = text.translate(TT).lower().strip()
+    text = re.sub(r"\s+", " ", text)
+    return unicodedata.normalize("NFD", text)
+
+# --- CodeFiles.enrich, in lock-step with CodeFiles.scala / oracleCte -------
+def enrich(doc_id, text):
+    d = doc_id
+    out = (text or "") + f"\nContact user{d}@example.org or 10.{d % 200}.0." \
+        + f"{d % 250} or call 555-{d % 9000 + 1000} for details.\n"
+    out += "{ lorem ipsum dolor sit }" if d % 7 == 0 else "A clean line of prose."
+    if d % 11 == 0:
+        out += "\nto be continued..."
+    return out + "\n"
+
+# --- SplitMix64 + MinHasher permutations (MinHasher.scala) ------------------
+class SplitMix64:
+    def __init__(self, seed):
+        self.state = seed & MASK64
+
+    def next_long(self):
+        self.state = (self.state + 0x9E3779B97F4A7C15) & MASK64
+        z = self.state
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+        return z ^ (z >> 31)
+
+    def next_bounded(self, bound):
+        mx = LMAX63 - (LMAX63 % bound)
+        r = self.next_long() >> 1
+        while r >= mx:
+            r = self.next_long() >> 1
+        return r % bound
+
+def permutations(seed=42):
+    rng = SplitMix64(seed)
+    a = [1 + rng.next_bounded(P - 1) for _ in range(NPERM)]
+    b = [rng.next_bounded(P) for _ in range(NPERM)]
+    return a, b
+
+A, B = permutations()
+
+def sha1_hash32(s):
+    return int.from_bytes(hashlib.sha1(s.encode()).digest()[:4], "little")
+
+def signature(words):
+    if len(words) < NGRAM:
+        return None
+    mins = [MAXH] * NPERM
+    seen = set()
+    for s in range(len(words) - NGRAM + 1):
+        h = sha1_hash32(" ".join(words[s:s + NGRAM]))
+        if h in seen:
+            continue
+        seen.add(h)
+        for k in range(NPERM):
+            phv = ((A[k] * h + B[k]) & MASK64) % P & MAXH
+            if phv < mins[k]:
+                mins[k] = phv
+    return mins
+
+def band_bytes(sig, nbands, rows):
+    return [b"".join(int(sig[i * rows + r]).to_bytes(4, "big")
+                     for r in range(rows)) for i in range(nbands)]
+
+def id_int(doc_id_str):
+    v = int.from_bytes(hashlib.sha1(doc_id_str.encode()).digest()[:8], "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+def bands_digest(words):
+    """sha256 chain mirroring q17: per-threshold sha256 of the lowercase-hex
+    band bytes concatenated, then sha256 of the four digests '|'-joined.
+    A null signature (< 13 words) makes each per-threshold digest
+    sha256('') — concat_ws skips the null transform result."""
+    sig = signature(words)
+    per = []
+    for _, b, r in BANDS_ROWS:
+        if sig is None:
+            per.append(hashlib.sha256(b"").hexdigest())
+        else:
+            cat = "".join(bb.hex() for bb in band_bytes(sig, b, r))
+            per.append(hashlib.sha256(cat.encode()).hexdigest())
+    return hashlib.sha256("|".join(per).encode()).hexdigest()
+
+# --- self-validation against DedupeSpec's pinned constants ------------------
+def self_check():
+    assert A[:4] == [2228042747950249807, 1474913046063446146,
+                     263798865017687980, 868756020915433933], A[:4]
+    assert B[:4] == [395595017899936898, 81365011733266485,
+                     131121159007475838, 1803790989549302143], B[:4]
+    blob = b"".join(x.to_bytes(8, "big") for x in A + B)
+    assert hashlib.sha256(blob).hexdigest() == \
+        "cf407d0b11b79644ef83c8b1fdac86eddc82e8c704aa02f4ae55b507240f3700"
+    assert sha1_hash32("a b c") == 2620604267
+    sig = signature([f"w{i}" for i in range(20)])
+    assert sig[:8] == [1173715628, 273927691, 159310488, 93281945,
+                       14766481, 58089992, 581169768, 118391829], sig[:8]
+    assert sig[-4:] == [1211176532, 401321201, 677703023, 135361333]
+    bb = band_bytes(sig, 9, 13)
+    assert len(bb) == 9 and len(bb[0]) == 52
+    assert bb[0][:16].hex() == "45f57aac1053ce0b097ee298058f5e99"
+
+def main():
+    import duckdb
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    self_check()
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, source, coalesce(text,'') FROM "
+        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id").fetchall()
+    q16, q17 = [], []
+    for doc_id, source, text in rows:
+        rid = f"{source}/{doc_id}"
+        ii = id_int(rid)
+        words = normalize(enrich(doc_id, text)).split()
+        q16.append(f"('{rid}', CAST({ii} AS BIGINT))")
+        q17.append(f"('{rid}', CAST({ii} AS BIGINT), '{bands_digest(words)}')")
+    hdr = ("-- GENERATED by tools/gen_table_goldens.py over the sf0.01 gate\n"
+           "-- corpus: independent Python recomputation (hashlib) of the\n"
+           "-- sha1-derived id_int and minhash band bytes DuckDB cannot\n"
+           "-- derive (no sha1 in 1.0). Do not edit by hand.\n")
+    with open("src/main/resources/graft/q16_oracle_sf001.sql", "w") as f:
+        f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q16)
+                + "\n) t(id, id_int)\nORDER BY id\n")
+    with open("src/main/resources/graft/q17_oracle_sf001.sql", "w") as f:
+        f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q17)
+                + "\n) t(id, id_int, bands_digest)\nORDER BY id\n")
+    print(f"wrote {len(rows)} golden rows for q16/q17")
+
+if __name__ == "__main__":
+    main()
