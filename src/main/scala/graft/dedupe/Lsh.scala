@@ -417,4 +417,17 @@ object SimHash {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Near-dup cluster ids over the verified pair graph: connected
+    * components with cluster_id = unsigned-min member — the same
+    * contract as the MinHash path ([[Lsh.clusters]]), so a consumer can
+    * swap fingerprint families without changing the dedup-apply join.
+    * Only docs that near-dup something appear (singletons are implicit
+    * keepers, exactly like the LSH edge set).
+    */
+  def clusters(docs: Dataset[(Long, Array[String])], maxHamming: Int,
+               hotBucketCap: Int = 256): DataFrame =
+    Lsh.connectedComponents(
+      nearDuplicates(docs, maxHamming, hotBucketCap)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
 }

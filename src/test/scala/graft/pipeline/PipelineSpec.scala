@@ -150,6 +150,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.forall(_.getAs[Long]("hamming") <= 3))
   }
 
+  test("simhash clusters: unsigned-min contract, hot star path included") {
+    // twins (i, i+200000) share a cluster whose id is the smaller member —
+    // the same contract as the MinHash path, so consumers can swap
+    // fingerprint families without changing the dedup-apply join
+    val cl = graft.dedupe.SimHash
+      .clusters(SparkEntry.variantWords(spark, sfDir), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 500).filter(_ % 10 == 3).foreach { i =>
+      assert(cl.get(i.toLong) == cl.get(i + 200000L) && cl.contains(i.toLong),
+        s"twin $i split across clusters")
+      assert(cl(i.toLong) <= i.toLong, "cluster_id above a member")
+    }
+    // a planted hot bucket (cap exceeded → star path) still clusters whole
+    import spark.implicits._
+    val words = Array("alpha", "beta", "gamma")
+    val hot = spark.range(0L, 30L).map(id => (id.longValue, words))
+    val hotCl = graft.dedupe.SimHash.clusters(hot, 3, hotBucketCap = 10)
+    assert(hotCl.count() == 30 && hotCl.filter(
+      org.apache.spark.sql.functions.col("cluster_id") =!= 0L).count() == 0)
+  }
+
   test("quality filter: drop reasons are the expected ones") {
     val reasons = SparkEntry.queries("q02_quality_filter")(spark, sfDir)
       .collect().map(_.getAs[String]("drop_reason")).toSet
