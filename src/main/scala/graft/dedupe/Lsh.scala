@@ -350,58 +350,87 @@ object SimHash {
     * unbounded within-bucket self-join is O(df²) there, 10^10+ candidate
     * rows at 100× scale. So buckets are sized first (a map-side-combinable
     * count per (band, key), the same partial-agg shape as [[Lsh.edges]]):
+    *
     *   - df ≤ `hotBucketCap`: exact within-bucket all-pairs (the candidate
     *     join is O(Σ min(df, cap)²), every term bounded);
-    *   - df > `hotBucketCap`: min-node star edges — each member pairs only
-    *     with the bucket's unsigned-min id, linear in df. Star edges
-    *     under-report transitive pairs INSIDE a hot bucket but preserve
-    *     connectivity for downstream clustering (connected components over
-    *     the verified pairs reach the same members), and a hamming ball
-    *     that wide is precisely where pair enumeration stops being a
-    *     meaningful output. Nothing is dropped silently — hot buckets keep
-    *     emitting (capped, not skipped), unlike a WinnowPairs-style maxDf
-    *     cut.
+    *   - df > `hotBucketCap`: members collapse to one REPRESENTATIVE per
+    *     distinct fingerprint (unsigned-min id; the rep↔member pairs are
+    *     hamming 0 by construction, so EXACT duplicates always surface no
+    *     matter how hot the bucket — the guarantee a bucket-min star
+    *     cannot give, because a far-from-min member would lose every
+    *     pair to the hamming filter). The representatives then re-enter
+    *     the same two-tier rule one level up: all-pairs when the bucket
+    *     has ≤ cap distinct fingerprints, min-rep star edges beyond that.
+    *
+    * Candidate volume is O(df) member edges + O(min(#fps, cap)²) +
+    * O(#fps) per bucket — every term bounded, never quadratic in df.
+    * What degrades in the star regime is only NEAR-pair enumeration
+    * between far-apart representatives (a hamming ball that wide is
+    * where pair enumeration stops being meaningful anyway); nothing is
+    * dropped silently — hot buckets keep emitting, capped, not skipped.
+    *
+    * `eager` (default) persists the fingerprint map for the duration of
+    * the computation and localCheckpoints the (small, scalar) result —
+    * the plan references fps from three subtrees, and recomputing the
+    * 64-bit vote loop per subtree tripled the operator's cost. Pass
+    * `eager = false` for the lazy plan (plan-contract tests).
     */
   def nearDuplicates(docs: Dataset[(Long, Array[String])], maxHamming: Int,
-                     hotBucketCap: Int = 256): DataFrame = {
+                     hotBucketCap: Int = 256, eager: Boolean = true): DataFrame = {
     import docs.sparkSession.implicits._
     // spread before the per-row fingerprint map: a small scan arrives in
     // 1-2 partitions and would run the 64-bit vote loop 2-wide (the same
     // starvation fix PlanSpec pins for q16/q31/q32)
-    val fps = docs
+    val fps0 = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .map { case (id, words) => (id, fingerprint(words)) }
       .toDF("id", "fp")
+    val fps = if (eager)
+      fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fps0
     val banded = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "key")))
-    // bucket sizes + unsigned-min member, partial-aggregated (one row per
-    // (band, key) per input partition crosses the shuffle — no hot-bucket
-    // sort task); groups of 1 can't pair, drop them before the join back
+    // bucket sizes, partial-aggregated (one row per (band, key) per input
+    // partition crosses the shuffle — no hot-bucket sort task); groups of
+    // 1 can't pair, drop them before the join back
     val groups = banded
       .groupBy("band", "key")
-      .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
-        .as("min_node"), count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
     val withDf = banded.join(groups, Seq("band", "key"))
     // exact all-pairs inside bounded buckets
     val small = withDf.filter(col("df") <= hotBucketCap)
-    val a = small.select(col("band"), col("key"),
-      col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = small.select(col("band"), col("key"),
-      col("id").as("id_b"), col("fp").as("fp_b"))
-    val smallPairs = a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("fp_a"), col("id_b"), col("fp_b"))
-    // hot buckets: one star edge per member to the bucket min — O(df),
-    // never O(df²); the min side's fingerprint comes from one extra
-    // equi-join against the (id, fp) table
-    val starPairs = withDf
-      .filter(col("df") > hotBucketCap && col("id") =!= col("min_node"))
-      .select(col("id").as("m_id"), col("fp").as("m_fp"), col("min_node"))
-      .join(fps.select(col("id").as("min_node"), col("fp").as("min_fp")),
-        Seq("min_node"))
+    val smallPairs = allPairs(small)
+    // hot buckets: collapse to distinct-fingerprint representatives
+    val hot = withDf.filter(col("df") > hotBucketCap)
+    val fpGroups = hot
+      .groupBy("band", "key", "fp")
+      .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
+        .as("rep"))
+    // rep ↔ member edges: identical fingerprints, hamming 0 — exact-dup
+    // recall is unconditional
+    val memberPairs = hot.join(fpGroups, Seq("band", "key", "fp"))
+      .filter(col("id") =!= col("rep"))
+      .select(least(col("id"), col("rep")).as("id_a"), col("fp").as("fp_a"),
+        greatest(col("id"), col("rep")).as("id_b"), col("fp").as("fp_b"))
+    // the representatives re-enter the two-tier rule one level up
+    val reps = fpGroups.select(col("band"), col("key"),
+      col("rep").as("id"), col("fp"))
+    val repCounts = reps.groupBy("band", "key")
+      .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
+        .as("min_node"), count(lit(1)).as("rdf"))
+      .filter(col("rdf") > 1)
+    val repsWithDf = reps.join(repCounts, Seq("band", "key"))
+    val repSmallPairs = allPairs(repsWithDf.filter(col("rdf") <= hotBucketCap))
+    // beyond cap even in distinct fingerprints: min-rep star edges, O(#fps)
+    val repStarPairs = repsWithDf
+      .filter(col("rdf") > hotBucketCap && col("id") =!= col("min_node"))
+      .select(col("band"), col("key"),
+        col("id").as("m_id"), col("fp").as("m_fp"), col("min_node"))
+      .join(reps.select(col("band"), col("key"), col("id").as("min_node"),
+        col("fp").as("min_fp")), Seq("band", "key", "min_node"))
       .select(
         least(col("m_id"), col("min_node")).as("id_a"),
         when(col("m_id") < col("min_node"), col("m_fp"))
@@ -409,13 +438,33 @@ object SimHash {
         greatest(col("m_id"), col("min_node")).as("id_b"),
         when(col("m_id") < col("min_node"), col("min_fp"))
           .otherwise(col("m_fp")).as("fp_b"))
-    smallPairs.unionAll(starPairs)
+    val result = smallPairs.unionAll(memberPairs).unionAll(repSmallPairs)
+      .unionAll(repStarPairs)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
       // filter BEFORE distinct: hamming is per-row and cheap; distinct is a
       // shuffle — dedup only the pairs that survive
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    if (eager) {
+      val out = result.localCheckpoint() // materializes before unpersist
+      fps.unpersist(blocking = false)
+      out
+    } else result
+  }
+
+  /** Exact all-pairs inside (band, key) buckets of a
+    * (band, key, id, fp, ...) table — only ever applied to cap-bounded
+    * buckets.
+    */
+  private def allPairs(t: DataFrame): DataFrame = {
+    val a = t.select(col("band"), col("key"),
+      col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = t.select(col("band"), col("key"),
+      col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("fp_a"), col("id_b"), col("fp_b"))
   }
 
   /** Near-dup cluster ids over the verified pair graph: connected

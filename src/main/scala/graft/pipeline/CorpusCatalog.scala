@@ -76,10 +76,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 
   /** The unique per-attempt data dir name the marker will reference.
     * `@` is outside the key charset (so names parse back unambiguously)
-    * and is path-safe on posix/HDFS/object stores.
+    * and is path-safe on posix/HDFS/object stores. The nonce is a random
+    * UUID slice, NOT nanoTime alone — nanoTime has a per-boot origin and
+    * coarse granularity, so two driver JVMs on different hosts could
+    * draw the same value and overwrite each other's "unique" dir.
     */
   private def newDataDirName(key: String): String =
-    s"part=$key@${System.nanoTime()}"
+    s"part=$key@${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
 
   /** Write one partition's rows and commit atomically. No-op (false) if
     * already committed — resume semantics — or if a concurrent committer
@@ -167,7 +170,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // rename itself resolves (see scaladoc)
     if (isCommitted(table, key)) { fs.delete(tmp, false); return false }
     if (fs.rename(tmp, markerFile(table, key))) true
-    else { fs.delete(tmp, false); false }
+    else {
+      fs.delete(tmp, false)
+      // a false rename is only a benign race signal when someone ELSE's
+      // marker landed; with no marker present it is a genuine FS failure —
+      // returning false there would read as "already committed" and the
+      // caller would delete freshly written data with no error anywhere
+      if (isCommitted(table, key)) false
+      else throw new java.io.IOException(
+        s"marker rename failed with no competing marker: " +
+          s"${markerFile(table, key)}")
+    }
   }
 
   /** Read all committed partitions of a table (uncommitted/orphan part
@@ -272,33 +285,53 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * exactly Iceberg's expire-snapshots + remove-orphan-files contract).
     *
     * `olderThanMs` is Iceberg's remove-orphan-files retention made
-    * explicit: only marker-less dirs whose modification time is at least
+    * explicit: only marker-less dirs whose RECURSIVE-newest modification
+    * time (the dir and everything one level down — a nested partitionBy
+    * write bumps child dirs, not the top-level staged dir) is at least
     * that old are reclaimed, so a vacuum RACING a live writer never
-    * removes a dir that is about to be committed — an in-flight dir is
-    * younger than any sane grace window, and the post-rename pre-marker
-    * window is milliseconds. Pass 0 only when no writer can be live (the
-    * offline-maintenance case). Returns the number of dirs removed.
+    * removes a dir that is about to be committed. Size the grace above
+    * the worst-case write-completion→marker window: that window contains
+    * the commit's footer-level row-count read-back, so minutes of grace,
+    * not seconds (hours costs nothing — orphans are invisible either
+    * way). Pass 0 only when no writer can be live (the
+    * offline-maintenance case). Dirs that vanish mid-sweep (a same-key
+    * race loser cleaning up after itself) are skipped, not an error.
+    * Returns the number of dirs removed.
     */
   def vacuum(table: String, olderThanMs: Long = 0L): Int = {
     val referenced = snapshots(table).map(_.dir).toSet
     val td = tableDir(table)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def oldEnough(p: HPath): Boolean =
-      fs.getFileStatus(p).getModificationTime <= cutoff
+    // newest mtime of the dir or any direct child; None when the dir
+    // vanished between the listing and the stat (already cleaned up)
+    def newestMtime(p: HPath): Option[Long] =
+      try {
+        val top = fs.getFileStatus(p).getModificationTime
+        val kids =
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).iterator.map(_.getModificationTime)
+          else Iterator.empty
+        Some((Iterator(top) ++ kids).max)
+      } catch { case _: java.io.FileNotFoundException => None }
+    def oldEnough(p: HPath): Boolean = newestMtime(p).exists(_ <= cutoff)
     var removed = 0
     listChildNames(td).foreach {
       case name if name.startsWith("part=") && !referenced.contains(name) &&
           oldEnough(new HPath(td, name)) =>
-        deleteRecursively(new HPath(td, name)); removed += 1
+        if (deleteIfPresent(new HPath(td, name))) removed += 1
       case "_staging" =>
         listChildNames(new HPath(td, "_staging")).foreach { child =>
           val p = new HPath(new HPath(td, "_staging"), child)
-          if (oldEnough(p)) { deleteRecursively(p); removed += 1 }
+          if (oldEnough(p) && deleteIfPresent(p)) removed += 1
         }
       case _ => ()
     }
     removed
   }
+
+  private def deleteIfPresent(dir: HPath): Boolean =
+    try { deleteRecursively(dir); true }
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Append lineage/metrics rows (files_in/files_out/drop-reason counts per
     * stage per partition — the north rule's metrics table).

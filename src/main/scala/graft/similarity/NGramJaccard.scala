@@ -97,7 +97,9 @@ object NGramJaccard {
     // candidate-volume guard (eager mode): verification cost is
     // candidates × shingles-per-doc — count it, say it, and optionally
     // refuse. The count persists the (small, scalar) candidate table so
-    // verification reuses it instead of recomputing the prefix join.
+    // verification reuses it instead of recomputing the prefix join —
+    // net cost of the guard is one scalar aggregation over a cached
+    // table, not a second candidate computation (q06 bench-flat).
     val guarded = if (!eager) candidates else {
       val c = candidates.persist(StorageLevel.MEMORY_AND_DISK)
       val nCand = c.count()

@@ -107,11 +107,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // names the SPECIFIC spread exchange — every query here ends in
     // orderBy, whose range-partitioning Exchange would satisfy a bare
     // contains("Exchange") even with the spread removed.
-    for (q <- Seq("q31_embed_neardup", "q32_embed_neardup_lsh",
-      "q26_simhash_dup_check")) {
+    for (q <- Seq("q31_embed_neardup", "q32_embed_neardup_lsh")) {
       val p = plan(SparkEntry.queries(q)(spark, sfDir))
       assert(p.contains("RoundRobinPartitioning"),
         s"$q lost its round-robin spread — heavy stage starved at scan width:\n$p")
+    }
+    // SimHash materializes eagerly by default (fps reuse) — pin the spread
+    // on the lazy plan the eager path executes
+    locally {
+      val p = plan(graft.dedupe.SimHash.nearDuplicates(
+        SparkEntry.variantWords(spark, sfDir), 3, eager = false))
+      assert(p.contains("RoundRobinPartitioning"),
+        s"SimHash lost its round-robin spread:\n$p")
     }
     for (q <- Seq("q16_signals_table", "q17_minhash_table",
       "q38_signals_core", "q39_minhash_core")) {
@@ -152,9 +159,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val small = spark.range(0L, 5L).map(id => (id.longValue, words))
     assert(graft.dedupe.SimHash
       .nearDuplicates(small, 3, hotBucketCap = 10).count() == 10)
+    // exact duplicates surface even when they are FAR from the bucket min:
+    // a hot bucket whose members all share bands but split into two exact-
+    // dup families must still pair within each family (hamming 0), no
+    // matter what the bucket-level min looks like — the member↔rep edges
+    // guarantee it. Two families of 12 identical docs each (24 > cap 10).
+    val wordsB = Array("delta", "epsilon", "zeta")
+    val twoFams = spark.range(0L, 24L).map(id =>
+      (id.longValue, if (id % 2 == 0) words else wordsB))
+    val famPairs = graft.dedupe.SimHash
+      .nearDuplicates(twoFams, 0, hotBucketCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (2 until 24).foreach { i =>
+      assert(famPairs.contains((i.toLong % 2, i.toLong)),
+        s"exact dup $i lost its rep pair in a hot mixed bucket")
+    }
     // plan: bucket sizing is a map-side-combinable partial aggregate
     // feeding equi-joins — no window sort of a hot bucket, no cross join
-    val p = plan(graft.dedupe.SimHash.nearDuplicates(hot, 3, hotBucketCap = 10))
+    val p = plan(graft.dedupe.SimHash.nearDuplicates(hot, 3, hotBucketCap = 10,
+      eager = false))
     assert(!p.contains("Window"), s"SimHash regressed to a bucket window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"SimHash candidates lost their equi-join keys:\n$p")

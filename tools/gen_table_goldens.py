@@ -150,12 +150,19 @@ def main():
            "-- corpus: independent Python recomputation (hashlib) of the\n"
            "-- sha1-derived id_int and minhash band bytes DuckDB cannot\n"
            "-- derive (no sha1 in 1.0). Do not edit by hand.\n")
+    # the goldens bind to THIS corpus; running the compare at any other sf
+    # must fail with a message, not an opaque row/hash diff
+    guard = ("WHERE (SELECT CASE WHEN (SELECT count(*) FROM documents)"
+             f" = {len(rows)} THEN true ELSE error("
+             "'q16/q17 oracles are Python goldens bound to the sf0.01 gate "
+             "corpus; regenerate with tools/gen_table_goldens.py <sfdir>') "
+             "END)\n")
     with open("src/main/resources/graft/q16_oracle_sf001.sql", "w") as f:
         f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q16)
-                + "\n) t(id, id_int)\nORDER BY id\n")
+                + "\n) t(id, id_int)\n" + guard + "ORDER BY id\n")
     with open("src/main/resources/graft/q17_oracle_sf001.sql", "w") as f:
         f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q17)
-                + "\n) t(id, id_int, bands_digest)\nORDER BY id\n")
+                + "\n) t(id, id_int, bands_digest)\n" + guard + "ORDER BY id\n")
     print(f"wrote {len(rows)} golden rows for q16/q17")
 
 if __name__ == "__main__":
