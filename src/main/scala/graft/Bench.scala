@@ -66,7 +66,8 @@ object Bench {
     "q72_fuzzy_decontam" -> 0.6, "q73_stream_lsh_dedup" -> 5.5,
     "q74_time_travel" -> 3.5, "q75_ann_recall" -> 1.2,
     "q76_temperature_mix" -> 1.7, "q77_keep_best" -> 2.5,
-    "q78_simhash_hotbucket" -> 1.5, "q79_dsir_in_situ" -> 1.3)
+    "q78_simhash_hotbucket" -> 1.5, "q79_dsir_in_situ" -> 1.3,
+    "q80_compaction" -> 4.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

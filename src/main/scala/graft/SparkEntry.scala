@@ -1681,6 +1681,37 @@ object SparkEntry {
         e6("rps_doc_openwebtext_importance", "owt_e6"),
         e6("rps_doc_openwebtext_importance_length_correction", "owt_lc_e6"))
         .orderBy("id")
+    }),
+
+    // Small-file compaction (Iceberg rewrite_data_files): each partition
+    // is committed as 8 undersized files, compacted to 1, and read back
+    // THROUGH the re-pointed marker. The oracle is the conservation
+    // closed form (count + id_sum per residue class re-derived in SQL)
+    // plus the file-count contract — if the marker swap lost or doubled
+    // anything, or the rewrite dropped a row, the sums break.
+    "q80_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cmp")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val cf = CodeFiles(s, dir).select(col("doc_id"))
+          (0 until 3).foreach { k =>
+            cat.commitPartition("t", s"k$k",
+              cf.filter(col("doc_id") % 3 === k).repartition(8))
+          }
+          (0 until 3).map { k =>
+            require(cat.compactPartition("t", s"k$k", targetFiles = 1))
+            val snap = cat.snapshots("t").find(_.key == s"k$k").get
+            val dirPath = tmp.resolve(s"t/${snap.dir}")
+            val nFiles = dirPath.toFile.listFiles()
+              .count(f => f.getName.endsWith(".parquet"))
+            val agg = s.read.parquet(dirPath.toString)
+              .agg(count(lit(1)), sum("doc_id")).head()
+            (s"k$k", agg.getLong(0), agg.getLong(1), nFiles.toLong)
+          }
+        } finally sweepDir(tmp)
+      out.toDF("key", "rows", "id_sum", "n_files").orderBy("key")
     })
   )
 
@@ -3123,7 +3154,18 @@ object SparkEntry {
          |SELECT id, we6 AS wiki_e6, lce6 AS wiki_lc_e6,
          |       we6 AS books_e6, lce6 AS books_lc_e6,
          |       we6 AS owt_e6, lce6 AS owt_lc_e6
-         |FROM w ORDER BY id""".stripMargin
+         |FROM w ORDER BY id""".stripMargin,
+
+    // conservation closed form per residue class; n_files = 1 is the
+    // compaction contract
+    "q80_compaction" ->
+      """SELECT 'k' || (doc_id % 3) AS key,
+        |       CAST(count(*) AS BIGINT) AS rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(1 AS BIGINT) AS n_files
+        |FROM documents
+        |GROUP BY doc_id % 3
+        |ORDER BY key""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -277,6 +277,74 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           s"rollback: cannot remove marker for ${s.key}")
     }
 
+  /** Small-file compaction — Iceberg's `rewrite_data_files`, the
+    * maintenance half the write-once layout exists for: at 10^12-file
+    * scale, per-shard commits accumulate thousands of undersized parquet
+    * files per partition, and scan cost becomes file-count-bound (footer
+    * reads + task scheduling) rather than byte-bound. Rewrites ONE
+    * committed partition's data into `targetFiles` files in a fresh dir,
+    * then atomically re-points the marker (FileContext overwrite rename —
+    * atomic on local/HDFS): readers see either the old complete dir or
+    * the new complete dir, never a partial state, and a crash at any
+    * point leaves the partition committed. Rows are verified conserved
+    * BEFORE the swap (a mismatched rewrite aborts and self-cleans). The
+    * old dir becomes a vacuumable orphan. Concurrent compactors of the
+    * same key race like same-key committers: last marker wins, losers'
+    * dirs are orphans — data is immutable either way.
+    *
+    * Like Iceberg's rewrite (a REPLACE snapshot), compaction is a new
+    * commit: the partition moves to the END of the snapshot log (fresh
+    * committed_at_ms), so readTableAsOf ids re-densify with it last —
+    * the log records when bytes changed, and compaction changes bytes.
+    *
+    * Returns false when the partition has no committed marker.
+    */
+  def compactPartition(table: String, key: String,
+                       targetFiles: Int = 1): Boolean = {
+    require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    validateKey(key)
+    val curOpt = snapshots(table).find(_.key == key)
+    if (curOpt.isEmpty) return false
+    val cur = curOpt.get
+    val curPath = new HPath(tableDir(table), cur.dir)
+    val dirName = newDataDirName(key)
+    val target = new HPath(tableDir(table), dirName)
+    spark.read.parquet(curPath.toString)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(target.toString)
+    val rows = spark.read.parquet(target.toString).count()
+    if (rows != cur.rows) {
+      fs.delete(target, true)
+      throw new java.io.IOException(
+        s"compaction of $table/$key rewrote ${cur.rows} rows as $rows — " +
+          "aborted, original data untouched")
+    }
+    replaceMarker(table, key, rows, dirName)
+    true
+  }
+
+  /** Atomic in-place marker replacement (compaction's commit point):
+    * FileContext rename with OVERWRITE — unlike delete-then-rename, no
+    * window where the partition has no marker (a crash there would
+    * un-commit data), and unlike FileSystem.rename the overwrite
+    * semantics are explicit, not FS-dependent.
+    */
+  private def replaceMarker(table: String, key: String, rows: Long,
+                            dirName: String): Unit = {
+    val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
+        s""""committed_at_ms":${System.currentTimeMillis()},""" +
+        s""""seq_nanos":${System.nanoTime()}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(markerFile(table, key)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Maintenance: physically remove INVISIBLE data — part dirs no commit
     * marker points at (killed writers, same-key race losers,
     * [[rollbackTo]] leftovers) and stale staging dirs. Committed data is

@@ -190,6 +190,46 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("compaction: files shrink, rows conserve, marker swap atomic-visible") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft_cat_cmp")
+    try {
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      cat.commitPartition("t", "a", (0L until 100L).toDF("id").repartition(8))
+      cat.commitPartition("t", "b", (100L until 140L).toDF("id"))
+      def files(dir: String): Int =
+        tmp.resolve(s"t/$dir").toFile.listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      val before = cat.snapshots("t").find(_.key == "a").get
+      assert(files(before.dir) == 8)
+      assert(cat.compactPartition("t", "a", targetFiles = 2))
+      val after = cat.snapshots("t").find(_.key == "a").get
+      assert(after.dir != before.dir, "compaction must write a fresh dir")
+      assert(files(after.dir) == 2 && after.rows == 100)
+      // full-table read through the re-pointed marker conserves every row
+      assert(cat.readTable("t").agg(sum("id")).head().getLong(0)
+        == (0L until 140L).sum)
+      // a REPLACE commit moves the partition to the end of the log
+      assert(cat.snapshots("t").map(_.key) == Seq("b", "a"))
+      // the old dir is an orphan now; a graced vacuum keeps it (fresh),
+      // offline vacuum reclaims exactly it
+      assert(cat.vacuum("t", olderThanMs = 3600000L) == 0)
+      assert(cat.vacuum("t") == 1)
+      assert(!Files.exists(tmp.resolve(s"t/${before.dir}")))
+      assert(cat.readTable("t").count() == 140)
+      // unknown key: no-op, not a throw
+      assert(!cat.compactPartition("t", "zz"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("legacy committed_at_nanos markers stay readable (no format brick)") {
     // a catalog written by the pre-round-4 build (single
     // committed_at_nanos field) must keep snapshots()/readTableAsOf()/
