@@ -2258,12 +2258,14 @@ object SparkEntry {
 
     // DuckDB 1.0 has no sha1(): these two oracles are Python-recomputed
     // goldens (tools/gen_table_goldens.py, self-validated against the
-    // DedupeSpec pinned constants) over the sf0.01 gate corpus — the one
-    // sf they bind to. Everything in them is integer/hash arithmetic, so
-    // an independent recomputation is exact, unlike the float-bearing
-    // signal scores (whose digest could never be independently rebuilt).
-    "q16_signals_table" -> oracleResource("q16_oracle_sf001.sql"),
-    "q17_minhash_table" -> oracleResource("q17_oracle_sf001.sql"),
+    // DedupeSpec pinned constants) over every testdata corpus — one
+    // VALUES block per sf, selected by a (count, total-chars) key; an
+    // unknown corpus error()s with a message. Everything in them is
+    // integer/hash arithmetic, so an independent recomputation is exact,
+    // unlike the float-bearing signal scores (whose digest could never
+    // be independently rebuilt).
+    "q16_signals_table" -> oracleResource("q16_oracle_goldens.sql"),
+    "q17_minhash_table" -> oracleResource("q17_oracle_goldens.sql"),
 
     // the media table is synthesized from documents (payload = utf-8 text
     // bytes); n_bytes = byte length, n_frames = ceil((n_bytes/16)/stride)

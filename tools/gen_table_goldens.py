@@ -6,16 +6,19 @@ and the minhash band bytes (minhash.py:87-95) cannot be re-derived in the
 oracle SQL. They ARE integer-exact though — no float summation order in
 sight — so this script recomputes them INDEPENDENTLY in Python (hashlib +
 integer arithmetic; the same transliteration discipline as gen_goldens.py)
-over the deterministic sf0.01 gate corpus and emits VALUES-based oracle
-SQL bodies as resources the engine's oracleSql map serves verbatim.
+over each deterministic testdata corpus (sf0.001/sf0.01/sf0.1 by
+default) and emits VALUES-based oracle SQL bodies as resources the
+engine's oracleSql map serves verbatim — one VALUES block per corpus,
+selected at oracle time by a (count, total-chars) key computable on both
+sides; an unknown corpus errors with a message.
 
 Self-validating: before writing anything it re-derives every constant
 DedupeSpec pins (permutation stream head, permutation checksum,
 sha1_hash32, a full signature head, band bytes) and aborts on mismatch.
 
-Run: python3 tools/gen_table_goldens.py /root/testdata/sf0.01
-Writes: src/main/resources/graft/q16_oracle_sf001.sql
-        src/main/resources/graft/q17_oracle_sf001.sql
+Run: python3 tools/gen_table_goldens.py [sfdir...]
+Writes: src/main/resources/graft/q16_oracle_goldens.sql
+        src/main/resources/graft/q17_oracle_goldens.sql
 """
 import hashlib, re, string, sys, unicodedata
 
@@ -134,36 +137,63 @@ def self_check():
 
 def main():
     import duckdb
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sfs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                           "/root/testdata/sf0.1"]
     self_check()
-    rows = duckdb.connect().execute(
-        f"SELECT doc_id, source, coalesce(text,'') FROM "
-        f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id").fetchall()
-    q16, q17 = [], []
-    for doc_id, source, text in rows:
-        rid = f"{source}/{doc_id}"
-        ii = id_int(rid)
-        words = normalize(enrich(doc_id, text)).split()
-        q16.append(f"('{rid}', CAST({ii} AS BIGINT))")
-        q17.append(f"('{rid}', CAST({ii} AS BIGINT), '{bands_digest(words)}')")
-    hdr = ("-- GENERATED by tools/gen_table_goldens.py over the sf0.01 gate\n"
-           "-- corpus: independent Python recomputation (hashlib) of the\n"
+    # corpora are discriminated by a key BOTH sides can compute: doc count
+    # plus total text length (sf0.001 and sf0.01 share a count)
+    KEY_SQL = "(SELECT count(*) || '/' || sum(length(coalesce(text, ''))) FROM documents)"
+    per_sf = []  # (key, q16 values, q17 values)
+    for sf in sfs:
+        rows = duckdb.connect().execute(
+            f"SELECT doc_id, source, coalesce(text,'') FROM "
+            f"read_parquet('{sf}/documents.parquet') ORDER BY doc_id").fetchall()
+        key = f"{len(rows)}/{sum(len(t) for _, _, t in rows)}"
+        q16, q17 = [], []
+        for doc_id, source, text in rows:
+            rid = f"{source}/{doc_id}"
+            ii = id_int(rid)
+            words = normalize(enrich(doc_id, text)).split()
+            q16.append(f"('{rid}', CAST({ii} AS BIGINT))")
+            q17.append(
+                f"('{rid}', CAST({ii} AS BIGINT), '{bands_digest(words)}')")
+        per_sf.append((key, q16, q17))
+        print(f"{sf}: {len(rows)} golden rows, key {key}")
+    keys = [k for k, _, _ in per_sf]
+    assert len(set(keys)) == len(keys), "sf corpora must differ in key"
+    hdr = ("-- GENERATED by tools/gen_table_goldens.py over the testdata\n"
+           "-- corpora: independent Python recomputation (hashlib) of the\n"
            "-- sha1-derived id_int and minhash band bytes DuckDB cannot\n"
-           "-- derive (no sha1 in 1.0). Do not edit by hand.\n")
-    # the goldens bind to THIS corpus; running the compare at any other sf
-    # must fail with a message, not an opaque row/hash diff
-    guard = ("WHERE (SELECT CASE WHEN (SELECT count(*) FROM documents)"
-             f" = {len(rows)} THEN true ELSE error("
-             "'q16/q17 oracles are Python goldens bound to the sf0.01 gate "
-             "corpus; regenerate with tools/gen_table_goldens.py <sfdir>') "
-             "END)\n")
-    with open("src/main/resources/graft/q16_oracle_sf001.sql", "w") as f:
-        f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q16)
-                + "\n) t(id, id_int)\n" + guard + "ORDER BY id\n")
-    with open("src/main/resources/graft/q17_oracle_sf001.sql", "w") as f:
-        f.write(hdr + "SELECT * FROM (VALUES\n" + ",\n".join(q17)
-                + "\n) t(id, id_int, bands_digest)\n" + guard + "ORDER BY id\n")
-    print(f"wrote {len(rows)} golden rows for q16/q17")
+           "-- derive (no sha1 in 1.0). One VALUES block per corpus,\n"
+           "-- selected by a (count, total-chars) key; any OTHER corpus\n"
+           "-- errors with a message, not an opaque diff. Generated.\n")
+    in_list = ", ".join(f"'{k}'" for k in keys)
+    # a corpus matching none of the generated keys must fail loudly
+    unknown = ("SELECT NULL AS __g WHERE (SELECT CASE WHEN "
+               f"{KEY_SQL} IN ({in_list}) THEN false "
+               "ELSE error('q16/q17 goldens cover the generated testdata "
+               "corpora (count/chars keys " + ", ".join(keys) +
+               "); regenerate with tools/gen_table_goldens.py <sfdirs>') "
+               "END)")
+
+    def body(cols, idx):
+        branches = []
+        for key, q16, q17 in per_sf:
+            vals = (q16 if idx == 16 else q17)
+            branches.append(
+                "SELECT * FROM (VALUES\n" + ",\n".join(vals) + f"\n) t({cols})"
+                f"\nWHERE {KEY_SQL} = '{key}'")
+        guard = unknown.replace("NULL AS __g", ", ".join(
+            f"NULL AS {c.strip()}" for c in cols.split(",")))
+        return (hdr + "SELECT * FROM (\n" +
+                "\nUNION ALL\n".join(branches + [guard]) +
+                "\n)\nORDER BY id\n")
+
+    with open("src/main/resources/graft/q16_oracle_goldens.sql", "w") as f:
+        f.write(body("id, id_int", 16))
+    with open("src/main/resources/graft/q17_oracle_goldens.sql", "w") as f:
+        f.write(body("id, id_int, bands_digest", 17))
+    print(f"wrote multi-sf goldens for corpora of {in_list} docs")
 
 if __name__ == "__main__":
     main()
