@@ -40,7 +40,7 @@ object Bench {
     "q20_ut1_lookup" -> 0.3, "q21_dedup_apply" -> 1.0,
     "q22_token_totals" -> 0.9, "q23_events_hourly" -> 0.5,
     "q24_sessionize" -> 0.4, "q25_lsh_dup_check" -> 2.5,
-    "q26_simhash_dup_check" -> 2.4, "q27_jsonl_ingest" -> 0.2,
+    "q26_simhash_dup_check" -> 7.0, "q27_jsonl_ingest" -> 0.2,
     "q28_bloom_dedup" -> 0.7, "q29_lsh_from_table" -> 2.8,
     "q30_ann_ivf" -> 1.0, "q31_embed_neardup" -> 1.0,
     "q32_embed_neardup_lsh" -> 1.6, "q33_catalog_metrics" -> 6.0,
@@ -66,7 +66,7 @@ object Bench {
     "q72_fuzzy_decontam" -> 0.6, "q73_stream_lsh_dedup" -> 5.5,
     "q74_time_travel" -> 3.5, "q75_ann_recall" -> 1.2,
     "q76_temperature_mix" -> 1.7, "q77_keep_best" -> 2.5,
-    "q78_simhash_hotbucket" -> 1.5, "q79_dsir_in_situ" -> 1.3,
+    "q78_simhash_hotbucket" -> 4.0, "q79_dsir_in_situ" -> 1.3,
     "q80_compaction" -> 4.0)
 
   private def session(cores: Int): SparkSession = {

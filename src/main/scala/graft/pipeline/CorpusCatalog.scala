@@ -187,12 +187,23 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * dirs — from a killed or racing writer — are invisible: only dirs a
     * marker points at are read, like an Iceberg snapshot read).
     */
-  def readTable(table: String): DataFrame = {
+  def readTable(table: String): DataFrame = readTable(table, mergeSchema = false)
+
+  /** `mergeSchema = true` is the schema-evolution read (Iceberg
+    * add-column): partitions committed before a column existed surface it
+    * as null, instead of the default parquet behavior of adopting ONE
+    * file's schema (whichever the reader samples — a silent column drop
+    * on an evolved table). Costs a footer read per file, so reserve it
+    * for tables that actually evolved; a production catalog at 10^12
+    * files would pin the schema in table metadata like Iceberg rather
+    * than re-deriving it per read.
+    */
+  def readTable(table: String, mergeSchema: Boolean): DataFrame = {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val paths = snaps.sortBy(_.key)
       .map(s => new HPath(tableDir(table), s.dir).toString)
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
   /** The table's snapshot log: one snapshot per committed partition

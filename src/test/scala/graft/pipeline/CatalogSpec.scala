@@ -190,6 +190,34 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("schema evolution: a later-added column reads back with nulls for old partitions") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("graft_cat_evo")
+    try {
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      cat.commitPartition("t", "old", (0L until 10L).toDF("id"))
+      cat.commitPartition("t", "new",
+        (10L until 20L).toDF("id").withColumn("lang", lit("en")))
+      val merged = cat.readTable("t", mergeSchema = true)
+      assert(merged.columns.toSet == Set("id", "lang"),
+        s"evolved column lost: ${merged.columns.toSeq}")
+      assert(merged.filter(col("lang").isNull).count() == 10, "old rows " +
+        "must surface the added column as null")
+      assert(merged.filter(col("lang") === "en").count() == 10)
+      assert(merged.count() == 20)
+      // the default (no-merge) read still works for homogeneous tables
+      assert(cat.readTable("t").count() == 20)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("compaction: files shrink, rows conserve, marker swap atomic-visible") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
