@@ -1712,6 +1712,40 @@ object SparkEntry {
           }
         } finally sweepDir(tmp)
       out.toDF("key", "rows", "id_sum", "n_files").orderBy("key")
+    }),
+
+    // Catalog data skipping (Iceberg's manifest min/max evaluation): the
+    // documents table commits as 8 doc_id-RANGE partitions with
+    // doc_id/n_chars stats in the commit markers; an id-range read then
+    // prunes partitions at PLANNING time. n_parts_kept is the pruning
+    // decision itself — a partition survives iff its [min,max] intersects
+    // the queried range, re-derived in SQL from per-bucket min/max — and
+    // n_rows/id_sum pin that pruning lost no qualifying row.
+    "q81_data_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_skip")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+          // bucket width so the corpus always splits into exactly 8
+          // ranges regardless of sf (doc_ids are dense from 0)
+          val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
+          (0L until 8L).foreach { g =>
+            cat.commitPartition("d", s"g$g",
+              docs.filter(expr(s"doc_id div $b") === g),
+              Seq("doc_id", "n_chars"))
+          }
+          val pred = col("doc_id").between(b + 3L, 3L * b + 5L) &&
+            col("n_chars") >= 0L
+          val kept = cat.prunedSnapshots("d", pred).size.toLong
+          val r = cat.readTableWhere("d", pred)
+            .agg(count(lit(1)), sum("doc_id")).head()
+          Seq((kept, r.getLong(0), r.getLong(1)))
+            .toDF("n_parts_kept", "n_rows", "id_sum")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3167,7 +3201,25 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS n_files
         |FROM documents
         |GROUP BY doc_id % 3
-        |ORDER BY key""".stripMargin
+        |ORDER BY key""".stripMargin,
+
+    // The pruning rule re-derived from first principles: a range
+    // partition survives iff [mn, mx] ∩ [lo, hi] ≠ ∅ (the inclusive
+    // min/max evaluation), with bucket width and bounds in the same
+    // integer arithmetic the Spark side uses.
+    "q81_data_skipping" ->
+      """WITH b AS (SELECT (max(doc_id) + 8) // 8 AS b FROM documents),
+        |bounds AS (SELECT b + 3 AS lo, 3 * b + 5 AS hi FROM b),
+        |parts AS (
+        |  SELECT doc_id // (SELECT b FROM b) AS g,
+        |         min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM documents GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM parts, bounds
+        |        WHERE mn <= hi AND mx >= lo) AS n_parts_kept,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents, bounds
+        |WHERE doc_id BETWEEN lo AND hi""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

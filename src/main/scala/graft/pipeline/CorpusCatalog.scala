@@ -55,6 +55,21 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   private[pipeline] val fs: FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Stats collection runs in a sibling session (same SparkContext) with
+    * the DSv2 parquet reader + aggregate pushdown enabled, so commit-time
+    * MIN/MAX/COUNT stats come from file FOOTERS, not a data scan — the
+    * main session's reader config (v1 by default) stays untouched.
+    */
+  private[pipeline] lazy val statsSession: SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val v1 = s2.conf.get("spark.sql.sources.useV1SourceList")
+    s2.conf.set("spark.sql.sources.useV1SourceList",
+      v1.split(",").map(_.trim).filter(s => s.nonEmpty && s != "parquet")
+        .mkString(","))
+    s2
+  }
+
   private def tableDir(table: String): HPath = new HPath(root, table)
   private def commitDir(table: String): HPath =
     new HPath(tableDir(table), "_commits")
@@ -89,15 +104,25 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * wins the marker race (this attempt's data dir is removed, nothing
     * half-visible remains).
     */
-  def commitPartition(table: String, key: String, df: DataFrame): Boolean = {
+  def commitPartition(table: String, key: String, df: DataFrame): Boolean =
+    commitPartition(table, key, df, Nil)
+
+  /** As above, plus data-skipping stats: min/max/null-count of
+    * `statsCols` land in the commit marker (footer-derived — see
+    * [[statsSession]]) and [[readTableWhere]] prunes against them.
+    */
+  def commitPartition(table: String, key: String, df: DataFrame,
+                      statsCols: Seq[String]): Boolean = {
     validateKey(key) // before any data write — no weird-named debris dirs
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
     val partPath = new HPath(tableDir(table), dirName)
     df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
-    // row count from the written footers — the input plan runs ONCE
-    val rows = df.sparkSession.read.parquet(partPath.toString).count()
-    if (tryWriteMarker(table, key, rows, dirName)) true
+    // row count (and any stats) from the written FOOTERS — the input
+    // plan runs ONCE, and the read-back never touches data pages
+    val (rows, stats) =
+      PartitionStats.collect(statsSession, partPath.toString, statsCols)
+    if (tryWriteMarker(table, key, rows, dirName, stats)) true
     else { fs.delete(partPath, true); false } // lost the same-key race
   }
 
@@ -118,7 +143,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * own dir and the marker race decides, exactly like [[commitPartition]].
     */
   def commitStaged(table: String, key: String, stagedDir: HPath,
-                   rows: Long): Boolean = {
+                   rows: Long): Boolean =
+    commitStaged(table, key, stagedDir, rows, Nil)
+
+  /** As above with data-skipping stats over `statsCols`, collected from
+    * the promoted dir's footers before the marker is written.
+    */
+  def commitStaged(table: String, key: String, stagedDir: HPath,
+                   rows: Long, statsCols: Seq[String]): Boolean = {
     validateKey(key)
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
@@ -130,7 +162,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.rename(stagedDir, target))
       throw new java.io.IOException(
         s"commit rename failed: $stagedDir -> $target")
-    if (tryWriteMarker(table, key, rows, dirName)) true
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, PartitionStats.ColStats]
+      else PartitionStats.collect(statsSession, target.toString, statsCols)._2
+    if (tryWriteMarker(table, key, rows, dirName, stats)) true
     else { fs.delete(target, true); false } // lost the same-key race
   }
 
@@ -150,21 +185,31 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * replaces an existing target, simultaneous racers both "win" and the
     * last marker decides — still one complete visible version.
     */
+  private def markerBody(key: String, rows: Long, dirName: String,
+                         stats: Map[String, PartitionStats.ColStats]): String = {
+    // committed_at_ms orders snapshots ACROSS process restarts (nanoTime
+    // has an arbitrary per-boot origin); seq_nanos breaks same-millisecond
+    // ties within one JVM (nanoTime is monotonic there); the optional
+    // stats object is LAST so every earlier marker parser's prefix holds
+    val statsField =
+      if (stats.isEmpty) ""
+      else s""","stats":${PartitionStats.toJson(stats)}"""
+    s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
+      s""""committed_at_ms":${System.currentTimeMillis()},""" +
+      s""""seq_nanos":${System.nanoTime()}$statsField}"""
+  }
+
   private def tryWriteMarker(table: String, key: String, rows: Long,
-                             dirName: String): Boolean = {
+                             dirName: String,
+                             stats: Map[String, PartitionStats.ColStats] =
+                               Map.empty): Boolean = {
     validateKey(key)
     if (!fs.mkdirs(commitDir(table)))
       throw new java.io.IOException(s"mkdirs failed: ${commitDir(table)}")
     val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
-    // committed_at_ms orders snapshots ACROSS process restarts (nanoTime
-    // has an arbitrary per-boot origin); seq_nanos breaks same-millisecond
-    // ties within one JVM (nanoTime is monotonic there)
     val out = fs.create(tmp, true)
-    try out.write(
-      (s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
-        s""""committed_at_ms":${System.currentTimeMillis()},""" +
-        s""""seq_nanos":${System.nanoTime()}}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(markerBody(key, rows, dirName, stats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // last-moment re-check narrows the both-rename window to FS races the
     // rename itself resolves (see scaladoc)
@@ -206,6 +251,44 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
+  /** The committed partitions whose marker stats admit `predicate` —
+    * Iceberg's inclusive manifest evaluation (see [[StatsPruning]]): a
+    * partition is dropped ONLY when its min/max/null-count stats prove no
+    * row can match; partitions without stats (or with an unsupported
+    * predicate shape) always survive.
+    */
+  def prunedSnapshots(table: String,
+                      predicate: org.apache.spark.sql.Column): Seq[CorpusCatalog.Snapshot] =
+    snapshots(table).filter(s => StatsPruning.mightMatch(predicate, s.stats, s.rows))
+
+  /** Data-skipping read: `readTable(table).where(predicate)`, except
+    * partitions whose commit-marker stats prove the predicate empty are
+    * never LISTED, let alone scanned — at 10^6-partition scale the
+    * planning-time win (file listing + footer reads + task scheduling for
+    * provably-dead partitions) dwarfs the row-group pruning parquet
+    * already does inside surviving partitions. The predicate is re-applied
+    * on top, so the result is identical to the unpruned read for EVERY
+    * predicate, including shapes the stats evaluator cannot analyze.
+    */
+  def readTableWhere(table: String, predicate: org.apache.spark.sql.Column,
+                     mergeSchema: Boolean = false): DataFrame = {
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    val kept = all.filter(s => StatsPruning.mightMatch(predicate, s.stats, s.rows))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"data skipping over $table: ${kept.size}/${all.size} partitions survive")
+    if (kept.isEmpty)
+      // provably empty — keep the schema (and the predicate's analysis
+      // errors) without scanning anything: limit(0) under the filter
+      spark.read.parquet(new HPath(tableDir(table), all.head.dir).toString)
+        .limit(0).where(predicate)
+    else
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(kept.sortBy(_.key)
+          .map(s => new HPath(tableDir(table), s.dir).toString): _*)
+        .where(predicate)
+  }
+
   /** The table's snapshot log: one snapshot per committed partition
     * (Iceberg's append-commit granularity here), ordered by commit time —
     * the marker is written atomically LAST, so marker order IS the
@@ -216,7 +299,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.exists(d)) return Seq.empty
     val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"dir":"(part=[A-Za-z0-9._=@-]+)",""" +
-      """"committed_at_ms":(\d+),"seq_nanos":(\d+)\}""").r
+      """"committed_at_ms":(\d+),"seq_nanos":(\d+)""" +
+      """(?:,"stats":(\{.*\}))?\}""").r
     // round-4 marker shape (no dir field — data lived at part=<key>):
     // synthesize the legacy location so pre-upgrade catalogs keep reading
     val R4 = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
@@ -241,13 +325,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           buf.toString("UTF-8")
         } finally in.close()
         body match {
-          case R(key, rows, dir, ms, nanos) =>
-            (key, rows.toLong, dir, ms.toLong, nanos.toLong)
+          case R(key, rows, dir, ms, nanos, statsJson) =>
+            (key, rows.toLong, dir, ms.toLong, nanos.toLong,
+              Option(statsJson).map(PartitionStats.fromJson)
+                .getOrElse(Map.empty[String, PartitionStats.ColStats]))
           case R4(key, rows, ms, nanos) =>
-            (key, rows.toLong, s"part=$key", ms.toLong, nanos.toLong)
+            (key, rows.toLong, s"part=$key", ms.toLong, nanos.toLong,
+              Map.empty[String, PartitionStats.ColStats])
           case LegacyR(key, rows, nanos) =>
             (key, rows.toLong, s"part=$key",
-              nanos.toLong / 1000000L, nanos.toLong)
+              nanos.toLong / 1000000L, nanos.toLong,
+              Map.empty[String, PartitionStats.ColStats])
           case _ => throw new java.io.IOException(
             s"unparseable commit marker ${st.getPath}: $body")
         }
@@ -255,10 +343,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // wall-clock ms orders across restarts/hosts; per-JVM monotonic
       // nanos breaks same-millisecond ties from one writer; key breaks
       // the (pathological) rest deterministically
-      .toSeq.sortBy { case (key, _, _, ms, nanos) => (ms, nanos, key) }
+      .toSeq.sortBy { case (key, _, _, ms, nanos, _) => (ms, nanos, key) }
       .zipWithIndex
-      .map { case ((key, rows, dir, ms, _), i) =>
-        CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir) }
+      .map { case ((key, rows, dir, ms, _, stats), i) =>
+        CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir, stats) }
   }
 
   /** Time travel: the table as of snapshot `snapshotId` — exactly the
@@ -323,14 +411,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     spark.read.parquet(curPath.toString)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(target.toString)
-    val rows = spark.read.parquet(target.toString).count()
+    // re-derive any data-skipping stats from the rewritten footers (same
+    // rows, but the old mins/maxes must not dangle on a replaced dir)
+    val (rows, stats) = PartitionStats.collect(statsSession,
+      target.toString, cur.stats.keys.toSeq.sorted)
     if (rows != cur.rows) {
       fs.delete(target, true)
       throw new java.io.IOException(
         s"compaction of $table/$key rewrote ${cur.rows} rows as $rows — " +
           "aborted, original data untouched")
     }
-    replaceMarker(table, key, rows, dirName)
+    replaceMarker(table, key, rows, dirName, stats)
     true
   }
 
@@ -341,14 +432,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * semantics are explicit, not FS-dependent.
     */
   private def replaceMarker(table: String, key: String, rows: Long,
-                            dirName: String): Unit = {
+                            dirName: String,
+                            stats: Map[String, PartitionStats.ColStats] =
+                              Map.empty): Unit = {
     val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(
-      (s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
-        s""""committed_at_ms":${System.currentTimeMillis()},""" +
-        s""""seq_nanos":${System.nanoTime()}}""")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(markerBody(key, rows, dirName, stats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
@@ -439,7 +529,9 @@ object CorpusCatalog {
     * `part=<key>` for pre-upgrade markers).
     */
   final case class Snapshot(id: Long, key: String, rows: Long,
-                            committedAtMs: Long, dir: String)
+                            committedAtMs: Long, dir: String,
+                            stats: Map[String, PartitionStats.ColStats] =
+                              Map.empty)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

@@ -1,0 +1,407 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-partition column statistics for the catalog's commit markers —
+  * the manifest half of Iceberg's data-skipping story. At 100-TB scale
+  * the cheapest scan is the one that never opens a file: a predicate
+  * evaluated against per-partition min/max/null-count stats prunes whole
+  * partitions at PLANNING time, before Spark lists a single data file
+  * (parquet row-group stats then prune within whatever survives).
+  *
+  * Stats are collected from the freshly written partition via Spark's
+  * parquet AGGREGATE PUSHDOWN (`spark.sql.parquet.aggregatePushdown`,
+  * DSv2 scan): MIN/MAX/COUNT of integral/floating columns and COUNT(*)
+  * are answered from file FOOTERS — no data pages are read, so the
+  * commit-time cost is O(files), not O(rows). String min/max is the
+  * exception (parquet binary stats may be truncated, so Spark never
+  * pushes them); those compute through a column-pruned scan of just the
+  * string columns, and remain worth it when a prefix- or range-heavy
+  * read pattern needs them. Types outside {integral, float/double,
+  * string} record no stats and simply never prune (conservative).
+  *
+  * Values are stored in the marker JSON as EXACT decimal strings
+  * (`new java.math.BigDecimal(double)` — the full binary expansion, not
+  * the shortest round-trip form), so pruning comparisons re-run on exact
+  * values and a float column's stats can never mis-prune against a
+  * double literal at the last ulp. NaN/Infinity extremes drop the
+  * column's stats (BigDecimal cannot order them; conservative keep).
+  */
+object PartitionStats {
+
+  /** `typ`: "long" | "double" | "string". `min`/`max` are None when every
+    * value in the partition is NULL (then `nulls == rows`).
+    */
+  final case class ColStats(typ: String, min: Option[String],
+                            max: Option[String], nulls: Long)
+
+  private[pipeline] def statType(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
+
+  /** Exact decimal rendering of a min/max aggregate value; None for
+    * NaN/Infinity (unorderable in decimal — drops the column's stats).
+    */
+  private def render(typ: String, v: Any): Option[String] = (typ, v) match {
+    case (_, null) => None
+    case ("long", n: java.lang.Number) => Some(n.longValue().toString)
+    case ("double", n: java.lang.Number) =>
+      val d = n.doubleValue()
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) None
+      else Some(new java.math.BigDecimal(d).toPlainString)
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
+
+  /** `(rowCount, stats)` of the parquet dir, via the catalog's
+    * pushdown-enabled session. Columns absent from the schema or of an
+    * unsupported type are skipped. One footer-only agg covers COUNT(*)
+    * and every numeric column; string columns add one column-pruned scan.
+    */
+  private[pipeline] def collect(session: SparkSession, dir: String,
+                                cols: Seq[String]): (Long, Map[String, ColStats]) = {
+    val df = session.read.parquet(dir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val usable = cols.distinct.flatMap { c =>
+      types.get(c).flatMap(statType).map(t => (c, t))
+    }
+    val (pushable, scanned) = usable.partition(_._2 != "string")
+
+    def statsOf(sub: Seq[(String, String)], rows: Long,
+                row: org.apache.spark.sql.Row, off: Int): Seq[(String, ColStats)] =
+      sub.zipWithIndex.flatMap { case ((c, t), i) =>
+        val nonNull = row.getLong(off + 3 * i + 2)
+        val mn = render(t, row.get(off + 3 * i))
+        val mx = render(t, row.get(off + 3 * i + 1))
+        // a NaN/Inf extreme renders None while nonNull > 0 — stats for
+        // that column would be unusable half-truths; drop them entirely
+        if (nonNull > 0 && (mn.isEmpty || mx.isEmpty)) None
+        else Some(c -> ColStats(t, mn, mx, rows - nonNull))
+      }
+
+    val aggs = pushable.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c)), count(col(c)))
+    } :+ count(lit(1))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(aggs.length - 1)
+    val numeric = statsOf(pushable, rows, r, 0)
+
+    val strings =
+      if (scanned.isEmpty) Seq.empty
+      else {
+        val sAggs = scanned.flatMap { case (c, _) =>
+          Seq(min(col(c)), max(col(c)), count(col(c)))
+        }
+        val sr = df.agg(sAggs.head, sAggs.tail: _*).head()
+        statsOf(scanned, rows, sr, 0)
+      }
+    (rows, (numeric ++ strings).toMap)
+  }
+
+  // ---- marker JSON (hand-rendered like the marker itself; Jackson for
+  // ---- parse + string escaping — it ships with Spark) ----
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Deterministic (key-sorted) JSON object for the marker's `stats`
+    * field.
+    */
+  def toJson(stats: Map[String, ColStats]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+      val mn = cs.min.map(v => s""","min":${jstr(v)}""").getOrElse("")
+      val mx = cs.max.map(v => s""","max":${jstr(v)}""").getOrElse("")
+      s"""${jstr(c)}:{"t":"${cs.typ}"$mn$mx,"nulls":${cs.nulls}}"""
+    }.mkString("{", ",", "}")
+
+  def fromJson(json: String): Map[String, ColStats] = {
+    val node = mapper.readTree(json)
+    val it = node.fields()
+    val out = Map.newBuilder[String, ColStats]
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      def opt(f: String) =
+        if (v.has(f)) Some(v.get(f).asText()) else None
+      out += e.getKey -> ColStats(v.get("t").asText(), opt("min"), opt("max"),
+        v.get("nulls").asLong())
+    }
+    out.result()
+  }
+}
+
+/** Inclusive predicate evaluation against [[PartitionStats.ColStats]] —
+  * Iceberg's `InclusiveMetricsEvaluator` contract: [[mightMatch]] returns
+  * false ONLY when the stats PROVE no row of the partition can satisfy
+  * the predicate. Anything unprovable — an unsupported expression shape,
+  * a column without stats, a numeric/string type mismatch — evaluates to
+  * true (keep), so pruning can only ever remove provably-dead partitions
+  * and `readTableWhere(pred) ≡ readTable().where(pred)` holds for EVERY
+  * predicate, supported or not.
+  *
+  * Supported leaves: `=`, `<=>`, `<`, `<=`, `>`, `>=`, `IN`, `IS NULL`,
+  * `IS NOT NULL`, `startsWith`, composed with AND/OR/NOT. NOT pushes down
+  * through the tree (negation-normal form on the fly), with SQL
+  * three-valued semantics kept honest: a NULL comparison result satisfies
+  * neither a predicate nor its negation, so e.g. `NOT (a IN (1, NULL))`
+  * is provably empty and `NOT (a = 5)` still requires a non-null witness.
+  */
+object StatsPruning {
+  import PartitionStats.ColStats
+
+  def mightMatch(predicate: Column, stats: Map[String, ColStats],
+                 rows: Long): Boolean = {
+    val st = stats.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    eval(ColumnBridge.toCatalyst(predicate), st, rows, neg = false)
+  }
+
+  /** The Column DSL arrives pre-analysis: operators are
+    * `UnresolvedFunction("=", ...)` etc., not the structured catalyst
+    * nodes the analyzer would resolve them to. Map the names we
+    * understand onto those nodes (children unwrap lazily as [[eval]]
+    * visits them); anything else stays opaque → conservative keep.
+    */
+  private def unwrap(e: Expression): Expression = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.size == 1 && !f.isDistinct =>
+      val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      (name, f.arguments) match {
+        case ("and", Seq(l, r)) => And(l, r)
+        case ("or", Seq(l, r)) => Or(l, r)
+        case ("not" | "!", Seq(c)) => Not(c)
+        case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+        case ("<=>", Seq(l, r)) => EqualNullSafe(l, r)
+        case ("<", Seq(l, r)) => LessThan(l, r)
+        case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
+        case (">", Seq(l, r)) => GreaterThan(l, r)
+        case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
+        case ("in", a +: rest) => In(a, rest)
+        case ("isnull", Seq(c)) => IsNull(c)
+        case ("isnotnull", Seq(c)) => IsNotNull(c)
+        case ("startswith", Seq(l, r)) => StartsWith(l, r)
+        case _ => e
+      }
+    case other => other
+  }
+
+  /** `eval(e, neg = true)` answers "might NOT e match a row" — the
+    * De Morgan dual, so NOT never needs a rewrite pass.
+    */
+  private def eval(e0: Expression, st: Map[String, ColStats], rows: Long,
+                   neg: Boolean): Boolean = unwrap(e0) match {
+    case And(l, r) =>
+      if (!neg) eval(l, st, rows, neg = false) && eval(r, st, rows, neg = false)
+      else eval(l, st, rows, neg = true) || eval(r, st, rows, neg = true)
+    case Or(l, r) =>
+      if (!neg) eval(l, st, rows, neg = false) || eval(r, st, rows, neg = false)
+      else eval(l, st, rows, neg = true) && eval(r, st, rows, neg = true)
+    case Not(c) => eval(c, st, rows, !neg)
+    case Literal(true, BooleanType) => !neg
+    case Literal(false, BooleanType) => neg
+    case leaf => evalLeaf(leaf, st, rows, neg)
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+    case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
+    case _ => None
+  }
+
+  /** Literal → exact decimal (numeric) or string; None = unsupported. */
+  private def litValue(l: Literal): Option[Either[BigDecimal, String]] = l match {
+    case Literal(null, _) => None
+    case Literal(v: Byte, _) => Some(scala.util.Left(BigDecimal(v.toLong)))
+    case Literal(v: Short, _) => Some(scala.util.Left(BigDecimal(v.toLong)))
+    case Literal(v: Int, _) => Some(scala.util.Left(BigDecimal(v.toLong)))
+    case Literal(v: Long, _) => Some(scala.util.Left(BigDecimal(v)))
+    case Literal(v: Float, _) =>
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v)) None
+      else Some(scala.util.Left(BigDecimal(new java.math.BigDecimal(v.toDouble))))
+    case Literal(v: Double, _) =>
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) None
+      else Some(scala.util.Left(BigDecimal(new java.math.BigDecimal(v))))
+    case Literal(v: Decimal, _) => Some(scala.util.Left(v.toBigDecimal))
+    case Literal(u: UTF8String, StringType) => Some(scala.util.Right(u.toString))
+    case _ => None
+  }
+
+  /** `(min cmp lit, max cmp lit)` as sign ints; None when the stats and
+    * literal are not comparable (type mismatch, missing bounds).
+    */
+  private def bounds(cs: ColStats,
+                     lit: Either[BigDecimal, String]): Option[(Int, Int)] =
+    (cs.min, cs.max) match {
+      case (Some(mn), Some(mx)) => (cs.typ, lit) match {
+        case ("long" | "double", scala.util.Left(d)) =>
+          Some((BigDecimal(new java.math.BigDecimal(mn)).compare(d),
+            BigDecimal(new java.math.BigDecimal(mx)).compare(d)))
+        case ("string", scala.util.Right(s)) => Some((mn.compareTo(s).sign, mx.compareTo(s).sign))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  // comparison ops, normalized to attr-op-literal with lit-op-attr flipped
+  private sealed trait Op
+  private case object Eq extends Op
+  private case object Lt extends Op
+  private case object Le extends Op
+  private case object Gt extends Op
+  private case object Ge extends Op
+  private def flip(op: Op): Op = op match {
+    case Lt => Gt; case Le => Ge; case Gt => Lt; case Ge => Le; case Eq => Eq
+  }
+
+  private def evalLeaf(e: Expression, st: Map[String, ColStats], rows: Long,
+                       neg: Boolean): Boolean = {
+
+    def statsFor(a: Expression): Option[ColStats] =
+      attrName(a).flatMap(st.get)
+
+    def nonNull(cs: ColStats): Boolean = rows - cs.nulls > 0
+
+    /** Might a row satisfy `attr op lit` (pos) / its negation (neg)?
+      * Both require a NON-NULL witness (NULL cmp anything is NULL, which
+      * satisfies neither side). Unknowable → true.
+      */
+    def cmpLeaf(a: Expression, l: Literal, op: Op): Boolean = {
+      if (l.value == null) return false // x op NULL and NOT(x op NULL): never
+      statsFor(a) match {
+        case None => true
+        case Some(cs) if !nonNull(cs) => false // all-NULL partition
+        case Some(cs) => litValue(l).flatMap(bounds(cs, _)) match {
+          case None => true
+          case Some((cmpMin, cmpMax)) =>
+            val might = op match {
+              case Eq => cmpMin <= 0 && cmpMax >= 0
+              case Lt => cmpMin < 0
+              case Le => cmpMin <= 0
+              case Gt => cmpMax > 0
+              case Ge => cmpMax >= 0
+            }
+            val mightNot = op match {
+              case Eq => !(cmpMin == 0 && cmpMax == 0) // some value ≠ lit
+              case Lt => cmpMax >= 0 // some value ≥ lit
+              case Le => cmpMax > 0
+              case Gt => cmpMin <= 0
+              case Ge => cmpMin < 0
+            }
+            if (neg) mightNot else might
+        }
+      }
+    }
+
+    e match {
+      case EqualTo(a, l: Literal) => cmpLeaf(a, l, Eq)
+      case EqualTo(l: Literal, a) => cmpLeaf(a, l, Eq)
+      case LessThan(a, l: Literal) => cmpLeaf(a, l, Lt)
+      case LessThan(l: Literal, a) => cmpLeaf(a, l, flip(Lt))
+      case LessThanOrEqual(a, l: Literal) => cmpLeaf(a, l, Le)
+      case LessThanOrEqual(l: Literal, a) => cmpLeaf(a, l, flip(Le))
+      case GreaterThan(a, l: Literal) => cmpLeaf(a, l, Gt)
+      case GreaterThan(l: Literal, a) => cmpLeaf(a, l, flip(Gt))
+      case GreaterThanOrEqual(a, l: Literal) => cmpLeaf(a, l, Ge)
+      case GreaterThanOrEqual(l: Literal, a) => cmpLeaf(a, l, flip(Ge))
+
+      case EqualNullSafe(a, l: Literal) => nullSafeEq(a, l, st, rows, neg)
+      case EqualNullSafe(l: Literal, a) => nullSafeEq(a, l, st, rows, neg)
+
+      case IsNull(a) => statsFor(a) match {
+        case None => true
+        case Some(cs) => if (neg) nonNull(cs) else cs.nulls > 0
+      }
+      case IsNotNull(a) => statsFor(a) match {
+        case None => true
+        case Some(cs) => if (neg) cs.nulls > 0 else nonNull(cs)
+      }
+
+      case In(a, list) =>
+        val lits = list.map { case l: Literal => Some(l); case _ => None }
+        if (lits.exists(_.isEmpty)) true // non-literal element: unknowable
+        else {
+          val vals = lits.flatten
+          if (neg) {
+            // NOT (a IN (...)): a NULL element makes the IN result
+            // TRUE-or-NULL — the negation matches nothing, provably
+            if (vals.exists(_.value == null)) false
+            else if (vals.isEmpty) statsFor(a) match {
+              // NOT (a IN ()): FALSE for non-null a (negation TRUE), NULL
+              // for null a — so a non-null witness is all that's needed
+              case None => true
+              case Some(cs) => rows - cs.nulls > 0
+            }
+            else statsFor(a) match {
+              case None => true
+              case Some(cs) if rows - cs.nulls <= 0 => false
+              case Some(cs) =>
+                // provably empty only when every value equals the single
+                // constant the partition holds
+                !(cs.min.isDefined && cs.min == cs.max &&
+                  vals.exists(v => litValue(v).flatMap(bounds(cs, _))
+                    .contains((0, 0))))
+            }
+          } else {
+            vals.filter(_.value != null)
+              .exists(v => cmpLeaf(a, v, Eq))
+          }
+        }
+
+      case StartsWith(a, l: Literal) => startsWith(a, l, st, rows, neg)
+
+      case _ => true // unsupported shape: keep
+    }
+  }
+
+  private def nullSafeEq(a: Expression, l: Literal, st: Map[String, ColStats],
+                         rows: Long, neg: Boolean): Boolean = {
+    val cs = attrName(a).flatMap(st.get)
+    if (cs.isEmpty) return true
+    val c = cs.get
+    if (l.value == null) {
+      // a <=> NULL ≡ a IS NULL (and its negation a IS NOT NULL)
+      if (neg) rows - c.nulls > 0 else c.nulls > 0
+    } else if (neg) {
+      // NOT (a <=> lit): true for NULL rows OR rows ≠ lit
+      c.nulls > 0 || (rows - c.nulls > 0 &&
+        !litValue(l).flatMap(bounds(c, _)).contains((0, 0)))
+    } else {
+      rows - c.nulls > 0 && (litValue(l).flatMap(bounds(c, _)) match {
+        case None => true
+        case Some((cmpMin, cmpMax)) => cmpMin <= 0 && cmpMax >= 0
+      })
+    }
+  }
+
+  /** Prefix pruning: lexicographic truncation is order-preserving, and a
+    * row with prefix `p` truncates to exactly `p`, so matches exist only
+    * if `min.take(|p|) <= p <= max.take(|p|)`.
+    */
+  private def startsWith(a: Expression, l: Literal, st: Map[String, ColStats],
+                         rows: Long, neg: Boolean): Boolean = {
+    val cs = attrName(a).flatMap(st.get)
+    if (cs.isEmpty) return true
+    val c = cs.get
+    if (c.typ != "string") return true
+    if (l.value == null) return false // startswith(x, NULL) is NULL: never
+    val p = l.value.toString
+    if (rows - c.nulls <= 0) return false
+    (c.min, c.max) match {
+      case (Some(mn), Some(mx)) =>
+        val mnT = mn.take(p.length)
+        val mxT = mx.take(p.length)
+        if (neg) !(mnT == p && mxT == p) // all values carry the prefix
+        else mnT.compareTo(p) <= 0 && p.compareTo(mxT) <= 0
+      case _ => true
+    }
+  }
+}

@@ -16,6 +16,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The EAGERLY converted catalyst tree of a Column. [[expression]]
+    * returns a lazy `ColumnNodeExpression` wrapper (fine to embed in a
+    * plan, opaque to pattern matching); this runs the classic
+    * `ColumnNodeToExpressionConverter` so callers that ANALYZE the
+    * predicate structurally (StatsPruning's manifest evaluation) see the
+    * real `UnresolvedAttribute` / `Literal` / function nodes.
+    */
+  def toCatalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Session-level function registration (the registry lives behind the
     * `private[sql]` sessionState; the application-level alternative is the
     * public `spark.sql.extensions` hook — see graft.functions.GraftExtensions).

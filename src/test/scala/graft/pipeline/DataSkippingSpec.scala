@@ -1,0 +1,253 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Commit-marker column stats + inclusive predicate pruning
+  * (PartitionStats / StatsPruning / CorpusCatalog.readTableWhere).
+  *
+  * The load-bearing contract: `readTableWhere(pred)` ≡
+  * `readTable().where(pred)` for EVERY predicate — pruning may only drop
+  * partitions the stats PROVE empty — plus the stats collection itself
+  * being footer-only (PushedAggregation) for numeric columns.
+  */
+class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-skipping-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import PartitionStats.ColStats
+
+  // ---- evaluator unit tests (no filesystem) ----
+
+  private val longStats = Map("id" -> ColStats("long", Some("10"), Some("19"), 0L))
+  private def might(pred: org.apache.spark.sql.Column,
+                    st: Map[String, ColStats] = longStats,
+                    rows: Long = 10L): Boolean =
+    StatsPruning.mightMatch(pred, st, rows)
+
+  test("numeric range leaves: =, <, <=, >, >= at and beyond the bounds") {
+    assert(might(col("id") === 10) && might(col("id") === 19) && might(col("id") === 15))
+    assert(!might(col("id") === 9) && !might(col("id") === 20))
+    assert(might(col("id") < 11) && !might(col("id") < 10) && might(col("id") <= 10))
+    assert(might(col("id") > 18) && !might(col("id") > 19) && might(col("id") >= 19))
+    assert(!might(col("id") >= 20) && !might(col("id") <= 9))
+    // literal-on-the-left flips
+    assert(!might(lit(9) >= col("id")) && might(lit(10) >= col("id")))
+  }
+
+  test("IN prunes on the whole list; AND/OR/NOT compose; NOT needs a witness") {
+    assert(might(col("id").isin(1, 15, 99)) && !might(col("id").isin(1, 2, 99)))
+    assert(!might(col("id") === 15 && col("id") === 25))
+    assert(might(col("id") === 15 || col("id") === 25))
+    assert(might(!(col("id") === 15))) // other values exist
+    val const = Map("id" -> ColStats("long", Some("7"), Some("7"), 0L))
+    assert(!might(!(col("id") === 7), const)) // every row is 7
+    assert(!might(!(col("id") < 100))) // all rows < 100
+    // NOT (a IN (1, NULL)): TRUE-or-NULL inside, negation matches nothing
+    assert(!might(!(col("id").isin(1, null))))
+  }
+
+  test("null accounting: IS NULL / IS NOT NULL / <=> / all-NULL partitions") {
+    val some = Map("id" -> ColStats("long", Some("10"), Some("19"), 3L))
+    val none = Map("id" -> ColStats("long", None, None, 10L))
+    assert(!might(col("id").isNull) && might(col("id").isNotNull))
+    assert(might(col("id").isNull, some) && might(col("id").isNotNull, some))
+    assert(might(col("id").isNull, none) && !might(col("id").isNotNull, none))
+    // comparisons never match an all-NULL partition — nor do negations
+    assert(!might(col("id") === 5, none) && !might(!(col("id") === 5), none))
+    // null-safe equality: <=> NULL is IS NULL
+    assert(!might(col("id") <=> lit(null)) && might(col("id") <=> lit(null), none))
+    assert(might(col("id") <=> 15) && !might(col("id") <=> 25))
+    // x = NULL and NOT(x = NULL) both match nothing
+    assert(!might(col("id") === lit(null)) && !might(!(col("id") === lit(null))))
+  }
+
+  test("unknowns stay conservative: missing column, type mismatch, opaque shapes") {
+    assert(might(col("other") === 5))
+    assert(might(col("id") === "ten")) // string literal vs long stats
+    assert(might(col("id") % 2 === 0)) // arithmetic: not analyzable
+    assert(might(!(col("id") % 2 === 0)))
+    // but a provably-false conjunct still kills the conjunction
+    assert(!might(col("id") % 2 === 0 && col("id") > 100))
+  }
+
+  test("string stats: range, prefix, and prefix-only-partition negation") {
+    val st = Map("name" -> ColStats("string", Some("carol"), Some("dave"), 0L))
+    assert(might(col("name") === "cz", st) && !might(col("name") === "bob", st))
+    assert(might(col("name").startsWith("da"), st))
+    assert(!might(col("name").startsWith("aa"), st))
+    assert(!might(col("name").startsWith("dz"), st))
+    // truncation: min="carol", max="dave" admits prefix "c" and "d"
+    assert(might(col("name").startsWith("c"), st))
+    val onlyC = Map("name" -> ColStats("string", Some("ca"), Some("cz"), 0L))
+    assert(might(!(col("name").startsWith("c")), st))
+    assert(!might(!(col("name").startsWith("c")), onlyC))
+  }
+
+  test("double stats are exact at the ulp: float-ish bounds vs double literals") {
+    val d = 0.1
+    val st = Map("x" -> ColStats("double",
+      Some(new java.math.BigDecimal(d).toPlainString),
+      Some(new java.math.BigDecimal(d).toPlainString), 0L))
+    assert(might(col("x") === 0.1, st))
+    assert(!might(col("x") > 0.1, st) && might(col("x") >= 0.1, st))
+    // 0.1's binary expansion is slightly ABOVE the decimal 0.1 —
+    // the exact representation must know that
+    assert(might(col("x") > lit(new java.math.BigDecimal("0.1")), st))
+  }
+
+  // ---- marker round-trip ----
+
+  test("stats JSON round-trips through the marker, including hostile strings") {
+    val stats = Map(
+      "a" -> ColStats("long", Some("-5"), Some("17"), 2L),
+      "weird\"col\\name" -> ColStats("string",
+        Some("""va"l{ue}"""), Some("z\\x,:\n"), 0L),
+      "all_null" -> ColStats("double", None, None, 9L))
+    assert(PartitionStats.fromJson(PartitionStats.toJson(stats)) == stats)
+  }
+
+  // ---- catalog integration ----
+
+  private def withCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_skip_spec")
+    try f(new CorpusCatalog(tmp.toString, spark), tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def commitRanges(cat: CorpusCatalog): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val all = (0 until 30).map { i =>
+      (i.toLong, f"name$i%03d", if (i % 10 == 3) null else s"v$i")
+    }.toDF("id", "name", "maybe")
+    (0 until 3).foreach { g =>
+      assert(cat.commitPartition("t", s"g$g",
+        all.filter(col("id") >= g * 10 && col("id") < (g + 1) * 10),
+        Seq("id", "name", "maybe")))
+    }
+    all
+  }
+
+  test("readTableWhere ≡ readTable().where for supported AND unsupported predicates") {
+    withCatalog { (cat, _) =>
+      val all = commitRanges(cat)
+      val preds = Seq(
+        col("id") > 25, col("id") <= 4, col("id").between(12, 14),
+        col("id") === 17, col("id").isin(3, 23), !(col("id") < 10),
+        col("name").startsWith("name2"), col("maybe").isNull,
+        col("id") % 7 === 3, // unsupported: must not prune, must still match
+        col("id") > 1000) // provably empty everywhere
+      preds.foreach { p =>
+        val got = cat.readTableWhere("t", p).select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+        val want = all.where(p).select("id").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+        assert(got.toSeq == want.toSeq, s"predicate $p")
+      }
+    }
+  }
+
+  test("pruning actually skips partitions — and only provably-dead ones") {
+    withCatalog { (cat, _) =>
+      commitRanges(cat)
+      def keys(p: org.apache.spark.sql.Column) =
+        cat.prunedSnapshots("t", p).map(_.key).sorted
+      assert(keys(col("id") > 25) == Seq("g2"))
+      assert(keys(col("id").between(8, 12)) == Seq("g0", "g1"))
+      assert(keys(col("id") > 1000).isEmpty)
+      assert(keys(col("id") % 7 === 3) == Seq("g0", "g1", "g2")) // opaque: keep all
+      assert(keys(col("name").startsWith("name00")) == Seq("g0"))
+      assert(keys(col("name").startsWith("name0")) == Seq("g0", "g1", "g2"))
+      // the physical read lists only surviving dirs
+      val kept = cat.prunedSnapshots("t", col("id").between(12, 14))
+      val files = cat.readTableWhere("t", col("id").between(12, 14)).inputFiles
+      assert(files.nonEmpty &&
+        files.forall(f => kept.exists(s => f.contains(s.dir))))
+      // the all-pruned read returns the schema without data
+      val empty = cat.readTableWhere("t", col("id") > 1000)
+      assert(empty.count() == 0 &&
+        empty.columns.toSeq == Seq("id", "name", "maybe"))
+    }
+  }
+
+  test("a stats-less (legacy) partition is never pruned") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "nostats",
+        Seq((1L, "a"), (2L, "b")).toDF("id", "name"))) // no statsCols
+      assert(cat.snapshots("t").head.stats.isEmpty)
+      assert(cat.prunedSnapshots("t", col("id") > 1000).map(_.key) == Seq("nostats"))
+      assert(cat.readTableWhere("t", col("id") === 2).count() == 1)
+    }
+  }
+
+  test("all-NULL column: IS NOT NULL prunes the partition, IS NULL keeps it") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+        .toDF("id", "opt")
+      assert(cat.commitPartition("t", "g0", df, Seq("id", "opt")))
+      val st = cat.snapshots("t").head.stats("opt")
+      assert(st.min.isEmpty && st.max.isEmpty && st.nulls == 2L)
+      assert(cat.prunedSnapshots("t", col("opt").isNotNull).isEmpty)
+      assert(cat.prunedSnapshots("t", col("opt").isNull).map(_.key) == Seq("g0"))
+    }
+  }
+
+  test("compaction re-derives stats on the rewritten dir; pruning keeps working") {
+    withCatalog { (cat, _) =>
+      commitRanges(cat)
+      assert(cat.compactPartition("t", "g1", targetFiles = 1))
+      val snap = cat.snapshots("t").find(_.key == "g1").get
+      assert(snap.stats("id") == ColStats("long", Some("10"), Some("19"), 0L))
+      assert(cat.prunedSnapshots("t", col("id") === 15).map(_.key) == Seq("g1"))
+      assert(cat.readTableWhere("t", col("id") === 15).count() == 1)
+    }
+  }
+
+  test("stats collection is footer-only for numeric columns (PushedAggregation)") {
+    withCatalog { (cat, tmp) =>
+      commitRanges(cat)
+      val dir = tmp.resolve("t").resolve(cat.snapshots("t").head.dir).toString
+      val plan = cat.statsSession.read.parquet(dir)
+        .agg(min(col("id")), max(col("id")), count(col("id")), count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"numeric stats agg must push to footers; plan was:\n$plan")
+    }
+  }
+
+  test("staged commits carry stats too") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val staged = cat.newStagingDir("t")
+      val sub = new org.apache.hadoop.fs.Path(staged, "pkey=x")
+      Seq((5L, "a"), (6L, "b")).toDF("id", "name")
+        .write.parquet(sub.toString)
+      assert(cat.commitStaged("t", "x", sub, 2L, Seq("id")))
+      assert(cat.snapshots("t").head.stats("id") ==
+        ColStats("long", Some("5"), Some("6"), 0L))
+    }
+  }
+}
