@@ -43,7 +43,7 @@ object Bench {
     "q26_simhash_dup_check" -> 7.0, "q27_jsonl_ingest" -> 0.2,
     "q28_bloom_dedup" -> 0.7, "q29_lsh_from_table" -> 2.8,
     "q30_ann_ivf" -> 1.0, "q31_embed_neardup" -> 1.0,
-    "q32_embed_neardup_lsh" -> 1.6, "q33_catalog_metrics" -> 6.0,
+    "q32_embed_neardup_lsh" -> 1.6, "q33_catalog_metrics" -> 7.0,
     "q34_langid_check" -> 0.5, "q35_quality_check" -> 0.5,
     "q36_ann_lsh_twins" -> 3.3, "q37_dsir_lc" -> 0.3,
     "q38_signals_core" -> 1.0, "q39_minhash_core" -> 0.4,

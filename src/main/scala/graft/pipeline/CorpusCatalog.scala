@@ -147,10 +147,29 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     commitStaged(table, key, stagedDir, rows, Nil)
 
   /** As above with data-skipping stats over `statsCols`, collected from
-    * the promoted dir's footers before the marker is written.
+    * the promoted dir's footers before the marker is written. Batch
+    * committers promoting MANY staged partitions should precompute all
+    * keys' stats in one job (`PartitionStats.collectGrouped`, what
+    * CheckpointedRun does) and use the precomputed-stats overload — one
+    * stats job per partition is pure driver overhead at fleet scale.
     */
   def commitStaged(table: String, key: String, stagedDir: HPath,
-                   rows: Long, statsCols: Seq[String]): Boolean = {
+                   rows: Long, statsCols: Seq[String]): Boolean =
+    commitStagedImpl(table, key, stagedDir, rows,
+      dir => if (statsCols.isEmpty) Map.empty
+             else PartitionStats.collect(statsSession, dir, statsCols)._2)
+
+  /** As above with PRECOMPUTED stats (e.g. one grouped job over the whole
+    * staging dir) — no per-partition stats read happens.
+    */
+  def commitStaged(table: String, key: String, stagedDir: HPath, rows: Long,
+                   stats: Map[String, PartitionStats.ColStats]): Boolean =
+    commitStagedImpl(table, key, stagedDir, rows, _ => stats)
+
+  private def commitStagedImpl(table: String, key: String, stagedDir: HPath,
+                               rows: Long,
+                               statsOf: String => Map[String, PartitionStats.ColStats])
+      : Boolean = {
     validateKey(key)
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
@@ -162,9 +181,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.rename(stagedDir, target))
       throw new java.io.IOException(
         s"commit rename failed: $stagedDir -> $target")
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, PartitionStats.ColStats]
-      else PartitionStats.collect(statsSession, target.toString, statsCols)._2
+    val stats = statsOf(target.toString)
     if (tryWriteMarker(table, key, rows, dirName, stats)) true
     else { fs.delete(target, true); false } // lost the same-key race
   }
@@ -551,6 +568,17 @@ object CheckpointedRun {
                  keepEvery: Int, saltBuckets: Int = 4): (Int, Int) =
     runImpl(spark, sfDir, catalog, saltBuckets, Some(keepEvery))
 
+  /** Data-skipping stats recorded with every `filtered` commit: `repo`
+    * makes a single-repo read prune to that repo's `saltBuckets`
+    * partitions out of ALL of them (each salted partition holds exactly
+    * one repo, so min = max = repo and the inclusive evaluation is
+    * exact); `lang` prunes language-sliced reads; `doc_id` serves range
+    * probes. The strings cost a column-pruned scan of two
+    * dictionary-encoded columns per commit — noise next to the pipeline
+    * compute the commit just ran.
+    */
+  val DefaultStatsCols: Seq[String] = Seq("repo", "lang", "doc_id")
+
   /** Run the quality filter over the corpus, committing per salted
     * partition; returns (partitions written, partitions skipped).
     */
@@ -610,9 +638,16 @@ object CheckpointedRun {
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       val rowsPerKey = stats.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      // data-skipping stats for EVERY staged key in one grouped job —
+      // never one stats job per partition (driver-overhead-bound at fleet
+      // scale); see PartitionStats.collectGrouped
+      val skipStats = PartitionStats.collectGrouped(
+        spark, staging.toString, "pkey", DefaultStatsCols)
       stagedKeys.foreach { key =>
         if (catalog.commitStaged("filtered", key,
-          new HPath(staging, s"pkey=$key"), rowsPerKey.getOrElse(key, 0L)))
+          new HPath(staging, s"pkey=$key"), rowsPerKey.getOrElse(key, 0L),
+          skipStats.get(key).map(_._2)
+            .getOrElse(Map.empty[String, PartitionStats.ColStats])))
           written += 1
       }
       catalog.appendMetrics("filtered",

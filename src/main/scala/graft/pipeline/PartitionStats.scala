@@ -107,6 +107,42 @@ object PartitionStats {
     (rows, (numeric ++ strings).toMap)
   }
 
+  /** Per-key `(rows, stats)` for EVERY partition of a `partitionBy`-style
+    * staged write in ONE grouped job — the batch-commit path
+    * (CheckpointedRun) must not pay one stats job per partition: 10^3
+    * staged keys would mean 10^3 driver-scheduled jobs of pure overhead.
+    * A grouped aggregation cannot use footer pushdown (that is the
+    * per-partition [[collect]]'s win), but ONE column-pruned scan of the
+    * stat columns across all staged partitions beats P separate jobs at
+    * any P — and the scan reads only the columns stats are kept for.
+    */
+  private[pipeline] def collectGrouped(session: SparkSession, dir: String,
+                                       groupCol: String, cols: Seq[String])
+      : Map[String, (Long, Map[String, ColStats])] = {
+    val df = session.read.parquet(dir)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val usable = cols.distinct.filter(_ != groupCol).flatMap { c =>
+      types.get(c).flatMap(statType).map(t => (c, t))
+    }
+    val aggs = usable.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c)), count(col(c)))
+    } :+ count(lit(1))
+    df.groupBy(col(groupCol).cast("string").as("__sk"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { row =>
+        val rows = row.getLong(1 + aggs.length - 1)
+        val stats = usable.zipWithIndex.flatMap { case ((c, t), i) =>
+          val nonNull = row.getLong(1 + 3 * i + 2)
+          val mn = render(t, row.get(1 + 3 * i))
+          val mx = render(t, row.get(1 + 3 * i + 1))
+          if (nonNull > 0 && (mn.isEmpty || mx.isEmpty)) None
+          else Some(c -> ColStats(t, mn, mx, rows - nonNull))
+        }.toMap
+        row.getString(0) -> ((rows, stats))
+      }.toMap
+  }
+
   // ---- marker JSON (hand-rendered like the marker itself; Jackson for
   // ---- parse + string escaping — it ships with Spark) ----
 

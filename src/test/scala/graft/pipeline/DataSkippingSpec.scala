@@ -237,6 +237,26 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the production pipeline's commits skip: a single-repo read prunes " +
+    "to that repo's salt buckets") {
+    withCatalog { (cat, _) =>
+      CheckpointedRun.run(spark, "/root/testdata/sf0.001", cat, saltBuckets = 2)
+      val snaps = cat.snapshots("filtered")
+      assert(snaps.nonEmpty && snaps.forall(_.stats.contains("repo")))
+      // each salted partition holds exactly one repo: min = max = repo
+      assert(snaps.forall(s => s.stats("repo").min == s.stats("repo").max))
+      val repo = snaps.head.stats("repo").min.get
+      val kept = cat.prunedSnapshots("filtered", col("repo") === repo)
+      assert(kept.nonEmpty && kept.size <= 2, // ≤ saltBuckets survive
+        s"${kept.size} of ${snaps.size} partitions kept")
+      assert(kept.forall(_.key.startsWith(repo)))
+      // and the pruned read returns exactly the unpruned filter
+      val got = cat.readTableWhere("filtered", col("repo") === repo).count()
+      val want = cat.readTable("filtered").where(col("repo") === repo).count()
+      assert(got == want && got > 0)
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
