@@ -413,10 +413,20 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * committed_at_ms), so readTableAsOf ids re-densify with it last —
     * the log records when bytes changed, and compaction changes bytes.
     *
+    * `sortBy` is Iceberg's rewrite SORT ORDER: the rewrite range-
+    * partitions on the sort key and locally sorts, so output FILES are
+    * range-disjoint and row groups are tight on that key — a filtered
+    * read of the compacted partition then skips whole files/row groups
+    * via parquet min/max, composing with the marker-level partition
+    * pruning ([[readTableWhere]]) one level down. The right key is the
+    * one the read pattern filters on (doc_id for range probes, a score
+    * for threshold reads).
+    *
     * Returns false when the partition has no committed marker.
     */
   def compactPartition(table: String, key: String,
-                       targetFiles: Int = 1): Boolean = {
+                       targetFiles: Int = 1,
+                       sortBy: Seq[String] = Nil): Boolean = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     validateKey(key)
     val curOpt = snapshots(table).find(_.key == key)
@@ -425,9 +435,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val curPath = new HPath(tableDir(table), cur.dir)
     val dirName = newDataDirName(key)
     val target = new HPath(tableDir(table), dirName)
-    spark.read.parquet(curPath.toString)
-      .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).parquet(target.toString)
+    val data = spark.read.parquet(curPath.toString)
+    val laidOut =
+      if (sortBy.isEmpty) data.repartition(targetFiles)
+      else data
+        .repartitionByRange(targetFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    laidOut.write.mode(SaveMode.Overwrite).parquet(target.toString)
     // re-derive any data-skipping stats from the rewritten footers (same
     // rows, but the old mins/maxes must not dangle on a replaced dir)
     val (rows, stats) = PartitionStats.collect(statsSession,

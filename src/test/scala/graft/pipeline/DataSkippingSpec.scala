@@ -257,6 +257,44 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sorted compaction yields range-disjoint, internally sorted files " +
+    "(Iceberg rewrite sort order)") {
+    withCatalog { (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // adversarial layout: ids arrive interleaved across 6 input files,
+      // so unsorted compaction would leave every file spanning the full
+      // id range (file-level min/max useless)
+      val df = (0 until 120).map(i => (i * 37 % 120).toLong -> s"v$i")
+        .toDF("id", "v").repartition(6)
+      assert(cat.commitPartition("t", "k", df, Seq("id")))
+      assert(cat.compactPartition("t", "k", targetFiles = 3, sortBy = Seq("id")))
+      val snap = cat.snapshots("t").head
+      assert(snap.stats("id") == ColStats("long", Some("0"), Some("119"), 0L))
+      val dir = tmp.resolve("t").resolve(snap.dir)
+      val files = dir.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.toString).sorted
+      assert(files.length > 1, "range layout should spread over >1 file")
+      val ranges = files.map { f =>
+        val ids = spark.read.parquet(f).select("id")
+          .as[Long].collect()
+        assert(ids.sameElements(ids.sorted), s"$f not sorted within file")
+        (ids.min, ids.max)
+      }
+      // pairwise disjoint: sorted by min, each file's min exceeds the
+      // previous file's max
+      val byMin = ranges.sortBy(_._1)
+      byMin.sliding(2).foreach {
+        case Array((_, prevMax), (curMin, _)) =>
+          assert(curMin > prevMax, s"overlapping file ranges: $byMin")
+        case _ => ()
+      }
+      // nothing lost, read path intact
+      assert(cat.readTable("t").count() == 120)
+      assert(cat.readTableWhere("t", col("id") < 10).count() == 10)
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
