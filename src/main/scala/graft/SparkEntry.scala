@@ -1746,6 +1746,33 @@ object SparkEntry {
             .toDF("n_parts_kept", "n_rows", "id_sum")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // Incremental append scan (Iceberg's changes-between-snapshots read,
+    // the downstream-consumer primitive): five sequential commits, then
+    // each increment (i-1, i] read back — exactly the one partition that
+    // snapshot added, never the table. Counts/id sums per residue class
+    // are pure modular arithmetic; q74 pins the CUMULATIVE face of the
+    // same log, this pins the DELTA face.
+    "q82_incremental_read" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_inc")
+      val rows =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val cf = CodeFiles(s, dir).select(col("doc_id"))
+          (0 until 5).foreach { k =>
+            cat.commitPartition("t", s"k$k",
+              cf.filter(col("doc_id") % 5 === k))
+          }
+          (0L until 5L).map { i =>
+            val inc = cat.readTableIncremental("t", i - 1L, i)
+              .agg(count(lit(1)), sum("doc_id")).head()
+            (i, inc.getLong(0), inc.getLong(1))
+          }
+        } finally sweepDir(tmp)
+      rows.toDF("snapshot_id", "rows_inc", "id_sum_inc")
+        .orderBy("snapshot_id")
     })
   )
 
@@ -3219,7 +3246,15 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents, bounds
-        |WHERE doc_id BETWEEN lo AND hi""".stripMargin
+        |WHERE doc_id BETWEEN lo AND hi""".stripMargin,
+
+    "q82_incremental_read" ->
+      """SELECT CAST(doc_id % 5 AS BIGINT) AS snapshot_id,
+        |       CAST(count(*) AS BIGINT) AS rows_inc,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum_inc
+        |FROM documents
+        |GROUP BY doc_id % 5
+        |ORDER BY snapshot_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -366,6 +366,48 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir, stats) }
   }
 
+  /** Incremental read: exactly the rows ADDED by snapshots in
+    * `(afterSnapshotId, upToSnapshotId]` — Iceberg's incremental append
+    * scan, the primitive a downstream consumer uses to process a table's
+    * changes without re-reading the table: run to snapshot N, record N,
+    * next run reads `(N, current]`. Append-only commits make each
+    * increment precise (a partition appears in exactly one snapshot) and
+    * reproducible forever. Caveat: [[compactPartition]] is a REPLACE
+    * that moves its partition to the END of the log, and snapshot ids
+    * are DENSE — they re-densify under it (unlike Iceberg's unique ids),
+    * so a stored snapshot id from before a compaction no longer names
+    * the same log position. A consumer must re-anchor (re-read
+    * [[snapshots]] and match on key + committed_at_ms) whenever
+    * compaction may have run between its incremental reads.
+    */
+  def readTableIncremental(table: String, afterSnapshotId: Long,
+                           upToSnapshotId: Long): DataFrame = {
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    val inc = all.filter(s => s.id > afterSnapshotId && s.id <= upToSnapshotId)
+    if (inc.isEmpty)
+      spark.read.parquet(new HPath(tableDir(table), all.head.dir).toString)
+        .limit(0)
+    else spark.read.parquet(
+      inc.map(s => new HPath(tableDir(table), s.dir).toString): _*)
+  }
+
+  /** The snapshot log as a DataFrame — Iceberg's `<table>.partitions` /
+    * `<table>.snapshots` metadata tables, the thing maintenance planning
+    * queries (which partitions are small enough to compact? skewed? stale?)
+    * without touching ANY data file: one row per committed partition with
+    * its data-skipping stats as JSON (schema-stable however many stat
+    * columns a partition carries).
+    */
+  def partitionsTable(table: String): DataFrame = {
+    import spark.implicits._
+    snapshots(table).map { s =>
+      (s.id, s.key, s.rows, s.committedAtMs, s.dir,
+        if (s.stats.isEmpty) null else PartitionStats.toJson(s.stats))
+    }.toDF("snapshot_id", "partition", "rows", "committed_at_ms", "dir",
+      "stats_json")
+  }
+
   /** Time travel: the table as of snapshot `snapshotId` — exactly the
     * partitions committed up to and including it. The data files are
     * immutable once committed (append-only snapshots), so an old

@@ -295,6 +295,56 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental reads return exactly each snapshot's delta; compaction " +
+    "re-surfaces its partition as a new snapshot") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 3).foreach { k =>
+        assert(cat.commitPartition("t", s"k$k",
+          (k * 10 until (k + 1) * 10).map(_.toLong).toDF("id")))
+      }
+      // each increment is its own partition, no overlap, union = table
+      (0L until 3L).foreach { i =>
+        val inc = cat.readTableIncremental("t", i - 1L, i)
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+        assert(inc.toSeq == (i * 10 until (i + 1) * 10).map(_.toLong))
+      }
+      assert(cat.readTableIncremental("t", -1L, 2L).count() == 30)
+      // empty range: schema preserved, nothing read
+      val empty = cat.readTableIncremental("t", 2L, 2L)
+      assert(empty.count() == 0 && empty.columns.toSeq == Seq("id"))
+      // compaction REPLACES k0 at the end of the (dense, re-densified)
+      // log: the last increment is now k0's rows, and ids shifted —
+      // the documented reason incremental consumers re-anchor after a
+      // compaction instead of trusting a stored id
+      assert(cat.compactPartition("t", "k0"))
+      val after = cat.readTableIncremental("t", 1L, 2L)
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+      assert(after.toSeq == (0L until 10L))
+      assert(cat.readTableIncremental("t", -1L, Long.MaxValue).count() == 30)
+    }
+  }
+
+  test("the partitions metadata table mirrors the snapshot log without " +
+    "touching data files") {
+    withCatalog { (cat, _) =>
+      commitRanges(cat)
+      val pt = cat.partitionsTable("t")
+      assert(pt.columns.toSeq == Seq("snapshot_id", "partition", "rows",
+        "committed_at_ms", "dir", "stats_json"))
+      val rows = pt.orderBy("snapshot_id").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("g0", "g1", "g2"))
+      assert(rows.forall(_.getLong(2) == 10L))
+      // stats round-trip through the JSON column
+      val st = PartitionStats.fromJson(rows.head.getString(5))
+      assert(st("id") == ColStats("long", Some("0"), Some("9"), 0L))
+      // maintenance planning example: smallest partition by rows
+      assert(pt.orderBy(col("rows"), col("partition")).select("partition")
+        .head().getString(0) == "g0")
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
