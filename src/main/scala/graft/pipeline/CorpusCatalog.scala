@@ -110,14 +110,31 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   /** As above, plus data-skipping stats: min/max/null-count of
     * `statsCols` land in the commit marker (footer-derived — see
     * [[statsSession]]) and [[readTableWhere]] prunes against them.
+    *
+    * `bloomNdv` (column → expected distinct values) writes a parquet
+    * BLOOM FILTER per listed column — Iceberg's
+    * `write.parquet.bloom-filter-enabled.column.<c>` — the third rung of
+    * the skipping ladder: marker stats prune PARTITIONS by range, file/
+    * row-group min/max prune within them, and bloom filters prune
+    * row groups for POINT lookups on high-cardinality columns whose
+    * ranges are useless (a content digest, an id in unsorted data).
+    * Spark's parquet reader consumes them automatically on `=`/`IN`
+    * pushdown. The ndv hint sizes the filter (~1.2 bytes/value at the
+    * default 1% FPP); oversizing wastes footer bytes, undersizing
+    * inflates false positives — row count per file is the right order.
     */
   def commitPartition(table: String, key: String, df: DataFrame,
-                      statsCols: Seq[String]): Boolean = {
+                      statsCols: Seq[String],
+                      bloomNdv: Map[String, Long] = Map.empty): Boolean = {
     validateKey(key) // before any data write — no weird-named debris dirs
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
     val partPath = new HPath(tableDir(table), dirName)
-    df.write.mode(SaveMode.Overwrite).parquet(partPath.toString)
+    bloomNdv.toSeq.sortBy(_._1).foldLeft(
+      df.write.mode(SaveMode.Overwrite)) { case (w, (c, ndv)) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(partPath.toString)
     // row count (and any stats) from the written FOOTERS — the input
     // plan runs ONCE, and the read-back never touches data pages
     val (rows, stats) =
@@ -468,7 +485,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     */
   def compactPartition(table: String, key: String,
                        targetFiles: Int = 1,
-                       sortBy: Seq[String] = Nil): Boolean = {
+                       sortBy: Seq[String] = Nil,
+                       bloomNdv: Map[String, Long] = Map.empty): Boolean = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
     validateKey(key)
     val curOpt = snapshots(table).find(_.key == key)
@@ -483,7 +501,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       else data
         .repartitionByRange(targetFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)
-    laidOut.write.mode(SaveMode.Overwrite).parquet(target.toString)
+    // bloom filters live in the data files, so a rewrite DROPS them
+    // unless re-specified here (same caveat as Iceberg's rewrite)
+    bloomNdv.toSeq.sortBy(_._1).foldLeft(
+      laidOut.write.mode(SaveMode.Overwrite)) { case (w, (c, ndv)) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(target.toString)
     // re-derive any data-skipping stats from the rewritten footers (same
     // rows, but the old mins/maxes must not dangle on a replaced dir)
     val (rows, stats) = PartitionStats.collect(statsSession,

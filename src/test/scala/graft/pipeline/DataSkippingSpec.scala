@@ -345,6 +345,41 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloomNdv commits write parquet bloom filters; point lookups stay exact") {
+    withCatalog { (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val df = (0 until 5000).map(i => ((i * 2654435761L) % 100000L, s"p$i"))
+        .toDF("h", "payload")
+      assert(cat.commitPartition("t", "k", df, Seq("h"),
+        bloomNdv = Map("h" -> 5000L)))
+      val snap = cat.snapshots("t").head
+      val dir = tmp.resolve("t").resolve(snap.dir)
+      val pf = dir.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      // footer-level proof: the h column chunk carries a bloom filter
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.toString),
+        spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val cols = reader.getRowGroups.asScala.head.getColumns.asScala
+        val hCol = cols.find(_.getPath.toDotString == "h").get
+        assert(hCol.getBloomFilterOffset >= 0, "no bloom filter on h")
+        assert(reader.readBloomFilter(hCol) != null)
+        val pCol = cols.find(_.getPath.toDotString == "payload").get
+        assert(pCol.getBloomFilterOffset < 0, "unrequested bloom on payload")
+      } finally reader.close()
+      // behavioral: point lookups through the catalog read path are exact
+      val probe = (0 until 5000 by 997).map(i => (i * 2654435761L) % 100000L)
+      probe.foreach { h =>
+        assert(cat.readTableWhere("t", col("h") === h).count() ==
+          df.where(col("h") === h).count())
+      }
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
