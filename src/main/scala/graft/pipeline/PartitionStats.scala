@@ -281,11 +281,24 @@ object StatsPruning {
         case ("long" | "double", scala.util.Left(d)) =>
           Some((BigDecimal(new java.math.BigDecimal(mn)).compare(d),
             BigDecimal(new java.math.BigDecimal(mx)).compare(d)))
-        case ("string", scala.util.Right(s)) => Some((mn.compareTo(s).sign, mx.compareTo(s).sign))
+        case ("string", scala.util.Right(s)) =>
+          Some((strCompare(mn, s), strCompare(mx, s)))
         case _ => None
       }
       case _ => None
     }
+
+  /** Spark's string ordering, NOT Java's: min/max string stats come from
+    * Spark aggregates, which order by UTF8String binary comparison (=
+    * code POINT order). Java `String.compareTo` orders by UTF-16 code
+    * UNIT, which disagrees above the BMP (surrogates at U+D800 sort
+    * below U+E000..U+FFFF although the code points they encode are
+    * larger) — comparing Spark-derived bounds with the Java order could
+    * prune a partition that matches. `𝔘𝔫𝔦` is the parity trap here like
+    * everywhere else in this engine.
+    */
+  private def strCompare(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)).sign
 
   // comparison ops, normalized to attr-op-literal with lit-op-attr flipped
   private sealed trait Op
@@ -418,9 +431,15 @@ object StatsPruning {
     }
   }
 
-  /** Prefix pruning: lexicographic truncation is order-preserving, and a
-    * row with prefix `p` truncates to exactly `p`, so matches exist only
-    * if `min.take(|p|) <= p <= max.take(|p|)`.
+  /** Prefix pruning: CODE-POINT truncation is order-preserving under the
+    * code-point (= Spark/UTF8String) ordering, and a row with prefix `p`
+    * truncates to exactly `p` (p is well-formed, so its code points are a
+    * code-point prefix of the value's), so matches exist only if
+    * `trunc(min) <= p <= trunc(max)`. UTF-16 UNIT truncation would be
+    * wrong twice over: it can split a surrogate pair (the lone surrogate
+    * re-encodes as a replacement byte, inverting the order vs any
+    * U+E000..U+FFFF char), and Java's unit comparison disagrees with
+    * Spark's ordering above the BMP anyway.
     */
   private def startsWith(a: Expression, l: Literal, st: Map[String, ColStats],
                          rows: Long, neg: Boolean): Boolean = {
@@ -431,13 +450,41 @@ object StatsPruning {
     if (l.value == null) return false // startswith(x, NULL) is NULL: never
     val p = l.value.toString
     if (rows - c.nulls <= 0) return false
+    // a malformed prefix (unpaired surrogate) breaks the truncate-to-p
+    // reasoning below (Spark matches it at the BYTE level); keep
+    if (!wellFormed(p)) return true
     (c.min, c.max) match {
       case (Some(mn), Some(mx)) =>
-        val mnT = mn.take(p.length)
-        val mxT = mx.take(p.length)
+        val k = p.codePointCount(0, p.length)
+        val mnT = takeCodePoints(mn, k)
+        val mxT = takeCodePoints(mx, k)
         if (neg) !(mnT == p && mxT == p) // all values carry the prefix
-        else mnT.compareTo(p) <= 0 && p.compareTo(mxT) <= 0
+        else strCompare(mnT, p) <= 0 && strCompare(mxT, p) >= 0
       case _ => true
     }
+  }
+
+  private def takeCodePoints(s: String, k: Int): String = {
+    var i = 0
+    var n = 0
+    while (i < s.length && n < k) {
+      i += Character.charCount(s.codePointAt(i))
+      n += 1
+    }
+    s.substring(0, i)
+  }
+
+  private def wellFormed(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
   }
 }

@@ -107,6 +107,46 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(might(col("x") > lit(new java.math.BigDecimal("0.1")), st))
   }
 
+  test("string pruning follows Spark's code-point order, not Java's " +
+    "UTF-16 unit order (astral parity trap)") {
+    // U+FFFF sorts BELOW U+1F600 in code-point (Spark/UTF8String) order,
+    // but ABOVE its surrogate representation in Java's compareTo — a
+    // Java-ordered evaluator would prune the matching partition
+    val st = Map("s" -> ColStats("string", Some("a"), Some("😀"), 0L))
+    assert(might(col("s") === "￿", st))
+    assert(might(col("s") <= "￿", st))
+    // all values start with the astral char: prefix pruning must truncate
+    // by CODE POINTS (unit truncation would split the surrogate pair)
+    val astral = Map("s" -> ColStats("string",
+      Some("😀a"), Some("😀z"), 0L))
+    assert(might(col("s").startsWith("😀"), astral))
+    assert(!might(col("s").startsWith("￿"), astral))
+    assert(!might(col("s").startsWith("a"), astral))
+    assert(!might(!(col("s").startsWith("😀")), astral))
+    // a lone-surrogate prefix is sanitized to '?' by UTF8String at
+    // lit() time — Spark itself evaluates startsWith("?"), and no value
+    // starts with '?', so pruning it is CORRECT (the wellFormed guard in
+    // the evaluator covers literals built through other routes)
+    assert(!might(col("s").startsWith("\ud83d"), astral))
+  }
+
+  test("astral string stats round-trip end-to-end through the catalog") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val rows = Seq("￿-row", "😀-row", "plain")
+        .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      assert(cat.commitPartition("t", "k", rows.toDF("id", "s"), Seq("s")))
+      val st = cat.snapshots("t").head.stats("s")
+      // Spark's max is the astral string, not U+FFFF
+      assert(st.max.contains("😀-row"), st.toString)
+      // the U+FFFF point lookup must survive pruning and match
+      val pred = col("s") === "￿-row"
+      assert(cat.prunedSnapshots("t", pred).nonEmpty)
+      assert(cat.readTableWhere("t", pred).count() == 1)
+    }
+  }
+
   // ---- marker round-trip ----
 
   test("stats JSON round-trips through the marker, including hostile strings") {
