@@ -138,7 +138,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // row count (and any stats) from the written FOOTERS — the input
     // plan runs ONCE, and the read-back never touches data pages
     val (rows, stats) =
-      PartitionStats.collect(statsSession, partPath.toString, statsCols)
+      PartitionStats.collect(statsSession, spark, partPath.toString, statsCols)
     if (tryWriteMarker(table, key, rows, dirName, stats)) true
     else { fs.delete(partPath, true); false } // lost the same-key race
   }
@@ -174,7 +174,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                    rows: Long, statsCols: Seq[String]): Boolean =
     commitStagedImpl(table, key, stagedDir, rows,
       dir => if (statsCols.isEmpty) Map.empty
-             else PartitionStats.collect(statsSession, dir, statsCols)._2)
+             else PartitionStats.collect(statsSession, spark, dir, statsCols)._2)
 
   /** As above with PRECOMPUTED stats (e.g. one grouped job over the whole
     * staging dir) — no per-partition stats read happens.
@@ -311,16 +311,29 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val kept = all.filter(s => StatsPruning.mightMatch(predicate, s.stats, s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"data skipping over $table: ${kept.size}/${all.size} partitions survive")
-    if (kept.isEmpty)
+    def dirOf(s: CorpusCatalog.Snapshot) =
+      new HPath(tableDir(table), s.dir).toString
+    // under schema evolution the pruned partitions may be the only
+    // holders of a column — the merged schema must come from ALL
+    // partitions (footers only, the same cost readTable(mergeSchema)
+    // already pays) or the equivalence with readTable().where breaks;
+    // reading the survivors against that explicit schema surfaces the
+    // missing columns as null exactly like the unpruned merged read
+    lazy val fullSchema = spark.read.option("mergeSchema", "true")
+      .parquet(all.map(dirOf): _*).schema
+    if (kept.isEmpty) {
       // provably empty — keep the schema (and the predicate's analysis
       // errors) without scanning anything: limit(0) under the filter
-      spark.read.parquet(new HPath(tableDir(table), all.head.dir).toString)
-        .limit(0).where(predicate)
-    else
-      spark.read.option("mergeSchema", mergeSchema.toString)
-        .parquet(kept.sortBy(_.key)
-          .map(s => new HPath(tableDir(table), s.dir).toString): _*)
+      val base =
+        if (mergeSchema) spark.read.schema(fullSchema)
+        else spark.read
+      base.parquet(dirOf(all.head)).limit(0).where(predicate)
+    } else if (mergeSchema)
+      spark.read.schema(fullSchema)
+        .parquet(kept.sortBy(_.key).map(dirOf): _*)
         .where(predicate)
+    else
+      spark.read.parquet(kept.sortBy(_.key).map(dirOf): _*).where(predicate)
   }
 
   /** The table's snapshot log: one snapshot per committed partition
@@ -510,7 +523,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     }.parquet(target.toString)
     // re-derive any data-skipping stats from the rewritten footers (same
     // rows, but the old mins/maxes must not dangle on a replaced dir)
-    val (rows, stats) = PartitionStats.collect(statsSession,
+    val (rows, stats) = PartitionStats.collect(statsSession, spark,
       target.toString, cur.stats.keys.toSeq.sorted)
     if (rows != cur.rows) {
       fs.delete(target, true)

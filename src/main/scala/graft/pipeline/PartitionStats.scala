@@ -62,12 +62,43 @@ object PartitionStats {
     case _ => None
   }
 
-  /** `(rowCount, stats)` of the parquet dir, via the catalog's
-    * pushdown-enabled session. Columns absent from the schema or of an
-    * unsupported type are skipped. One footer-only agg covers COUNT(*)
-    * and every numeric column; string columns add one column-pruned scan.
+  /** min/max/count triples for `sub`'s columns read out of an aggregate
+    * row starting at `off` (with COUNT(*) at `off + 3*|sub|` supplying
+    * `rows` to the caller). Shared by the per-partition and grouped
+    * collection paths so the NaN/all-NULL drop guard can never diverge
+    * between them.
     */
-  private[pipeline] def collect(session: SparkSession, dir: String,
+  private def statsOf(sub: Seq[(String, String)], rows: Long,
+                      row: org.apache.spark.sql.Row,
+                      off: Int): Seq[(String, ColStats)] =
+    sub.zipWithIndex.flatMap { case ((c, t), i) =>
+      val nonNull = row.getLong(off + 3 * i + 2)
+      val mn = render(t, row.get(off + 3 * i))
+      val mx = render(t, row.get(off + 3 * i + 1))
+      // a NaN/Inf extreme renders None while nonNull > 0 — stats for
+      // that column would be unusable half-truths; drop them entirely
+      if (nonNull > 0 && (mn.isEmpty || mx.isEmpty)) None
+      else Some(c -> ColStats(t, mn, mx, rows - nonNull))
+    }
+
+  /** `(rowCount, stats)` of the parquet dir. Columns absent from the
+    * schema or of an unsupported type are skipped. One agg covers
+    * COUNT(*) and every numeric column — answered from FOOTERS when the
+    * pushdown session can (the common case) — and string columns add one
+    * column-pruned scan.
+    *
+    * The pushdown path has two sharp edges the FALLBACK session (plain
+    * reader, no pushdown) absorbs: parquet writes NO min/max for an
+    * all-NULL numeric chunk or a NaN-bearing double chunk, and the DSv2
+    * footer aggregate THROWS on the missing stats instead of degrading;
+    * and over a zero-row dir the pushed COUNT comes back NULL. Both
+    * re-run as one ordinary scan-based agg, which returns proper NULL
+    * mins (→ stats-less column, conservative) and a real 0 count — a
+    * commit must never fail, and an empty partition must commit rows=0,
+    * because of a statistics read.
+    */
+  private[pipeline] def collect(session: SparkSession,
+                                fallback: SparkSession, dir: String,
                                 cols: Seq[String]): (Long, Map[String, ColStats]) = {
     val df = session.read.parquet(dir)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -76,32 +107,30 @@ object PartitionStats {
     }
     val (pushable, scanned) = usable.partition(_._2 != "string")
 
-    def statsOf(sub: Seq[(String, String)], rows: Long,
-                row: org.apache.spark.sql.Row, off: Int): Seq[(String, ColStats)] =
-      sub.zipWithIndex.flatMap { case ((c, t), i) =>
-        val nonNull = row.getLong(off + 3 * i + 2)
-        val mn = render(t, row.get(off + 3 * i))
-        val mx = render(t, row.get(off + 3 * i + 1))
-        // a NaN/Inf extreme renders None while nonNull > 0 — stats for
-        // that column would be unusable half-truths; drop them entirely
-        if (nonNull > 0 && (mn.isEmpty || mx.isEmpty)) None
-        else Some(c -> ColStats(t, mn, mx, rows - nonNull))
-      }
+    def tripleAggs(sub: Seq[(String, String)]) =
+      sub.flatMap { case (c, _) => Seq(min(col(c)), max(col(c)), count(col(c))) }
 
-    val aggs = pushable.flatMap { case (c, _) =>
-      Seq(min(col(c)), max(col(c)), count(col(c)))
-    } :+ count(lit(1))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val aggs = tripleAggs(pushable) :+ count(lit(1))
+    val r = (try {
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      // pushed COUNT over a zero-row dir is NULL, not 0 — not trustable
+      if (row.isNullAt(aggs.length - 1)) None else Some(row)
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse {
+        val plain = fallback.read.parquet(dir)
+        plain.agg(aggs.head, aggs.tail: _*).head()
+      }
     val rows = r.getLong(aggs.length - 1)
     val numeric = statsOf(pushable, rows, r, 0)
 
     val strings =
       if (scanned.isEmpty) Seq.empty
       else {
-        val sAggs = scanned.flatMap { case (c, _) =>
-          Seq(min(col(c)), max(col(c)), count(col(c)))
-        }
-        val sr = df.agg(sAggs.head, sAggs.tail: _*).head()
+        val sAggs = tripleAggs(scanned)
+        // string min/max never pushes down — use the plain session
+        // directly (same scan either way, one fewer failure mode)
+        val sr = fallback.read.parquet(dir)
+          .agg(sAggs.head, sAggs.tail: _*).head()
         statsOf(scanned, rows, sr, 0)
       }
     (rows, (numeric ++ strings).toMap)
@@ -132,21 +161,16 @@ object PartitionStats {
       .collect()
       .map { row =>
         val rows = row.getLong(1 + aggs.length - 1)
-        val stats = usable.zipWithIndex.flatMap { case ((c, t), i) =>
-          val nonNull = row.getLong(1 + 3 * i + 2)
-          val mn = render(t, row.get(1 + 3 * i))
-          val mx = render(t, row.get(1 + 3 * i + 1))
-          if (nonNull > 0 && (mn.isEmpty || mx.isEmpty)) None
-          else Some(c -> ColStats(t, mn, mx, rows - nonNull))
-        }.toMap
-        row.getString(0) -> ((rows, stats))
+        row.getString(0) -> ((rows, statsOf(usable, rows, row, 1).toMap))
       }.toMap
   }
 
   // ---- marker JSON (hand-rendered like the marker itself; Jackson for
   // ---- parse + string escaping — it ships with Spark) ----
 
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // one shared mapper — construction is Jackson's expensive operation and
+  // the instance is thread-safe; snapshots() parses every marker through it
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 

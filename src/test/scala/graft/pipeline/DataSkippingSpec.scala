@@ -420,6 +420,67 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("commits survive the footer-pushdown sharp edges: NaN doubles, " +
+    "all-NULL numerics, empty partitions") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // NaN in a double column: parquet writes no chunk min/max and the
+      // DSv2 footer agg THROWS — the fallback must absorb it, commit the
+      // partition, and drop that column's stats (conservative keep)
+      val nan = Seq((1L, 0.5), (2L, Double.NaN), (3L, 0.9)).toDF("id", "score")
+      assert(cat.commitPartition("t", "nan", nan, Seq("id", "score")))
+      val nanStats = cat.snapshots("t").find(_.key == "nan").get.stats
+      assert(nanStats("id") == ColStats("long", Some("1"), Some("3"), 0L))
+      assert(!nanStats.contains("score"), nanStats.toString)
+      assert(cat.prunedSnapshots("t", col("score") > 100.0)
+        .exists(_.key == "nan")) // no stats → never pruned
+      // all-NULL numeric column: same footer gap, same fallback; the
+      // column keeps stats with empty bounds so IS NOT NULL can prune
+      val nulls = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+        .toDF("id", "opt")
+      assert(cat.commitPartition("t", "nulls", nulls, Seq("opt")))
+      val nullStats = cat.snapshots("t").find(_.key == "nulls").get.stats
+      assert(nullStats("opt") == ColStats("long", None, None, 2L))
+      assert(!cat.prunedSnapshots("t", col("opt").isNotNull)
+        .exists(_.key == "nulls"))
+      // empty partition: pushed COUNT returns NULL, fallback returns 0 —
+      // the marker must commit rows = 0, not NPE
+      val empty = Seq.empty[(Long, String)].toDF("id", "name")
+      assert(cat.commitPartition("t", "empty", empty, Seq("id")))
+      val es = cat.snapshots("t").find(_.key == "empty").get
+      assert(es.rows == 0L)
+      // and the stats-less 3-arg path over an empty df too
+      assert(cat.commitPartition("t", "empty2", empty))
+      assert(cat.snapshots("t").find(_.key == "empty2").get.rows == 0L)
+    }
+  }
+
+  test("readTableWhere keeps the merged schema when pruning drops a " +
+    "column's only holder (schema evolution)") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "a",
+        (0L until 10L).toDF("id"), Seq("id")))
+      assert(cat.commitPartition("t", "b",
+        (100L until 110L).map(i => (i, s"c$i")).toDF("id", "c2"), Seq("id")))
+      // prune b (the only holder of c2): the merged read must still
+      // surface c2 — as null — exactly like readTable(mergeSchema).where
+      val pred = col("id") < 50
+      val got = cat.readTableWhere("t", pred, mergeSchema = true)
+      assert(got.columns.toSet == Set("id", "c2"))
+      assert(got.count() == 10 && got.where(col("c2").isNull).count() == 10)
+      val want = cat.readTable("t", mergeSchema = true).where(pred)
+      assert(got.columns.sorted.toSeq == want.columns.sorted.toSeq)
+      // all partitions pruned on a predicate REFERENCING the evolved
+      // column: empty result with the full schema, not AnalysisException
+      val none = cat.readTableWhere("t",
+        col("id") > 1000 && col("c2") === "x", mergeSchema = true)
+      assert(none.count() == 0 && none.columns.toSet == Set("id", "c2"))
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
