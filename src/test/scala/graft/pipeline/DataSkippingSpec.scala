@@ -481,6 +481,19 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the re-applied predicate reaches the surviving partitions' " +
+    "parquet scan (pruning composes with pushdown, never replaces it)") {
+    withCatalog { (cat, _) =>
+      commitRanges(cat)
+      val scan = cat.readTableWhere("t", col("id").between(12, 14))
+        .queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PushedFilters:") &&
+        scan.contains("GreaterThanOrEqual(id,12)") &&
+        scan.contains("LessThanOrEqual(id,14)"),
+        s"predicate not pushed into the surviving scan:\n$scan")
+    }
+  }
+
   test("staged commits carry stats too") {
     withCatalog { (cat, _) =>
       val spark2 = spark
