@@ -81,7 +81,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.exists(d)) Set.empty
     else fs.listStatus(d).iterator
       .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
       .map(_.stripSuffix(".json"))
       .toSet
   }
@@ -208,10 +208,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   // keys land verbatim in dir names AND the marker json the snapshot
   // log parses — reject anything outside the safe charset at COMMIT
   // time rather than brick snapshots()/readTableAsOf later
-  private def validateKey(key: String): Unit =
+  private def validateKey(key: String): Unit = {
     require(KeyPattern.matches(key),
       s"partition key '$key' outside [A-Za-z0-9._=-]+ — unsafe for " +
         "directory names and the snapshot log")
+    // "_"-prefixed names are reserved for catalog metadata files living
+    // beside the markers (the snapshot-log manifest)
+    require(!key.startsWith("_"),
+      s"partition key '$key' starts with '_' — reserved for catalog metadata")
+  }
 
   /** The commit point: tmp marker + rename. Returns false when the key is
     * already committed at rename time — the same-key optimistic-commit
@@ -362,15 +367,22 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // migration caveat — re-committing any legacy partition upgrades it).
     val LegacyR = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"committed_at_nanos":(\d+)\}""").r
+    val cached = manifestCache(table)
     fs.listStatus(d).iterator
-      .filter(_.getPath.getName.endsWith(".json"))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && !n.startsWith("_")
+      }
       .map { st =>
-        val in = fs.open(st.getPath)
-        val body = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-          buf.toString("UTF-8")
-        } finally in.close()
+        // serve the marker body from the manifest checkpoint when its
+        // (length, mtime) still match the listing — one manifest GET
+        // covers every unchanged marker; only new/replaced markers are
+        // read individually (see [[checkpointSnapshotLog]])
+        val body = cached.get(st.getPath.getName) match {
+          case Some((len, mtime, b))
+              if len == st.getLen && mtime == st.getModificationTime => b
+          case _ => readFully(st.getPath)
+        }
         body match {
           case R(key, rows, dir, ms, nanos, statsJson) =>
             (key, rows.toLong, dir, ms.toLong, nanos.toLong,
@@ -394,6 +406,99 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       .zipWithIndex
       .map { case ((key, rows, dir, ms, _, stats), i) =>
         CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir, stats) }
+  }
+
+  private def readFully(p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  private def manifestFile(table: String): HPath =
+    new HPath(commitDir(table), "_manifest.json")
+
+  /** Checkpoint the snapshot log into ONE manifest file — Iceberg's
+    * manifest-list move, the difference between O(P) object GETs and
+    * O(1) per [[snapshots]] listing at 10^6-partition scale (a LISTING
+    * is ~1 request per 1000 names on an object store; reading each
+    * marker is a GET each — the manifest collapses the GETs, the
+    * listing stays).
+    *
+    * The manifest is a pure CACHE, invalidated per entry by the marker's
+    * (length, mtime) against the live listing: a marker committed after
+    * the checkpoint isn't in it (read individually), a marker replaced
+    * by compaction changes length/mtime (re-read), a marker removed by
+    * rollback disappears from the listing (its cache entry is ignored).
+    * Correctness never depends on the manifest being fresh — only
+    * snapshot-log READ COST does — so writers keep committing through
+    * plain markers with zero coordination, and maintenance re-checkpoints
+    * whenever enough new markers accumulate. Granularity caveat: a
+    * same-length marker replacement within one mtime tick of the
+    * checkpoint could serve stale (the classic etag-less cache bound);
+    * markers embed seq_nanos, so same-length same-ms replacement is
+    * vanishingly rare, and compaction — the only marker replacer —
+    * bumps both. Returns the number of entries checkpointed.
+    */
+  def checkpointSnapshotLog(table: String): Int = {
+    val d = commitDir(table)
+    if (!fs.exists(d)) return 0
+    val mapper = CorpusCatalog.Mapper
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("entries")
+    var n = 0
+    fs.listStatus(d).iterator
+      .filter { st =>
+        val name = st.getPath.getName
+        name.endsWith(".json") && !name.startsWith("_")
+      }
+      .foreach { st =>
+        val e = arr.addObject()
+        e.put("n", st.getPath.getName)
+        e.put("l", st.getLen)
+        e.put("m", st.getModificationTime)
+        e.put("b", readFully(st.getPath))
+        n += 1
+      }
+    val tmp = new HPath(d, s"._manifest.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(root))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile(table)),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    n
+  }
+
+  /** marker name → (length, mtime, body) from the manifest checkpoint;
+    * empty when absent. An unreadable/corrupt manifest degrades to
+    * per-marker reads (logged), never a failed snapshot log.
+    */
+  private def manifestCache(table: String): Map[String, (Long, Long, String)] = {
+    val mf = manifestFile(table)
+    try {
+      if (!fs.exists(mf)) Map.empty
+      else {
+        val node = CorpusCatalog.Mapper.readTree(readFully(mf))
+        val it = node.get("entries").elements()
+        val out = Map.newBuilder[String, (Long, Long, String)]
+        while (it.hasNext) {
+          val e = it.next()
+          out += e.get("n").asText() ->
+            ((e.get("l").asLong(), e.get("m").asLong(), e.get("b").asText()))
+        }
+        out.result()
+      }
+    } catch {
+      case scala.util.control.NonFatal(ex) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"unreadable snapshot-log manifest $mf — " +
+            s"falling back to per-marker reads: ${ex.getMessage}")
+        Map.empty
+    }
   }
 
   /** Incremental read: exactly the rows ADDED by snapshots in
@@ -633,6 +738,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 }
 
 object CorpusCatalog {
+  // shared, thread-safe; constructed once (Jackson's expensive op)
+  private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** One append commit: dense `id` in commit order, the partition it
     * added, its row count, the marker's wall-clock epoch millis, and the
     * data dir the marker points at (`part=<key>@<nonce>`; plain

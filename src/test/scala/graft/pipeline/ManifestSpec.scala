@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** A local-disk filesystem that counts `open` calls — the object-store
+  * GET proxy the manifest checkpoint exists to collapse.
+  */
+class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "countfs"
+  override def getUri: java.net.URI = java.net.URI.create("countfs:///")
+  override def open(f: HPath, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFs.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+object CountingFs {
+  val opens = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
+/** The FileContext-side binding for the same scheme (what
+  * `fs.AbstractFileSystem.s3a.impl` is to s3a) — the catalog's atomic
+  * OVERWRITE renames go through FileContext.
+  */
+class CountingAbstractFs(uri: java.net.URI,
+                         conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new CountingFs(), conf, "countfs", false)
+
+/** Snapshot-log manifest checkpointing (`checkpointSnapshotLog`): one
+  * manifest GET serves every unchanged marker body; only new/replaced
+  * markers are read individually, and the manifest is a pure cache —
+  * staleness can never change WHAT the log says, only what it costs.
+  */
+class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.hadoop.fs.countfs.impl", classOf[CountingFs].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.countfs.impl",
+      classOf[CountingAbstractFs].getName)
+    .appName("graft-manifest-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCountedCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_manifest")
+    try f(new CorpusCatalog(s"countfs:$tmp", spark), tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def commitN(cat: CorpusCatalog, n: Int, from: Int = 0): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    (from until from + n).foreach { k =>
+      assert(cat.commitPartition("t", s"k$k",
+        Seq((k.toLong, s"v$k")).toDF("id", "v"), Seq("id")))
+    }
+  }
+
+  test("one manifest GET replaces per-marker reads; deltas read individually") {
+    withCountedCatalog { (cat, _) =>
+      commitN(cat, 6)
+      val before = cat.snapshots("t")
+      assert(cat.checkpointSnapshotLog("t") == 6)
+      // identical log through the manifest, including stats
+      val after = cat.snapshots("t")
+      assert(after == before.map(s => s.copy()) || after == before)
+      assert(after.map(_.key) == before.map(_.key) &&
+        after.map(_.stats) == before.map(_.stats))
+      // cost: exactly ONE open (the manifest) for the whole listing
+      CountingFs.opens.set(0)
+      cat.snapshots("t")
+      assert(CountingFs.opens.get() == 1L,
+        s"${CountingFs.opens.get()} opens for a fully checkpointed log")
+      // a marker committed AFTER the checkpoint is read individually
+      commitN(cat, 1, from = 6)
+      CountingFs.opens.set(0)
+      val s7 = cat.snapshots("t")
+      assert(s7.size == 7 && s7.last.key == "k6")
+      assert(CountingFs.opens.get() == 2L, // manifest + the new marker
+        s"${CountingFs.opens.get()} opens with one delta marker")
+    }
+  }
+
+  test("a replaced marker (compaction) invalidates its cache entry") {
+    withCountedCatalog { (cat, _) =>
+      commitN(cat, 4)
+      assert(cat.checkpointSnapshotLog("t") == 4)
+      assert(cat.compactPartition("t", "k1"))
+      val snaps = cat.snapshots("t")
+      // the compacted partition's NEW dir (from the re-read marker), not
+      // the manifest's stale one, is what the log reports
+      val k1 = snaps.find(_.key == "k1").get
+      assert(k1.id == snaps.map(_.id).max, "REPLACE moves to log end")
+      assert(cat.readTable("t").count() == 4)
+      assert(cat.readTableWhere("t", col("id") === 1).count() == 1)
+    }
+  }
+
+  test("rollback after checkpoint: removed markers vanish from the log") {
+    withCountedCatalog { (cat, _) =>
+      commitN(cat, 5)
+      assert(cat.checkpointSnapshotLog("t") == 5)
+      cat.rollbackTo("t", 2L)
+      val snaps = cat.snapshots("t")
+      assert(snaps.map(_.key) == Seq("k0", "k1", "k2"))
+      assert(cat.readTable("t").count() == 3)
+    }
+  }
+
+  test("a corrupt manifest degrades to per-marker reads, never a broken log") {
+    withCountedCatalog { (cat, tmp) =>
+      commitN(cat, 3)
+      assert(cat.checkpointSnapshotLog("t") == 3)
+      val mf = tmp.resolve("t").resolve("_commits").resolve("_manifest.json")
+      Files.write(mf, "not json".getBytes)
+      val snaps = cat.snapshots("t")
+      assert(snaps.size == 3 && snaps.map(_.key) == Seq("k0", "k1", "k2"))
+    }
+  }
+
+  test("'_'-prefixed partition keys are rejected (reserved for metadata)") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      intercept[IllegalArgumentException] {
+        cat.commitPartition("t", "_manifest", Seq((1L, "x")).toDF("id", "v"))
+      }
+      // and the manifest never surfaces as a phantom partition
+      commitN(cat, 2)
+      cat.checkpointSnapshotLog("t")
+      assert(cat.committedPartitions("t") == Set("k0", "k1"))
+    }
+  }
+
+  test("re-checkpointing folds accumulated deltas back to one GET") {
+    withCountedCatalog { (cat, _) =>
+      commitN(cat, 3)
+      cat.checkpointSnapshotLog("t")
+      commitN(cat, 3, from = 3)
+      assert(cat.checkpointSnapshotLog("t") == 6)
+      CountingFs.opens.set(0)
+      assert(cat.snapshots("t").size == 6)
+      assert(CountingFs.opens.get() == 1L)
+    }
+  }
+}
