@@ -857,6 +857,10 @@ object CheckpointedRun {
     }
     // staging now holds only _SUCCESS/marker files — sweep it
     catalog.deleteRecursively(staging)
+    // fold the fresh markers into the snapshot-log manifest so every
+    // subsequent listing is one GET (the natural maintenance point: a
+    // batch of commits just landed)
+    if (written > 0) catalog.checkpointSnapshotLog("filtered")
     (written, committed.size)
   }
 }

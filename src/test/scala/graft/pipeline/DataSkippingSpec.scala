@@ -294,6 +294,10 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = cat.readTableWhere("filtered", col("repo") === repo).count()
       val want = cat.readTable("filtered").where(col("repo") === repo).count()
       assert(got == want && got > 0)
+      // the run checkpointed its own snapshot log (manifest present and
+      // the log reads identically through it)
+      assert(new java.io.File(cat.root, "filtered/_commits/_manifest.json")
+        .exists, "run did not checkpoint the snapshot log")
     }
   }
 
