@@ -1765,10 +1765,13 @@ object SparkEntry {
             cat.commitPartition("t", s"k$k",
               cf.filter(col("doc_id") % 5 === k))
           }
-          (0L until 5L).map { i =>
+          (0L until 5L).flatMap { i =>
             val inc = cat.readTableIncremental("t", i - 1L, i)
               .agg(count(lit(1)), sum("doc_id")).head()
-            (i, inc.getLong(0), inc.getLong(1))
+            // an empty residue class yields count 0 / sum NULL — the
+            // GROUP BY oracle omits that group, so omit the row too
+            if (inc.getLong(0) == 0L) None
+            else Some((i, inc.getLong(0), inc.getLong(1)))
           }
         } finally sweepDir(tmp)
       rows.toDF("snapshot_id", "rows_inc", "id_sum_inc")

@@ -81,7 +81,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.exists(d)) Set.empty
     else fs.listStatus(d).iterator
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("_"))
+      .filter(n => n.endsWith(".json") && n != "_manifest.json")
       .map(_.stripSuffix(".json"))
       .toSet
   }
@@ -98,6 +98,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     */
   private def newDataDirName(key: String): String =
     s"part=$key@${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+
+  /** Parquet bloom-filter write options for every `bloomNdv` column —
+    * one definition for commit AND compaction so the two can't diverge.
+    */
+  private def withBloom(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                        bloomNdv: Map[String, Long]) =
+    bloomNdv.toSeq.sortBy(_._1).foldLeft(w) { case (wr, (c, ndv)) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
 
   /** Write one partition's rows and commit atomically. No-op (false) if
     * already committed — resume semantics — or if a concurrent committer
@@ -130,11 +140,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
     val partPath = new HPath(tableDir(table), dirName)
-    bloomNdv.toSeq.sortBy(_._1).foldLeft(
-      df.write.mode(SaveMode.Overwrite)) { case (w, (c, ndv)) =>
-        w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
-    }.parquet(partPath.toString)
+    withBloom(df.write.mode(SaveMode.Overwrite), bloomNdv)
+      .parquet(partPath.toString)
     // row count (and any stats) from the written FOOTERS — the input
     // plan runs ONCE, and the read-back never touches data pages
     val (rows, stats) =
@@ -212,10 +219,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(KeyPattern.matches(key),
       s"partition key '$key' outside [A-Za-z0-9._=-]+ — unsafe for " +
         "directory names and the snapshot log")
-    // "_"-prefixed names are reserved for catalog metadata files living
-    // beside the markers (the snapshot-log manifest)
-    require(!key.startsWith("_"),
-      s"partition key '$key' starts with '_' — reserved for catalog metadata")
+    // only the literal manifest name is reserved — "_"-prefixed KEYS are
+    // otherwise legal (repos named "_config" exist; reserving the whole
+    // prefix would also orphan legacy catalogs' "_"-keyed partitions)
+    require(key != "_manifest",
+      s"partition key '_manifest' is reserved for the snapshot-log manifest")
   }
 
   /** The commit point: tmp marker + rename. Returns false when the key is
@@ -371,7 +379,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     fs.listStatus(d).iterator
       .filter { st =>
         val n = st.getPath.getName
-        n.endsWith(".json") && !n.startsWith("_")
+        n.endsWith(".json") && n != "_manifest.json"
       }
       .map { st =>
         // serve the marker body from the manifest checkpoint when its
@@ -442,34 +450,77 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * vanishingly rare, and compaction — the only marker replacer —
     * bumps both. Returns the number of entries checkpointed.
     */
-  def checkpointSnapshotLog(table: String): Int = {
+  def checkpointSnapshotLog(table: String): Int =
+    checkpointSnapshotLog(table, Set.empty)
+
+  /** `forceReread`: keys whose marker bodies must come from the marker
+    * FILE even if the existing manifest's (len, mtime) entry matches —
+    * the in-place-replacement hooks ([[compactPartition]],
+    * [[rollbackTo]] + re-commit) pass the affected keys so a
+    * same-length same-mtime-tick replacement can never launder a stale
+    * body into the NEXT manifest.
+    */
+  private def checkpointSnapshotLog(table: String,
+                                    forceReread: Set[String]): Int = {
     val d = commitDir(table)
     if (!fs.exists(d)) return 0
-    val mapper = CorpusCatalog.Mapper
+    // seed unchanged bodies from the current manifest: re-checkpointing
+    // is O(delta) reads like snapshots() itself, not O(P) — the whole
+    // point at 10^6 partitions
+    val cached = manifestCache(table)
+    val mapper = PartitionStats.Mapper
     val root = mapper.createObjectNode()
     val arr = root.putArray("entries")
     var n = 0
     fs.listStatus(d).iterator
       .filter { st =>
         val name = st.getPath.getName
-        name.endsWith(".json") && !name.startsWith("_")
+        name.endsWith(".json") && name != "_manifest.json"
       }
       .foreach { st =>
+        val name = st.getPath.getName
+        val body = cached.get(name) match {
+          case Some((len, mtime, b))
+              if len == st.getLen && mtime == st.getModificationTime &&
+                !forceReread.contains(name.stripSuffix(".json")) => b
+          case _ => readFully(st.getPath)
+        }
         val e = arr.addObject()
-        e.put("n", st.getPath.getName)
+        e.put("n", name)
         e.put("l", st.getLen)
         e.put("m", st.getModificationTime)
-        e.put("b", readFully(st.getPath))
+        e.put("b", body)
         n += 1
       }
     val tmp = new HPath(d, s"._manifest.${System.nanoTime()}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(root))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile(table)),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(root))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(manifestFile(table)),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        // a scheme without an AbstractFileSystem binding (FileContext's
+        // registry is separate from FileSystem's) can't do the atomic
+        // OVERWRITE swap. Unlike a MARKER, the manifest is a pure cache:
+        // a reader in the delete→rename gap sees no manifest and does
+        // per-marker reads — correct, just slower — so the non-atomic
+        // swap is safe here and only here
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(manifestFile(table), false)
+          if (!fs.rename(tmp, manifestFile(table)))
+            throw new java.io.IOException(
+              s"manifest rename failed: $tmp -> ${manifestFile(table)}")
+      }
+    } catch {
+      // never leave the largest object in the catalog as debris; a
+      // crash between create and rename is reclaimed by vacuum's
+      // commit-dir tmp sweep
+      case e: Throwable => fs.delete(tmp, false); throw e
+    }
     n
   }
 
@@ -482,7 +533,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     try {
       if (!fs.exists(mf)) Map.empty
       else {
-        val node = CorpusCatalog.Mapper.readTree(readFully(mf))
+        val node = PartitionStats.Mapper.readTree(readFully(mf))
         val it = node.get("entries").elements()
         val out = Map.newBuilder[String, (Long, Long, String)]
         while (it.hasNext) {
@@ -516,15 +567,36 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * compaction may have run between its incremental reads.
     */
   def readTableIncremental(table: String, afterSnapshotId: Long,
-                           upToSnapshotId: Long): DataFrame = {
+                           upToSnapshotId: Long): DataFrame =
+    readTableIncremental(table, afterSnapshotId, upToSnapshotId,
+      mergeSchema = false)
+
+  /** `mergeSchema = true` reads the increment under the table schema AS
+    * OF the end snapshot (Iceberg's incremental-scan schema rule):
+    * columns added by earlier snapshots surface as null in increments
+    * that predate them, and an increment spanning the evolution boundary
+    * cannot silently drop the added column to whichever file the plain
+    * reader samples — the same guarantee `readTable(mergeSchema)` gives
+    * the full-table read.
+    */
+  def readTableIncremental(table: String, afterSnapshotId: Long,
+                           upToSnapshotId: Long,
+                           mergeSchema: Boolean): DataFrame = {
     val all = snapshots(table)
     require(all.nonEmpty, s"no committed partitions in $table")
-    val inc = all.filter(s => s.id > afterSnapshotId && s.id <= upToSnapshotId)
-    if (inc.isEmpty)
-      spark.read.parquet(new HPath(tableDir(table), all.head.dir).toString)
-        .limit(0)
-    else spark.read.parquet(
-      inc.map(s => new HPath(tableDir(table), s.dir).toString): _*)
+    def dirOf(s: CorpusCatalog.Snapshot) =
+      new HPath(tableDir(table), s.dir).toString
+    val upTo = all.filter(_.id <= upToSnapshotId)
+    val inc = upTo.filter(_.id > afterSnapshotId)
+    lazy val schemaAsOfEnd = spark.read.option("mergeSchema", "true")
+      .parquet((if (upTo.nonEmpty) upTo else all).map(dirOf): _*).schema
+    if (inc.isEmpty) {
+      val base =
+        if (mergeSchema) spark.read.schema(schemaAsOfEnd) else spark.read
+      base.parquet(dirOf(all.head)).limit(0)
+    } else if (mergeSchema)
+      spark.read.schema(schemaAsOfEnd).parquet(inc.map(dirOf): _*)
+    else spark.read.parquet(inc.map(dirOf): _*)
   }
 
   /** The snapshot log as a DataFrame — Iceberg's `<table>.partitions` /
@@ -563,12 +635,19 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * killed writer leaves, and are replaced on re-commit). Iceberg's
     * `rollback_to_snapshot`.
     */
-  def rollbackTo(table: String, snapshotId: Long): Unit =
+  def rollbackTo(table: String, snapshotId: Long): Unit = {
     snapshots(table).filter(_.id > snapshotId).foreach { s =>
       if (!fs.delete(markerFile(table, s.key), false))
         throw new java.io.IOException(
           s"rollback: cannot remove marker for ${s.key}")
     }
+    // drop the removed markers' manifest entries NOW: a later re-commit
+    // of a rolled-back key writes a fresh same-named marker, and on a
+    // coarse-mtime store a stale (len, mtime)-matching entry could
+    // otherwise serve the OLD body (see checkpointSnapshotLog's
+    // invalidation caveat)
+    if (fs.exists(manifestFile(table))) checkpointSnapshotLog(table)
+  }
 
   /** Small-file compaction — Iceberg's `rewrite_data_files`, the
     * maintenance half the write-once layout exists for: at 10^12-file
@@ -621,11 +700,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .sortWithinPartitions(sortBy.map(col): _*)
     // bloom filters live in the data files, so a rewrite DROPS them
     // unless re-specified here (same caveat as Iceberg's rewrite)
-    bloomNdv.toSeq.sortBy(_._1).foldLeft(
-      laidOut.write.mode(SaveMode.Overwrite)) { case (w, (c, ndv)) =>
-        w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
-    }.parquet(target.toString)
+    withBloom(laidOut.write.mode(SaveMode.Overwrite), bloomNdv)
+      .parquet(target.toString)
     // re-derive any data-skipping stats from the rewritten footers (same
     // rows, but the old mins/maxes must not dangle on a replaced dir)
     val (rows, stats) = PartitionStats.collect(statsSession, spark,
@@ -637,6 +713,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           "aborted, original data untouched")
     }
     replaceMarker(table, key, rows, dirName, stats)
+    // the marker was replaced IN PLACE with an (often) same-length body;
+    // refresh the manifest with this key force-re-read so a same-mtime-
+    // tick replacement can never be served stale from the old checkpoint
+    if (fs.exists(manifestFile(table)))
+      checkpointSnapshotLog(table, forceReread = Set(key))
     true
   }
 
@@ -708,6 +789,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           val p = new HPath(new HPath(td, "_staging"), child)
           if (oldEnough(p) && deleteIfPresent(p)) removed += 1
         }
+      case "_commits" =>
+        // crashed marker/manifest writers leave ".<name>.<nanos>.tmp"
+        // debris beside the markers (the manifest tmp embeds every
+        // marker body — the largest object in the catalog); same grace
+        // window as data-dir orphans
+        listChildNames(new HPath(td, "_commits"))
+          .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+          .foreach { child =>
+            val p = new HPath(new HPath(td, "_commits"), child)
+            if (oldEnough(p) && deleteIfPresent(p)) removed += 1
+          }
       case _ => ()
     }
     removed
@@ -738,9 +830,6 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 }
 
 object CorpusCatalog {
-  // shared, thread-safe; constructed once (Jackson's expensive op)
-  private val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
   /** One append commit: dense `id` in commit order, the partition it
     * added, its row count, the marker's wall-clock epoch millis, and the
     * data dir the marker points at (`part=<key>@<nonce>`; plain

@@ -168,9 +168,12 @@ object PartitionStats {
   // ---- marker JSON (hand-rendered like the marker itself; Jackson for
   // ---- parse + string escaping — it ships with Spark) ----
 
-  // one shared mapper — construction is Jackson's expensive operation and
-  // the instance is thread-safe; snapshots() parses every marker through it
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // THE shared mapper for all catalog metadata JSON (stats objects,
+  // marker manifests) — construction is Jackson's expensive operation,
+  // the instance is thread-safe, and a single instance means any future
+  // parser configuration applies everywhere at once
+  private[pipeline] val Mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def mapper = Mapper
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 

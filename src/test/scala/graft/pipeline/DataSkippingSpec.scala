@@ -370,6 +370,30 @@ class DataSkippingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("incremental reads under mergeSchema use the end-snapshot schema " +
+    "across an evolution boundary") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "old", (0L until 5L).toDF("id")))
+      assert(cat.commitPartition("t", "new",
+        (10L until 15L).map(i => (i, s"c$i")).toDF("id", "c2")))
+      // the increment spanning the boundary surfaces c2 (null for the
+      // pre-evolution rows), never the sampled-file schema drop
+      val span = cat.readTableIncremental("t", -1L, 1L, mergeSchema = true)
+      assert(span.columns.toSet == Set("id", "c2"))
+      assert(span.where(col("c2").isNull).count() == 5)
+      // a pre-evolution increment read at the post-evolution end
+      // snapshot carries the evolved schema with nulls
+      val pre = cat.readTableIncremental("t", -1L, 0L, mergeSchema = true)
+      assert(pre.columns.toSet == Set("id"), // end snapshot 0 predates c2
+        pre.columns.toSeq.toString)
+      // empty increments keep the as-of-end schema too
+      val empty = cat.readTableIncremental("t", 1L, 1L, mergeSchema = true)
+      assert(empty.count() == 0 && empty.columns.toSet == Set("id", "c2"))
+    }
+  }
+
   test("the partitions metadata table mirrors the snapshot log without " +
     "touching data files") {
     withCatalog { (cat, _) =>

@@ -134,17 +134,67 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("'_'-prefixed partition keys are rejected (reserved for metadata)") {
+  test("only the literal '_manifest' key is reserved — other '_'-keys " +
+    "(real repo names) commit, checkpoint, and read back") {
     withCountedCatalog { (cat, _) =>
       val spark2 = spark
       import spark2.implicits._
       intercept[IllegalArgumentException] {
         cat.commitPartition("t", "_manifest", Seq((1L, "x")).toDF("id", "v"))
       }
-      // and the manifest never surfaces as a phantom partition
+      // a repo named "_config" is a legal partition key
+      assert(cat.commitPartition("t", "_config_0",
+        Seq((99L, "u")).toDF("id", "v"), Seq("id")))
       commitN(cat, 2)
       cat.checkpointSnapshotLog("t")
-      assert(cat.committedPartitions("t") == Set("k0", "k1"))
+      assert(cat.committedPartitions("t") == Set("_config_0", "k0", "k1"))
+      assert(cat.snapshots("t").exists(_.key == "_config_0"))
+      assert(cat.readTable("t").count() == 3)
+      // and the manifest serves the "_"-key too (one GET)
+      CountingFs.opens.set(0)
+      assert(cat.snapshots("t").size == 3)
+      assert(CountingFs.opens.get() == 1L)
+    }
+  }
+
+  test("compaction and rollback refresh the manifest themselves — a " +
+    "same-length in-place replacement can never serve stale") {
+    withCountedCatalog { (cat, tmp) =>
+      commitN(cat, 3)
+      assert(cat.checkpointSnapshotLog("t") == 3)
+      // compaction: its hook force-re-reads the replaced key into a
+      // fresh manifest, so the very next listing is one GET AND correct
+      assert(cat.compactPartition("t", "k1"))
+      CountingFs.opens.set(0)
+      val snaps = cat.snapshots("t")
+      assert(CountingFs.opens.get() == 1L,
+        s"${CountingFs.opens.get()} opens after compaction's own refresh")
+      val k1 = snaps.find(_.key == "k1").get
+      val dir = tmp.resolve("t").resolve(k1.dir)
+      assert(java.nio.file.Files.exists(dir), s"stale dir in log: ${k1.dir}")
+      // rollback: removed keys leave the manifest, so a re-commit of the
+      // same key can never be served from a stale entry. (Compaction's
+      // REPLACE moved k1 to the log end, so ids 0..1 are now k0, k2.)
+      cat.rollbackTo("t", 1L)
+      assert(cat.snapshots("t").map(_.key).toSet == Set("k0", "k2"))
+      commitN(cat, 1, from = 1) // re-commit k1 with a fresh marker
+      val re = cat.snapshots("t").find(_.key == "k1").get
+      assert(java.nio.file.Files.exists(tmp.resolve("t").resolve(re.dir)),
+        s"stale manifest served a rolled-back dir: ${re.dir}")
+      assert(cat.readTable("t").count() == 3)
+    }
+  }
+
+  test("vacuum reclaims crashed marker/manifest tmp debris in _commits") {
+    withCountedCatalog { (cat, tmp) =>
+      commitN(cat, 2)
+      val commits = tmp.resolve("t").resolve("_commits")
+      Files.write(commits.resolve("._manifest.12345.tmp"), "dead".getBytes)
+      Files.write(commits.resolve(".k9.67890.tmp"), "dead".getBytes)
+      assert(cat.vacuum("t") == 2)
+      assert(!Files.exists(commits.resolve("._manifest.12345.tmp")))
+      // live markers untouched
+      assert(cat.snapshots("t").size == 2)
     }
   }
 

@@ -25,10 +25,22 @@ class TextPropsSpec extends AnyFunSuite {
     assert(result.passed, s"$name: $result")
   }
 
-  check("normalize is idempotent")(Prop.forAll(textGen) { s =>
-    val once = Normalizer.normalize(s)
-    Normalizer.normalize(once) == once
-  })
+  check("normalize is idempotent (NFD-punct sources converge by pass 2)")(
+    Prop.forAll(textGen) { s =>
+      val once = Normalizer.normalize(s)
+      val twice = Normalizer.normalize(once)
+      // NFD runs LAST in the reference order (normalization.py:8-32), so
+      // the 5 chars that canonically decompose INTO ASCII punctuation
+      // (U+037E→';', U+1FEF→'`', ≠/≮/≯→'='/'<'/'>'+U+0338) re-introduce
+      // a punct char that a SECOND application strips — the reference's
+      // own normalize is equally non-idempotent on exactly those (same
+      // exemption as the punct-run property below). Everything else is
+      // one-pass idempotent, and the chain always converges by pass two.
+      val nfdPunctSources = Set('\u037e', '\u1fef', '\u2260', '\u226e', '\u226f')
+      if (s.exists(nfdPunctSources.contains))
+        Normalizer.normalize(twice) == twice
+      else twice == once
+    })
 
   check("normalized content has no ASCII punct/uppercase/space runs")(
     Prop.forAll(textGen) { s =>
