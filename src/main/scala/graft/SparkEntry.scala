@@ -1776,6 +1776,39 @@ object SparkEntry {
         } finally sweepDir(tmp)
       rows.toDF("snapshot_id", "rows_inc", "id_sum_inc")
         .orderBy("snapshot_id")
+    }),
+
+    // Copy-on-write MERGE pruned by the skipping stats: the documents
+    // table in 8 doc_id-range partitions, updates over one narrow key
+    // band [b+2, 2b+1] — the stats route the rewrite to exactly the two
+    // partitions whose range intersects it; matched rows get a
+    // closed-form replacement payload (2*doc_id+1). n_parts_rewritten
+    // re-derives as count(distinct doc_id div b) over the update keys,
+    // and chars_sum pins row-exact replace semantics over the whole
+    // merged table.
+    "q83_merge_replace" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
+          (0L until 8L).foreach { g =>
+            cat.commitPartition("m", s"g$g",
+              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
+          }
+          val updates = docs
+            .filter(col("doc_id").between(b + 2L, 2L * b + 1L))
+            .select(col("doc_id"), (col("doc_id") * 2L + 1L).as("n_chars"))
+          val (rewritten, unmatched) = cat.mergeReplace("m", updates, "doc_id")
+          val r = cat.readTable("m")
+            .agg(count(lit(1)), sum("n_chars")).head()
+          Seq((rewritten.toLong, unmatched.count(), r.getLong(0), r.getLong(1)))
+            .toDF("n_parts_rewritten", "n_unmatched", "n_rows", "chars_sum")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3257,7 +3290,21 @@ object SparkEntry {
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum_inc
         |FROM documents
         |GROUP BY doc_id % 5
-        |ORDER BY snapshot_id""".stripMargin
+        |ORDER BY snapshot_id""".stripMargin,
+
+    "q83_merge_replace" ->
+      """WITH b AS (SELECT (max(doc_id) + 8) // 8 AS b FROM documents),
+        |u AS (SELECT doc_id FROM documents, b
+        |      WHERE doc_id BETWEEN b + 2 AND 2 * b + 1)
+        |SELECT (SELECT CAST(count(DISTINCT doc_id // (SELECT b FROM b))
+        |               AS BIGINT) FROM u) AS n_parts_rewritten,
+        |       CAST(0 AS BIGINT) AS n_unmatched,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN doc_id BETWEEN (SELECT b + 2 FROM b)
+        |                               AND (SELECT 2 * b + 1 FROM b)
+        |                     THEN 2 * doc_id + 1 ELSE n_chars END)
+        |            AS BIGINT) AS chars_sum
+        |FROM documents""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -649,6 +649,85 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (fs.exists(manifestFile(table))) checkpointSnapshotLog(table)
   }
 
+  /** Copy-on-write MERGE (Iceberg v2's `MERGE INTO ... WHEN MATCHED THEN
+    * UPDATE`, at this catalog's partition granularity): rows of `table`
+    * whose `onCol` matches an update row are REPLACED by that row;
+    * everything else is untouched. Returns
+    * `(partitionsRewritten, unmatchedUpdates)` — unmatched rows are NOT
+    * inserted (the caller owns partition routing; commit them via
+    * [[commitPartition]] wherever they belong).
+    *
+    * The 100-TB shape is what makes COW viable: the data-skipping stats
+    * decide which partitions COULD contain a match (the updates' key
+    * range against each marker's `onCol` min/max — partitions outside it
+    * are never read, let alone rewritten), and only candidates with an
+    * ACTUAL match are rewritten — each through the same atomic
+    * replace-marker discipline as compaction (readers see old-complete
+    * or new-complete, never partial; rollback-able REPLACE commits at
+    * the log end; stats re-derived; manifest refreshed). A merge
+    * touching 10 of 10^6 partitions costs 10 partition rewrites and
+    * ~10^6 marker-stat evaluations — no table scan anywhere.
+    *
+    * `updates` must carry the table's schema and UNIQUE `onCol` keys
+    * (duplicate keys would make "the matching row" ambiguous — rejected
+    * loudly). Updates are broadcast per candidate probe, so size merge
+    * batches accordingly (the Iceberg COW guidance: many small merges
+    * beat one giant one).
+    */
+  def mergeReplace(table: String, updates: DataFrame, onCol: String)
+      : (Int, DataFrame) = {
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val u = updates.cache()
+    try {
+      val dup = u.groupBy(col(onCol)).count().filter(col("count") > 1).count()
+      require(dup == 0L,
+        s"mergeReplace: $dup duplicate '$onCol' keys in updates — " +
+          "the replacement row would be ambiguous")
+      val b = u.agg(min(col(onCol)), max(col(onCol))).head()
+      if (b.isNullAt(0)) return (0, u) // no non-null keys: nothing matches
+      val keyRange = col(onCol).between(lit(b.get(0)), lit(b.get(1)))
+      val candidates = snaps.filter(s =>
+        StatsPruning.mightMatch(keyRange, s.stats, s.rows))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
+          "partitions in the updates' key range")
+      var rewritten = 0
+      candidates.foreach { snap =>
+        val curPath = new HPath(tableDir(table), snap.dir)
+        val cur = spark.read.parquet(curPath.toString)
+        val replacement = broadcast(u).join(cur.select(col(onCol)),
+          Seq(onCol), "left_semi")
+        if (!replacement.isEmpty) {
+          val dirName = newDataDirName(snap.key)
+          val target = new HPath(tableDir(table), dirName)
+          cur.join(broadcast(u.select(col(onCol))), Seq(onCol), "left_anti")
+            .unionByName(replacement.select(cur.columns.map(col): _*))
+            .write.mode(SaveMode.Overwrite).parquet(target.toString)
+          val (rows, stats) = PartitionStats.collect(statsSession, spark,
+            target.toString, snap.stats.keys.toSeq.sorted)
+          replaceMarker(table, snap.key, rows, dirName, stats)
+          if (fs.exists(manifestFile(table)))
+            checkpointSnapshotLog(table, forceReread = Set(snap.key))
+          rewritten += 1
+        }
+      }
+      // unmatched = update keys absent from the (post-merge) table;
+      // column-pruned key scan of the candidates only — non-candidates
+      // provably hold no matching key
+      val tableKeys =
+        if (candidates.isEmpty) null
+        else spark.read.parquet(snapshots(table)
+            .filter(s => candidates.exists(_.key == s.key))
+            .map(s => new HPath(tableDir(table), s.dir).toString): _*)
+          .select(col(onCol))
+      val unmatched =
+        if (tableKeys == null) u
+        else u.join(tableKeys, Seq(onCol), "left_anti")
+      (rewritten, unmatched)
+    } finally u.unpersist()
+  }
+
   /** Small-file compaction — Iceberg's `rewrite_data_files`, the
     * maintenance half the write-once layout exists for: at 10^12-file
     * scale, per-shard commits accumulate thousands of undersized parquet

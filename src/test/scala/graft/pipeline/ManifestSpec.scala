@@ -16,11 +16,14 @@ class CountingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("countfs:///")
   override def open(f: HPath, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
     CountingFs.opens.incrementAndGet()
+    CountingFs.paths.add(f.toString)
     super.open(f, bufferSize)
   }
 }
 object CountingFs {
   val opens = new java.util.concurrent.atomic.AtomicLong(0)
+  val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def reset(): Unit = { opens.set(0); paths.clear() }
 }
 
 /** The FileContext-side binding for the same scheme (what
@@ -207,6 +210,100 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       CountingFs.opens.set(0)
       assert(cat.snapshots("t").size == 6)
       assert(CountingFs.opens.get() == 1L)
+    }
+  }
+
+  test("mergeReplace rewrites only stats-matched partitions and replaces " +
+    "exactly the matched rows") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // 3 range partitions on id: [0,10), [10,20), [20,30)
+      (0 until 3).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10 until (g + 1) * 10).map(i => (i.toLong, s"old$i"))
+            .toDF("id", "v"), Seq("id")))
+      }
+      // updates hit partition g1 only; key range [12, 14] prunes g0/g2
+      val updates = Seq((12L, "NEW12"), (14L, "NEW14"), (13L, "NEW13"))
+        .toDF("id", "v")
+      val dirsBefore = cat.snapshots("t").map(s => s.key -> s.dir).toMap
+      val (rewritten, unmatched) = cat.mergeReplace("t", updates, "id")
+      assert(rewritten == 1 && unmatched.isEmpty)
+      val after = cat.snapshots("t").map(s => s.key -> s.dir).toMap
+      assert(after("g0") == dirsBefore("g0") && after("g2") == dirsBefore("g2"),
+        "untouched partitions must keep their exact data dirs")
+      assert(after("g1") != dirsBefore("g1"))
+      // merged content: matched rows replaced, everything else intact
+      val vs = cat.readTable("t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(vs.length == 30)
+      assert(vs.filter(_._1 == 12L).head._2 == "NEW12")
+      assert(vs.filter(_._1 == 13L).head._2 == "NEW13")
+      assert(vs.filter(_._1 == 11L).head._2 == "old11")
+      assert(vs.filter(_._1 == 25L).head._2 == "old25")
+      // the REPLACE moved g1 to the log end and re-derived its stats
+      val g1 = cat.snapshots("t").find(_.key == "g1").get
+      assert(g1.id == 2L)
+      assert(g1.stats("id") == PartitionStats.ColStats("long",
+        Some("10"), Some("19"), 0L))
+      // and skipping still works on the merged table
+      assert(cat.readTableWhere("t", col("id") === 12L).count() == 1)
+    }
+  }
+
+  test("mergeReplace: unmatched updates come back; duplicate keys rejected; " +
+    "merge is idempotent") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 5L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      val u = Seq((3L, "NEW3"), (99L, "NEW99")).toDF("id", "v")
+      val (rw, unmatched) = cat.mergeReplace("t", u, "id")
+      assert(rw == 1)
+      assert(unmatched.select("id").collect().map(_.getLong(0)).toSeq == Seq(99L))
+      // re-applying the same merge replaces 3 with the same row — state
+      // is unchanged (the rewrite itself may still run: 3 matches again)
+      val (_, un2) = cat.mergeReplace("t", u, "id")
+      assert(un2.count() == 1)
+      assert(cat.readTable("t").orderBy("id").collect()
+        .map(r => r.getString(1)).toSeq ==
+        Seq("old0", "old1", "old2", "NEW3", "old4"))
+      intercept[IllegalArgumentException] {
+        cat.mergeReplace("t",
+          Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id")
+      }
+    }
+  }
+
+  test("mergeReplace never opens data files of partitions outside the " +
+    "updates' key range") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 4).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10 until (g + 1) * 10).map(i => (i.toLong, s"v$i"))
+            .toDF("id", "v"), Seq("id")))
+      }
+      cat.checkpointSnapshotLog("t")
+      val untouched = cat.snapshots("t")
+        .filter(s => Set("g0", "g1", "g2").contains(s.key)).map(_.dir)
+      CountingFs.reset()
+      val (rw, _) = cat.mergeReplace("t",
+        Seq((31L, "NEW")).toDF("id", "v"), "id")
+      assert(rw == 1)
+      // THE pruning contract: no opened path belongs to a partition the
+      // stats proved out of the updates' key range
+      import scala.jdk.CollectionConverters._
+      val opened = CountingFs.paths.asScala.toSeq
+      untouched.foreach { d =>
+        assert(!opened.exists(_.contains(d)),
+          s"merge read pruned partition $d")
+      }
+      assert(cat.readTable("t").where(col("id") === 31L)
+        .head().getString(1) == "NEW")
     }
   }
 }
