@@ -1809,6 +1809,34 @@ object SparkEntry {
             .toDF("n_parts_rewritten", "n_unmatched", "n_rows", "chars_sum")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // Copy-on-write DELETE (the takedown primitive) pruned by the same
+    // stats: a doc_id band [b+5, 3b-2] spans exactly partitions g1 and
+    // g2 of the 8 range partitions — only those rewrite; the survivors'
+    // count and id sum are pure band arithmetic.
+    "q84_delete_where" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_del")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
+          (0L until 8L).foreach { g =>
+            cat.commitPartition("d", s"g$g",
+              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
+          }
+          val (rewritten, deleted) = cat.deleteWhere("d",
+            col("doc_id").between(b + 5L, 3L * b - 2L))
+          val r = cat.readTable("d")
+            .agg(count(lit(1)), sum("doc_id")).head()
+          Seq((rewritten.toLong, deleted, r.getLong(0), r.getLong(1)))
+            .toDF("n_parts_rewritten", "n_deleted", "n_rows_after",
+              "id_sum_after")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3304,7 +3332,19 @@ object SparkEntry {
         |                               AND (SELECT 2 * b + 1 FROM b)
         |                     THEN 2 * doc_id + 1 ELSE n_chars END)
         |            AS BIGINT) AS chars_sum
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q84_delete_where" ->
+      """WITH b AS (SELECT (max(doc_id) + 8) // 8 AS b FROM documents),
+        |band AS (SELECT doc_id FROM documents, b
+        |         WHERE doc_id BETWEEN b + 5 AND 3 * b - 2)
+        |SELECT (SELECT CAST(count(DISTINCT doc_id // (SELECT b FROM b))
+        |               AS BIGINT) FROM band) AS n_parts_rewritten,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM band) AS n_deleted,
+        |       CAST(count(*) AS BIGINT) AS n_rows_after,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum_after
+        |FROM documents, b
+        |WHERE doc_id NOT BETWEEN b + 5 AND 3 * b - 2""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -728,6 +728,52 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     } finally u.unpersist()
   }
 
+  /** Copy-on-write DELETE (`DELETE FROM table WHERE predicate`) — the
+    * takedown primitive a training-data catalog cannot ship without:
+    * removing a revoked repo, a contaminated shard, or a
+    * right-to-be-forgotten document must not rewrite the corpus. The
+    * same stats routing as [[mergeReplace]]: partitions the marker
+    * stats prove predicate-free are never read; candidates with actual
+    * matches rewrite (rows where the predicate is TRUE removed — NULL
+    * keeps the row, SQL DELETE semantics) through the atomic
+    * replace-marker discipline. A partition deleted to emptiness stays
+    * committed with rows = 0 (its key remains occupied — resume
+    * semantics unchanged). Returns (partitionsRewritten, rowsDeleted).
+    */
+  def deleteWhere(table: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long) = {
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val candidates = snaps.filter(s =>
+      StatsPruning.mightMatch(predicate, s.stats, s.rows))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
+        "partitions might match")
+    var rewritten = 0
+    var deleted = 0L
+    candidates.foreach { snap =>
+      val cur = spark.read.parquet(
+        new HPath(tableDir(table), snap.dir).toString)
+      val hits = cur.where(predicate).count()
+      if (hits > 0) {
+        val dirName = newDataDirName(snap.key)
+        val target = new HPath(tableDir(table), dirName)
+        // NOT(pred) drops NULL-predicate rows too — coalesce keeps them,
+        // matching DELETE's TRUE-only semantics
+        cur.where(!coalesce(predicate, lit(false)))
+          .write.mode(SaveMode.Overwrite).parquet(target.toString)
+        val (rows, stats) = PartitionStats.collect(statsSession, spark,
+          target.toString, snap.stats.keys.toSeq.sorted)
+        replaceMarker(table, snap.key, rows, dirName, stats)
+        if (fs.exists(manifestFile(table)))
+          checkpointSnapshotLog(table, forceReread = Set(snap.key))
+        rewritten += 1
+        deleted += hits
+      }
+    }
+    (rewritten, deleted)
+  }
+
   /** Small-file compaction — Iceberg's `rewrite_data_files`, the
     * maintenance half the write-once layout exists for: at 10^12-file
     * scale, per-shard commits accumulate thousands of undersized parquet

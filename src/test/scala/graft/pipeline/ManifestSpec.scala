@@ -306,4 +306,49 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
         .head().getString(1) == "NEW")
     }
   }
+
+  test("deleteWhere removes exactly TRUE rows, never reads pruned " +
+    "partitions, and empties stay committed at rows = 0") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 3).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10 until (g + 1) * 10).map { i =>
+            (i.toLong, if (i % 4 == 0) null else s"v$i")
+          }.toDF("id", "v"), Seq("id", "v")))
+      }
+      cat.checkpointSnapshotLog("t")
+      val untouched = cat.snapshots("t")
+        .filter(s => Set("g0", "g2").contains(s.key)).map(_.dir)
+      CountingFs.reset()
+      // predicate NULL on the null-v rows: those must SURVIVE (SQL
+      // DELETE removes TRUE rows only)
+      val (rw, deleted) = cat.deleteWhere("t",
+        col("id").between(12L, 15L) && col("v").startsWith("v1"))
+      assert(rw == 1, s"rewrote $rw")
+      // ids 12..15 with non-null v: 12 has v null (12%4==0) -> survives
+      assert(deleted == 3L, s"deleted $deleted")
+      import scala.jdk.CollectionConverters._
+      val opened = CountingFs.paths.asScala.toSeq
+      untouched.foreach { d =>
+        assert(!opened.exists(_.contains(d)), s"delete read pruned $d")
+      }
+      val left = cat.readTable("t").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(left.length == 27 && left.contains(12L) && !left.contains(13L))
+      // delete a whole partition to emptiness: key stays committed
+      val (rw2, del2) = cat.deleteWhere("t", col("id") < 10L)
+      assert(rw2 == 1 && del2 == 10L)
+      val g0 = cat.snapshots("t").find(_.key == "g0").get
+      assert(g0.rows == 0L)
+      assert(cat.isCommitted("t", "g0"))
+      assert(cat.readTable("t").count() == 17L)
+      // nothing-matches delete is a no-op (stats prune everything)
+      CountingFs.reset()
+      assert(cat.deleteWhere("t", col("id") > 1000L) == ((0, 0L)))
+      assert(!CountingFs.paths.asScala.exists(_.contains("part=")),
+        "no-op delete read partition data")
+    }
+  }
 }
