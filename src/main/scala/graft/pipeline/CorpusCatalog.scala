@@ -668,11 +668,19 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * touching 10 of 10^6 partitions costs 10 partition rewrites and
     * ~10^6 marker-stat evaluations — no table scan anywhere.
     *
-    * `updates` must carry the table's schema and UNIQUE `onCol` keys
-    * (duplicate keys would make "the matching row" ambiguous — rejected
-    * loudly). Updates are broadcast per candidate probe, so size merge
-    * batches accordingly (the Iceberg COW guidance: many small merges
-    * beat one giant one).
+    * `updates` must carry the table's exact column set and types
+    * (ENFORCED per partition — unionByName would otherwise silently
+    * coerce and fork the table's physical parquet schema) and UNIQUE
+    * non-null `onCol` keys (duplicates are ambiguous — rejected loudly;
+    * NULL keys match nothing and simply return in `unmatched`). The
+    * TARGET's matched keys must be unique too: a duplicate-keyed target
+    * row would collapse under replacement, so the rewrite verifies row
+    * conservation and aborts loudly instead of losing data. Updates are
+    * broadcast per candidate probe, so size merge batches accordingly
+    * (the Iceberg COW guidance: many small merges beat one giant one).
+    * The returned `unmatched` is MATERIALIZED (localCheckpoint) — it
+    * reflects exactly the update rows this merge saw, even if the
+    * caller's `updates` plan is expensive or non-deterministic.
     */
   def mergeReplace(table: String, updates: DataFrame, onCol: String)
       : (Int, DataFrame) = {
@@ -680,51 +688,63 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val u = updates.cache()
     try {
-      val dup = u.groupBy(col(onCol)).count().filter(col("count") > 1).count()
-      require(dup == 0L,
-        s"mergeReplace: $dup duplicate '$onCol' keys in updates — " +
-          "the replacement row would be ambiguous")
-      val b = u.agg(min(col(onCol)), max(col(onCol))).head()
-      if (b.isNullAt(0)) return (0, u) // no non-null keys: nothing matches
-      val keyRange = col(onCol).between(lit(b.get(0)), lit(b.get(1)))
+      // one job answers everything about the update keys: duplicates
+      // (non-NULL count vs distinct — NULL keys match nothing and go
+      // straight to unmatched, so they are NOT ambiguous), and the range
+      val kstat = u.agg(count(col(onCol)), countDistinct(col(onCol)),
+        min(col(onCol)), max(col(onCol))).head()
+      require(kstat.getLong(0) == kstat.getLong(1),
+        s"mergeReplace: ${kstat.getLong(0) - kstat.getLong(1)} duplicate " +
+          s"non-null '$onCol' keys in updates — the replacement row " +
+          "would be ambiguous")
+      if (kstat.getLong(0) == 0L) // only NULL keys: nothing can match
+        return (0, u.localCheckpoint(true))
+      val keyRange = col(onCol).between(lit(kstat.get(2)), lit(kstat.get(3)))
       val candidates = snaps.filter(s =>
         StatsPruning.mightMatch(keyRange, s.stats, s.rows))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
-      var rewritten = 0
+      var rewrittenKeys = List.empty[String]
+      var rewrittenDirs = List.empty[String]
       candidates.foreach { snap =>
         val curPath = new HPath(tableDir(table), snap.dir)
         val cur = spark.read.parquet(curPath.toString)
+        require(sameColumns(cur.schema, u.schema),
+          s"mergeReplace: updates schema ${u.schema.simpleString} does " +
+            s"not match $table/${snap.key}'s ${cur.schema.simpleString} — " +
+            "unionByName would silently coerce and fork the table's " +
+            "physical parquet schema")
         val replacement = broadcast(u).join(cur.select(col(onCol)),
           Seq(onCol), "left_semi")
         if (!replacement.isEmpty) {
-          val dirName = newDataDirName(snap.key)
-          val target = new HPath(tableDir(table), dirName)
-          cur.join(broadcast(u.select(col(onCol))), Seq(onCol), "left_anti")
+          val merged = cur
+            .join(broadcast(u.select(col(onCol))), Seq(onCol), "left_anti")
             .unionByName(replacement.select(cur.columns.map(col): _*))
-            .write.mode(SaveMode.Overwrite).parquet(target.toString)
-          val (rows, stats) = PartitionStats.collect(statsSession, spark,
-            target.toString, snap.stats.keys.toSeq.sorted)
-          replaceMarker(table, snap.key, rows, dirName, stats)
-          if (fs.exists(manifestFile(table)))
-            checkpointSnapshotLog(table, forceReread = Set(snap.key))
-          rewritten += 1
+          // conservation holds ONLY when the target's matched keys are
+          // unique (one row out per row in); a duplicate-keyed target
+          // would silently collapse — abort loudly instead
+          val newDir = rewriteCommitted(table, snap, merged,
+            expectedRows = snap.rows,
+            what = "merge (duplicate keys in the TARGET partition?)")
+          rewrittenKeys ::= snap.key
+          rewrittenDirs ::= newDir
         }
       }
-      // unmatched = update keys absent from the (post-merge) table;
-      // column-pruned key scan of the candidates only — non-candidates
-      // provably hold no matching key
-      val tableKeys =
-        if (candidates.isEmpty) null
-        else spark.read.parquet(snapshots(table)
-            .filter(s => candidates.exists(_.key == s.key))
-            .map(s => new HPath(tableDir(table), s.dir).toString): _*)
-          .select(col(onCol))
+      if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
+        checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
+      // every matched key now lives in a REWRITTEN partition — one
+      // column-pruned key scan of just those (freshly written, k dirs)
+      // derives the unmatched set; materialized so the caller's view
+      // cannot drift from what was actually merged once `u` unpersists
       val unmatched =
-        if (tableKeys == null) u
-        else u.join(tableKeys, Seq(onCol), "left_anti")
-      (rewritten, unmatched)
+        if (rewrittenDirs.isEmpty) u.localCheckpoint(true)
+        else u.join(
+          spark.read.parquet(rewrittenDirs
+            .map(d => new HPath(tableDir(table), d).toString): _*)
+            .select(col(onCol)),
+          Seq(onCol), "left_anti").localCheckpoint(true)
+      (rewrittenKeys.size, unmatched)
     } finally u.unpersist()
   }
 
@@ -749,30 +769,66 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
-    var rewritten = 0
+    var rewrittenKeys = List.empty[String]
     var deleted = 0L
     candidates.foreach { snap =>
       val cur = spark.read.parquet(
         new HPath(tableDir(table), snap.dir).toString)
       val hits = cur.where(predicate).count()
       if (hits > 0) {
-        val dirName = newDataDirName(snap.key)
-        val target = new HPath(tableDir(table), dirName)
         // NOT(pred) drops NULL-predicate rows too — coalesce keeps them,
-        // matching DELETE's TRUE-only semantics
-        cur.where(!coalesce(predicate, lit(false)))
-          .write.mode(SaveMode.Overwrite).parquet(target.toString)
-        val (rows, stats) = PartitionStats.collect(statsSession, spark,
-          target.toString, snap.stats.keys.toSeq.sorted)
-        replaceMarker(table, snap.key, rows, dirName, stats)
-        if (fs.exists(manifestFile(table)))
-          checkpointSnapshotLog(table, forceReread = Set(snap.key))
-        rewritten += 1
+        // matching DELETE's TRUE-only semantics. survivors + hits must
+        // re-add to the marker's row count, or the predicate was
+        // non-deterministic between the count and the write — abort
+        rewriteCommitted(table, snap,
+          cur.where(!coalesce(predicate, lit(false))),
+          expectedRows = snap.rows - hits,
+          what = "delete (non-deterministic predicate?)")
+        rewrittenKeys ::= snap.key
         deleted += hits
       }
     }
-    (rewritten, deleted)
+    if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
+      checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
+    (rewrittenKeys.size, deleted)
   }
+
+  /** Rewrite one committed partition's content as `df` through the
+    * atomic REPLACE discipline shared by merge, delete and compaction:
+    * fresh unique dir → footer-derived stats over the same columns the
+    * old marker carried → ROW-CONSERVATION check against `expectedRows`
+    * (a mismatch aborts and self-cleans, original data untouched) →
+    * atomic marker overwrite. Manifest refresh is the CALLER's job
+    * (batched across a multi-partition rewrite). Returns the new dir
+    * name.
+    */
+  private def rewriteCommitted(table: String, snap: CorpusCatalog.Snapshot,
+                               df: DataFrame, expectedRows: Long,
+                               what: String,
+                               bloomNdv: Map[String, Long] = Map.empty)
+      : String = {
+    val dirName = newDataDirName(snap.key)
+    val target = new HPath(tableDir(table), dirName)
+    withBloom(df.write.mode(SaveMode.Overwrite), bloomNdv)
+      .parquet(target.toString)
+    val (rows, stats) = PartitionStats.collect(statsSession, spark,
+      target.toString, snap.stats.keys.toSeq.sorted)
+    if (rows != expectedRows) {
+      fs.delete(target, true)
+      throw new java.io.IOException(
+        s"$what: rewrite of $table/${snap.key} wrote $rows rows, " +
+          s"expected $expectedRows — aborted, original data untouched")
+    }
+    replaceMarker(table, snap.key, rows, dirName, stats)
+    dirName
+  }
+
+  private def sameColumns(a: org.apache.spark.sql.types.StructType,
+                          b: org.apache.spark.sql.types.StructType): Boolean =
+    a.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+      .toSet ==
+    b.fields.map(f => (f.name.toLowerCase(java.util.Locale.ROOT), f.dataType))
+      .toSet
 
   /** Small-file compaction — Iceberg's `rewrite_data_files`, the
     * maintenance half the write-once layout exists for: at 10^12-file
@@ -815,8 +871,6 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (curOpt.isEmpty) return false
     val cur = curOpt.get
     val curPath = new HPath(tableDir(table), cur.dir)
-    val dirName = newDataDirName(key)
-    val target = new HPath(tableDir(table), dirName)
     val data = spark.read.parquet(curPath.toString)
     val laidOut =
       if (sortBy.isEmpty) data.repartition(targetFiles)
@@ -825,19 +879,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .sortWithinPartitions(sortBy.map(col): _*)
     // bloom filters live in the data files, so a rewrite DROPS them
     // unless re-specified here (same caveat as Iceberg's rewrite)
-    withBloom(laidOut.write.mode(SaveMode.Overwrite), bloomNdv)
-      .parquet(target.toString)
-    // re-derive any data-skipping stats from the rewritten footers (same
-    // rows, but the old mins/maxes must not dangle on a replaced dir)
-    val (rows, stats) = PartitionStats.collect(statsSession, spark,
-      target.toString, cur.stats.keys.toSeq.sorted)
-    if (rows != cur.rows) {
-      fs.delete(target, true)
-      throw new java.io.IOException(
-        s"compaction of $table/$key rewrote ${cur.rows} rows as $rows — " +
-          "aborted, original data untouched")
-    }
-    replaceMarker(table, key, rows, dirName, stats)
+    rewriteCommitted(table, cur, laidOut, expectedRows = cur.rows,
+      what = "compaction", bloomNdv = bloomNdv)
     // the marker was replaced IN PLACE with an (often) same-length body;
     // refresh the manifest with this key force-re-read so a same-mtime-
     // tick replacement can never be served stale from the old checkpoint

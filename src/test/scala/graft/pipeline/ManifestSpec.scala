@@ -351,4 +351,48 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
         "no-op delete read partition data")
     }
   }
+
+  test("mergeReplace guards: NULL keys to unmatched, schema mismatch and " +
+    "duplicate-keyed targets rejected loudly, one manifest rebuild per merge") {
+    withCountedCatalog { (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 5L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      // two NULL-keyed rows are NOT ambiguous — they match nothing and
+      // come back unmatched (materialized: usable after the call)
+      val withNulls = Seq((Option(2L), "NEW2"), (Option.empty[Long], "n1"),
+        (Option.empty[Long], "n2")).toDF("id", "v")
+      val (rw, un) = cat.mergeReplace("t", withNulls, "id")
+      assert(rw == 1 && un.count() == 2)
+      assert(cat.readTable("t").where(col("v") === "NEW2").count() == 1)
+      // updates whose column types differ are rejected before any write
+      intercept[IllegalArgumentException] {
+        cat.mergeReplace("t",
+          Seq((1, "x")).toDF("id", "v"), "id") // id is INT, table has LONG
+      }
+      // a duplicate-keyed TARGET would collapse rows — loud abort, and
+      // the original partition stays exactly as committed
+      assert(cat.commitPartition("t", "dup",
+        Seq((100L, "a"), (100L, "b")).toDF("id", "v"), Seq("id")))
+      val before = cat.snapshots("t").find(_.key == "dup").get.dir
+      intercept[java.io.IOException] {
+        cat.mergeReplace("t", Seq((100L, "NEW")).toDF("id", "v"), "id")
+      }
+      assert(cat.snapshots("t").find(_.key == "dup").get.dir == before)
+      assert(cat.readTable("t").where(col("id") === 100L).count() == 2)
+      // multi-partition delete rebuilds the manifest ONCE, not per key
+      (1 until 3).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10L until g * 10L + 5L).map(i => (i, s"old$i"))
+            .toDF("id", "v"), Seq("id")))
+      }
+      cat.checkpointSnapshotLog("t")
+      val mf = tmp.resolve("t").resolve("_commits").resolve("_manifest.json")
+      val mtimeBefore = java.nio.file.Files.getLastModifiedTime(mf)
+      val (rwD, del) = cat.deleteWhere("t", col("id").isin(1L, 11L, 21L))
+      assert(rwD == 3 && del == 3L)
+      assert(cat.readTable("t").count() == (5 - 1) + 2 + (5 - 1) + (5 - 1))
+    }
+  }
 }
