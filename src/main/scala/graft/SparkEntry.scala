@@ -1837,6 +1837,31 @@ object SparkEntry {
               "id_sum_after")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // Z-order clustering key (Iceberg's rewrite_data_files z-order
+    // strategy, Morton 1966): the multi-column layout rule behind
+    // compactPartition(zorderBy). The oracle re-derives the Morton order
+    // from first principles: for small non-negative ints the MSB-first
+    // round-robin bit interleave reduces to plain integer arithmetic
+    // (Σ x_bit_i·2^(2i+1) + y_bit_i·2^(2i)), so the rank of every grid
+    // point under the engine's binary z-key must equal the rank under
+    // the SQL-computed z value. The global window is test-harness-only
+    // (≤ 899 distinct grid points); the production path
+    // (compactPartition) never ranks — it range-partitions on the key.
+    // ZOrderSpec pins the layout payoff itself (both-dimension file
+    // pruning from written footers) and codegen parity.
+    "q85_zorder_rank" -> ((s, dir) => {
+      import s.implicits._
+      val pts = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 29L).as("x"),
+          (expr("doc_id div 29") % 31L).as("y"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(graft.functions.ZOrderKey.zorderKey(col("x"), col("y")))
+      pts.select(col("x"), col("y"),
+          row_number().over(w).cast("long").as("zrank"))
+        .orderBy("x", "y")
     })
   )
 
@@ -3344,7 +3369,24 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows_after,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum_after
         |FROM documents, b
-        |WHERE doc_id NOT BETWEEN b + 5 AND 3 * b - 2""".stripMargin
+        |WHERE doc_id NOT BETWEEN b + 5 AND 3 * b - 2""".stripMargin,
+
+    // The Morton order re-derived arithmetically: 5 bits per dimension
+    // suffice (x < 29 < 2^5, y < 31 < 2^5); the engine's 128-bit binary
+    // key and this integer agree on ORDER because all higher interleaved
+    // bits are constant across rows.
+    "q85_zorder_rank" -> {
+      val zv = (0 until 5).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      s"""WITH pts AS (
+         |  SELECT DISTINCT doc_id % 29 AS x, (doc_id // 29) % 31 AS y
+         |  FROM documents
+         |)
+         |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         |       CAST(row_number() OVER (ORDER BY $zv) AS BIGINT) AS zrank
+         |FROM pts ORDER BY x, y""".stripMargin
+    }
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

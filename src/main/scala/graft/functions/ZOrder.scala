@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Z-order (Morton) clustering key over 1-8 columns — the multi-column
+  * data-skipping layout rule (Iceberg's `rewrite_data_files` with a
+  * z-order sort strategy; the published technique is Morton 1966's
+  * interleaved ordering). A lexical sort on (a, b) makes file min/max
+  * tight on `a` only — a predicate on `b` alone intersects EVERY file.
+  * Sorting by the bit-interleaved key makes every file a small
+  * hyper-rectangle in (a, b, ...) space, so single-column predicates on
+  * ANY of the key columns skip most files (footer min/max), composing
+  * with the catalog's marker-level partition pruning one level up.
+  *
+  * Encoding, per column, to a 64-bit lane whose UNSIGNED order equals
+  * the column's SQL order (the same totally-ordered-bits trick parquet
+  * stats comparisons use):
+  *   - integral (byte/short/int/long/date/timestamp): sign bit flipped;
+  *   - float/double: IEEE bits with `b < 0 ? ~b : b | SIGN` (total
+  *     order, negatives reversed into place);
+  *   - string: first 8 UTF-8 bytes big-endian, zero-padded (UTF-8
+  *     bytewise order = code-point order, so the prefix order is the
+  *     column order up to 8-byte-prefix ties);
+  *   - boolean: false < true;
+  *   - NULL: lane 0 (sorts FIRST, like NULLS FIRST).
+  * The output is `binary` of exactly 8*n bytes: bit g (MSB-first) is bit
+  * `63 - g/n` of lane `g % n` — columns round-robin bit-by-bit from the
+  * top, so each column contributes equally at every scale. Spark orders
+  * `binary` by unsigned bytewise comparison, which on this encoding IS
+  * the z-curve order; `repartitionByRange` + local sort on the key then
+  * produce the rectangle layout.
+  *
+  * Scale shape: the key is row-local (no shuffle of its own, computed
+  * inside whole-stage codegen), 8*n bytes per row, and exists only
+  * inside the rewrite — it is dropped before the files are written.
+  */
+case class ZOrderKey(children: Seq[Expression]) extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (children.isEmpty || children.length > 8)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes 1 to 8 columns, got ${children.length}")
+    val bad = children.filterNot(c => ZOrderKey.supported(c.dataType))
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName cannot order type " +
+        s"${bad.map(_.dataType.catalogString).mkString(", ")}")
+  }
+
+  override def dataType: DataType = BinaryType
+  // NULL lanes encode as the minimum — the key itself is never null, so
+  // the sort never has to make its own null-ordering decision
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def prettyName: String = "zorder_key"
+
+  override def eval(input: InternalRow): Any = {
+    val lanes = new Array[Long](children.length)
+    var i = 0
+    while (i < children.length) {
+      val v = children(i).eval(input)
+      lanes(i) =
+        if (v == null) 0L else ZOrderKey.normalize(children(i).dataType, v)
+      i += 1
+    }
+    ZOrderKey.interleave(lanes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val util = ZOrderKey.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val lanes = ctx.freshName("lanes")
+    val evals = children.map(_.genCode(ctx))
+    val fill = children.zipWithIndex.map { case (c, i) =>
+      val e = evals(i)
+      val norm = c.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType =>
+          s"((long) ${e.value}) ^ Long.MIN_VALUE"
+        case BooleanType => s"(${e.value} ? 1L : 0L) ^ Long.MIN_VALUE"
+        case FloatType => s"$util.normDouble((double) ${e.value})"
+        case DoubleType => s"$util.normDouble(${e.value})"
+        case StringType => s"$util.packUtf8(${e.value})"
+        case dt => throw new IllegalStateException(s"unreachable: $dt")
+      }
+      s"""
+         |${e.code}
+         |$lanes[$i] = ${e.isNull} ? 0L : ($norm);
+       """.stripMargin
+    }.mkString("\n")
+    ev.copy(
+      code = code"""
+        |long[] $lanes = new long[${children.length}];
+        |$fill
+        |byte[] ${ev.value} = $util.interleave($lanes);
+       """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKey =
+    copy(children = newChildren)
+}
+
+object ZOrderKey {
+
+  private[functions] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | BooleanType | FloatType |
+         DoubleType | StringType => true
+    case _ => false
+  }
+
+  /** Map a non-null value to its unsigned-order 64-bit lane. */
+  private[functions] def normalize(dt: DataType, v: Any): Long = dt match {
+    case ByteType => v.asInstanceOf[Byte].toLong ^ Long.MinValue
+    case ShortType => v.asInstanceOf[Short].toLong ^ Long.MinValue
+    case IntegerType | DateType => v.asInstanceOf[Int].toLong ^ Long.MinValue
+    case LongType | TimestampType | TimestampNTZType =>
+      v.asInstanceOf[Long] ^ Long.MinValue
+    case BooleanType =>
+      (if (v.asInstanceOf[Boolean]) 1L else 0L) ^ Long.MinValue
+    case FloatType => normDouble(v.asInstanceOf[Float].toDouble)
+    case DoubleType => normDouble(v.asInstanceOf[Double])
+    case StringType => packUtf8(v.asInstanceOf[UTF8String])
+    case _ => throw new IllegalStateException(s"unreachable: $dt")
+  }
+
+  /** IEEE-754 total-order bits: flips the sign bit of non-negatives and
+    * ALL bits of negatives, so the unsigned order of the result is the
+    * numeric order (with -0.0 < +0.0 and NaN above all — stats-safe).
+    */
+  def normDouble(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b < 0L) ~b else b ^ Long.MinValue
+  }
+
+  /** First 8 UTF-8 bytes, big-endian, zero-padded — already unsigned-
+    * ordered (bytewise UTF-8 order is code-point order).
+    */
+  def packUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** MSB-first round-robin bit interleave of the lanes into 8*n bytes. */
+  def interleave(lanes: Array[Long]): Array[Byte] = {
+    val n = lanes.length
+    val out = new Array[Byte](8 * n)
+    var g = 0
+    val total = 64 * n
+    while (g < total) {
+      if (((lanes(g % n) >>> (63 - g / n)) & 1L) != 0L)
+        out(g >> 3) = (out(g >> 3) | (1 << (7 - (g & 7)))).toByte
+      g += 1
+    }
+    out
+  }
+
+  /** Column-API entry point. */
+  def zorderKey(cols: Column*): Column =
+    ColumnBridge.column(ZOrderKey(cols.map(ColumnBridge.expression)))
+}

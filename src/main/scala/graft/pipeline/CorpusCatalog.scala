@@ -859,13 +859,25 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * one the read pattern filters on (doc_id for range probes, a score
     * for threshold reads).
     *
+    * `zorderBy` is the MULTI-column alternative (Iceberg's z-order
+    * rewrite strategy): a lexical `sortBy (a, b)` leaves `b` filters
+    * intersecting every file, while the [[graft.functions.ZOrderKey]]
+    * layout makes each file a small hyper-rectangle in (a, b, ...)
+    * space, so single-column min/max skipping works on ANY of the key
+    * columns. The key is row-local (computed in codegen, dropped before
+    * the write); use it when the read pattern filters on more than one
+    * column. Mutually exclusive with `sortBy`.
+    *
     * Returns false when the partition has no committed marker.
     */
   def compactPartition(table: String, key: String,
                        targetFiles: Int = 1,
                        sortBy: Seq[String] = Nil,
+                       zorderBy: Seq[String] = Nil,
                        bloomNdv: Map[String, Long] = Map.empty): Boolean = {
     require(targetFiles > 0, s"targetFiles must be positive: $targetFiles")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive layout rules")
     validateKey(key)
     val curOpt = snapshots(table).find(_.key == key)
     if (curOpt.isEmpty) return false
@@ -873,7 +885,18 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val curPath = new HPath(tableDir(table), cur.dir)
     val data = spark.read.parquet(curPath.toString)
     val laidOut =
-      if (sortBy.isEmpty) data.repartition(targetFiles)
+      if (zorderBy.nonEmpty) {
+        // the key column exists only inside the rewrite plan: range
+        // boundaries and local order come from it, the projection drops
+        // it before the files are written (a projection after a local
+        // sort keeps the row order — no exchange between them)
+        val zkey = graft.functions.ZOrderKey
+          .zorderKey(zorderBy.map(data(_)): _*)
+        data.withColumn("__zkey", zkey)
+          .repartitionByRange(targetFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else if (sortBy.isEmpty) data.repartition(targetFiles)
       else data
         .repartitionByRange(targetFiles, sortBy.map(col): _*)
         .sortWithinPartitions(sortBy.map(col): _*)

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the z-order clustering key: the bit interleave against a
+  * naive BigInt reference, per-type order preservation of the lane
+  * encoding (single-column z-order must equal the column's SQL order),
+  * the closed-form small-int arithmetic q85's DuckDB oracle uses,
+  * compiled/interpreted parity with codegen engagement, and the layout
+  * payoff itself — a z-order compaction produces files whose min/max
+  * rectangles prune on BOTH dimensions, where a lexical sort prunes on
+  * one.
+  */
+class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-zorder-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rnd = new scala.util.Random(7)
+
+  /** Naive reference: the 64n-bit interleave as a BigInt built bit by
+    * bit, MSB-first round-robin across lanes.
+    */
+  private def naiveInterleave(lanes: Array[Long]): BigInt = {
+    val n = lanes.length
+    var acc = BigInt(0)
+    for (g <- 0 until 64 * n) {
+      acc <<= 1
+      if (((lanes(g % n) >>> (63 - g / n)) & 1L) != 0L) acc |= 1
+    }
+    acc
+  }
+
+  private def bytesToBigInt(b: Array[Byte]): BigInt = BigInt(1, b)
+
+  test("interleave matches the naive BigInt reference") {
+    for (n <- 1 to 8; _ <- 0 until 50) {
+      val lanes = Array.fill(n)(rnd.nextLong())
+      val got = bytesToBigInt(ZOrderKey.interleave(lanes))
+      assert(got == naiveInterleave(lanes), s"n=$n lanes=${lanes.toSeq}")
+    }
+  }
+
+  test("single-column z-key order equals the column's SQL order, per type") {
+    import spark.implicits._
+    // longs incl. negatives and extremes
+    val longs = (Seq(Long.MinValue, -7L, -1L, 0L, 1L, 42L, Long.MaxValue) ++
+      Seq.fill(100)(rnd.nextLong())).distinct
+    val gotL = longs.toDF("v")
+      .orderBy(ZOrderKey.zorderKey(col("v"))).as[Long].collect().toSeq
+    assert(gotL == longs.sorted, "long lane order")
+    // doubles incl. signed zero and infinities (NaN excluded: its SQL
+    // order is engine-defined; the lane puts it above all, stats-safe)
+    val doubles = (Seq(Double.NegativeInfinity, -1.5, -0.0, 0.0, 2.25,
+      Double.PositiveInfinity) ++ Seq.fill(100)(rnd.nextGaussian())).distinct
+    val gotD = doubles.toDF("v")
+      .orderBy(ZOrderKey.zorderKey(col("v"))).as[Double].collect().toSeq
+    assert(gotD.filterNot(_ == 0.0) == doubles.sorted.filterNot(_ == 0.0),
+      "double lane order")
+    // strings: UTF-8 prefix order, incl. a beyond-BMP codepoint (UTF-8
+    // bytewise = code-point order — the UTF8String contract the engine's
+    // min/max comparisons already rely on)
+    val strs = Seq("", "a", "ab", "b", "ba", "z", "é", "中",
+      new String(Character.toChars(0x1f600)))
+    val gotS = strs.toDF("v")
+      .orderBy(ZOrderKey.zorderKey(col("v"))).as[String].collect().toSeq
+    val ref = strs.sortBy(s => bytesToBigInt(
+      ZOrderKey.packUtf8(UTF8String.fromString(s)) match {
+        case l => ZOrderKey.interleave(Array(l))
+      }))
+    assert(gotS == ref, "string prefix lane order")
+    // ints: the widened lane must preserve order across the sign
+    val ints = Seq(Int.MinValue, -2, 0, 3, Int.MaxValue)
+    val gotI = ints.toDF("v")
+      .orderBy(ZOrderKey.zorderKey(col("v"))).as[Int].collect().toSeq
+    assert(gotI == ints.sorted, "int lane order")
+  }
+
+  test("NULL lanes sort first and the key itself is never null") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](null, 5L, -5L, null, 0L).toDF("v")
+    val keyed = df.select(col("v"),
+      ZOrderKey.zorderKey(col("v")).as("k"))
+    assert(keyed.where(col("k").isNull).count() == 0)
+    val ordered = keyed.orderBy(col("k")).select("v").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(ordered.take(2).forall(_.isEmpty), "nulls first")
+    assert(ordered.drop(2).flatten.toSeq == Seq(-5L, 0L, 5L))
+  }
+
+  test("two small non-negative int columns: z order equals the closed-form " +
+    "interleave arithmetic (q85's oracle rule)") {
+    import spark.implicits._
+    val pts = for (x <- 0L until 29L; y <- 0L until 31L) yield (x, y)
+    val got = pts.toDF("x", "y")
+      .orderBy(ZOrderKey.zorderKey(col("x"), col("y")))
+      .as[(Long, Long)].collect().toSeq
+    def zSmall(x: Long, y: Long): Long =
+      (0 until 5).map(i =>
+        (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))).sum
+    assert(got == pts.sortBy { case (x, y) => zSmall(x, y) },
+      "z-curve order over the 29x31 grid")
+  }
+
+  test("compiled and interpreted paths agree; codegen engages") {
+    val df = spark.range(200).select(
+      (col("id") % 17).as("x"), (col("id") * 31 % 13).as("y"),
+      sin(col("id")).as("d"))
+    val q = df.select(ZOrderKey.zorderKey(col("x"), col("y"), col("d"))
+      .as("k"))
+    val wsc = q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.toString.contains("zorder_key")),
+      s"zorder_key must codegen, got:\n${q.queryExecution.executedPlan}")
+    val compiled = q.collect().map(r => bytesToBigInt(r.getAs[Array[Byte]](0)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted =
+        q.collect().map(r => bytesToBigInt(r.getAs[Array[Byte]](0)))
+      assert(compiled.toSeq == interpreted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("unsupported types and bad arity are analysis errors") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0), 1L)).toDF("arr", "v")
+    val e = intercept[Exception] {
+      df.select(ZOrderKey.zorderKey(col("arr"))).collect()
+    }
+    assert(e.getMessage.contains("zorder_key"))
+    val e2 = intercept[Exception] {
+      df.select(ZOrderKey.zorderKey((1 to 9).map(_ => col("v")): _*))
+        .collect()
+    }
+    assert(e2.getMessage.contains("zorder_key"))
+  }
+
+  test("z-order compaction prunes files on BOTH dimensions; lexical sort " +
+    "on one — the layout payoff, measured from the written footers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zcmp")
+    try {
+      val cat = new graft.pipeline.CorpusCatalog(tmp.toString, spark)
+      // a 64x64 grid in random order: x and y are independent, so any
+      // one-column layout must leave the other column unclustered
+      val pts = rnd.shuffle((for (x <- 0L until 64L; y <- 0L until 64L)
+        yield (x, y)).toVector)
+      val df = pts.toDF("x", "y").repartition(8)
+      cat.commitPartition("z", "p", df)
+      cat.commitPartition("lex", "p", df)
+      require(cat.compactPartition("z", "p", targetFiles = 16,
+        zorderBy = Seq("x", "y")))
+      require(cat.compactPartition("lex", "p", targetFiles = 16,
+        sortBy = Seq("x", "y")))
+      def fileRects(table: String): Seq[(Long, Long, Long, Long)] = {
+        val snap = cat.snapshots(table).find(_.key == "p").get
+        val dir = new java.io.File(tmp.toFile, s"$table/${snap.dir}")
+        dir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          .map { f =>
+            val r = spark.read.parquet(f.toString)
+              .agg(min("x"), max("x"), min("y"), max("y")).head()
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          }
+      }
+      // a narrow probe on each dimension: how many files COULD contain it
+      // (min/max intersection — exactly parquet's file-skipping rule)
+      def hits(rects: Seq[(Long, Long, Long, Long)], dim: Char,
+               lo: Long, hi: Long): Int =
+        rects.count { case (xmn, xmx, ymn, ymx) =>
+          if (dim == 'x') xmn <= hi && xmx >= lo else ymn <= hi && ymx >= lo
+        }
+      val z = fileRects("z")
+      val lex = fileRects("lex")
+      assert(z.size == 16 && lex.size == 16)
+      // conservation: the z layout still holds the full grid
+      assert(cat.readTable("z").count() == 64L * 64L)
+      // the lexical layout is perfect on x ...
+      assert(hits(lex, 'x', 10, 13) <= 4,
+        s"lexical x-probe should prune, got ${hits(lex, 'x', 10, 13)}/16")
+      // ... and useless on y (every file spans ~the full y range)
+      assert(hits(lex, 'y', 10, 13) >= 12,
+        s"lexical y-probe cannot prune, got ${hits(lex, 'y', 10, 13)}/16")
+      // the z layout prunes BOTH: each file is a small rectangle, so a
+      // 4-wide probe on either dimension intersects a strict minority
+      assert(hits(z, 'x', 10, 13) <= 8,
+        s"z x-probe must prune, got ${hits(z, 'x', 10, 13)}/16")
+      assert(hits(z, 'y', 10, 13) <= 8,
+        s"z y-probe must prune, got ${hits(z, 'y', 10, 13)}/16")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+}
