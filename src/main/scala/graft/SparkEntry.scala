@@ -1862,6 +1862,51 @@ object SparkEntry {
       pts.select(col("x"), col("y"),
           row_number().over(w).cast("long").as("zrank"))
         .orderBy("x", "y")
+    }),
+
+    // Copy-on-write UPSERT — the full MERGE (WHEN MATCHED UPDATE + WHEN
+    // NOT MATCHED INSERT with caller-declared partition routing): the
+    // documents table in 8 doc_id-range partitions; updates carry a
+    // matched band [b+2, 2b+1] (payload 2*doc_id+1 — the q83 update) plus
+    // brand-new ids doc_id+8b for doc_id % 16 == 5 (payload 3*doc_id),
+    // routed half into EXISTING partitions (widening their stats) and
+    // half into NEW ones g8.. — every count and sum is closed-form.
+    "q86_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ups")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
+          (0L until 8L).foreach { g =>
+            cat.commitPartition("u", s"g$g",
+              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
+          }
+          val matched = docs
+            .filter(col("doc_id").between(b + 2L, 2L * b + 1L))
+            .select(col("doc_id"), (col("doc_id") * 2L + 1L).as("n_chars"))
+          val inserts = docs.filter(col("doc_id") % 16L === 5L)
+            .select((col("doc_id") + 8L * b).as("doc_id"),
+              (col("doc_id") * 3L).as("n_chars"))
+          val updates = matched.unionByName(inserts)
+          // the route rule sees the INSERTED row (id = orig + 8b): even
+          // orig div 16 -> the orig id's own range partition (existing),
+          // odd -> a fresh g8..g15 partition
+          val route = concat(lit("g"),
+            when((expr(s"(doc_id - ${8L * b}) div 16") % 2L) === 0L,
+              expr(s"doc_id div $b") - 8L)
+              .otherwise(expr(s"doc_id div $b")))
+          val (nu, ni, rows) = cat.mergeUpsert("u", updates, "doc_id", route)
+          val r = cat.readTable("u")
+            .agg(count(lit(1)), sum("n_chars"), sum("doc_id")).head()
+          Seq((nu.toLong, ni.toLong, rows, r.getLong(0), r.getLong(1),
+            r.getLong(2)))
+            .toDF("n_parts_updated", "n_parts_inserted", "n_inserted",
+              "n_rows", "chars_sum", "id_sum")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3386,7 +3431,38 @@ object SparkEntry {
          |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
          |       CAST(row_number() OVER (ORDER BY $zv) AS BIGINT) AS zrank
          |FROM pts ORDER BY x, y""".stripMargin
-    }
+    },
+
+    // Upsert arithmetic re-derived: matched band updates + routed inserts;
+    // parts-updated is the distinct range buckets the band touches,
+    // parts-inserted the distinct route keys, and the table totals fold
+    // both payload rules in.
+    "q86_merge_upsert" ->
+      """WITH b AS (SELECT (max(doc_id) + 8) // 8 AS b FROM documents),
+        |ins AS (
+        |  SELECT doc_id + 8 * (SELECT b FROM b) AS new_id,
+        |         3 * doc_id AS nc,
+        |         CASE WHEN (doc_id // 16) % 2 = 0
+        |              THEN doc_id // (SELECT b FROM b)
+        |              ELSE 8 + doc_id // (SELECT b FROM b) END AS g
+        |  FROM documents WHERE doc_id % 16 = 5),
+        |upd AS (SELECT doc_id FROM documents, b
+        |        WHERE doc_id BETWEEN b + 2 AND 2 * b + 1)
+        |SELECT (SELECT CAST(count(DISTINCT doc_id // (SELECT b FROM b))
+        |               AS BIGINT) FROM upd) AS n_parts_updated,
+        |       (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM ins)
+        |         AS n_parts_inserted,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_inserted,
+        |       CAST((SELECT count(*) FROM documents)
+        |            + (SELECT count(*) FROM ins) AS BIGINT) AS n_rows,
+        |       CAST((SELECT sum(CASE WHEN doc_id BETWEEN
+        |                    (SELECT b + 2 FROM b) AND (SELECT 2 * b + 1 FROM b)
+        |                  THEN 2 * doc_id + 1 ELSE n_chars END)
+        |             FROM documents)
+        |            + (SELECT sum(nc) FROM ins) AS BIGINT) AS chars_sum,
+        |       CAST((SELECT sum(doc_id) FROM documents)
+        |            + (SELECT sum(new_id) FROM ins) AS BIGINT) AS id_sum
+        |FROM (SELECT 1)""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

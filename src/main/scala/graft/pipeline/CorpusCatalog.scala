@@ -748,6 +748,92 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     } finally u.unpersist()
   }
 
+  /** Copy-on-write UPSERT — the full MERGE statement (`WHEN MATCHED THEN
+    * UPDATE, WHEN NOT MATCHED THEN INSERT`): [[mergeReplace]] handles the
+    * matched half (stats-routed partition rewrites), then every unmatched
+    * update row is INSERTED into the partition `routeKey` names for it —
+    * appended to that partition via the same atomic COW rewrite when it
+    * exists, or committed as a brand-new partition when it doesn't (new
+    * partitions inherit the stat-column discipline of the table's latest
+    * snapshot, so [[readTableWhere]] keeps pruning across the insert
+    * boundary).
+    *
+    * `routeKey` is the caller's partition-routing rule (the same rule the
+    * original commits used — e.g. a range bucket of the primary key); it
+    * is evaluated per unmatched row and must be non-null (a NULL route is
+    * rejected loudly — silently dropping inserts is the one thing an
+    * upsert must never do). Rows whose `onCol` key is NULL match nothing
+    * (SQL semantics) and are inserted. Inserts may target a partition the
+    * matched half just rewrote — that partition simply rewrites again;
+    * the marker swap is atomic at every step, so readers see a complete
+    * table at all times. Returns
+    * `(partitionsUpdated, partitionsInserted, rowsInserted)`.
+    *
+    * Scale shape: the matched half is [[mergeReplace]]'s (stats routing,
+    * no table scan); the insert half touches exactly the ROUTED
+    * partitions (one rewrite or fresh commit per distinct route — size
+    * upsert batches so that count stays small) and the per-route counts
+    * are one scalar aggregation over the materialized unmatched sliver.
+    */
+  def mergeUpsert(table: String, updates: DataFrame, onCol: String,
+                  routeKey: org.apache.spark.sql.Column)
+      : (Int, Int, Long) = {
+    val (updatedParts, unmatched) = mergeReplace(table, updates, onCol)
+    val routed = unmatched.withColumn("__route", routeKey.cast("string"))
+    val routeCounts = routed.groupBy("__route").count().collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toList
+    routeCounts.find(_._1.isEmpty).foreach { case (_, n) =>
+      throw new IllegalArgumentException(
+        s"mergeUpsert: $n unmatched rows route to a NULL partition key — " +
+          "refusing to drop inserts")
+    }
+    var inserted = 0L
+    var insertParts = 0
+    var rewrittenKeys = List.empty[String]
+    if (routeCounts.nonEmpty) {
+      // one log read serves the whole insert half: routes are DISTINCT,
+      // so no iteration can invalidate another key's entry
+      val snapsNow = snapshots(table)
+      // new partitions inherit the table's current stat discipline and
+      // must carry the table's exact column set (same rule as rewrites —
+      // a fresh partition is the one place a schema fork could sneak in
+      // without unionByName ever objecting)
+      val statCols = snapsNow.last.stats.keys.toSeq.sorted
+      lazy val tableSchema = spark.read.parquet(
+        new HPath(tableDir(table), snapsNow.head.dir).toString).schema
+      routeCounts.foreach { case (routeOpt, cnt) =>
+        val k = routeOpt.get
+        val ins = routed.filter(col("__route") === k).drop("__route")
+        snapsNow.find(_.key == k) match {
+          case Some(snap) =>
+            val cur = spark.read.parquet(
+              new HPath(tableDir(table), snap.dir).toString)
+            require(sameColumns(cur.schema, ins.schema),
+              s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
+                s"not match $table/$k's ${cur.schema.simpleString}")
+            rewriteCommitted(table, snap,
+              cur.unionByName(ins.select(cur.columns.map(col): _*)),
+              expectedRows = snap.rows + cnt,
+              what = "upsert insert (concurrent writer?)")
+            rewrittenKeys ::= k
+          case None =>
+            require(sameColumns(tableSchema, ins.schema),
+              s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
+                s"not match $table's ${tableSchema.simpleString}")
+            if (!commitPartition(table, k, ins, statCols))
+              throw new java.io.IOException(
+                s"mergeUpsert: partition $table/$k appeared concurrently — " +
+                  "re-run the upsert to merge into it")
+        }
+        inserted += cnt
+        insertParts += 1
+      }
+      if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
+        checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
+    }
+    (updatedParts, insertParts, inserted)
+  }
+
   /** Copy-on-write DELETE (`DELETE FROM table WHERE predicate`) — the
     * takedown primitive a training-data catalog cannot ship without:
     * removing a revoked repo, a contaminated shard, or a

@@ -395,4 +395,106 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cat.readTable("t").count() == (5 - 1) + 2 + (5 - 1) + (5 - 1))
     }
   }
+
+  test("mergeUpsert: matched rows update, inserts append to routed " +
+    "existing partitions and create new ones; stats keep pruning") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // gap partitions so unmatched keys can route INTO existing ones:
+      // g0 = even ids in [0,10), g1 = all of [10,20), g2 = even [20,30)
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L by 2L).map(i => (i, s"old$i")).toDF("id", "v"),
+        Seq("id")))
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartition("t", "g2",
+        (20L until 30L by 2L).map(i => (i, s"old$i")).toDF("id", "v"),
+        Seq("id")))
+      val updates = Seq(
+        (12L, "NEW12"),  // matched -> update in g1
+        (3L, "INS3"),    // unmatched -> insert into EXISTING g0
+        (13L, "NEW13"),  // matched -> update in g1
+        (35L, "INS35"))  // unmatched -> insert into NEW g3
+        .toDF("id", "v")
+      val route = concat(lit("g"), floor(col("id") / 10L))
+      val (nu, ni, rows) = cat.mergeUpsert("t", updates, "id", route)
+      assert(nu == 1 && ni == 2 && rows == 2L,
+        s"got ($nu, $ni, $rows)")
+      val vs = cat.readTable("t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(vs.size == 22) // 5 + 10 + 5 committed + 2 inserts
+      assert(vs(12L) == "NEW12" && vs(13L) == "NEW13")
+      assert(vs(3L) == "INS3" && vs(35L) == "INS35")
+      assert(vs(2L) == "old2" && vs(14L) == "old14")
+      // the new partition exists with re-derived stats; pruning still
+      // routes a point probe to exactly one partition's data
+      val g3 = cat.snapshots("t").find(_.key == "g3").get
+      assert(g3.rows == 1L)
+      assert(g3.stats("id") == PartitionStats.ColStats("long",
+        Some("35"), Some("35"), 0L))
+      CountingFs.reset()
+      assert(cat.readTableWhere("t", col("id") === 3L).count() == 1)
+      import scala.jdk.CollectionConverters._
+      val g1dir = cat.snapshots("t").find(_.key == "g1").get.dir
+      assert(!CountingFs.paths.asScala.exists(_.contains(g1dir)),
+        "point probe read a partition the widened stats should prune")
+      // idempotence: re-running the same upsert finds everything matched
+      // — pure update pass, nothing inserted, state unchanged
+      val (nu2, ni2, rows2) = cat.mergeUpsert("t", updates, "id", route)
+      assert(ni2 == 0 && rows2 == 0L, s"got ($nu2, $ni2, $rows2)")
+      assert(cat.readTable("t").count() == 22)
+    }
+  }
+
+  test("mergeUpsert guards: NULL route and schema-mismatched inserts " +
+    "rejected loudly before any insert lands") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 5L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      // all-unmatched updates + a route that nulls out: the matched half
+      // is a no-op, so the loud failure leaves the table untouched
+      val e = intercept[IllegalArgumentException] {
+        cat.mergeUpsert("t", Seq((90L, "x"), (91L, "y")).toDF("id", "v"),
+          "id", when(col("id") < 0L, lit("g9")))
+      }
+      assert(e.getMessage.contains("NULL partition key"))
+      assert(cat.readTable("t").count() == 5)
+      // an insert whose column types fork the table schema is rejected
+      // at the new-partition branch too (commitPartition alone would
+      // have silently written it)
+      intercept[IllegalArgumentException] {
+        cat.mergeUpsert("t", Seq((90, "x")).toDF("id", "v"), // INT id
+          "id", lit("g9"))
+      }
+      assert(cat.snapshots("t").size == 1)
+      // all-matched updates: a pure update pass, no inserts
+      val (nu, ni, rows) = cat.mergeUpsert("t",
+        Seq((2L, "NEW2")).toDF("id", "v"), "id", lit("g0"))
+      assert(nu == 1 && ni == 0 && rows == 0L)
+      assert(cat.readTable("t").where(col("v") === "NEW2").count() == 1)
+    }
+  }
+
+  test("mergeUpsert double-rewrite: a partition can take an update AND an " +
+    "insert in the same call") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L by 2L).map(i => (i, s"old$i")).toDF("id", "v"),
+        Seq("id")))
+      val (nu, ni, rows) = cat.mergeUpsert("t",
+        Seq((12L, "NEW12"), (13L, "INS13")).toDF("id", "v"),
+        "id", concat(lit("g"), floor(col("id") / 10L)))
+      assert(nu == 1 && ni == 1 && rows == 1L)
+      val vs = cat.readTable("t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(vs.size == 6 && vs(12L) == "NEW12" && vs(13L) == "INS13")
+      val g1 = cat.snapshots("t").find(_.key == "g1").get
+      assert(g1.rows == 6L, "both rewrites landed in the marker")
+    }
+  }
 }
