@@ -1907,6 +1907,52 @@ object SparkEntry {
               "n_rows", "chars_sum", "id_sum")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // CDC over the snapshot lineage (Iceberg's changelog read): the
+    // documents table in 5 residue partitions; phase A reads the
+    // append-only span (pure inserts of classes 1-4), phase B deletes
+    // doc_id % 10 == 7 (one partition's COW rewrite) and the changelog
+    // between the last two cuts nets to EXACTLY the deleted rows, phase
+    // C compacts a partition and the netted changelog is EMPTY (pure
+    // carryover). The requires pin side purity; every surviving number
+    // is closed-form modular arithmetic.
+    "q87_cdc_changes" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 5).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(col("doc_id") % 5 === k), Seq("doc_id"))
+          }
+          def agg1(phase: String, ct: String,
+                   df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum("doc_id"), lit(0L))).head()
+            (phase, ct, r.getLong(0), r.getLong(1))
+          }
+          val aAll = cat.readChangesBetween("c", 0L, 4L)
+          require(aAll.where(col("_change_type") === "delete").isEmpty,
+            "append-only span must carry no deletes")
+          val aRow = agg1("append", "insert", aAll)
+          cat.deleteWhere("c", col("doc_id") % 10L === 7L)
+          var last = cat.snapshots("c").size - 1L
+          val bdf = cat.readChangesBetween("c", last - 1L, last)
+          require(bdf.where(col("_change_type") === "insert").isEmpty,
+            "a pure delete must net to deletes only")
+          val bRow = agg1("delete", "delete", bdf)
+          require(cat.compactPartition("c", "k1"))
+          last = cat.snapshots("c").size - 1L
+          val cCnt = cat.readChangesBetween("c", last - 1L, last).count()
+          Seq(aRow, bRow, ("compact", "none", cCnt, 0L))
+            .toDF("phase", "change_type", "n_rows", "id_sum")
+            .orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3462,7 +3508,25 @@ object SparkEntry {
         |            + (SELECT sum(nc) FROM ins) AS BIGINT) AS chars_sum,
         |       CAST((SELECT sum(doc_id) FROM documents)
         |            + (SELECT sum(new_id) FROM ins) AS BIGINT) AS id_sum
-        |FROM (SELECT 1)""".stripMargin
+        |FROM (SELECT 1)""".stripMargin,
+
+    // The changelog re-derived: the append span inserts every non-class-0
+    // row, the delete phase removes exactly the % 10 == 7 rows, the
+    // compaction phase nets to zero.
+    "q87_cdc_changes" ->
+      """SELECT 'append' AS phase, 'insert' AS change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT 'delete' AS phase, 'delete' AS change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL
+        |SELECT 'compact' AS phase, 'none' AS change_type,
+        |       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS id_sum
+        |ORDER BY phase""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -233,17 +233,29 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * last marker decides — still one complete visible version.
     */
   private def markerBody(key: String, rows: Long, dirName: String,
-                         stats: Map[String, PartitionStats.ColStats]): String = {
+                         stats: Map[String, PartitionStats.ColStats],
+                         history: Seq[CorpusCatalog.Version] = Nil,
+                         atMs: Long = -1L, atSeq: Long = -1L): String = {
     // committed_at_ms orders snapshots ACROSS process restarts (nanoTime
     // has an arbitrary per-boot origin); seq_nanos breaks same-millisecond
     // ties within one JVM (nanoTime is monotonic there); the optional
-    // stats object is LAST so every earlier marker parser's prefix holds
+    // history array carries the replaced-version lineage; the optional
+    // stats object is LAST so every earlier marker parser's prefix holds.
+    // atMs/atSeq let a pure-METADATA rewrite (expireHistory) keep the
+    // marker's log position instead of claiming a fresh commit point.
     val statsField =
       if (stats.isEmpty) ""
       else s""","stats":${PartitionStats.toJson(stats)}"""
+    val historyField =
+      if (history.isEmpty) ""
+      else history.map(v =>
+        s"""{"dir":"${v.dir}","rows":${v.rows},"ms":${v.ms},"seq":${v.seq}}""")
+        .mkString(""","history":[""", ",", "]")
+    val ms = if (atMs >= 0L) atMs else System.currentTimeMillis()
+    val seq = if (atSeq >= 0L) atSeq else System.nanoTime()
     s"""{"partition":"$key","rows":$rows,"dir":"$dirName",""" +
-      s""""committed_at_ms":${System.currentTimeMillis()},""" +
-      s""""seq_nanos":${System.nanoTime()}$statsField}"""
+      s""""committed_at_ms":$ms,""" +
+      s""""seq_nanos":$seq$historyField$statsField}"""
   }
 
   private def tryWriteMarker(table: String, key: String, rows: Long,
@@ -360,7 +372,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"dir":"(part=[A-Za-z0-9._=@-]+)",""" +
       """"committed_at_ms":(\d+),"seq_nanos":(\d+)""" +
+      """(?:,"history":(\[[^\]]*\]))?""" +
       """(?:,"stats":(\{.*\}))?\}""").r
+    val HistEntry =
+      """\{"dir":"([^"]+)","rows":(\d+),"ms":(\d+),"seq":(\d+)\}""".r
+    def parseHistory(json: String): Seq[CorpusCatalog.Version] =
+      if (json == null) Nil
+      else HistEntry.findAllMatchIn(json).map(m =>
+        CorpusCatalog.Version(m.group(1), m.group(2).toLong,
+          m.group(3).toLong, m.group(4).toLong)).toSeq
     // round-4 marker shape (no dir field — data lived at part=<key>):
     // synthesize the legacy location so pre-upgrade catalogs keep reading
     val R4 = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
@@ -392,17 +412,20 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           case _ => readFully(st.getPath)
         }
         body match {
-          case R(key, rows, dir, ms, nanos, statsJson) =>
+          case R(key, rows, dir, ms, nanos, histJson, statsJson) =>
             (key, rows.toLong, dir, ms.toLong, nanos.toLong,
               Option(statsJson).map(PartitionStats.fromJson)
-                .getOrElse(Map.empty[String, PartitionStats.ColStats]))
+                .getOrElse(Map.empty[String, PartitionStats.ColStats]),
+              parseHistory(histJson))
           case R4(key, rows, ms, nanos) =>
             (key, rows.toLong, s"part=$key", ms.toLong, nanos.toLong,
-              Map.empty[String, PartitionStats.ColStats])
+              Map.empty[String, PartitionStats.ColStats],
+              Nil)
           case LegacyR(key, rows, nanos) =>
             (key, rows.toLong, s"part=$key",
               nanos.toLong / 1000000L, nanos.toLong,
-              Map.empty[String, PartitionStats.ColStats])
+              Map.empty[String, PartitionStats.ColStats],
+              Nil)
           case _ => throw new java.io.IOException(
             s"unparseable commit marker ${st.getPath}: $body")
         }
@@ -410,10 +433,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // wall-clock ms orders across restarts/hosts; per-JVM monotonic
       // nanos breaks same-millisecond ties from one writer; key breaks
       // the (pathological) rest deterministically
-      .toSeq.sortBy { case (key, _, _, ms, nanos, _) => (ms, nanos, key) }
+      .toSeq.sortBy { case (key, _, _, ms, nanos, _, _) => (ms, nanos, key) }
       .zipWithIndex
-      .map { case ((key, rows, dir, ms, _, stats), i) =>
-        CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir, stats) }
+      .map { case ((key, rows, dir, ms, nanos, stats, hist), i) =>
+        CorpusCatalog.Snapshot(i.toLong, key, rows, ms, dir, stats,
+          hist, nanos) }
   }
 
   private def readFully(p: HPath): String = {
@@ -615,18 +639,219 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       "stats_json")
   }
 
-  /** Time travel: the table as of snapshot `snapshotId` — exactly the
-    * partitions committed up to and including it. The data files are
-    * immutable once committed (append-only snapshots), so an old
-    * snapshot read is reproducible forever, like Iceberg's
-    * `VERSION AS OF`.
+  /** Time travel: the table as of snapshot `snapshotId` — Iceberg's
+    * `VERSION AS OF`. The snapshot id names a CUT POINT (the commit
+    * (ms, seq) of that log position); every partition then serves the
+    * version that was visible at the cut — the current one for
+    * partitions never rewritten (append-only data files reproduce
+    * forever), or the matching lineage entry for partitions a COW
+    * rewrite (merge/delete/upsert/compaction) has since replaced.
+    * Retired versions stay readable until [[expireHistory]] releases
+    * them; a cut below the expiry watermark is refused loudly rather
+    * than silently served wrong.
     */
   def readTableAsOf(table: String, snapshotId: Long): DataFrame = {
-    val upTo = snapshots(table).filter(_.id <= snapshotId)
-    require(upTo.nonEmpty,
-      s"no snapshots of $table at or before id $snapshotId")
-    val paths = upTo.map(s => new HPath(tableDir(table), s.dir).toString)
+    val all = snapshots(table)
+    val cut = all.filter(_.id <= snapshotId).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshots of $table at or before id $snapshotId"))
+    requireUnexpired(table, cut.committedAtMs, s"snapshot $snapshotId",
+      lastMs = all.last.committedAtMs)
+    val paths = all
+      .flatMap(_.versionAt(cut.committedAtMs, cut.seq))
+      .map(v => new HPath(tableDir(table), v.dir).toString)
     spark.read.parquet(paths: _*)
+  }
+
+  /** Time travel by WALL-CLOCK time (Iceberg's `TIMESTAMP AS OF`,
+    * inclusive): the version of every partition visible at `msCut`.
+    * Snapshot ids are POSITIONS in the current log and re-densify under
+    * REPLACE commits, so an id cut cannot address every historical
+    * state (e.g. the pre-rewrite content of the partition rewritten
+    * LAST — its old commit point no longer holds any log position). A
+    * timestamp cut stays meaningful forever: anchor "before the
+    * takedown" as `System.currentTimeMillis()` once and it keeps
+    * resolving, rewrite after rewrite, until [[expireHistory]] passes it.
+    */
+  def readTableAsOfTime(table: String, msCut: Long): DataFrame = {
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    requireUnexpired(table, msCut, s"time cut $msCut",
+      lastMs = all.last.committedAtMs)
+    val paths = all
+      .flatMap(_.versionAt(msCut, Long.MaxValue))
+      .map(v => new HPath(tableDir(table), v.dir).toString)
+    require(paths.nonEmpty, s"no partition of $table visible at $msCut")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** CDC: the NET row-level changes between two snapshot cuts of the
+    * log — Iceberg's changelog read (`create_changelog_view`). Output is
+    * the table's columns plus `_change_type` ("insert" / "delete"; an
+    * update surfaces as its delete + insert pair, the changelog normal
+    * form).
+    *
+    * File-level fast path first: partitions whose resolved version is
+    * the SAME data dir at both cuts are skipped without reading a byte
+    * — on a 10^6-partition table where a merge touched 10, CDC reads
+    * exactly those 10 partitions' two versions. `netCarryovers = true`
+    * (default) then removes rows present identically on both sides of a
+    * rewritten partition (compaction and the untouched remainder of a
+    * merged file are pure carryovers), via one full-row `exceptAll` per
+    * side over ONLY the changed partitions — Iceberg's carryover-row
+    * handling, and like Iceberg it is the expensive half: pass `false`
+    * to see raw file-level adds/removes. `fromSnapshotId = -1` means
+    * "since before the table existed" (every row an insert).
+    *
+    * Both cuts resolve on the CURRENT log (dense ids re-densify under
+    * REPLACE commits — re-anchor ids via [[snapshots]] after any rewrite,
+    * the same caveat as [[readTableIncremental]]). Sides must share the
+    * table's schema; run CDC before, not across, a schema evolution.
+    */
+  def readChangesBetween(table: String, fromSnapshotId: Long,
+                         toSnapshotId: Long,
+                         netCarryovers: Boolean = true): DataFrame = {
+    require(fromSnapshotId <= toSnapshotId,
+      s"from $fromSnapshotId must be <= to $toSnapshotId")
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    def cutOf(id: Long): Option[(Long, Long)] =
+      all.filter(_.id <= id).lastOption.map(s => (s.committedAtMs, s.seq))
+    val cutFrom = if (fromSnapshotId < 0L) None else cutOf(fromSnapshotId)
+    val cutTo = cutOf(toSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshots of $table at or before id $toSnapshotId"))
+    val lastMs = all.last.committedAtMs
+    cutFrom.foreach(c => requireUnexpired(table, c._1,
+      s"snapshot $fromSnapshotId", lastMs))
+    requireUnexpired(table, cutTo._1, s"snapshot $toSnapshotId", lastMs)
+    changesBetweenCuts(table, all, cutFrom, cutTo, netCarryovers)
+  }
+
+  /** CDC by WALL-CLOCK cuts — see [[readTableAsOfTime]] for why the time
+    * axis exists: it stays meaningful under REPLACE re-densification, so
+    * a consumer can anchor "before the takedown ran" as a timestamp once
+    * and keep using it. `fromMs < 0` means since table creation.
+    */
+  def readChangesBetweenTimes(table: String, fromMs: Long, toMs: Long,
+                              netCarryovers: Boolean = true): DataFrame = {
+    require(fromMs <= toMs, s"from $fromMs must be <= to $toMs")
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    val lastMs = all.last.committedAtMs
+    val cutFrom = if (fromMs < 0L) None else Some((fromMs, Long.MaxValue))
+    cutFrom.foreach(c =>
+      requireUnexpired(table, c._1, s"time cut $fromMs", lastMs))
+    requireUnexpired(table, toMs, s"time cut $toMs", lastMs)
+    changesBetweenCuts(table, all, cutFrom, (toMs, Long.MaxValue),
+      netCarryovers)
+  }
+
+  private def changesBetweenCuts(table: String,
+                                 all: Seq[CorpusCatalog.Snapshot],
+                                 cutFrom: Option[(Long, Long)],
+                                 cutTo: (Long, Long),
+                                 netCarryovers: Boolean): DataFrame = {
+    var insDirs = List.empty[String]
+    var delDirs = List.empty[String]
+    all.foreach { s =>
+      val vF = cutFrom.flatMap(c => s.versionAt(c._1, c._2))
+      val vT = s.versionAt(cutTo._1, cutTo._2)
+      (vF, vT) match {
+        case (None, Some(t)) => insDirs ::= t.dir
+        case (Some(f), None) => delDirs ::= f.dir // defensive: a monotone
+          // log cannot retire a key without a successor version
+        case (Some(f), Some(t)) if f.dir != t.dir =>
+          delDirs ::= f.dir; insDirs ::= t.dir
+        case _ => () // same version at both cuts: untouched, never read
+      }
+    }
+    def readDirs(dirs: List[String]): DataFrame = spark.read.parquet(
+      dirs.map(d => new HPath(tableDir(table), d).toString): _*)
+    if (insDirs.isEmpty && delDirs.isEmpty)
+      return readTable(table).limit(0)
+        .withColumn("_change_type", lit(""))
+    val insRaw = if (insDirs.isEmpty) None else Some(readDirs(insDirs))
+    val delRaw = if (delDirs.isEmpty) None else Some(readDirs(delDirs))
+    val (ins, del) = (insRaw, delRaw) match {
+      case (Some(i), Some(d)) if netCarryovers =>
+        (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+      case other => other
+    }
+    val parts =
+      ins.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+        del.map(_.withColumn("_change_type", lit("delete"))).toSeq
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Iceberg's `expire_snapshots`: drop every lineage version that was
+    * already REPLACED by `beforeMs` (its successor's commit point is at
+    * or before the cutoff), releasing its data dir to [[vacuum]].
+    * Markers rewrite IN PLACE (same commit point — a metadata trim is
+    * not a new commit), and the table's expiry watermark advances so
+    * [[readTableAsOf]]/[[readChangesBetween]] refuse cuts the trimmed
+    * lineage can no longer serve, instead of silently dropping
+    * partitions from historical reads. Returns the number of versions
+    * expired.
+    */
+  def expireHistory(table: String, beforeMs: Long): Int = {
+    val all = snapshots(table)
+    var expired = 0
+    var touched = List.empty[String]
+    all.foreach { s =>
+      if (s.history.nonEmpty) {
+        val vs = s.versions
+        val keep = s.history.zipWithIndex
+          .filterNot { case (_, i) => vs(i + 1).ms <= beforeMs }
+          .map(_._1)
+        if (keep.size != s.history.size) {
+          expired += s.history.size - keep.size
+          replaceMarker(table, s.key, s.rows, s.dir, s.stats, keep,
+            atMs = s.committedAtMs, atSeq = s.seq)
+          touched ::= s.key
+        }
+      }
+    }
+    if (touched.nonEmpty) {
+      advanceExpiryWatermark(table, beforeMs)
+      if (fs.exists(manifestFile(table)))
+        checkpointSnapshotLog(table, forceReread = touched.toSet)
+    }
+    expired
+  }
+
+  /** The `_commits/_expiry` watermark: cuts strictly below it may have
+    * lost lineage versions and are refused. Monotonic (max-merge on
+    * write); absent file = nothing ever expired.
+    */
+  private def expiryWatermark(table: String): Long = {
+    val p = new HPath(commitDir(table), "_expiry")
+    if (!fs.exists(p)) 0L
+    else try readFully(p).trim.toLong
+    catch { case _: NumberFormatException => 0L }
+  }
+
+  private def advanceExpiryWatermark(table: String, ms: Long): Unit = {
+    val cur = expiryWatermark(table)
+    if (ms > cur) {
+      val p = new HPath(commitDir(table), "_expiry")
+      val out = fs.create(p, true)
+      try out.write(ms.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private def requireUnexpired(table: String, cutMs: Long,
+                               what: String, lastMs: Long): Unit = {
+    // a cut at or after the NEWEST commit resolves every partition to
+    // its current version — always correct whatever was expired
+    if (cutMs >= lastMs) return
+    val w = expiryWatermark(table)
+    if (cutMs < w) throw new IllegalStateException(
+      s"$what of $table is below the expiry watermark ($cutMs < $w): its " +
+        "lineage versions were released by expireHistory and the read " +
+        "would be silently incomplete")
   }
 
   /** Roll the table back to `snapshotId`: commit markers AFTER it are
@@ -905,7 +1130,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         s"$what: rewrite of $table/${snap.key} wrote $rows rows, " +
           s"expected $expectedRows — aborted, original data untouched")
     }
-    replaceMarker(table, snap.key, rows, dirName, stats)
+    // the outgoing version joins the lineage: its dir stays on disk
+    // (vacuum protects history dirs) so time travel and CDC can still
+    // resolve it; expireHistory is the retention lever
+    replaceMarker(table, snap.key, rows, dirName, stats,
+      history = snap.history :+ CorpusCatalog.Version(
+        snap.dir, snap.rows, snap.committedAtMs, snap.seq))
     dirName
   }
 
@@ -1007,10 +1237,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   private def replaceMarker(table: String, key: String, rows: Long,
                             dirName: String,
                             stats: Map[String, PartitionStats.ColStats] =
-                              Map.empty): Unit = {
+                              Map.empty,
+                            history: Seq[CorpusCatalog.Version] = Nil,
+                            atMs: Long = -1L, atSeq: Long = -1L): Unit = {
     val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(markerBody(key, rows, dirName, stats)
+    try out.write(markerBody(key, rows, dirName, stats, history, atMs, atSeq)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -1041,7 +1273,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * Returns the number of dirs removed.
     */
   def vacuum(table: String, olderThanMs: Long = 0L): Int = {
-    val referenced = snapshots(table).map(_.dir).toSet
+    // current dirs AND the lineage's retired dirs are referenced — a
+    // vacuum must never break time travel; run expireHistory first to
+    // release old versions (the Iceberg order: expire-snapshots, THEN
+    // remove-orphan-files)
+    val referenced = snapshots(table)
+      .flatMap(s => s.versions.map(_.dir)).toSet
     val td = tableDir(table)
     val cutoff = System.currentTimeMillis() - olderThanMs
     // newest mtime of the dir or any direct child; None when the dir
@@ -1111,11 +1348,37 @@ object CorpusCatalog {
     * added, its row count, the marker's wall-clock epoch millis, and the
     * data dir the marker points at (`part=<key>@<nonce>`; plain
     * `part=<key>` for pre-upgrade markers).
+    *
+    * `history` is the partition's REPLACED-version lineage (oldest
+    * first): every COW rewrite (merge/delete/upsert/compaction) pushes
+    * the outgoing version here, so time travel and CDC can resolve what
+    * the partition held at any earlier log position — the per-key
+    * compression of Iceberg's snapshot lineage. `seq` is the marker's
+    * same-millisecond tie-break (the log's secondary sort key).
     */
   final case class Snapshot(id: Long, key: String, rows: Long,
                             committedAtMs: Long, dir: String,
                             stats: Map[String, PartitionStats.ColStats] =
-                              Map.empty)
+                              Map.empty,
+                            history: Seq[Version] = Nil,
+                            seq: Long = 0L) {
+    /** All versions of this partition in visibility order. */
+    def versions: Seq[Version] =
+      history :+ Version(dir, rows, committedAtMs, seq)
+
+    /** The version visible at cut (ms, seq) — the latest whose commit
+      * point is at or before it; None when the partition did not exist
+      * yet.
+      */
+    def versionAt(cutMs: Long, cutSeq: Long): Option[Version] =
+      versions.reverseIterator.find(v =>
+        v.ms < cutMs || (v.ms == cutMs && v.seq <= cutSeq))
+  }
+
+  /** One retired (or current) version of a partition: its data dir, row
+    * count, and the (ms, seq) commit point at which it became visible.
+    */
+  final case class Version(dir: String, rows: Long, ms: Long, seq: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

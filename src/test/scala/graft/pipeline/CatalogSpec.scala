@@ -241,9 +241,15 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         == (0L until 140L).sum)
       // a REPLACE commit moves the partition to the end of the log
       assert(cat.snapshots("t").map(_.key) == Seq("b", "a"))
-      // the old dir is an orphan now; a graced vacuum keeps it (fresh),
-      // offline vacuum reclaims exactly it
+      // the old dir joined the LINEAGE (time travel still resolves it),
+      // so vacuum — graced or not — must keep it; only expireHistory
+      // releases it, and then vacuum reclaims exactly it (the Iceberg
+      // order: expire-snapshots, then remove-orphan-files)
       assert(cat.vacuum("t", olderThanMs = 3600000L) == 0)
+      assert(cat.vacuum("t") == 0, "vacuum must never break time travel")
+      assert(Files.exists(tmp.resolve(s"t/${before.dir}")))
+      assert(cat.expireHistory("t",
+        beforeMs = System.currentTimeMillis() + 1L) == 1)
       assert(cat.vacuum("t") == 1)
       assert(!Files.exists(tmp.resolve(s"t/${before.dir}")))
       assert(cat.readTable("t").count() == 140)

@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Snapshot lineage, lineage-aware time travel, CDC (readChangesBetween)
+  * and history retention (expireHistory + the expiry watermark): the
+  * catalog half of Iceberg's snapshot-lineage story. The invariants:
+  * a COW rewrite retires its outgoing version into the marker's history;
+  * time travel serves the version visible at the cut, ACROSS rewrites;
+  * CDC reads only changed partitions and nets carryovers; vacuum never
+  * reclaims a lineage-referenced dir; expiry releases versions and makes
+  * stale cuts fail LOUDLY.
+  */
+class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.hadoop.fs.countfs.impl", classOf[CountingFs].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.countfs.impl",
+      classOf[CountingAbstractFs].getName)
+    .appName("graft-cdc-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit,
+                          counted: Boolean = false): Unit = {
+    val tmp = Files.createTempDirectory("graft_cdc")
+    val root = if (counted) s"countfs:$tmp" else tmp.toString
+    try f(new CorpusCatalog(root, spark), tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def changeSet(df: org.apache.spark.sql.DataFrame)
+      : Set[(String, Long)] =
+    df.select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("time travel survives a COW rewrite: the pre-delete cut still " +
+    "serves the deleted rows from the lineage") {
+    withCatalog({ (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val (rw, del) = cat.deleteWhere("t", col("id") < 3L)
+      assert(rw == 1 && del == 3L)
+      assert(cat.readTable("t").count() == 17L)
+      // the log re-densified (g0 moved to the end as a REPLACE commit):
+      // position 0 is now g1's commit — the last PRE-delete state — and
+      // position 1 the delete itself
+      assert(cat.snapshots("t").map(_.key) == Seq("g1", "g0"))
+      assert(cat.snapshots("t").last.history.size == 1)
+      // as of position 0: all 20 rows, the deleted ones served from g0's
+      // retired lineage version — the capability a plain dir read lost
+      assert(cat.readTableAsOf("t", 0L).count() == 20L)
+      assert(cat.readTableAsOf("t", 0L).where(col("id") === 0L).count() == 1)
+      assert(cat.readTableAsOf("t", 1L).count() == 17L)
+      // the TIME axis addresses even states id positions cannot reach
+      // anymore: the g0-only table from before g1 was committed
+      val snaps = cat.snapshots("t")
+      val g0old = snaps.find(_.key == "g0").get.history.head
+      val g1ms = snaps.find(_.key == "g1").get.committedAtMs
+      assert(g0old.ms < g1ms, "commits must be ms-separated for this pin")
+      assert(cat.readTableAsOfTime("t", g1ms - 1L).count() == 10L)
+    })
+  }
+
+  test("CDC: append-only increments are pure inserts; -1 means since " +
+    "table creation") {
+    withCatalog({ (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 3).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10L until g * 10L + 2L).map(i => (i, s"v$i")).toDF("id", "v")))
+      }
+      assert(changeSet(cat.readChangesBetween("t", 0L, 2L)) ==
+        Set(("insert", 10L), ("insert", 11L), ("insert", 20L),
+          ("insert", 21L)))
+      assert(changeSet(cat.readChangesBetween("t", -1L, 2L)).size == 6)
+      assert(changeSet(cat.readChangesBetween("t", -1L, 2L))
+        .forall(_._1 == "insert"))
+      // equal cuts: no changes, but the schema (incl. _change_type) holds
+      val none = cat.readChangesBetween("t", 2L, 2L)
+      assert(none.count() == 0)
+      assert(none.columns.contains("_change_type"))
+    })
+  }
+
+  test("CDC: a delete nets to exactly the deleted rows; a merge to its " +
+    "delete+insert pairs; a compaction nets to NOTHING") {
+    withCatalog({ (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L).map(i => (i, s"old$i")).toDF("id", "v"), Seq("id")))
+      // phase 1: delete ids {1, 2}
+      cat.deleteWhere("t", col("id").isin(1L, 2L))
+      var last = cat.snapshots("t").size - 1L
+      assert(changeSet(cat.readChangesBetween("t", last - 1L, last)) ==
+        Set(("delete", 1L), ("delete", 2L)))
+      // phase 2: merge-update id 15 — the changelog normal form is the
+      // delete(old row) + insert(new row) pair
+      val (rwM, _) = cat.mergeReplace("t",
+        Seq((15L, "NEW15")).toDF("id", "v"), "id")
+      assert(rwM == 1)
+      last = cat.snapshots("t").size - 1L
+      val mergeChanges = cat.readChangesBetween("t", last - 1L, last)
+        .select("_change_type", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(mergeChanges ==
+        Set(("delete", 15L, "old15"), ("insert", 15L, "NEW15")))
+      // phase 3: compaction rewrites bytes but not rows — netted CDC is
+      // EMPTY, raw CDC shows the full rewrite on both sides
+      assert(cat.compactPartition("t", "g0", targetFiles = 1))
+      last = cat.snapshots("t").size - 1L
+      assert(cat.readChangesBetween("t", last - 1L, last).count() == 0)
+      val raw = cat.readChangesBetween("t", last - 1L, last,
+        netCarryovers = false)
+      assert(raw.where(col("_change_type") === "insert").count() == 8L)
+      assert(raw.where(col("_change_type") === "delete").count() == 8L)
+      // a since-creation span: every current row, all inserts
+      val allIns = cat.readChangesBetween("t", -1L, last)
+      assert(allIns.where(col("_change_type") =!= "insert").count() == 0)
+      assert(allIns.count() == cat.readTable("t").count())
+      // and a TIME span over the whole mutation history nets to the
+      // delete + update pairs (the compaction carryover vanishes)
+      // after BOTH initial commits, before any mutation: the latest
+      // first-version commit point
+      val t0 = cat.snapshots("t").map(_.versions.head.ms).max
+      val tEnd = cat.snapshots("t").map(_.committedAtMs).max
+      val timeSpan = cat.readChangesBetweenTimes("t", t0, tEnd)
+        .select("_change_type", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(timeSpan == Set(("delete", 1L), ("delete", 2L),
+        ("delete", 15L), ("insert", 15L)))
+    })
+  }
+
+  test("CDC never reads untouched partitions (file-level fast path)") {
+    withCatalog({ (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      (0 until 4).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (g * 10L until g * 10L + 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+          Seq("id")))
+      }
+      cat.deleteWhere("t", col("id") === 11L) // touches g1 only
+      val untouched = cat.snapshots("t")
+        .filter(s => s.key != "g1").map(_.dir)
+      CountingFs.reset()
+      val last = cat.snapshots("t").size - 1L
+      val changes = cat.readChangesBetween("t", last - 1L, last)
+      assert(changeSet(changes) == Set(("delete", 11L)))
+      import scala.jdk.CollectionConverters._
+      val opened = CountingFs.paths.asScala.toSeq
+      untouched.foreach { d =>
+        assert(!opened.exists(_.contains(d)),
+          s"CDC read untouched partition $d")
+      }
+    }, counted = true)
+  }
+
+  test("expireHistory releases versions to vacuum and stale cuts fail " +
+    "loudly instead of reading incomplete history") {
+    withCatalog({ (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val t0 = cat.snapshots("t").head.committedAtMs
+      cat.deleteWhere("t", col("id") === 0L)
+      val retired = cat.snapshots("t").head.history.head.dir
+      assert(Files.exists(tmp.resolve(s"t/$retired")))
+      // lineage-referenced: vacuum keeps it
+      assert(cat.vacuum("t") == 0)
+      // a second rewrite grows the lineage to 2 versions
+      cat.deleteWhere("t", col("id") === 1L)
+      assert(cat.snapshots("t").head.history.size == 2)
+      // time travel to the ORIGINAL content still works (3 versions
+      // live); the id axis cannot reach it — one key, one position —
+      // so the time cut is the address
+      assert(cat.readTableAsOfTime("t", t0).count() == 10L)
+      val expired = cat.expireHistory("t",
+        beforeMs = System.currentTimeMillis() + 1L)
+      assert(expired == 2)
+      assert(cat.vacuum("t") == 2)
+      assert(!Files.exists(tmp.resolve(s"t/$retired")))
+      // current reads unaffected (a cut at the newest commit resolves
+      // every partition to its current version — exempt from the
+      // watermark); historical TIME cuts now refuse loudly
+      assert(cat.readTable("t").count() == 8L)
+      assert(cat.readTableAsOf("t", 0L).count() == 8L)
+      intercept[IllegalStateException] { cat.readTableAsOfTime("t", t0) }
+      // idempotent: nothing left to expire, watermark stable
+      assert(cat.expireHistory("t",
+        beforeMs = System.currentTimeMillis() + 1L) == 0)
+    })
+  }
+
+  test("expireHistory keeps versions still needed by cuts at or above " +
+    "the cutoff (partial retention)") {
+    withCatalog({ (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 5L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      cat.deleteWhere("t", col("id") === 0L)
+      // cutoff BEFORE the rewrite: the retired version's successor came
+      // later, so nothing is droppable and history stays intact
+      val firstMs = cat.snapshots("t").head.history.head.ms
+      assert(cat.expireHistory("t", beforeMs = firstMs) == 0)
+      assert(cat.snapshots("t").head.history.size == 1)
+      assert(cat.readTableAsOfTime("t", firstMs).count() == 5L)
+    })
+  }
+}
