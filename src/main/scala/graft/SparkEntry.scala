@@ -1953,6 +1953,36 @@ object SparkEntry {
             .orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // Semantic (embedding) decontamination — construction oracle in the
+    // q70 discipline: corpus vectors are 20·e_anchor + 5·(three disjoint
+    // base-20 digit dims of doc_id), so distinct docs share at most 2 of
+    // 3 digit dims and cosine is exactly (400 + 25k)/475 ≤ 450/475 ≈
+    // 0.947 < tau; the eval set holds EXACT copies of the % 10 == 3 docs
+    // (cosine 1, and identical vectors collide in EVERY hyperplane band
+    // — recall 1 by construction). Flagged set, best bench id, and the
+    // e4-rounded cosine are all closed-form. The real banded-broadcast
+    // probe + codegen'd rescore runs end-to-end.
+    "q88_embed_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val mkVec = udf((i: Long) => {
+        val v = new Array[Double](64)
+        v(0) = 20.0
+        v(1 + (i % 20).toInt) += 5.0
+        v(21 + ((i / 20) % 20).toInt) += 5.0
+        v(41 + ((i / 400) % 20).toInt) += 5.0
+        v
+      })
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("vec_id"))
+        .withColumn("vec", mkVec(col("vec_id")))
+      val eval = corpus.filter(col("vec_id") % 10L === 3L)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("vec"))
+      graft.operators.Decontaminate.embedMatches(corpus, eval, tau = 0.99)
+        .select(col("vec_id"), col("bench_id"),
+          round(col("cos") * 10000.0).cast("long").as("cos_e4"))
+        .orderBy("vec_id")
     })
   )
 
@@ -3526,7 +3556,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'compact' AS phase, 'none' AS change_type,
         |       CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS id_sum
-        |ORDER BY phase""".stripMargin
+        |ORDER BY phase""".stripMargin,
+
+    // The construction makes the whole answer arithmetic: exactly the
+    // % 10 == 3 docs are flagged, each by its own copy, at cosine 1.
+    "q88_embed_decontam" ->
+      """SELECT doc_id AS vec_id, doc_id + 1000000 AS bench_id,
+        |       CAST(10000 AS BIGINT) AS cos_e4
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY vec_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -114,4 +114,84 @@ object Decontaminate {
       fuzzyMatches(docs, bench, hasher, threshold)
         .withColumnRenamed("id", id).select(id),
       Seq(id), "left_anti")
+
+  /** SEMANTIC (embedding) decontamination — the third member of the
+    * family: [[matches]] catches verbatim n-gram overlap, [[fuzzyMatches]]
+    * light edits, this catches PARAPHRASES — corpus docs whose embedding
+    * sits within cosine `tau` of any eval doc (the SemDeDup observation
+    * applied to eval hygiene: semantic twins that share no surface form).
+    *
+    * Scale shape is the same inverted broadcast as the siblings: the
+    * corpus's banded hyperplane keys stream MAP-LOCAL (scalar (vec_id,
+    * bkey) rows — corpus vectors never ride the band explosion), the eval
+    * set's keys broadcast into one BroadcastHashJoin probe, and only the
+    * matched candidate sliver joins corpus vectors back by id (one array
+    * join, sliver-sized) with eval vectors broadcast for the exact-cosine
+    * rescore on the codegen'd dot product. An EXACT eval copy collides in
+    * every band (identical signs), so verbatim leakage has recall 1 by
+    * construction; near-copies rely on the banding amplification
+    * (defaults: 16 bands × 8 row-bits — miss probability ~1e-16 at
+    * cosine 0.999).
+    *
+    * @param corpus (vec_id: Long, vec: Array[Double])
+    * @param eval   (vec_id: Long, vec: Array[Double]) — the held-out set
+    * @return (vec_id, bench_id, cos): one row per contaminated corpus
+    *         doc with its BEST-matching eval doc (ties on cosine break to
+    *         the smallest bench id, deterministically, via a map-side
+    *         combinable max-struct — no window)
+    */
+  def embedMatches(corpus: DataFrame, eval: DataFrame, tau: Double,
+                   bands: Int = 16, rowBits: Int = 8, dim: Int = 64,
+                   seed: Long = 42L): DataFrame = {
+    import graft.similarity.AnnLsh
+    val spark = corpus.sparkSession
+    val dot = graft.functions.VectorExprs.dot_product _
+    val planes = spark.sparkContext.broadcast(
+      AnnLsh.hyperplanes(bands * rowBits, dim, seed))
+    val keysUdf = udf((va: Array[Double]) =>
+      AnnLsh.bandKeys(va, planes.value, bands, rowBits))
+    // spread before the band explosion (same discipline as pairsBanded)
+    val corpusKeyed = corpus
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), explode(keysUdf(col("vec"))).as("bkey"))
+    val evalKeyed = eval
+      .select(col("vec_id").as("bench_id"),
+        explode(keysUdf(col("vec"))).as("bkey"))
+    val cand = corpusKeyed
+      .join(broadcast(evalKeyed), Seq("bkey"))
+      .select("vec_id", "bench_id")
+      // scalar-only dedup across bands BEFORE the rescore
+      .dropDuplicates("vec_id", "bench_id")
+    val cvec = corpus.select(col("vec_id"), col("vec"),
+      sqrt(dot(col("vec"), col("vec"))).as("nc"))
+    val evec = eval.select(col("vec_id").as("bench_id"),
+      col("vec").as("bv"), sqrt(dot(col("vec"), col("vec"))).as("nb"))
+    cand
+      .join(cvec, Seq("vec_id"))
+      .join(broadcast(evec), Seq("bench_id"))
+      .withColumn("cos",
+        dot(col("vec"), col("bv")) / (col("nc") * col("nb")))
+      .filter(col("cos") >= tau)
+      // best match per corpus doc: max cosine, ties to the SMALLEST
+      // bench id (negated inside the ordering struct — eval ids are
+      // small, no overflow concern like the sha1 id_int path)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos").as("c"), (-col("bench_id")).as("nb")))
+        .as("m"))
+      .select(col("vec_id"), (-col("m.nb")).as("bench_id"),
+        col("m.c").as("cos"))
+  }
+
+  /** The corpus with semantically-contaminated documents removed. `emb`
+    * pairs with `corpus` by the id column (the embedding view of the
+    * same table).
+    */
+  def embedClean(corpus: DataFrame, id: String, emb: DataFrame,
+                 eval: DataFrame, tau: Double,
+                 bands: Int = 16, rowBits: Int = 8, dim: Int = 64,
+                 seed: Long = 42L): DataFrame =
+    corpus.join(
+      embedMatches(emb, eval, tau, bands, rowBits, dim, seed)
+        .withColumnRenamed("vec_id", id).select(id),
+      Seq(id), "left_anti")
 }

@@ -21,6 +21,28 @@ object AnnLsh {
       (rng.nextLong() >>> 11) * (2.0 / (1L << 53)) - 1.0))
   }
 
+  /** Banded sign-pattern keys of one vector: `bands` keys, each packing
+    * the band index (high 32 bits) with the `rowBits`-bit sign code of
+    * that band's hyperplanes — the banding EmbedNearDup's candidate join
+    * and the embedding-decontamination probe share. `planes` must hold
+    * `bands * rowBits` hyperplanes.
+    */
+  def bandKeys(vec: Array[Double], planes: Array[Array[Double]],
+               bands: Int, rowBits: Int): Array[Long] =
+    Array.tabulate(bands) { bi =>
+      var code = 0L
+      var r = 0
+      while (r < rowBits) {
+        val p = planes(bi * rowBits + r)
+        var s = 0.0
+        var i = 0
+        while (i < p.length && i < vec.length) { s += p(i) * vec(i); i += 1 }
+        if (s >= 0) code |= (1L << r)
+        r += 1
+      }
+      (bi.toLong << 32) | code
+    }
+
   /** Sign-pattern bucket id of one vector. */
   def bucketOf(vec: Array[Double], planes: Array[Array[Double]]): Int = {
     var code = 0

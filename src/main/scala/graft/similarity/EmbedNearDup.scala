@@ -117,22 +117,8 @@ object EmbedNearDup {
     val bands = bandsOpt.getOrElse(bandsFor(rowBits))
     val planes = spark.sparkContext.broadcast(
       AnnLsh.hyperplanes(bands * rowBits, dim, seed))
-    val keysUdf = udf((va: Array[Double]) => {
-      val ps = planes.value
-      Array.tabulate(bands) { bi =>
-        var code = 0L
-        var r = 0
-        while (r < rowBits) {
-          val p = ps(bi * rowBits + r)
-          var s = 0.0
-          var i = 0
-          while (i < p.length && i < va.length) { s += p(i) * va(i); i += 1 }
-          if (s >= 0) code |= (1L << r)
-          r += 1
-        }
-        (bi.toLong << 32) | code
-      }
-    })
+    val keysUdf = udf((va: Array[Double]) =>
+      AnnLsh.bandKeys(va, planes.value, bands, rowBits))
     // Candidate generation shuffles SCALARS ONLY: (bkey, vec_id). Carrying
     // `vec` through the banded self-join would push every array across the
     // shuffle once per band per side — and adaptive rowBits makes `bands`

@@ -354,4 +354,79 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toMap
     assert(got == want)
   }
+
+  test("embed decontaminate: flagged set == brute-force cosine matches, " +
+    "best match deterministic, clean conserves") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+    // 60 corpus docs; eval = exact copies of ids % 10 == 3, a 0.9995-cos
+    // near-copy of id 4, and two IDENTICAL copies of id 8 (tie-break pin)
+    val corpus = (0L until 60L).map(i => (i, vec()))
+    val cmap = corpus.toMap
+    def perturb(v: Array[Double]): Array[Double] = {
+      val w = v.clone(); w(0) += 0.02 * math.signum(w(0) + 1e-9); w
+    }
+    val eval = corpus.filter(_._1 % 10 == 3).map { case (i, v) =>
+      (i + 1000L, v.clone())
+    } ++ Seq((2004L, perturb(cmap(4L))), (3008L, cmap(8L).clone()),
+      (3009L, cmap(8L).clone()))
+    val corpusDf = corpus.toDF("vec_id", "vec")
+    val evalDf = eval.toDF("vec_id", "vec")
+    val tau = 0.999
+    val got = Decontaminate.embedMatches(corpusDf, evalDf, tau, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force over all (corpus, eval) pairs
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      s / math.sqrt(na * nb)
+    }
+    val brute = corpus.flatMap { case (ci, cv) =>
+      val hits = eval.filter { case (_, ev) => cos(cv, ev) >= tau }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.map { case (ei, ev) => (cos(cv, ev), ei) }
+          .maxBy { case (c, ei) => (c, -ei) }
+        Some(ci -> best._2)
+      }
+    }.toMap
+    assert(got.keySet == brute.keySet,
+      s"flagged ${got.keySet} vs brute ${brute.keySet}")
+    // id 4's near-copy and every exact copy must be present
+    assert(got.contains(4L) && got.contains(3L) && got.contains(8L))
+    // ties on cosine (two identical eval copies of id 8) break to the
+    // SMALLEST bench id, deterministically
+    assert(got(8L) == 3008L)
+    assert(got == brute)
+    // clean removes exactly the flagged ids
+    val cleaned = Decontaminate.embedClean(
+      corpusDf.withColumnRenamed("vec_id", "doc_id").select("doc_id"),
+      "doc_id", corpusDf, evalDf, tau, dim = 16)
+    assert(cleaned.count() == 60L - got.size)
+    assert(cleaned.where(col("doc_id").isin(got.keys.toSeq: _*)).isEmpty)
+  }
+
+  test("embed decontaminate plan: eval bands broadcast, corpus vectors " +
+    "never ride the band exchange") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.fill(8)(i * 0.1 + 1.0))).toDF("vec_id", "vec")
+    val eval = Seq((900L, Array.fill(8)(1.5))).toDF("vec_id", "vec")
+    val q = Decontaminate.embedMatches(corpus, eval, 0.99, dim = 8)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval probe must broadcast:\n$plan")
+    // the band-key exchange carries (vec_id, bkey) scalars only: no
+    // exchange in the plan lists the vec column before the sliver joins
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val bandExchanges = exchanges.filter(_.toString.contains("bkey"))
+    assert(bandExchanges.forall(!_.output.map(_.name).contains("vec")),
+      s"corpus vectors crossed the band exchange:\n$plan")
+  }
 }
