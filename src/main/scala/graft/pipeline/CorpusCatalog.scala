@@ -1004,8 +1004,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                   routeKey: org.apache.spark.sql.Column)
       : (Int, Int, Long) = {
     val (updatedParts, unmatched) = mergeReplace(table, updates, onCol)
-    val routed = unmatched.withColumn("__route", routeKey.cast("string"))
-    val routeCounts = routed.groupBy("__route").count().collect()
+    // collision-proof helper name: withColumn would silently REPLACE a
+    // same-named user column, corrupting every inserted row
+    val rcol = "__graft_route"
+    require(!unmatched.columns.contains(rcol),
+      s"mergeUpsert: the table already has a '$rcol' column")
+    val routed = unmatched.withColumn(rcol, routeKey.cast("string"))
+    val routeCounts = routed.groupBy(rcol).count().collect()
       .map(r => (Option(r.getString(0)), r.getLong(1))).toList
     routeCounts.find(_._1.isEmpty).foreach { case (_, n) =>
       throw new IllegalArgumentException(
@@ -1028,7 +1033,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         new HPath(tableDir(table), snapsNow.head.dir).toString).schema
       routeCounts.foreach { case (routeOpt, cnt) =>
         val k = routeOpt.get
-        val ins = routed.filter(col("__route") === k).drop("__route")
+        val ins = routed.filter(col(rcol) === k).drop(rcol)
         snapsNow.find(_.key == k) match {
           case Some(snap) =>
             val cur = spark.read.parquet(
@@ -1205,13 +1210,18 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         // the key column exists only inside the rewrite plan: range
         // boundaries and local order come from it, the projection drops
         // it before the files are written (a projection after a local
-        // sort keeps the row order — no exchange between them)
+        // sort keeps the row order — no exchange between them). The
+        // collision guard keeps withColumn from silently REPLACING (and
+        // then dropping) a user column of the same name.
+        val kcol = "__graft_zkey"
+        require(!data.columns.contains(kcol),
+          s"compaction: the table already has a '$kcol' column")
         val zkey = graft.functions.ZOrderKey
           .zorderKey(zorderBy.map(data(_)): _*)
-        data.withColumn("__zkey", zkey)
-          .repartitionByRange(targetFiles, col("__zkey"))
-          .sortWithinPartitions(col("__zkey"))
-          .drop("__zkey")
+        data.withColumn(kcol, zkey)
+          .repartitionByRange(targetFiles, col(kcol))
+          .sortWithinPartitions(col(kcol))
+          .drop(kcol)
       } else if (sortBy.isEmpty) data.repartition(targetFiles)
       else data
         .repartitionByRange(targetFiles, sortBy.map(col): _*)

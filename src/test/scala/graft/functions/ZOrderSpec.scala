@@ -115,9 +115,10 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("compiled and interpreted paths agree; codegen engages") {
     val df = spark.range(200).select(
       (col("id") % 17).as("x"), (col("id") * 31 % 13).as("y"),
-      sin(col("id")).as("d"))
-    val q = df.select(ZOrderKey.zorderKey(col("x"), col("y"), col("d"))
-      .as("k"))
+      sin(col("id")).as("d"),
+      concat(lit("s"), col("id") % 11).as("s"))
+    val q = df.select(
+      ZOrderKey.zorderKey(col("x"), col("y"), col("d"), col("s")).as("k"))
     val wsc = q.queryExecution.executedPlan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
     }
