@@ -68,8 +68,9 @@ object Bench {
     "q76_temperature_mix" -> 1.7, "q77_keep_best" -> 2.5,
     "q78_simhash_hotbucket" -> 4.0, "q79_dsir_in_situ" -> 1.3,
     "q80_compaction" -> 4.0, "q81_data_skipping" -> 5.0, "q82_incremental_read" -> 4.0, "q83_merge_replace" -> 7.0, "q84_delete_where" -> 7.0,
-    "q85_zorder_rank" -> 1.0, "q86_merge_upsert" -> 8.0,
-    "q87_cdc_changes" -> 8.0, "q88_embed_decontam" -> 3.0)
+    "q85_zorder_rank" -> 1.0, "q86_merge_upsert" -> 14.0,
+    "q87_cdc_changes" -> 6.0, "q88_embed_decontam" -> 3.5,
+    "q89_stats_only_agg" -> 6.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

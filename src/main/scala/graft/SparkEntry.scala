@@ -1983,6 +1983,35 @@ object SparkEntry {
         .select(col("vec_id"), col("bench_id"),
           round(col("cos") * 10000.0).cast("long").as("cos_e4"))
         .orderBy("vec_id")
+    }),
+
+    // Metadata-only aggregation (Iceberg's stats-based scan): COUNT(*) /
+    // MIN / MAX / null counts answered from the snapshot log ALONE — the
+    // ManifestSpec companion proves zero data-file opens with a counting
+    // FileSystem; this oracles EXACTNESS: the fold over 8 range
+    // partitions' markers must equal DuckDB aggregating the raw table.
+    "q89_stats_only_agg" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_statsagg")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
+          (0L until 8L).foreach { g =>
+            cat.commitPartition("a", s"g$g",
+              docs.filter(expr(s"doc_id div $b") === g),
+              Seq("doc_id", "n_chars"))
+          }
+          // the result is a LocalRelation (built from the marker fold on
+          // the driver) — safe to return after the catalog dir sweeps
+          cat.aggregateFromStats("a", Seq("doc_id", "n_chars")).get
+            .select("col_name", "n_rows", "n_nulls", "min_value",
+              "max_value")
+            .orderBy("col_name")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3564,7 +3593,25 @@ object SparkEntry {
       """SELECT doc_id AS vec_id, doc_id + 1000000 AS bench_id,
         |       CAST(10000 AS BIGINT) AS cos_e4
         |FROM documents WHERE doc_id % 10 = 3
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // The stats fold vs the raw table: exactness of the metadata-only
+    // answer (long min/max render canonically, so VARCHAR casts align).
+    "q89_stats_only_agg" ->
+      """SELECT 'doc_id' AS col_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+        |       CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |       CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars' AS col_name,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls,
+        |       CAST(min(n_chars) AS VARCHAR) AS min_value,
+        |       CAST(max(n_chars) AS VARCHAR) AS max_value
+        |FROM documents
+        |ORDER BY col_name""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

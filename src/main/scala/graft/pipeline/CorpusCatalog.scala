@@ -784,6 +784,60 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Metadata-only aggregation — Iceberg's stats-based scan: COUNT(*)
+    * plus per-column MIN / MAX / null-count answered from the snapshot
+    * log ALONE. No data file is listed, opened, or read; at 10^6
+    * partitions this turns the maintenance queries every pipeline runs
+    * constantly ("how many rows?", "what id range?") from a cluster job
+    * into a metadata fold. Exactness inherits from the stats discipline:
+    * parquet footer min/max are exact bounds, string stats come from an
+    * exact pruned scan (never parquet's truncated binary stats), and
+    * NaN/Inf-tainted columns DROP their stats at commit time — so the
+    * answer is exact whenever it is given at all. Returns None if ANY
+    * partition lacks stats for ANY requested column (never a wrong
+    * number; fall back to a real scan). Numeric extremes compare as
+    * exact decimals, strings in UTF8 binary order (Spark's own string
+    * order). One row per column: (col_name, typ, n_rows, n_nulls,
+    * min_value, max_value) with values rendered as strings (min/max are
+    * null for an all-NULL column).
+    */
+  def aggregateFromStats(table: String, cols: Seq[String])
+      : Option[DataFrame] = {
+    require(cols.nonEmpty, "aggregateFromStats needs at least one column")
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val rowsTotal = snaps.map(_.rows).sum
+    val utf8 = Ordering.fromLessThan[String]((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
+    val perCol = cols.map { c =>
+      val css = snaps.map(_.stats.get(c))
+      if (css.exists(_.isEmpty)) return None // a stats-less partition:
+        // the fold cannot prove the answer — a scan can
+      val cs = css.flatten
+      val typ = cs.map(_.typ).distinct match {
+        case Seq(t) => t
+        case _ => return None // mixed stat types across partitions
+      }
+      def extreme(vs: Seq[String], takeMin: Boolean): String =
+        if (vs.isEmpty) null
+        else if (typ == "string") {
+          if (takeMin) vs.min(utf8) else vs.max(utf8)
+        } else {
+          val key = (s: String) => scala.math.BigDecimal(s)
+          if (takeMin) vs.minBy(key) else vs.maxBy(key)
+        }
+      (c, typ, rowsTotal, cs.map(_.nulls).sum,
+        extreme(cs.flatMap(_.min), takeMin = true),
+        extreme(cs.flatMap(_.max), takeMin = false))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    Some(perCol.toDF("col_name", "typ", "n_rows", "n_nulls",
+      "min_value", "max_value"))
+  }
+
   /** Iceberg's `expire_snapshots`: drop every lineage version that was
     * already REPLACED by `beforeMs` (its successor's commit point is at
     * or before the cutoff), releasing its data dir to [[vacuum]].

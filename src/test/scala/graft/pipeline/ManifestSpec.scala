@@ -497,4 +497,47 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g1.rows == 6L, "both rewrites landed in the marker")
     }
   }
+
+  test("aggregateFromStats: exact count/min/max/nulls from markers with " +
+    "ZERO data-file reads; unprovable columns return None") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // longs, strings (incl. nulls + non-ASCII), exact-binary doubles,
+      // and one partition whose score column is ALL NULL
+      assert(cat.commitPartition("t", "g0",
+        Seq((5L, "bb", 1.5), (7L, "é", -2.25), (9L, null, 0.5))
+          .toDF("id", "name", "score"), Seq("id", "name", "score")))
+      assert(cat.commitPartition("t", "g1",
+        Seq((1L, "a", 7.75), (3L, "zz", 0.25))
+          .toDF("id", "name", "score"), Seq("id", "name", "score")))
+      assert(cat.commitPartition("t", "g2",
+        Seq((20L, "m", 0.0)).toDF("id", "name", "score")
+          .select(col("id"), col("name"),
+            lit(null).cast("double").as("score")),
+        Seq("id", "name", "score")))
+      cat.checkpointSnapshotLog("t")
+      CountingFs.reset()
+      val got = cat.aggregateFromStats("t", Seq("id", "name", "score")).get
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+        .toMap
+      import scala.jdk.CollectionConverters._
+      assert(!CountingFs.paths.asScala.exists(_.contains("part=")),
+        "metadata-only aggregation opened a DATA file")
+      assert(got("id") == ((6L, 0L, "1", "20")))
+      assert(got("name") == ((6L, 1L, "a", "é"))) // UTF8 order: é > zz
+      assert(got("score") == ((6L, 1L, "-2.25", "7.75")))
+      // a column no partition recorded stats for: None, never a guess
+      assert(cat.aggregateFromStats("t", Seq("id", "nosuch")).isEmpty)
+      // a column with stats MISSING in one partition (NaN drop): None
+      assert(cat.commitPartition("t", "g3",
+        Seq((30L, "q", Double.NaN)).toDF("id", "name", "score"),
+        Seq("id", "score")))
+      assert(cat.aggregateFromStats("t", Seq("score")).isEmpty,
+        "NaN-dropped stats must make the fold refuse")
+      assert(cat.aggregateFromStats("t", Seq("id")).get
+        .head().getString(5) == "30")
+    }
+  }
 }
