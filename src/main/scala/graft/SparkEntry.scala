@@ -2012,6 +2012,21 @@ object SparkEntry {
             .orderBy("col_name")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // Exactly-k-per-stratum deterministic sampling (holdout carving):
+    // the k smallest Knuth-hash ranks per residue stratum — the whole
+    // selection re-derives row-exactly in SQL (the product stays below
+    // 2^63 at test scale, same contract as q53), including the
+    // ties-by-id ordering and the per-stratum CASE limit.
+    "q90_exact_k" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("g"), col("doc_id") % 3L).as("stratum"))
+      graft.operators.Sampling.exactK(docs, "stratum", "doc_id",
+          Map("g0" -> 7, "g1" -> 3), defaultK = 2)
+        .orderBy("stratum", "doc_id")
     })
   )
 
@@ -3611,7 +3626,22 @@ object SparkEntry {
         |       CAST(min(n_chars) AS VARCHAR) AS min_value,
         |       CAST(max(n_chars) AS VARCHAR) AS max_value
         |FROM documents
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    // The identical rank arithmetic: row_number over (stratum; hash, id)
+    // cut by the per-stratum k.
+    "q90_exact_k" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, 'g' || (doc_id % 3) AS stratum,
+        |         row_number() OVER (
+        |           PARTITION BY doc_id % 3
+        |           ORDER BY doc_id * 2654435761, doc_id) AS r
+        |  FROM documents
+        |)
+        |SELECT doc_id, stratum FROM ranked
+        |WHERE r <= CASE stratum WHEN 'g0' THEN 7 WHEN 'g1' THEN 3
+        |           ELSE 2 END
+        |ORDER BY stratum, doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -175,4 +175,39 @@ object Sampling {
       .filter(pmod(col(id) * lit(2654435761L), lit(Mod)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** EXACTLY-k-per-stratum deterministic sampling — holdout/eval carving
+    * needs exact sizes where [[stratified]] gives rates: keep each
+    * stratum's k rows with the SMALLEST deterministic hash rank (the
+    * same Knuth product as the rate filter, ties broken by id), so the
+    * selection is stable across reruns and partitionings and NESTED in k
+    * (k2 < k1 keeps a strict subset — growing an eval set never swaps
+    * already-carved rows). Strata absent from `ks` keep `defaultK`.
+    *
+    * Scale shape: the rank cut is written as `row_number <= maxK`
+    * (literal) so Catalyst's InferWindowGroupLimit inserts per-partition
+    * k-heaps BEFORE the exchange — each map task forwards at most maxK
+    * rows per stratum, and the per-stratum CASE limit filters after.
+    * No global sort; the one exchange is the per-stratum window key.
+    */
+  def exactK(df: DataFrame, strata: String, id: String,
+             ks: Map[String, Int], defaultK: Int = 0): DataFrame = {
+    require((ks.values ++ Seq(defaultK)).forall(_ >= 0),
+      "ks must be nonnegative")
+    val maxK = (ks.values ++ Seq(defaultK)).max
+    if (maxK == 0) return df.limit(0)
+    val rcol = "__graft_rank"
+    require(!df.columns.contains(rcol),
+      s"exactK: the input already has a '$rcol' column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strata))
+      .orderBy((col(id) * lit(2654435761L)).asc, col(id).asc)
+    val kCol = ks.toSeq.sortBy(_._1).foldLeft(lit(defaultK): Column) {
+      case (acc, (k, n)) => when(col(strata) === k, lit(n)).otherwise(acc)
+    }
+    df.withColumn(rcol, row_number().over(w))
+      .filter(col(rcol) <= lit(maxK)) // literal: WindowGroupLimit fires
+      .filter(col(rcol) <= kCol)
+      .drop(rcol)
+  }
 }

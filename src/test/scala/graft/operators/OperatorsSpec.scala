@@ -429,4 +429,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bandExchanges.forall(!_.output.map(_.name).contains("vec")),
       s"corpus vectors crossed the band exchange:\n$plan")
   }
+
+  test("exactK: exact per-stratum sizes, deterministic, nested in k, " +
+    "WindowGroupLimit pushed") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("id", "s")
+    val ks = Map("g0" -> 7, "g1" -> 3)
+    val got = Sampling.exactK(df, "s", "id", ks, defaultK = 2)
+    val byStratum = got.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byStratum("g0").size == 7 && byStratum("g1").size == 3 &&
+      byStratum("g2").size == 2)
+    // deterministic across partitionings
+    val again = Sampling.exactK(df.repartition(7), "s", "id", ks, 2)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again == got.collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet)
+    // nested: smaller k keeps a strict subset per stratum
+    val smaller = Sampling.exactK(df, "s", "id", Map("g0" -> 3), 1)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(smaller("g0").subsetOf(byStratum("g0")))
+    assert(smaller("g1").subsetOf(byStratum("g1")))
+    // k above the stratum size keeps the whole stratum; maxK 0 is empty
+    val all = Sampling.exactK(df, "s", "id", Map("g0" -> 1000), 0)
+    assert(all.count() == 100)
+    assert(Sampling.exactK(df, "s", "id", Map.empty, 0).count() == 0)
+    // the rank cut must reach the window as a group limit (per-partition
+    // heaps before the exchange — no full per-stratum sort spill)
+    val plan = Sampling.exactK(df, "s", "id", ks, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cut must push as WindowGroupLimit:\n$plan")
+  }
 }
