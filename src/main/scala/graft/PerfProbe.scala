@@ -34,6 +34,52 @@ object PerfProbe {
       println(f"[probe] $name%-28s $dt%8.2fs  rows=$n  (${n / dt}%.0f/s)")
     }
 
+    // catalog COW stress (SPARK_GRAFT_PROBE=catalog): the 100-TB claim
+    // for upsert/CDC/stats-agg is "cost ∝ TOUCHED partitions, not table
+    // size" — probe it by holding the touched set constant (2 updated +
+    // 1 inserted partition; a 1-partition delta) while the table grows
+    // 10× in partition count. Near-flat wall times evidence the claim.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("catalog")) {
+      Seq(50, 500).foreach { parts =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"probe_cat$parts")
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, spark)
+          val n = parts * 200L
+          val base = spark.range(n).select(col("id"),
+            (col("id") * 7L % 1000L).as("payload"))
+          (0 until parts).foreach { g =>
+            cat.commitPartition("t", s"g$g",
+              base.filter(col("id") % parts === g), Seq("id"))
+          }
+          cat.checkpointSnapshotLog("t")
+          time(s"upsert 2+1/$parts parts") {
+            val updates = base.filter(col("id").isin(0L, 1L))
+              .select(col("id"), (col("payload") + 1L).as("payload"))
+              .unionByName(Seq((n + 5L, 0L)).toDF("id", "payload"))
+            val route = when(col("id") >= n, lit(s"g$parts"))
+              .otherwise(concat(lit("g"), pmod(col("id"), lit(parts))))
+            val (nu, ni, rows) = cat.mergeUpsert("t", updates, "id", route)
+            require(nu == 2 && ni == 1 && rows == 1L, s"($nu,$ni,$rows)")
+            3L
+          }
+          time(s"cdc last delta /$parts parts") {
+            val last = cat.snapshots("t").size - 1L
+            cat.readChangesBetween("t", last - 1L, last).count()
+          }
+          time(s"stats-only agg /$parts parts") {
+            cat.aggregateFromStats("t", Seq("id")).get.count()
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+      spark.stop(); return
+    }
+
     time("replicate+count")(rep().count())
     time("replicate+count (2nd)")(rep().count())
     time("signal pass only") {

@@ -978,9 +978,22 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           "would be ambiguous")
       if (kstat.getLong(0) == 0L) // only NULL keys: nothing can match
         return (0, u.localCheckpoint(true))
-      val keyRange = col(onCol).between(lit(kstat.get(2)), lit(kstat.get(3)))
+      // pruning predicate: an IN-list when the update key set is small
+      // (typical merges are point updates), else the [min, max] range.
+      // The single range spanning the whole batch is useless whenever
+      // the batch mixes low and high keys or the layout interleaves key
+      // ranges (residue/hash partitioning): every partition intersects
+      // it and each costs a probe job. The IN-list checks each key
+      // against each partition's bounds separately, keeping only
+      // partitions whose [min, max] actually brackets some update key.
+      val keyPred =
+        if (kstat.getLong(1) <= CorpusCatalog.MergeInListMaxKeys) {
+          val keys = u.select(col(onCol)).where(col(onCol).isNotNull)
+            .distinct().collect().map(_.get(0))
+          col(onCol).isin(keys: _*)
+        } else col(onCol).between(lit(kstat.get(2)), lit(kstat.get(3)))
       val candidates = snaps.filter(s =>
-        StatsPruning.mightMatch(keyRange, s.stats, s.rows))
+        StatsPruning.mightMatch(keyPred, s.stats, s.rows))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
@@ -1408,6 +1421,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
 }
 
 object CorpusCatalog {
+  /** Update batches with at most this many DISTINCT keys prune merge
+    * candidates with an exact IN-list against the marker stats instead
+    * of the [min, max] range — the difference between 2 and ALL
+    * candidate partitions on residue/hash layouts. Driver cost is one
+    * collect of ≤ this many scalars.
+    */
+  val MergeInListMaxKeys: Long = 1024L
+
   /** One append commit: dense `id` in commit order, the partition it
     * added, its row count, the marker's wall-clock epoch millis, and the
     * data dir the marker points at (`part=<key>@<nonce>`; plain

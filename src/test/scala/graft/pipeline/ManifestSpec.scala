@@ -540,4 +540,39 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
         .head().getString(5) == "30")
     }
   }
+
+  test("mergeReplace prunes residue/hash layouts with the IN-list: " +
+    "spread-out point updates never open untouched partitions") {
+    withCountedCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      // residue layout: partition ranges interleave (g0 = [0, 72],
+      // g1 = [1, 73], … g7 = [7, 79]), so the single RANGE spanning the
+      // update batch — [0, 79] — intersects every partition and prunes
+      // nothing. Per-key checks prove the middle residues out: 0 is
+      // below every min but g0's, 79 above every max but g7's — the
+      // IN-list is what stands between 2 probe jobs and 8
+      (0 until 8).foreach { g =>
+        assert(cat.commitPartition("t", s"g$g",
+          (0L until 80L).filter(_ % 8 == g).map(i => (i, s"old$i"))
+            .toDF("id", "v"), Seq("id")))
+      }
+      cat.checkpointSnapshotLog("t")
+      // keys 0 and 79: residues 0 and 7 — exactly two partitions
+      val untouched = cat.snapshots("t")
+        .filterNot(s => Set("g0", "g7").contains(s.key)).map(_.dir)
+      CountingFs.reset()
+      val (rw, un) = cat.mergeReplace("t",
+        Seq((0L, "NEW0"), (79L, "NEW79")).toDF("id", "v"), "id")
+      assert(rw == 2 && un.isEmpty)
+      import scala.jdk.CollectionConverters._
+      val opened = CountingFs.paths.asScala.toSeq
+      untouched.foreach { d =>
+        assert(!opened.exists(_.contains(d)),
+          s"IN-list pruning failed: read untouched residue partition $d")
+      }
+      assert(cat.readTable("t").where(col("v").startsWith("NEW")).count()
+        == 2)
+    }
+  }
 }
