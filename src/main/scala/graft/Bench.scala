@@ -70,7 +70,8 @@ object Bench {
     "q80_compaction" -> 4.0, "q81_data_skipping" -> 5.0, "q82_incremental_read" -> 4.0, "q83_merge_replace" -> 7.0, "q84_delete_where" -> 7.0,
     "q85_zorder_rank" -> 1.0, "q86_merge_upsert" -> 14.0,
     "q87_cdc_changes" -> 6.0, "q88_embed_decontam" -> 3.5,
-    "q89_stats_only_agg" -> 6.0, "q90_exact_k" -> 1.0)
+    "q89_stats_only_agg" -> 6.0, "q90_exact_k" -> 1.0,
+    "q91_weighted_k" -> 1.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -2027,6 +2027,22 @@ object SparkEntry {
       graft.operators.Sampling.exactK(docs, "stratum", "doc_id",
           Map("g0" -> 7, "g1" -> 3), defaultK = 2)
         .orderBy("stratum", "doc_id")
+    }),
+
+    // q91: priority sampling (Duffield–Lund–Thorup) — weight-proportional
+    // exactly-k per stratum plus the τ-threshold estimator ŵ = max(w, τ).
+    // Every arithmetic step (integer hash, exact double multiply, IEEE
+    // division, greatest) is correctly rounded, so DuckDB re-derives the
+    // identical selection AND the identical ŵ doubles.
+    "q91_weighted_k" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("g"), col("doc_id") % 3L).as("stratum"),
+          (col("doc_id") % 97L + 1L).as("w"))
+      graft.operators.Sampling.weightedK(docs, "stratum", "doc_id", "w",
+          Map("g0" -> 7, "g1" -> 3), defaultK = 2)
+        .select(col("stratum"), col("doc_id"), col("w"), col("w_hat"))
+        .orderBy("stratum", "doc_id")
     })
   )
 
@@ -3641,7 +3657,34 @@ object SparkEntry {
         |SELECT doc_id, stratum FROM ranked
         |WHERE r <= CASE stratum WHEN 'g0' THEN 7 WHEN 'g1' THEN 3
         |           ELSE 2 END
-        |ORDER BY stratum, doc_id""".stripMargin
+        |ORDER BY stratum, doc_id""".stripMargin,
+
+    "q91_weighted_k" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'g' || (doc_id % 3) AS stratum,
+        |         (doc_id % 97) + 1 AS w,
+        |         (doc_id * 2654435761) % 10000 AS h
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, stratum, w,
+        |         (CAST(w AS DOUBLE) * 10001.0)
+        |           / (CAST(h AS DOUBLE) + 1.0) AS prio,
+        |         row_number() OVER (
+        |           PARTITION BY stratum
+        |           ORDER BY (CAST(w AS DOUBLE) * 10001.0)
+        |             / (CAST(h AS DOUBLE) + 1.0) DESC, doc_id) AS r,
+        |         CASE stratum WHEN 'g0' THEN 7 WHEN 'g1' THEN 3
+        |           ELSE 2 END AS k
+        |  FROM base
+        |), tau AS (
+        |  SELECT stratum, max(prio) AS tau
+        |  FROM ranked WHERE r = k + 1 GROUP BY stratum
+        |)
+        |SELECT r.stratum, r.doc_id, r.w,
+        |       greatest(CAST(r.w AS DOUBLE), coalesce(t.tau, 0.0)) AS w_hat
+        |FROM ranked r LEFT JOIN tau t ON r.stratum = t.stratum
+        |WHERE r.r <= r.k
+        |ORDER BY r.stratum, r.doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

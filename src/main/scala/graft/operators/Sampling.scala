@@ -210,4 +210,81 @@ object Sampling {
       .filter(col(rcol) <= kCol)
       .drop(rcol)
   }
+
+  /** WEIGHT-proportional exactly-k sampling — priority sampling
+    * (Duffield–Lund–Thorup, JACM 54(6) 2007): each row gets priority
+    * `q = w / u` for a uniform `u ∈ (0, 1)` and the k highest-priority
+    * rows per stratum are kept, so inclusion probability rises with
+    * weight (a 10^6-token doc is ~10^6× likelier in than a 1-token one)
+    * while the sample size stays EXACT. The scheme's payoff over plain
+    * weighted rates is the τ-threshold estimator: with τ = the (k+1)-th
+    * priority, `ŵ = max(w, τ)` is an unbiased estimator of w under the
+    * sampling, so Σ ŵ over any SUBSET of the sample estimates that
+    * subset's true total weight — sample once at 100 TB, answer
+    * arbitrary sliced token-count questions from k rows per stratum.
+    *
+    * Chosen over the A-ES exponential race (`-ln(u)/w`) deliberately:
+    * priorities need one exact integer multiply and one IEEE division
+    * (both correctly rounded, so Spark and any SQL engine rank rows
+    * bit-identically), where `ln`/`pow` carry last-ulp variance across
+    * libm implementations. `u` is the same Knuth hash as every sampler
+    * here — `u = (hash(id) mod Mod + 1) / (Mod + 1)` — so the selection
+    * is deterministic, rerun-stable, and partitioning-independent; the
+    * trade (pseudo-randomness in place of the paper's true randomness)
+    * is this file's standing contract. Unbiasedness then holds over the
+    * hash ensemble rather than per-call RNG draws.
+    *
+    * Rows with NULL or non-positive weight are dropped up front (the
+    * paper's weights are positive; a zero-weight row can never win a
+    * priority contest it should sit out of).
+    *
+    * Scale shape: identical to [[exactK]] — the rank cut is a literal
+    * (`maxK + 1`: the one extra rank per stratum is the τ witness), so
+    * InferWindowGroupLimit runs per-partition heaps before the single
+    * per-stratum exchange; τ reduces to ≤ one row per stratum and joins
+    * back as a broadcast. Output = kept rows plus `w_hat`.
+    */
+  def weightedK(df: DataFrame, strata: String, id: String, weight: String,
+                ks: Map[String, Int], defaultK: Int = 0): DataFrame = {
+    require((ks.values ++ Seq(defaultK)).forall(_ >= 0),
+      "ks must be nonnegative")
+    val maxK = (ks.values ++ Seq(defaultK)).max
+    if (maxK == 0) // same shape as the join path (key column first)
+      return df.limit(0)
+        .select(col(strata) +: df.columns.filterNot(_ == strata)
+          .map(col).toSeq: _*)
+        .withColumn("w_hat", lit(0.0))
+    val rcol = "__graft_rank"
+    val pcol = "__graft_prio"
+    require(!df.columns.contains(rcol) && !df.columns.contains(pcol) &&
+      !df.columns.contains("w_hat"),
+      s"weightedK: the input already has a '$rcol'/'$pcol'/'w_hat' column")
+    // q = w·(Mod+1) / (hash+1): the multiply is exact in double for any
+    // weight below 2^53/(Mod+1) (≈9·10^11 — beyond any real token
+    // count), the divide is IEEE correctly-rounded — every SQL engine
+    // computes the identical priority, so the selection set is portable
+    val prio = (col(weight).cast("double") * lit((Mod + 1).toDouble)) /
+      (pmod(col(id) * lit(2654435761L), lit(Mod)).cast("double") + lit(1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strata))
+      .orderBy(col(pcol).desc, col(id).asc)
+    val kCol = ks.toSeq.sortBy(_._1).foldLeft(lit(defaultK): Column) {
+      case (acc, (k, n)) => when(col(strata) === k, lit(n)).otherwise(acc)
+    }
+    val ranked = df
+      .filter(col(weight).isNotNull && col(weight) > 0)
+      .withColumn(pcol, prio)
+      .withColumn(rcol, row_number().over(w))
+      .filter(col(rcol) <= lit(maxK + 1)) // literal: WindowGroupLimit
+    // τ per stratum = the (k+1)-th priority; absent (stratum ≤ k rows)
+    // means every row is in with certainty → ŵ = w exactly
+    val tau = ranked.filter(col(rcol) === kCol + 1)
+      .groupBy(col(strata)).agg(max(col(pcol)).as("__graft_tau"))
+    ranked.filter(col(rcol) <= kCol)
+      .join(broadcast(tau), Seq(strata), "left")
+      .withColumn("w_hat",
+        greatest(col(weight).cast("double"), coalesce(col("__graft_tau"),
+          lit(0.0))))
+      .drop(rcol, pcol, "__graft_tau")
+  }
 }

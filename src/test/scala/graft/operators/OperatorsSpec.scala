@@ -463,4 +463,60 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"),
       s"rank cut must push as WindowGroupLimit:\n$plan")
   }
+
+  test("weightedK: exact sizes, deterministic, weight-monotone, " +
+    "tau estimator arithmetic, WindowGroupLimit pushed") {
+    val spark2 = spark
+    import spark2.implicits._
+    // id 299 gets a weight no finite u can demote below the g2 cut
+    val df = (0L until 300L)
+      .map(i => (i, s"g${i % 3}", if (i == 299L) 1000000L else i % 97 + 1))
+      .toDF("id", "s", "w")
+    val ks = Map("g0" -> 7, "g1" -> 3)
+    val got = Sampling.weightedK(df, "s", "id", "w", ks, defaultK = 2)
+    val rows = got.select("s", "id", "w", "w_hat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byStratum = rows.groupBy(_._1)
+    assert(byStratum("g0").length == 7 && byStratum("g1").length == 3 &&
+      byStratum("g2").length == 2)
+    // the huge-weight row always wins its stratum
+    assert(byStratum("g2").exists(_._2 == 299L))
+    // deterministic across partitionings
+    val again = Sampling.weightedK(df.repartition(7), "s", "id", "w", ks, 2)
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(again.toSet == rows.map(t => (t._1, t._2)).toSet)
+    // re-derive priorities and the tau estimator from first principles
+    def prio(id: Long, w: Long): Double =
+      w.toDouble * 10001.0 / ((id * 2654435761L % 10000L).toDouble + 1.0)
+    val all = (0L until 300L)
+      .map(i => (i, s"g${i % 3}", if (i == 299L) 1000000L else i % 97 + 1))
+    ks.updated("g2", 2).foreach { case (g, k) =>
+      val sorted = all.filter(_._2 == g)
+        .sortBy(t => (-prio(t._1, t._3), t._1))
+      assert(byStratum(g).map(_._2).toSet ==
+        sorted.take(k).map(_._1).toSet, s"selection mismatch in $g")
+      val tau = prio(sorted(k)._1, sorted(k)._3)
+      byStratum(g).foreach { case (_, _, w, wHat) =>
+        assert(wHat == math.max(w.toDouble, tau),
+          s"w_hat must be max(w, tau) in $g")
+      }
+    }
+    // stratum smaller than k: everything kept, w_hat degrades to w
+    val small = Sampling.weightedK(
+      Seq((1L, "g0", 5L), (2L, "g0", 9L)).toDF("id", "s", "w"),
+      "s", "id", "w", Map("g0" -> 10))
+    assert(small.count() == 2 &&
+      small.select("w_hat").as[Double].collect().toSet == Set(5.0, 9.0))
+    // NULL / non-positive weights never participate
+    val dirty = Seq((1L, "g0", java.lang.Long.valueOf(4L)),
+      (2L, "g0", java.lang.Long.valueOf(0L)),
+      (3L, "g0", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "s", "w")
+    assert(Sampling.weightedK(dirty, "s", "id", "w", Map("g0" -> 5))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val plan = Sampling.weightedK(df, "s", "id", "w", ks, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank cut must push as WindowGroupLimit:\n$plan")
+  }
 }
