@@ -2043,6 +2043,82 @@ object SparkEntry {
           Map("g0" -> 7, "g1" -> 3), defaultK = 2)
         .select(col("stratum"), col("doc_id"), col("w"), col("w_hat"))
         .orderBy("stratum", "doc_id")
+    }),
+
+    // q92: streaming sessionization — session_window + watermark in
+    // append mode over a REAL multi-batch file stream (the events table
+    // split into two ts-ordered files, so sessions spanning the split
+    // must merge in state), finalized by two far-future flush sentinels
+    // (watermark computed from batch N's data applies in batch N+1 —
+    // the second sentinel emits sessions the first one only unlocked).
+    // Oracle: the batch gaps-and-islands sessionization in DuckDB; the
+    // streaming append output must equal it row-for-row.
+    "q92_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess")
+      val srcDir = java.nio.file.Files.createDirectory(tmp.resolve("src"))
+      val sink = tmp.resolve("sink").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      // watermarks require TIMESTAMP (tz); the table is TIMESTAMP_NTZ.
+      // Pin the session to UTC so NTZ ⇄ TZ casts are wall-value-exact
+      // (a DST zone has nonexistent local times that would shift), and
+      // cast back to NTZ on the way out so the oracle compares NTZ
+      // wall values like every other events query.
+      val oldTz = s.conf.get("spark.sql.session.timeZone")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val rows = try {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val (minT, maxT) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        val midTs = new java.sql.Timestamp(
+          (minT.getTime + maxT.getTime) / 2)
+        def sentinel(offsetDays: Int) = {
+          import s.implicits._
+          Seq((-1L, new java.sql.Timestamp(
+            maxT.getTime + offsetDays * 86400000L)))
+            .toDF("user_id", "ts")
+        }
+        def stage(df: org.apache.spark.sql.DataFrame, name: String,
+                  seq: Int): Unit = {
+          val st = tmp.resolve(s"st_$name")
+          df.coalesce(1).write.parquet(st.toString)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(st).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val dst = srcDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part, dst)
+          // the file source orders batches by modification time — make
+          // the intended order unambiguous
+          dst.toFile.setLastModified(1700000000000L + seq * 60000L)
+        }
+        stage(ev.filter(col("ts") < lit(midTs)), "a_early", 0)
+        stage(ev.filter(col("ts") >= lit(midTs)), "b_late", 1)
+        stage(sentinel(1), "c_flush1", 2)
+        stage(sentinel(2), "d_flush2", 3)
+        val src = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        graft.streaming.SessionWindows
+          .sessions(src, "user_id", "ts", "30 minutes", "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        s.read.parquet(sink).filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz"),
+            col("session_end").cast("timestamp_ntz"), col("n_events"))
+          .collect().map(r => (r.getLong(0),
+            r.getAs[java.time.LocalDateTime](1),
+            r.getAs[java.time.LocalDateTime](2), r.getLong(3))).toSeq
+      } finally {
+        s.conf.set("spark.sql.session.timeZone", oldTz)
+        sweepDir(tmp)
+      }
+      import s.implicits._
+      rows.toDF("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
     })
   )
 
@@ -3684,7 +3760,32 @@ object SparkEntry {
         |       greatest(CAST(r.w AS DOUBLE), coalesce(t.tau, 0.0)) AS w_hat
         |FROM ranked r LEFT JOIN tau t ON r.stratum = t.stratum
         |WHERE r.r <= r.k
-        |ORDER BY r.stratum, r.doc_id""".stripMargin
+        |ORDER BY r.stratum, r.doc_id""".stripMargin,
+
+    // The batch gaps-and-islands dual of the streaming session windows.
+    // Break rule mirrors Spark's INCLUSIVE merge (next_start <= end):
+    // a new session starts only when the gap STRICTLY exceeds 30 min —
+    // integer-exact in microseconds on both engines.
+    "q92_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                      > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming sessionization — gap-based session windows with watermark
+  * finalization, the continuous form of the batch gaps-and-islands
+  * sessionize (SparkEntry q24). Events that arrive within `gap` of a
+  * key's open session extend it (and two sessions MERGE when a
+  * bridging event lands between them — Spark's session state store
+  * supports in-place merge, so out-of-order arrival inside the
+  * watermark never splits a session); once the watermark passes a
+  * session's end, the session is final and append mode emits it
+  * EXACTLY ONCE with its aggregates.
+  *
+  * Scale shape: state is partitioned by key and holds OPEN sessions
+  * only — the watermark evicts every closed one — so state size tracks
+  * concurrently-active keys, not history length. A year-long stream
+  * over 10^8 users costs what the busiest `gap`-wide slice costs, and
+  * the emitted sink is append-only parquet a downstream batch join
+  * consumes incrementally. This is the shape a clickstream/telemetry
+  * sessionizer needs at 100 TB: no restatement, no full-history
+  * shuffle, exactly-once session rows.
+  *
+  * Boundary semantics (pinned in SessionWindowsSpec and mirrored by the
+  * q92 oracle): a session's window is `[first_ts, last_ts + gap]` for
+  * merging purposes — Spark's merge test is `next_start <= session_end`,
+  * so an event AT exactly `last_ts + gap` still EXTENDS the session;
+  * only a strictly larger gap starts a new one (i.e. a break is
+  * `ts - prev_ts > gap`, matching the batch q24 convention). Events
+  * older than the current watermark are dropped (the standard lateness
+  * contract; the spec pins it).
+  */
+object SessionWindows {
+
+  /** Per-(key, session) aggregation of `events` (a streaming or batch
+    * DataFrame): `n_events` plus any `extraAggs`, keyed by
+    * `session_window(tsCol, gap)` under `withWatermark(tsCol, delay)`.
+    * Output columns: key, `session_start`, `session_end` (= last event
+    * + gap), `n_events`, then the extra aggregates in order.
+    *
+    * Works identically on a BATCH DataFrame (no watermark applied —
+    * `session_window` is a plain grouping there), which is the
+    * differential the spec uses: streaming append output ≡ the batch
+    * sessionization of the same rows.
+    */
+  def sessions(events: DataFrame, keyCol: String, tsCol: String,
+               gap: String, delay: String,
+               extraAggs: Seq[Column] = Nil): DataFrame = {
+    val base = if (events.isStreaming) events.withWatermark(tsCol, delay)
+      else events
+    val agged = base
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"), extraAggs: _*)
+    // output = key, window bounds, then every aggregate in declared order
+    val aggCols = agged.columns
+      .filter(c => c != keyCol && c != "session_window").map(col)
+    agged.select(col(keyCol) +:
+      col("session_window.start").as("session_start") +:
+      col("session_window.end").as("session_end") +: aggCols.toSeq: _*)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionWindowsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-session-windows-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Int, sec: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      f"2026-08-17 ${10 + min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  /** (user, session_start_ts, session_end_ts, n_events) of a memory table,
+    * sentinel user -1 removed.
+    */
+  private def sessionsOf(table: String) =
+    spark.table(table).filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+
+  test("append mode emits finalized sessions exactly once, merges " +
+    "cross-batch, and equals the batch sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = SessionWindows.sessions(
+      source.toDS().toDF("user_id", "ts"), "user_id", "ts",
+      "10 minutes", "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      // user 1: one session split ACROSS batches (merge-in-state);
+      // user 2: two open sessions that a batch-2 bridge event must merge
+      // into ONE — the session-store merge pin. The 30-minute delay keeps
+      // the batch-2 events (9 < batch-1 max 18) inside the lateness bound.
+      source.addData((1L, ts(0)), (1L, ts(5)),
+        (2L, ts(0)), (2L, ts(18)))
+      q.processAllAvailable()
+      assert(sessionsOf("ssess").isEmpty,
+        "nothing may emit before the watermark passes a session end")
+      source.addData((1L, ts(9)), (2L, ts(9)))
+      q.processAllAvailable()
+      // flush: sentinel far in the future, then let eviction batches run
+      source.addData((-1L, ts(600)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = sessionsOf("ssess")
+      val expected = Set(
+        (1L, ts(0), ts(19), 3L), // 0,5,9 chain → end = 9 + 10min
+        (2L, ts(0), ts(28), 3L)) // 9 bridges [0,10) with [18,28)
+      assert(got == expected, s"got $got")
+      // exactly once: a second flush re-emits nothing
+      source.addData((-1L, ts(1200)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(sessionsOf("ssess") == expected)
+      // differential: batch session_window over the same real rows
+      val batch = SessionWindows.sessions(
+        Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(0)), (2L, ts(18)),
+          (1L, ts(9)), (2L, ts(9))).toDF("user_id", "ts"),
+        "user_id", "ts", "10 minutes", "30 minutes")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3))).toSet
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
+  test("an event at exactly last_ts + gap still MERGES (inclusive merge: " +
+    "next_start <= session_end); only strictly beyond it starts a new " +
+    "session — the boundary the q92 oracle mirrors") {
+    import spark.implicits._
+    val got = SessionWindows.sessions(
+      Seq((1L, ts(0)), (1L, ts(10)), // exactly gap apart: one session
+        (2L, ts(0)), (2L, ts(10, 1))) // one second beyond: two
+        .toDF("user_id", "ts"),
+      "user_id", "ts", "10 minutes", "0 seconds")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, ts(0), ts(20), 2L), // merged: end = 10min + gap
+      (2L, ts(0), ts(10), 1L), // 10:00:00 alone
+      (2L, ts(10, 1), ts(20, 1), 1L)), // 10:10:01 starts fresh
+      s"inclusive-merge boundary violated: $got")
+  }
+
+  test("events below the watermark are dropped (lateness contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = SessionWindows.sessions(
+      source.toDS().toDF("user_id", "ts"), "user_id", "ts",
+      "10 minutes", "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("ssess_late")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(100)))
+      q.processAllAvailable() // watermark → ts(100)
+      source.addData((2L, ts(0))) // far below the watermark: dropped
+      q.processAllAvailable()
+      source.addData((-1L, ts(600)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val users = spark.table("ssess_late").filter(col("user_id") >= 0)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(users == Set(1L), s"late event must be dropped: $users")
+    } finally q.stop()
+  }
+
+  test("extraAggs append in declared order with correct values") {
+    import spark.implicits._
+    val got = SessionWindows.sessions(
+      Seq((1L, ts(0), 2.0), (1L, ts(5), 3.5), (1L, ts(30), 1.0))
+        .toDF("user_id", "ts", "value"),
+      "user_id", "ts", "10 minutes", "0 seconds",
+      extraAggs = Seq(sum(col("value")).as("total"),
+        max(col("value")).as("peak")))
+    assert(got.columns.toSeq == Seq("user_id", "session_start",
+      "session_end", "n_events", "total", "peak"))
+    val rows = got.orderBy("session_start").collect()
+      .map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows == Seq((2L, 5.5, 3.5), (1L, 1.0, 1.0)))
+  }
+}
