@@ -2119,6 +2119,53 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
+    }),
+
+    // q93: named refs (Iceberg tags) — the documents table in 5 residue
+    // partitions, tagged v1 at the full state; a COW delete of
+    // doc_id % 10 == 7 and a compaction later, tagged v2. The tag reads
+    // must serve each pinned state EXACTLY (v1 through the retired
+    // lineage the delete created, v2 across the compaction), and the
+    // tag-to-tag changelog nets to exactly the deleted rows. Requires
+    // pin the ref-retention clamp (expireHistory is a no-op while v1
+    // lives) and compaction invisibility; every surviving number is
+    // closed-form modular arithmetic over the raw table.
+    "q93_tag_reads" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tagq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 5).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(col("doc_id") % 5 === k), Seq("doc_id"))
+          }
+          cat.createTag("c", "v1")
+          cat.deleteWhere("c", col("doc_id") % 10L === 7L)
+          require(cat.compactPartition("c", "k1"))
+          cat.createTag("c", "v2")
+          require(cat.expireHistory("c",
+            System.currentTimeMillis() + 60000L) == 0,
+            "retention must clamp below the oldest live tag")
+          def agg1(phase: String, ct: String,
+                   df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum("doc_id"), lit(0L))).head()
+            (phase, ct, r.getLong(0), r.getLong(1))
+          }
+          val delta = cat.readChangesBetweenTags("c", "v1", "v2")
+          require(delta.where(col("_change_type") === "insert").isEmpty,
+            "v1->v2 is a pure delete span — the compaction must net out")
+          Seq(
+            agg1("delta", "delete", delta),
+            agg1("v1", "full", cat.readTableAtTag("c", "v1")),
+            agg1("v2", "live", cat.readTableAtTag("c", "v2")))
+            .toDF("phase", "change_type", "n_rows", "id_sum")
+            .orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3785,7 +3832,27 @@ object SparkEntry {
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Tag reads are closed-form: v1 pinned the full table, v2 the state
+    // after deleting doc_id % 10 == 7, and the tag-to-tag changelog is
+    // exactly the deleted rows (the compaction nets out).
+    "q93_tag_reads" ->
+      """SELECT 'delta' AS phase, 'delete' AS change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 10 = 7
+        |UNION ALL
+        |SELECT 'v1' AS phase, 'full' AS change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |UNION ALL
+        |SELECT 'v2' AS phase, 'live' AS change_type,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 10 <> 7
+        |ORDER BY phase""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

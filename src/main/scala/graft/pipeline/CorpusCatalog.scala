@@ -849,6 +849,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * expired.
     */
   def expireHistory(table: String, beforeMs: Long): Int = {
+    // tags pin their cut's lineage (the Iceberg ref-retention rule):
+    // a version is visible at tag ms T iff its successor lands strictly
+    // after (T, seq) — a successor in T's own millisecond already makes
+    // a cutoff of T unsafe, so the floor is the oldest tag's ms - 1
+    val tagFloor = listTags(table).map(_.ms - 1L)
+      .minOption.getOrElse(Long.MaxValue)
+    val effective = math.min(beforeMs, tagFloor)
+    if (effective < beforeMs)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"expireHistory over $table: cutoff clamped $beforeMs -> " +
+          s"$effective by the oldest tag")
     val all = snapshots(table)
     var expired = 0
     var touched = List.empty[String]
@@ -856,7 +867,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       if (s.history.nonEmpty) {
         val vs = s.versions
         val keep = s.history.zipWithIndex
-          .filterNot { case (_, i) => vs(i + 1).ms <= beforeMs }
+          .filterNot { case (_, i) => vs(i + 1).ms <= effective }
           .map(_._1)
         if (keep.size != s.history.size) {
           expired += s.history.size - keep.size
@@ -867,7 +878,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       }
     }
     if (touched.nonEmpty) {
-      advanceExpiryWatermark(table, beforeMs)
+      advanceExpiryWatermark(table, effective)
       if (fs.exists(manifestFile(table)))
         checkpointSnapshotLog(table, forceReread = touched.toSet)
     }
@@ -908,14 +919,146 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         "would be silently incomplete")
   }
 
+  // ---- named refs: TAGS (Iceberg's ref surface) ------------------------
+
+  private def refsDir(table: String): HPath =
+    new HPath(tableDir(table), "_refs")
+  private def tagFile(table: String, name: String): HPath =
+    new HPath(refsDir(table), s"tag.$name")
+
+  /** Create an IMMUTABLE named ref — Iceberg's tag: "release-v3",
+    * "audited-2026-08", the human name for a table state that reads,
+    * CDC, and retention can then address forever. The tag pins a
+    * `(ms, seq)` cut: by default the CURRENT state (the newest commit's
+    * exact log position, so later same-millisecond commits can never
+    * alias it), or `asOfMs` for a historical wall-clock cut.
+    *
+    * Tags are immutable by contract — creating an existing name throws
+    * (drop it first); the name is its identity. [[expireHistory]] clamps
+    * its cutoff below the oldest tag so a tagged state's lineage can
+    * never be released while the tag lives (the Iceberg ref-retention
+    * rule), which in turn keeps [[vacuum]] away from its data dirs (they
+    * stay lineage-referenced). Dropping the tag releases the state to
+    * the normal retention flow.
+    */
+  def createTag(table: String, name: String,
+                asOfMs: Long = -1L): CorpusCatalog.TagRef = {
+    require(KeyPattern.matches(name),
+      s"tag name '$name' outside [A-Za-z0-9._=-]+ — unsafe for ref files")
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    val (ms, seq) =
+      if (asOfMs < 0L) (all.last.committedAtMs, all.last.seq)
+      else {
+        requireUnexpired(table, asOfMs, s"tag '$name' at $asOfMs",
+          all.last.committedAtMs)
+        (asOfMs, Long.MaxValue)
+      }
+    if (!fs.mkdirs(refsDir(table)))
+      throw new java.io.IOException(s"mkdirs failed: ${refsDir(table)}")
+    val ref = CorpusCatalog.TagRef(name, ms, seq, System.currentTimeMillis())
+    val body = s"""{"name":${PartitionStats.Mapper.writeValueAsString(name)},""" +
+      s""""ms":$ms,"seq":$seq,"created_at_ms":${ref.createdAtMs}}"""
+    val tmp = new HPath(refsDir(table), s".$name.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // same tmp+rename atomicity as commit markers; an existing tag wins
+    if (fs.exists(tagFile(table, name)) ||
+        !fs.rename(tmp, tagFile(table, name))) {
+      fs.delete(tmp, false)
+      if (fs.exists(tagFile(table, name)))
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $table — tags are immutable; " +
+            "dropTag first to move the name")
+      throw new java.io.IOException(
+        s"tag rename failed: ${tagFile(table, name)}")
+    }
+    ref
+  }
+
+  def listTags(table: String): Seq[CorpusCatalog.TagRef] =
+    listChildNames(refsDir(table))
+      .filter(n => n.startsWith("tag.") && !n.endsWith(".tmp"))
+      .map(n => parseTag(readFully(new HPath(refsDir(table), n))))
+      .sortBy(_.name)
+
+  def tag(table: String, name: String): CorpusCatalog.TagRef = {
+    val p = tagFile(table, name)
+    require(fs.exists(p), s"no tag '$name' on $table")
+    parseTag(readFully(p))
+  }
+
+  private def parseTag(json: String): CorpusCatalog.TagRef = {
+    val n = PartitionStats.Mapper.readTree(json)
+    CorpusCatalog.TagRef(n.get("name").asText(), n.get("ms").asLong(),
+      n.get("seq").asLong(), n.get("created_at_ms").asLong())
+  }
+
+  /** Remove a tag, releasing its pinned state to normal retention.
+    * Returns false when the tag did not exist.
+    */
+  def dropTag(table: String, name: String): Boolean =
+    fs.delete(tagFile(table, name), false)
+
+  /** The tag read: the table exactly as pinned — stable across any
+    * number of later commits, rewrites, and compactions (until the tag
+    * is dropped and retention catches up).
+    */
+  def readTableAtTag(table: String, name: String): DataFrame = {
+    val t = tag(table, name)
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    requireUnexpired(table, t.ms, s"tag '$name'", all.last.committedAtMs)
+    val paths = all
+      .flatMap(_.versionAt(t.ms, t.seq))
+      .map(v => new HPath(tableDir(table), v.dir).toString)
+    require(paths.nonEmpty, s"no partition of $table visible at tag '$name'")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** CDC between two tags — "what changed between release-v1 and
+    * release-v2", the changelog read addressed by ref names. Exact
+    * `(ms, seq)` cuts, so same-millisecond commits land on the correct
+    * side.
+    */
+  def readChangesBetweenTags(table: String, fromTag: String, toTag: String,
+                             netCarryovers: Boolean = true): DataFrame = {
+    val f = tag(table, fromTag)
+    val t = tag(table, toTag)
+    require(f.ms < t.ms || (f.ms == t.ms && f.seq <= t.seq),
+      s"tag '$fromTag' (${f.ms}/${f.seq}) is newer than '$toTag' " +
+        s"(${t.ms}/${t.seq})")
+    val all = snapshots(table)
+    require(all.nonEmpty, s"no committed partitions in $table")
+    val lastMs = all.last.committedAtMs
+    requireUnexpired(table, f.ms, s"tag '$fromTag'", lastMs)
+    requireUnexpired(table, t.ms, s"tag '$toTag'", lastMs)
+    changesBetweenCuts(table, all, Some((f.ms, f.seq)), (t.ms, t.seq),
+      netCarryovers)
+  }
+
   /** Roll the table back to `snapshotId`: commit markers AFTER it are
     * removed, making the later partitions invisible to every read path
     * (their data dirs linger as uncommitted debris, exactly the state a
     * killed writer leaves, and are replaced on re-commit). Iceberg's
-    * `rollback_to_snapshot`.
+    * `rollback_to_snapshot`. Refuses while a tag pins state above the
+    * rollback point — the rollback would delete markers the tag
+    * resolves through; drop the tag first if that state is disposable.
     */
   def rollbackTo(table: String, snapshotId: Long): Unit = {
-    snapshots(table).filter(_.id > snapshotId).foreach { s =>
+    val all0 = snapshots(table)
+    val cut = all0.filter(_.id <= snapshotId).lastOption
+    val cutKey = cut.map(s => (s.committedAtMs, s.seq)).getOrElse((-1L, -1L))
+    listTags(table).find(t =>
+      t.ms > cutKey._1 || (t.ms == cutKey._1 && t.seq > cutKey._2))
+      .foreach { t =>
+        throw new IllegalStateException(
+          s"rollbackTo($snapshotId) would orphan tag '${t.name}' " +
+            s"(pinned at ${t.ms}/${t.seq}, above the rollback cut " +
+            s"${cutKey._1}/${cutKey._2}) — dropTag first")
+      }
+    all0.filter(_.id > snapshotId).foreach { s =>
       if (!fs.delete(markerFile(table, s.key), false))
         throw new java.io.IOException(
           s"rollback: cannot remove marker for ${s.key}")
@@ -1464,6 +1607,12 @@ object CorpusCatalog {
     * count, and the (ms, seq) commit point at which it became visible.
     */
   final case class Version(dir: String, rows: Long, ms: Long, seq: Long)
+
+  /** An immutable named ref (Iceberg tag): pins the table state at the
+    * exact `(ms, seq)` log cut. `createdAtMs` is provenance only.
+    */
+  final case class TagRef(name: String, ms: Long, seq: Long,
+                          createdAtMs: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Named refs (Iceberg tags): an immutable human name for an exact
+  * `(ms, seq)` table state. The contracts pinned here:
+  *   - a tag read is STABLE across later appends, COW rewrites, and
+  *     compactions — the whole point of the name;
+  *   - tags are immutable (re-creating an existing name throws; drop
+  *     releases the name);
+  *   - retention respects refs: [[CorpusCatalog.expireHistory]] clamps
+  *     its cutoff below the oldest tag, so vacuum can never reclaim a
+  *     tagged state's lineage while the tag lives — and dropping the
+  *     tag releases it to the normal flow;
+  *   - [[CorpusCatalog.rollbackTo]] refuses to delete markers a tag
+  *     resolves through;
+  *   - tag-to-tag CDC ([[CorpusCatalog.readChangesBetweenTags]]) is the
+  *     changelog between the two pinned cuts, with ordering validated.
+  */
+class TagsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-tags-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: CorpusCatalog => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_tags")
+    try f(new CorpusCatalog(tmp.toString, spark))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Wait out the current millisecond so the next commit lands on a
+    * strictly later wall-clock ms (for tests that cut by time).
+    */
+  private def tickPast(ms: Long): Unit =
+    while (System.currentTimeMillis() <= ms) Thread.sleep(1)
+
+  private def idSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("a tag read is stable across later appends, COW deletes, and " +
+    "compaction") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val v1 = cat.createTag("t", "release-v1")
+      assert(cat.listTags("t").map(_.name) == Seq("release-v1"))
+      assert(cat.tag("t", "release-v1") == v1)
+
+      // later history: an append, a COW delete, and a compaction
+      assert(cat.commitPartition("t", "g2",
+        (20L until 25L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val (_, del) = cat.deleteWhere("t", col("id") < 3L)
+      assert(del == 3L)
+      assert(cat.compactPartition("t", "g1"))
+
+      // live table moved on; the tag did not
+      assert(idSet(cat.readTable("t")) == (3L until 25L).toSet)
+      assert(idSet(cat.readTableAtTag("t", "release-v1")) ==
+        (0L until 20L).toSet)
+    }
+  }
+
+  test("tags are immutable: re-creating throws, drop releases the name") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        Seq((1L, "a")).toDF("id", "v")))
+      cat.createTag("t", "audited")
+      val e = intercept[IllegalStateException](cat.createTag("t", "audited"))
+      assert(e.getMessage.contains("immutable"))
+      assert(cat.dropTag("t", "audited"))
+      assert(!cat.dropTag("t", "audited"), "double drop reports absence")
+      cat.createTag("t", "audited") // the name is free again
+      // ref names share the key discipline — no path-unsafe names
+      intercept[IllegalArgumentException](cat.createTag("t", "bad/name"))
+    }
+  }
+
+  test("expireHistory clamps below the oldest tag; dropping the tag " +
+    "releases the state and vacuum may then reclaim it") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val v1 = cat.createTag("t", "pinned")
+      tickPast(v1.ms)
+      // the rewrite retires g0's original version into history; the tag
+      // resolves THROUGH that history entry
+      cat.deleteWhere("t", col("id") < 4L)
+      assert(idSet(cat.readTableAtTag("t", "pinned")) == (0L until 10L).toSet)
+
+      // retention, clamped: a cutoff far in the future expires NOTHING
+      // while the tag lives, and the tag still reads; vacuum right after
+      // must not touch the lineage-referenced dir either
+      assert(cat.expireHistory("t", System.currentTimeMillis() + 60000L) == 0)
+      cat.vacuum("t")
+      assert(idSet(cat.readTableAtTag("t", "pinned")) == (0L until 10L).toSet)
+
+      // drop the tag: the same cutoff now expires the retired version
+      assert(cat.dropTag("t", "pinned"))
+      assert(cat.expireHistory("t", System.currentTimeMillis() + 60000L) == 1)
+    }
+  }
+
+  test("rollbackTo refuses while a tag pins state above the cut; " +
+    "succeeds after the drop") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        Seq((1L, "a")).toDF("id", "v")))
+      assert(cat.commitPartition("t", "g1",
+        Seq((2L, "b")).toDF("id", "v")))
+      cat.createTag("t", "hold") // pins the g1 state
+      val e = intercept[IllegalStateException](cat.rollbackTo("t", 0L))
+      assert(e.getMessage.contains("hold"))
+      assert(idSet(cat.readTable("t")) == Set(1L, 2L), "refusal is clean")
+      assert(cat.dropTag("t", "hold"))
+      cat.rollbackTo("t", 0L)
+      assert(idSet(cat.readTable("t")) == Set(1L))
+    }
+  }
+
+  test("tag-to-tag CDC is the changelog between the pinned cuts; " +
+    "ordering is validated; historical asOfMs tags resolve by time") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val v1 = cat.createTag("t", "v1")
+      tickPast(v1.ms)
+      assert(cat.commitPartition("t", "g1",
+        (10L until 15L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      cat.deleteWhere("t", col("id") === 7L)
+      val v2 = cat.createTag("t", "v2")
+
+      val changes = cat.readChangesBetweenTags("t", "v1", "v2")
+      val byType = changes.select(col("_change_type"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(byType ==
+        ((10L until 15L).map(("insert", _)).toSet + (("delete", 7L))))
+
+      intercept[IllegalArgumentException](
+        cat.readChangesBetweenTags("t", "v2", "v1"))
+
+      // a historical tag created AFTER the fact, cut by wall-clock ms,
+      // reads the same state v1 pinned positionally
+      tickPast(v2.ms)
+      cat.createTag("t", "v1-by-time", asOfMs = v1.ms)
+      assert(idSet(cat.readTableAtTag("t", "v1-by-time")) ==
+        idSet(cat.readTableAtTag("t", "v1")))
+    }
+  }
+}
