@@ -2166,6 +2166,42 @@ object SparkEntry {
             .orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q94: metadata-only approximate COUNT(DISTINCT) — per-partition
+    // KMV sketches in the commit markers, merged losslessly and fed to
+    // the (k−1)·m/h_(k) estimator with ZERO data reads at query time.
+    // The knuth31 hash is plain integer arithmetic, so DuckDB re-derives
+    // the ENTIRE answer — the k-th smallest distinct hash and the IEEE
+    // division — bit-for-bit (the q91 discipline). A compaction in the
+    // middle pins that sketches survive COW rewrites (label-named hash,
+    // re-derived from the rewritten data).
+    "q94_kmv_ndv" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmvq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), (col("doc_id") % 100L).as("cls"))
+          (0 until 5).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(col("doc_id") % 5 === k), Seq("doc_id", "cls"),
+              ndvCols = Seq("doc_id", "cls"),
+              ndvConf = graft.operators.Kmv.Conf(64, "knuth31"))
+          }
+          require(cat.compactPartition("c", "k2"),
+            "compaction must succeed — sketches survive the rewrite")
+          def row(c: String) = {
+            val (est, sk) = cat.approxDistinctFromStats("c", c)
+              .getOrElse(sys.error(s"no merged sketch for $c"))
+            (c, sk.mins.length.toLong, sk.mins.last, est)
+          }
+          Seq(row("cls"), row("doc_id"))
+            .toDF("col_name", "n_hashes", "kth_hash", "ndv_est")
+            .orderBy("col_name")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3852,7 +3888,32 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents WHERE doc_id % 10 <> 7
-        |ORDER BY phase""".stripMargin
+        |ORDER BY phase""".stripMargin,
+
+    // The merged marker sketch IS the global k smallest distinct hashes
+    // (lossless KMV merge), so the oracle re-derives sketch and
+    // estimator from the raw table: 63.0 * 999999937.0 is < 2^53 (exact
+    // double) and the division is one correctly-rounded IEEE op — both
+    // engines agree bit-for-bit.
+    "q94_kmv_ndv" ->
+      """WITH h1 AS (
+        |  SELECT DISTINCT (doc_id * 2654435761) % 999999937 AS h
+        |  FROM documents
+        |), k1 AS (SELECT h FROM h1 ORDER BY h LIMIT 64),
+        |h2 AS (
+        |  SELECT DISTINCT ((doc_id % 100) * 2654435761) % 999999937 AS h
+        |  FROM documents
+        |), k2 AS (SELECT h FROM h2 ORDER BY h LIMIT 64)
+        |SELECT 'cls' AS col_name, CAST(count(*) AS BIGINT) AS n_hashes,
+        |       max(h) AS kth_hash,
+        |       63.0 * 999999937.0 / max(h) AS ndv_est
+        |FROM k2
+        |UNION ALL
+        |SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_hashes,
+        |       max(h) AS kth_hash,
+        |       63.0 * 999999937.0 / max(h) AS ndv_est
+        |FROM k1
+        |ORDER BY col_name""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Kmv
+
 /** Iceberg-shaped snapshot catalog (SURVEY.md §7.1.6). No Iceberg runtime
   * jar ships in this sandbox, so snapshot/commit semantics are provided by
   * a parquet layout + atomic commit markers; the surface (`readTable`,
@@ -132,11 +134,25 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * pushdown. The ndv hint sizes the filter (~1.2 bytes/value at the
     * default 1% FPP); oversizing wastes footer bytes, undersizing
     * inflates false positives — row count per file is the right order.
+    *
+    * `ndvCols` (must be a subset of `statsCols`) additionally records a
+    * KMV distinct-count sketch ([[graft.operators.Kmv]]) per listed
+    * column in the marker — Iceberg's per-partition ndv blob. Sketches
+    * merge losslessly across partitions, so
+    * [[approxDistinctFromStats]] answers table-level COUNT(DISTINCT c)
+    * from the snapshot log alone, and every COW rewrite re-derives them
+    * (the hash is label-named, not a closure — see [[Kmv.hashFor]]).
+    * Costs one column-pruned scan of the written partition at commit.
     */
   def commitPartition(table: String, key: String, df: DataFrame,
                       statsCols: Seq[String],
-                      bloomNdv: Map[String, Long] = Map.empty): Boolean = {
+                      bloomNdv: Map[String, Long] = Map.empty,
+                      ndvCols: Seq[String] = Nil,
+                      ndvConf: Kmv.Conf = Kmv.Conf()): Boolean = {
     validateKey(key) // before any data write — no weird-named debris dirs
+    require(ndvCols.toSet.subsetOf(statsCols.toSet),
+      s"ndvCols must be a subset of statsCols: " +
+        s"${ndvCols.filterNot(statsCols.contains)} are not")
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
     val partPath = new HPath(tableDir(table), dirName)
@@ -146,8 +162,32 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // plan runs ONCE, and the read-back never touches data pages
     val (rows, stats) =
       PartitionStats.collect(statsSession, spark, partPath.toString, statsCols)
-    if (tryWriteMarker(table, key, rows, dirName, stats)) true
+    val withNdv = attachSketches(partPath.toString, stats,
+      ndvCols.map(_ -> ((ndvConf.k, ndvConf.hash))).toMap)
+    if (tryWriteMarker(table, key, rows, dirName, withNdv)) true
     else { fs.delete(partPath, true); false } // lost the same-key race
+  }
+
+  /** Recompute and attach KMV sketches for `want` (column → (k, hash))
+    * onto `stats`, one sketch job per distinct (k, hash) conf (usually
+    * one). Columns whose base stats were dropped (NaN extremes) get no
+    * sketch — the refuse-don't-guess discipline downstream.
+    */
+  private def attachSketches(dir: String,
+                             stats: Map[String, PartitionStats.ColStats],
+                             want: Map[String, (Int, String)])
+      : Map[String, PartitionStats.ColStats] = {
+    val present = want.filter { case (c, _) => stats.contains(c) }
+    if (present.isEmpty) return stats
+    present.groupBy(_._2).foldLeft(stats) { case (acc, ((k, h), cols)) =>
+      val names = cols.keys.toSeq.sorted
+      val sk = Kmv.sketchAll(
+        spark.read.parquet(dir).select(names.map(col): _*),
+        names, Kmv.Conf(k, h))
+      acc.map { case (c, cs) =>
+        c -> sk.get(c).map(s => cs.copy(kmv = Some(s))).getOrElse(cs)
+      }
+    }
   }
 
   /** A fresh staging directory for a single-job partitioned write; staged
@@ -838,6 +878,32 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       "min_value", "max_value"))
   }
 
+  /** Metadata-only approximate COUNT(DISTINCT column): the per-partition
+    * KMV sketches from the commit markers, merged losslessly (the k
+    * smallest distinct hashes of a union are contained in the union of
+    * the per-partition k smallest) and fed to the `(k−1)·m/h_(k)`
+    * estimator — zero data files read, the Iceberg ndv-blob story. At
+    * 10^6 partitions this answers "how many distinct repos/languages/
+    * shards" as a metadata fold instead of a full-column shuffle.
+    *
+    * Returns `(estimate, mergedSketch)`; None — never a guess — when
+    * any visible partition lacks a sketch for the column (legacy
+    * commit, column not in its `ndvCols`, or NaN-dropped stats) or the
+    * sketches were built under different hash labels. Below k global
+    * distinct hashes the estimate is the exact distinct-hash count.
+    */
+  def approxDistinctFromStats(table: String, column: String)
+      : Option[(Double, Kmv.Sketch)] = {
+    val snaps = snapshots(table)
+    if (snaps.isEmpty) return None
+    val sketches = snaps.map(_.stats.get(column).flatMap(_.kmv))
+    if (sketches.exists(_.isEmpty)) return None
+    val all = sketches.map(_.get)
+    if (all.map(_.hash).distinct.sizeIs > 1) return None
+    val merged = all.reduce(Kmv.merge)
+    Some((Kmv.estimate(merged), merged))
+  }
+
   /** Iceberg's `expire_snapshots`: drop every lineage version that was
     * already REPLACED by `beforeMs` (its successor's commit point is at
     * or before the cutoff), releasing its data dir to [[vacuum]].
@@ -1337,7 +1403,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val target = new HPath(tableDir(table), dirName)
     withBloom(df.write.mode(SaveMode.Overwrite), bloomNdv)
       .parquet(target.toString)
-    val (rows, stats) = PartitionStats.collect(statsSession, spark,
+    val (rows, stats0) = PartitionStats.collect(statsSession, spark,
       target.toString, snap.stats.keys.toSeq.sorted)
     if (rows != expectedRows) {
       fs.delete(target, true)
@@ -1345,6 +1411,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         s"$what: rewrite of $table/${snap.key} wrote $rows rows, " +
           s"expected $expectedRows — aborted, original data untouched")
     }
+    // KMV sketches survive rewrites: the hash is label-named, so the
+    // sketch re-derives from the rewritten data with the SAME conf the
+    // commit used — a compaction keeps the estimate, a delete/merge
+    // reflects the new distinct set
+    val stats = attachSketches(target.toString, stats0,
+      snap.stats.collect { case (c, cs) if cs.kmv.isDefined =>
+        c -> ((cs.kmv.get.k, cs.kmv.get.hash)) })
     // the outgoing version joins the lineage: its dir stays on disk
     // (vacuum protects history dirs) so time travel and CDC can still
     // resolve it; expireHistory is the retention lever

@@ -36,10 +36,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object PartitionStats {
 
   /** `typ`: "long" | "double" | "string". `min`/`max` are None when every
-    * value in the partition is NULL (then `nulls == rows`).
+    * value in the partition is NULL (then `nulls == rows`). `kmv` is the
+    * optional distinct-count sketch ([[graft.operators.Kmv]]) — absent on
+    * legacy markers and on columns not listed in `ndvCols` at commit.
     */
   final case class ColStats(typ: String, min: Option[String],
-                            max: Option[String], nulls: Long)
+                            max: Option[String], nulls: Long,
+                            kmv: Option[graft.operators.Kmv.Sketch] = None)
 
   private[pipeline] def statType(dt: DataType): Option[String] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some("long")
@@ -184,7 +187,10 @@ object PartitionStats {
     stats.toSeq.sortBy(_._1).map { case (c, cs) =>
       val mn = cs.min.map(v => s""","min":${jstr(v)}""").getOrElse("")
       val mx = cs.max.map(v => s""","max":${jstr(v)}""").getOrElse("")
-      s"""${jstr(c)}:{"t":"${cs.typ}"$mn$mx,"nulls":${cs.nulls}}"""
+      val kv = cs.kmv.map(s =>
+        s""","kmv":{"k":${s.k},"h":${jstr(s.hash)},""" +
+          s""""v":[${s.mins.mkString(",")}]}""").getOrElse("")
+      s"""${jstr(c)}:{"t":"${cs.typ}"$mn$mx,"nulls":${cs.nulls}$kv}"""
     }.mkString("{", ",", "}")
 
   def fromJson(json: String): Map[String, ColStats] = {
@@ -196,8 +202,16 @@ object PartitionStats {
       val v = e.getValue
       def opt(f: String) =
         if (v.has(f)) Some(v.get(f).asText()) else None
+      val kmv = if (!v.has("kmv")) None else {
+        val kn = v.get("kmv")
+        val vals = Vector.newBuilder[Long]
+        val vi = kn.get("v").elements()
+        while (vi.hasNext) vals += vi.next().asLong()
+        Some(graft.operators.Kmv.Sketch(kn.get("k").asInt(),
+          kn.get("h").asText(), vals.result()))
+      }
       out += e.getKey -> ColStats(v.get("t").asText(), opt("min"), opt("max"),
-        v.get("nulls").asLong())
+        v.get("nulls").asLong(), kmv)
     }
     out.result()
   }

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{CorpusCatalog, PartitionStats}
+
+/** KMV distinct-count sketches: the sketch is the k smallest DISTINCT
+  * hashes (first principles, re-derived in plain Scala); merging is
+  * lossless (merge(a,b) == sketch(a ∪ b), the property that makes
+  * per-partition sketches answer table-level NDV); the estimator is
+  * EXACT below k and within the published error bound above it; the
+  * distributed plan carries per-partition k-heaps (WindowGroupLimit)
+  * under the exchange; and the catalog round-trips sketches through
+  * commit markers, re-derives them across COW rewrites, and refuses —
+  * never guesses — when any partition lacks one.
+  */
+class KmvSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-kmv-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def knuth(x: Long): Long =
+    java.lang.Math.floorMod(x * 2654435761L, 999999937L)
+
+  private def df(ids: Seq[Long]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.toDF("id").repartition(4)
+  }
+
+  test("sketchAll = the k smallest distinct hashes, first principles; " +
+    "NULLs excluded; several columns in one job") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 500L) ++ (0L until 500L) // every value twice
+    val d = ids.toDF("id")
+      .withColumn("cls", col("id") % 10)
+      .withColumn("maybe", when(col("id") % 2 === 0, col("id")))
+      .repartition(4)
+    val sk = Kmv.sketchAll(d, Seq("id", "cls", "maybe"),
+      Kmv.Conf(16, "knuth31"))
+    def expect(vals: Seq[Long]) =
+      vals.map(knuth).distinct.sorted.take(16).toVector
+    assert(sk("id").mins == expect(0L until 500L))
+    assert(sk("cls").mins == expect(0L until 10L), "below k: complete set")
+    assert(sk("cls").mins.length == 10)
+    assert(sk("maybe").mins == expect((0L until 500L).filter(_ % 2 == 0)),
+      "NULLs must not hash into the sketch")
+  }
+
+  test("merge is lossless: merge(sketch(a), sketch(b)) == sketch(a ++ b); " +
+    "mixed hashes refuse; mixed k degrades to min k") {
+    val a = (0L until 300L).map(_ * 3)
+    val b = (0L until 300L).map(_ * 7)
+    val conf = Kmv.Conf(32, "knuth31")
+    val sa = Kmv.sketchAll(df(a), Seq("id"), conf)("id")
+    val sb = Kmv.sketchAll(df(b), Seq("id"), conf)("id")
+    val su = Kmv.sketchAll(df(a ++ b), Seq("id"), conf)("id")
+    assert(Kmv.merge(sa, sb) == su)
+    val sb8 = Kmv.Sketch(8, sb.hash, sb.mins.take(8))
+    assert(Kmv.merge(sa, sb8) ==
+      Kmv.Sketch(8, "knuth31", su.mins.take(8)),
+      "mixed k degrades to an exact KMV at min k")
+    intercept[IllegalArgumentException](
+      Kmv.merge(sa, sb.copy(hash = "xxh63")))
+  }
+
+  test("estimate: exact below k; within 4/sqrt(k-2) relative error above " +
+    "it (xxh63, 100k distinct values); deterministic") {
+    val small = Kmv.sketchAll(df(0L until 40L), Seq("id"),
+      Kmv.Conf(64, "knuth31"))("id")
+    assert(Kmv.estimate(small) == 40.0)
+
+    val conf = Kmv.Conf(256, "xxh63")
+    val big = Kmv.sketchAll(df(0L until 100000L), Seq("id"), conf)("id")
+    val big2 = Kmv.sketchAll(df(0L until 100000L), Seq("id"), conf)("id")
+    assert(big == big2, "sketches are deterministic")
+    val est = Kmv.estimate(big)
+    val rse = 4.0 / math.sqrt(conf.k - 2.0)
+    assert(math.abs(est - 100000.0) / 100000.0 < rse,
+      s"estimate $est outside ${rse * 100}% of 100000")
+    // duplicates change nothing: NDV is about distinct values
+    val dup = Kmv.sketchAll(df((0L until 100000L) ++ (0L until 1000L)),
+      Seq("id"), conf)("id")
+    assert(dup == big)
+  }
+
+  test("plan shape: the k-cut runs as per-partition WindowGroupLimit " +
+    "heaps below the exchange, not a global sort") {
+    val d = df(0L until 1000L)
+    val hashes = array(when(col("id").isNotNull,
+      Kmv.hashFor("xxh63")._1(col("id"))))
+    val plan = d.select(posexplode(hashes).as(Seq("__kmv_ci", "__kmv_h")))
+      .where(col("__kmv_h").isNotNull).distinct()
+      .withColumn("__kmv_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__kmv_ci").orderBy("__kmv_h")))
+      .where(col("__kmv_r") <= lit(64))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("catalog: sketches round-trip through commit markers, merge " +
+    "across partitions to the global answer, survive compaction and " +
+    "reflect a COW delete; refusal when any partition lacks one") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kmvcat")
+    try {
+      val spark2 = spark
+      import spark2.implicits._
+      val cat = new CorpusCatalog(tmp.toString, spark)
+      val docs = (0L until 400L).map(i => (i, i % 50)).toDF("id", "cls")
+      (0 until 4).foreach { p =>
+        assert(cat.commitPartition("t", s"p$p",
+          docs.filter(col("id") % 4 === p), Seq("id", "cls"),
+          ndvCols = Seq("id", "cls"), ndvConf = Kmv.Conf(32, "knuth31")))
+      }
+      // marker round-trip: the persisted sketch equals a fresh in-memory
+      // sketch of the same partition
+      val snap0 = cat.snapshots("t").find(_.key == "p0").get
+      val fresh = Kmv.sketchAll(docs.filter(col("id") % 4 === 0),
+        Seq("id"), Kmv.Conf(32, "knuth31"))("id")
+      assert(snap0.stats("id").kmv.contains(fresh))
+
+      // merged across partitions == sketch over the whole table
+      val (estId, mergedId) = cat.approxDistinctFromStats("t", "id").get
+      assert(mergedId ==
+        Kmv.sketchAll(docs, Seq("id"), Kmv.Conf(32, "knuth31"))("id"))
+      assert(estId == Kmv.estimate(mergedId))
+      // cls has 50 >= k=32 distinct -> estimator path; id -> estimator
+      val (estCls, mCls) = cat.approxDistinctFromStats("t", "cls").get
+      assert(mCls.mins.length == 32 && estCls > 0)
+
+      // compaction re-derives: same data, same sketch
+      assert(cat.compactPartition("t", "p1"))
+      assert(cat.approxDistinctFromStats("t", "id").get._2 == mergedId)
+
+      // a COW delete shrinks the distinct set: exact below k
+      cat.deleteWhere("t", col("cls") >= 5L) // keep cls in {0..4}, 40 ids
+      val (estCls2, mCls2) = cat.approxDistinctFromStats("t", "cls").get
+      assert(mCls2.mins.length == 5 && estCls2 == 5.0,
+        s"expected exact 5 distinct cls after delete, got $estCls2")
+
+      // refusal: a partition without sketches poisons the fold to None
+      assert(cat.commitPartition("t", "late",
+        Seq((10000L, 99L)).toDF("id", "cls"), Seq("id", "cls")))
+      assert(cat.approxDistinctFromStats("t", "id").isEmpty)
+      assert(cat.approxDistinctFromStats("t", "nope").isEmpty)
+      // ndvCols outside statsCols refuse loudly
+      intercept[IllegalArgumentException](
+        cat.commitPartition("t", "bad", docs.limit(1), Seq("id"),
+          ndvCols = Seq("cls")))
+      // legacy markers (no kmv field) keep parsing: the pre-ndv
+      // partitions above already prove absence-tolerance; pin the JSON
+      // shape too
+      val js = PartitionStats.toJson(Map("c" ->
+        PartitionStats.ColStats("long", Some("1"), Some("2"), 0L,
+          Some(Kmv.Sketch(4, "knuth31", Vector(1L, 2L))))))
+      assert(PartitionStats.fromJson(js)("c").kmv
+        .contains(Kmv.Sketch(4, "knuth31", Vector(1L, 2L))))
+      assert(PartitionStats.fromJson(
+        """{"c":{"t":"long","min":"1","max":"2","nulls":0}}""")("c")
+        .kmv.isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+}
