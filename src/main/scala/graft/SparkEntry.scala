@@ -2202,6 +2202,59 @@ object SparkEntry {
             .orderBy("col_name")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q95: write-audit-publish — the documents table in 4 residue
+    // partitions on main; a branch shadows k1 with the "quality-fixed"
+    // rework (doc_id % 8 == 1 dropped) and stages a brand-new partition
+    // (class-2 docs re-keyed +1e6). The audit reads the branch overlay
+    // while a require pins that main NEVER saw any of it; publish
+    // fast-forwards main and the final read equals the branch state.
+    // Every surviving number is modular arithmetic over the raw table.
+    "q95_wap_publish" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wapq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 4).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(col("doc_id") % 4 === k), Seq("doc_id"))
+          }
+          val full = cat.readTable("c")
+            .agg(count(lit(1)), sum("doc_id")).head()
+          cat.createBranch("c", "audit")
+          require(cat.commitPartitionToBranch("c", "audit", "k1",
+            docs.filter(col("doc_id") % 4 === 1 && col("doc_id") % 8 =!= 1),
+            Seq("doc_id")))
+          require(cat.commitPartitionToBranch("c", "audit", "newp",
+            docs.filter(col("doc_id") % 4 === 2)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("n_chars")), Seq("doc_id")))
+          // the A in WAP: main is provably untouched by branch writes
+          val mainNow = cat.readTable("c")
+            .agg(count(lit(1)), sum("doc_id")).head()
+          require(mainNow == full,
+            "branch commits leaked into the main read")
+          def agg1(phase: String, df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum("doc_id"), lit(0L))).head()
+            (phase, r.getLong(0), r.getLong(1))
+          }
+          val audit = agg1("audit_branch", cat.readTableOnBranch("c", "audit"))
+          val nPub = cat.publishBranch("c", "audit").toLong
+          Seq(audit, ("audit_main", full.getLong(0), full.getLong(1)),
+            ("final", 0L, 0L), ("published", nPub, 0L))
+            .map { case (p, a, b) =>
+              if (p == "final") agg1("final", cat.readTable("c"))
+              else (p, a, b)
+            }
+            .toDF("phase", "n_rows", "id_sum")
+            .orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3913,7 +3966,35 @@ object SparkEntry {
         |       max(h) AS kth_hash,
         |       63.0 * 999999937.0 / max(h) AS ndv_est
         |FROM k1
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    // Branch state = all docs minus the dropped % 8 == 1 half of class
+    // 1, plus class-2 re-keyed +1e6; publish makes main equal it. Two
+    // partitions were published (the shadow + the new one).
+    "q95_wap_publish" ->
+      """WITH branch AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 8 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 4 = 2
+        |)
+        |SELECT 'audit_branch' AS phase,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM branch
+        |UNION ALL
+        |SELECT 'audit_main' AS phase,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |UNION ALL
+        |SELECT 'final' AS phase,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM branch
+        |UNION ALL
+        |SELECT 'published' AS phase, CAST(2 AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS id_sum
+        |ORDER BY phase""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -301,29 +301,39 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   private def tryWriteMarker(table: String, key: String, rows: Long,
                              dirName: String,
                              stats: Map[String, PartitionStats.ColStats] =
-                               Map.empty): Boolean = {
+                               Map.empty): Boolean =
+    tryWriteMarkerIn(commitDir(table), key, rows, dirName, stats)
+
+  /** The atomic-marker write against an explicit commit dir — the main
+    * log or a branch's ([[commitPartitionToBranch]]); identical race
+    * semantics either way.
+    */
+  private def tryWriteMarkerIn(cdir: HPath, key: String, rows: Long,
+                               dirName: String,
+                               stats: Map[String, PartitionStats.ColStats])
+      : Boolean = {
     validateKey(key)
-    if (!fs.mkdirs(commitDir(table)))
-      throw new java.io.IOException(s"mkdirs failed: ${commitDir(table)}")
-    val tmp = new HPath(commitDir(table), s".$key.${System.nanoTime()}.tmp")
+    if (!fs.mkdirs(cdir))
+      throw new java.io.IOException(s"mkdirs failed: $cdir")
+    val target = new HPath(cdir, s"$key.json")
+    val tmp = new HPath(cdir, s".$key.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(markerBody(key, rows, dirName, stats)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // last-moment re-check narrows the both-rename window to FS races the
     // rename itself resolves (see scaladoc)
-    if (isCommitted(table, key)) { fs.delete(tmp, false); return false }
-    if (fs.rename(tmp, markerFile(table, key))) true
+    if (fs.exists(target)) { fs.delete(tmp, false); return false }
+    if (fs.rename(tmp, target)) true
     else {
       fs.delete(tmp, false)
       // a false rename is only a benign race signal when someone ELSE's
       // marker landed; with no marker present it is a genuine FS failure —
       // returning false there would read as "already committed" and the
       // caller would delete freshly written data with no error anywhere
-      if (isCommitted(table, key)) false
+      if (fs.exists(target)) false
       else throw new java.io.IOException(
-        s"marker rename failed with no competing marker: " +
-          s"${markerFile(table, key)}")
+        s"marker rename failed with no competing marker: $target")
     }
   }
 
@@ -406,8 +416,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * the marker is written atomically LAST, so marker order IS the
     * visibility order. Snapshot ids are dense 0..n-1 in that order.
     */
-  def snapshots(table: String): Seq[CorpusCatalog.Snapshot] = {
-    val d = commitDir(table)
+  def snapshots(table: String): Seq[CorpusCatalog.Snapshot] =
+    parseSnapshotLog(commitDir(table), manifestCache(table))
+
+  /** Parse one commit-marker directory into its snapshot log — shared by
+    * the main log ([[snapshots]], manifest-cached) and branch logs
+    * ([[branchSnapshots]], small and short-lived, no manifest).
+    */
+  private def parseSnapshotLog(d: HPath,
+                               cached: Map[String, (Long, Long, String)])
+      : Seq[CorpusCatalog.Snapshot] = {
     if (!fs.exists(d)) return Seq.empty
     val R = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"dir":"(part=[A-Za-z0-9._=@-]+)",""" +
@@ -435,7 +453,6 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // migration caveat — re-committing any legacy partition upgrades it).
     val LegacyR = ("""\{"partition":"([A-Za-z0-9._=-]+)","rows":(\d+),""" +
       """"committed_at_nanos":(\d+)\}""").r
-    val cached = manifestCache(table)
     fs.listStatus(d).iterator
       .filter { st =>
         val n = st.getPath.getName
@@ -915,17 +932,20 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * expired.
     */
   def expireHistory(table: String, beforeMs: Long): Int = {
-    // tags pin their cut's lineage (the Iceberg ref-retention rule):
-    // a version is visible at tag ms T iff its successor lands strictly
+    // refs pin their cut's lineage (the Iceberg ref-retention rule):
+    // a version is visible at ref ms T iff its successor lands strictly
     // after (T, seq) — a successor in T's own millisecond already makes
-    // a cutoff of T unsafe, so the floor is the oldest tag's ms - 1
-    val tagFloor = listTags(table).map(_.ms - 1L)
+    // a cutoff of T unsafe, so the floor is the oldest ref's ms - 1.
+    // Branch BASES pin the same way (the audit read resolves the base
+    // through lineage); empty-base branches (ms = -1) pin nothing.
+    val tagFloor = (listTags(table).map(_.ms) ++
+      listBranches(table).map(_.ms).filter(_ >= 0L)).map(_ - 1L)
       .minOption.getOrElse(Long.MaxValue)
     val effective = math.min(beforeMs, tagFloor)
     if (effective < beforeMs)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"expireHistory over $table: cutoff clamped $beforeMs -> " +
-          s"$effective by the oldest tag")
+          s"$effective by the oldest tag/branch ref")
     val all = snapshots(table)
     var expired = 0
     var touched = List.empty[String]
@@ -1104,6 +1124,202 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       netCarryovers)
   }
 
+  // ---- named refs: BRANCHES (write-audit-publish) ----------------------
+
+  private def branchFile(table: String, name: String): HPath =
+    new HPath(refsDir(table), s"branch.$name")
+  private def branchCommitDir(table: String, name: String): HPath =
+    new HPath(new HPath(tableDir(table), "_branches"), name)
+
+  /** Create a BRANCH — Iceberg's write-audit-publish staging ref: an
+    * isolated commit log diverging from the main table at its current
+    * `(ms, seq)` cut (the BASE; `(-1, -1)` on an empty table — the
+    * first-load WAP case). Writes land on the branch via
+    * [[commitPartitionToBranch]] and are INVISIBLE to every main read;
+    * [[readTableOnBranch]] serves base-state-plus-branch-commits for
+    * the audit step; [[publishBranch]] fast-forwards main atomically
+    * per partition with optimistic conflict detection. While the branch
+    * lives, its base lineage is retention-pinned exactly like a tag
+    * ([[expireHistory]] clamps below it, [[rollbackTo]] refuses past
+    * it) and its staged data dirs are vacuum-protected.
+    */
+  def createBranch(table: String, name: String): CorpusCatalog.BranchRef = {
+    require(KeyPattern.matches(name),
+      s"branch name '$name' outside [A-Za-z0-9._=-]+ — unsafe for ref files")
+    val all = snapshots(table)
+    val (ms, seq) =
+      if (all.isEmpty) (-1L, -1L)
+      else (all.last.committedAtMs, all.last.seq)
+    if (!fs.mkdirs(refsDir(table)))
+      throw new java.io.IOException(s"mkdirs failed: ${refsDir(table)}")
+    val ref = CorpusCatalog.BranchRef(name, ms, seq,
+      System.currentTimeMillis())
+    val body =
+      s"""{"name":${PartitionStats.Mapper.writeValueAsString(name)},""" +
+        s""""ms":$ms,"seq":$seq,"created_at_ms":${ref.createdAtMs}}"""
+    val tmp = new HPath(refsDir(table), s".b.$name.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(branchFile(table, name)) ||
+        !fs.rename(tmp, branchFile(table, name))) {
+      fs.delete(tmp, false)
+      if (fs.exists(branchFile(table, name)))
+        throw new IllegalStateException(
+          s"branch '$name' already exists on $table — dropBranch first")
+      throw new java.io.IOException(
+        s"branch ref rename failed: ${branchFile(table, name)}")
+    }
+    ref
+  }
+
+  def listBranches(table: String): Seq[CorpusCatalog.BranchRef] =
+    listChildNames(refsDir(table))
+      .filter(n => n.startsWith("branch.") && !n.endsWith(".tmp"))
+      .map(n => parseBranch(readFully(new HPath(refsDir(table), n))))
+      .sortBy(_.name)
+
+  def branchRef(table: String, name: String): CorpusCatalog.BranchRef = {
+    val p = branchFile(table, name)
+    require(fs.exists(p), s"no branch '$name' on $table")
+    parseBranch(readFully(p))
+  }
+
+  private def parseBranch(json: String): CorpusCatalog.BranchRef = {
+    val n = PartitionStats.Mapper.readTree(json)
+    CorpusCatalog.BranchRef(n.get("name").asText(), n.get("ms").asLong(),
+      n.get("seq").asLong(), n.get("created_at_ms").asLong())
+  }
+
+  /** Discard a branch: its commit log vanishes and its staged data dirs
+    * become vacuumable orphans (the audit said no). Returns false when
+    * the branch did not exist. Safe after [[publishBranch]]'s internal
+    * call too — published data is referenced by MAIN markers by then.
+    */
+  def dropBranch(table: String, name: String): Boolean = {
+    fs.delete(branchCommitDir(table, name), true)
+    fs.delete(branchFile(table, name), false)
+  }
+
+  /** The branch's own commit log (branch-local markers only, not the
+    * base) — dense ids in branch-commit order.
+    */
+  def branchSnapshots(table: String, name: String)
+      : Seq[CorpusCatalog.Snapshot] =
+    parseSnapshotLog(branchCommitDir(table, name), Map.empty)
+
+  /** [[commitPartition]] against a branch: same data-dir write, same
+    * stats/ndv collection, same atomic-marker race semantics — but the
+    * marker lands in the BRANCH commit log, so main readers never see
+    * it. A key already committed on the branch no-ops (false), exactly
+    * like main resume; a key committed on MAIN is fine — the branch
+    * version SHADOWS it on branch reads and replaces it at publish.
+    */
+  def commitPartitionToBranch(table: String, branch: String, key: String,
+                              df: DataFrame,
+                              statsCols: Seq[String] = Nil,
+                              bloomNdv: Map[String, Long] = Map.empty,
+                              ndvCols: Seq[String] = Nil,
+                              ndvConf: Kmv.Conf = Kmv.Conf()): Boolean = {
+    validateKey(key)
+    require(ndvCols.toSet.subsetOf(statsCols.toSet),
+      s"ndvCols must be a subset of statsCols: " +
+        s"${ndvCols.filterNot(statsCols.contains)} are not")
+    branchRef(table, branch) // loud on a nonexistent branch
+    val cdir = branchCommitDir(table, branch)
+    if (fs.exists(new HPath(cdir, s"$key.json"))) return false
+    val dirName = newDataDirName(key)
+    val partPath = new HPath(tableDir(table), dirName)
+    withBloom(df.write.mode(SaveMode.Overwrite), bloomNdv)
+      .parquet(partPath.toString)
+    val (rows, stats) =
+      PartitionStats.collect(statsSession, spark, partPath.toString, statsCols)
+    val withNdv = attachSketches(partPath.toString, stats,
+      ndvCols.map(_ -> ((ndvConf.k, ndvConf.hash))).toMap)
+    if (tryWriteMarkerIn(cdir, key, rows, dirName, withNdv)) true
+    else { fs.delete(partPath, true); false }
+  }
+
+  /** The AUDIT read: the main table AS OF the branch base (commits to
+    * main after branch creation are invisible — true divergence
+    * semantics), overlaid with the branch's own commits (a branch key
+    * shadows its base partition). This is what validation queries run
+    * against before [[publishBranch]].
+    */
+  def readTableOnBranch(table: String, name: String,
+                        mergeSchema: Boolean = false): DataFrame = {
+    val b = branchRef(table, name)
+    val main = snapshots(table)
+    if (b.ms >= 0 && main.nonEmpty)
+      requireUnexpired(table, b.ms, s"branch '$name' base",
+        main.last.committedAtMs)
+    val base: Map[String, String] =
+      if (b.ms < 0) Map.empty
+      else main.flatMap(s => s.versionAt(b.ms, b.seq).map(v => s.key -> v.dir))
+        .toMap
+    val over = branchSnapshots(table, name).map(s => s.key -> s.dir).toMap
+    val dirs = (base ++ over).toSeq.sortBy(_._1)
+      .map { case (_, d) => new HPath(tableDir(table), d).toString }
+    require(dirs.nonEmpty,
+      s"branch '$name' of $table has no partitions (empty base, no commits)")
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
+  }
+
+  /** The PUBLISH: fast-forward main to include every branch commit.
+    * Optimistic concurrency first — any branch key whose MAIN partition
+    * changed since the branch base (a different dir at a later commit
+    * point) conflicts, and the whole publish refuses with the key list
+    * (rebase by re-creating the branch, or drop it). Then each branch
+    * marker lands on main through the same atomic discipline as every
+    * other commit: shadowed partitions REPLACE (the outgoing main
+    * version retires into lineage — time travel and CDC work across a
+    * publish), new partitions append. The publish is per-partition
+    * atomic and idempotent-resumable: a crash mid-way leaves the branch
+    * intact with some partitions already on main, and re-running skips
+    * them (same dir ⇒ published) and finishes the rest — the same
+    * eventual-completion contract as every multi-partition operation
+    * here. The branch is dropped once everything is on main. Returns
+    * the number of partitions published this call.
+    */
+  def publishBranch(table: String, name: String): Int = {
+    val b = branchRef(table, name)
+    val bs = branchSnapshots(table, name)
+    val mainByKey = snapshots(table).map(s => s.key -> s).toMap
+    val conflicts = bs.filter { s =>
+      mainByKey.get(s.key).exists { m =>
+        m.dir != s.dir &&
+          (m.committedAtMs > b.ms ||
+            (m.committedAtMs == b.ms && m.seq > b.seq))
+      }
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"publishBranch('$name') on $table: partitions " +
+          s"${conflicts.map(_.key).sorted.mkString(", ")} changed on main " +
+          "since the branch base — rebase (drop and re-create the branch " +
+          "over current main) or dropBranch")
+    var published = 0
+    bs.sortBy(s => (s.committedAtMs, s.seq)).foreach { s =>
+      mainByKey.get(s.key) match {
+        case Some(m) if m.dir == s.dir => () // already published — resume
+        case Some(m) =>
+          replaceMarker(table, s.key, s.rows, s.dir, s.stats,
+            history = m.history :+ CorpusCatalog.Version(
+              m.dir, m.rows, m.committedAtMs, m.seq))
+          published += 1
+        case None =>
+          if (!tryWriteMarker(table, s.key, s.rows, s.dir, s.stats))
+            throw new IllegalStateException(
+              s"publishBranch('$name'): a concurrent main commit created " +
+                s"partition ${s.key} after the conflict scan — re-run to " +
+                "re-evaluate")
+          published += 1
+      }
+    }
+    dropBranch(table, name)
+    published
+  }
+
   /** Roll the table back to `snapshotId`: commit markers AFTER it are
     * removed, making the later partitions invisible to every read path
     * (their data dirs linger as uncommitted debris, exactly the state a
@@ -1116,13 +1332,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val all0 = snapshots(table)
     val cut = all0.filter(_.id <= snapshotId).lastOption
     val cutKey = cut.map(s => (s.committedAtMs, s.seq)).getOrElse((-1L, -1L))
-    listTags(table).find(t =>
-      t.ms > cutKey._1 || (t.ms == cutKey._1 && t.seq > cutKey._2))
-      .foreach { t =>
+    (listTags(table).map(t => ("tag", t.name, t.ms, t.seq)) ++
+      listBranches(table).map(b => ("branch base of", b.name, b.ms, b.seq)))
+      .find { case (_, _, ms, seq) =>
+        ms > cutKey._1 || (ms == cutKey._1 && seq > cutKey._2) }
+      .foreach { case (kind, nm, ms, seq) =>
         throw new IllegalStateException(
-          s"rollbackTo($snapshotId) would orphan tag '${t.name}' " +
-            s"(pinned at ${t.ms}/${t.seq}, above the rollback cut " +
-            s"${cutKey._1}/${cutKey._2}) — dropTag first")
+          s"rollbackTo($snapshotId) would orphan $kind '$nm' " +
+            s"(pinned at $ms/$seq, above the rollback cut " +
+            s"${cutKey._1}/${cutKey._2}) — drop the ref first")
       }
     all0.filter(_.id > snapshotId).foreach { s =>
       if (!fs.delete(markerFile(table, s.key), false))
@@ -1569,9 +1787,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // current dirs AND the lineage's retired dirs are referenced — a
     // vacuum must never break time travel; run expireHistory first to
     // release old versions (the Iceberg order: expire-snapshots, THEN
-    // remove-orphan-files)
-    val referenced = snapshots(table)
-      .flatMap(s => s.versions.map(_.dir)).toSet
+    // remove-orphan-files). Live branches' staged dirs are referenced
+    // too: un-published WAP data must survive maintenance.
+    val referenced = (snapshots(table)
+      .flatMap(s => s.versions.map(_.dir)) ++
+      listBranches(table)
+        .flatMap(b => branchSnapshots(table, b.name).map(_.dir))).toSet
     val td = tableDir(table)
     val cutoff = System.currentTimeMillis() - olderThanMs
     // newest mtime of the dir or any direct child; None when the dir
@@ -1686,6 +1907,14 @@ object CorpusCatalog {
     */
   final case class TagRef(name: String, ms: Long, seq: Long,
                           createdAtMs: Long)
+
+  /** A branch ref (write-audit-publish): `(ms, seq)` is the BASE cut on
+    * main the branch diverged from — `(-1, -1)` when the table was empty
+    * at creation. The branch's own commits live in its commit log, not
+    * here.
+    */
+  final case class BranchRef(name: String, ms: Long, seq: Long,
+                             createdAtMs: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

@@ -1,0 +1,208 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Branches — write-audit-publish staging refs. The contracts:
+  *   - branch commits are INVISIBLE to main until publish; the audit
+  *     read is base-state ⊕ branch commits, and main commits after the
+  *     branch base are invisible on the branch (true divergence);
+  *   - publish is optimistic: a branch key whose main partition changed
+  *     since the base conflicts LOUDLY and nothing publishes;
+  *   - publish retires shadowed main versions into lineage (time travel
+  *     works across a publish), appends new keys, drops the branch;
+  *   - a crashed publish resumes idempotently (same dir ⇒ skip);
+  *   - vacuum never reclaims a live branch's staged dirs; retention
+  *     clamps below the branch base; rollback refuses past it;
+  *   - empty-base branches stage a first load.
+  */
+class BranchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-branch-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit)
+      : Unit = {
+    val tmp = Files.createTempDirectory("graft_branch")
+    try f(new CorpusCatalog(tmp.toString, spark), tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def idSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("WAP lifecycle: branch commits invisible to main; audit read = " +
+    "base + branch overlay, diverged from later main commits; publish " +
+    "fast-forwards with lineage; branch gone after") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartition("t", "g1",
+        (10L until 20L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      cat.createBranch("t", "wap")
+      assert(cat.listBranches("t").map(_.name) == Seq("wap"))
+
+      // shadow g1 (filtered rework) + a brand-new partition on the branch
+      assert(cat.commitPartitionToBranch("t", "wap", "g1",
+        (10L until 15L).map(i => (i, s"w$i")).toDF("id", "v"), Seq("id")))
+      assert(cat.commitPartitionToBranch("t", "wap", "g2",
+        (20L until 25L).map(i => (i, s"w$i")).toDF("id", "v"), Seq("id")))
+      // branch resume: same key no-ops
+      assert(!cat.commitPartitionToBranch("t", "wap", "g2",
+        Seq((99L, "x")).toDF("id", "v")))
+      // main is untouched by any of it
+      assert(idSet(cat.readTable("t")) == (0L until 20L).toSet)
+
+      // divergence: a main commit AFTER the base is invisible on branch
+      assert(cat.commitPartition("t", "g3",
+        (30L until 33L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      assert(idSet(cat.readTableOnBranch("t", "wap")) ==
+        ((0L until 10L) ++ (10L until 15L) ++ (20L until 25L)).toSet)
+
+      // publish: g1 replaced (old version retired), g2 appended; the
+      // untouched g3 stays — partition-level fast-forward
+      assert(cat.publishBranch("t", "wap") == 2)
+      assert(idSet(cat.readTable("t")) ==
+        ((0L until 10L) ++ (10L until 15L) ++ (20L until 25L) ++
+          (30L until 33L)).toSet)
+      assert(cat.listBranches("t").isEmpty)
+      intercept[IllegalArgumentException](cat.readTableOnBranch("t", "wap"))
+      // lineage: g1's pre-publish version is in history — time travel
+      val g1 = cat.snapshots("t").find(_.key == "g1").get
+      assert(g1.history.nonEmpty && g1.history.last.rows == 10L)
+    }
+  }
+
+  test("publish conflicts when main changed a branch key since the " +
+    "base; nothing publishes; drop + vacuum reclaims staged dirs") {
+    withCatalog { (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      cat.createBranch("t", "wap")
+      assert(cat.commitPartitionToBranch("t", "wap", "g0",
+        (0L until 5L).map(i => (i, s"w$i")).toDF("id", "v"), Seq("id")))
+      // main rewrites g0 concurrently (a COW delete)
+      cat.deleteWhere("t", col("id") === 9L)
+      val e = intercept[IllegalStateException](cat.publishBranch("t", "wap"))
+      assert(e.getMessage.contains("g0"))
+      // loud refusal left everything intact: main live, branch live
+      assert(idSet(cat.readTable("t")) == (0L until 9L).toSet)
+      assert(idSet(cat.readTableOnBranch("t", "wap")) == (0L until 5L).toSet)
+
+      // vacuum with the branch alive never touches its staged dir
+      cat.vacuum("t")
+      assert(idSet(cat.readTableOnBranch("t", "wap")) == (0L until 5L).toSet)
+      // drop: the staged dir is now an orphan and vacuum reclaims it
+      assert(cat.dropBranch("t", "wap"))
+      assert(!cat.dropBranch("t", "wap"))
+      val before = CorpusCatalogTestHooks.partDirCount(tmp.resolve("t"))
+      assert(cat.vacuum("t") >= 1)
+      assert(CorpusCatalogTestHooks.partDirCount(tmp.resolve("t")) < before)
+      assert(idSet(cat.readTable("t")) == (0L until 9L).toSet,
+        "committed data survives the reclaim")
+    }
+  }
+
+  test("retention clamps below the branch base (audit read survives " +
+    "expire+vacuum); rollback refuses past the base") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id")))
+      val b = cat.createBranch("t", "wap")
+      while (System.currentTimeMillis() <= b.ms) Thread.sleep(1)
+      // main moves on: a rewrite retires the base version into history
+      cat.deleteWhere("t", col("id") < 4L)
+      // the audit read resolves g0's BASE version through lineage
+      assert(idSet(cat.readTableOnBranch("t", "wap")) == (0L until 10L).toSet)
+      // retention is clamped by the branch base; vacuum keeps lineage
+      assert(cat.expireHistory("t", System.currentTimeMillis() + 60000L) == 0)
+      cat.vacuum("t")
+      assert(idSet(cat.readTableOnBranch("t", "wap")) == (0L until 10L).toSet)
+      // rollback past the base refuses while the branch lives
+      assert(cat.commitPartition("t", "g1",
+        Seq((50L, "x")).toDF("id", "v")))
+      val e = intercept[IllegalStateException](cat.rollbackTo("t", -1L))
+      assert(e.getMessage.contains("wap"))
+      // dropping the branch releases retention
+      assert(cat.dropBranch("t", "wap"))
+      assert(cat.expireHistory("t", System.currentTimeMillis() + 60000L) == 1)
+    }
+  }
+
+  test("empty-base branch stages a first load; crashed publish resumes " +
+    "idempotently (already-landed partition skipped)") {
+    withCatalog { (cat, tmp) =>
+      val spark2 = spark
+      import spark2.implicits._
+      cat.createBranch("e", "init")
+      assert(cat.commitPartitionToBranch("e", "init", "p0",
+        (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v")))
+      assert(cat.commitPartitionToBranch("e", "init", "p1",
+        (4L until 8L).map(i => (i, s"v$i")).toDF("id", "v")))
+      intercept[IllegalArgumentException](cat.readTable("e")) // main empty
+      assert(idSet(cat.readTableOnBranch("e", "init")) == (0L until 8L).toSet)
+
+      // simulate a crash that landed p0 on main but kept the branch:
+      // copy the branch marker (same dir!) into the main commit log
+      val bm = tmp.resolve("e/_branches/init/p0.json")
+      val mm = tmp.resolve("e/_commits/p0.json")
+      Files.createDirectories(mm.getParent)
+      Files.copy(bm, mm)
+      // resume: p0 is recognized as published (same dir), p1 lands
+      assert(cat.publishBranch("e", "init") == 1)
+      assert(idSet(cat.readTable("e")) == (0L until 8L).toSet)
+      assert(cat.listBranches("e").isEmpty)
+    }
+  }
+
+  test("branch names validate; duplicate creation throws; unknown " +
+    "branch operations are loud") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0", Seq((1L, "a")).toDF("id", "v")))
+      intercept[IllegalArgumentException](cat.createBranch("t", "bad/name"))
+      cat.createBranch("t", "b1")
+      intercept[IllegalStateException](cat.createBranch("t", "b1"))
+      intercept[IllegalArgumentException](
+        cat.commitPartitionToBranch("t", "nope", "k",
+          Seq((1L, "a")).toDF("id", "v")))
+      intercept[IllegalArgumentException](cat.publishBranch("t", "nope"))
+      // a branch with no commits publishes 0 and just drops
+      assert(cat.publishBranch("t", "b1") == 0)
+      assert(cat.listBranches("t").isEmpty)
+    }
+  }
+}
+
+/** Filesystem poke helpers kept out of the suite body. */
+private object CorpusCatalogTestHooks {
+  def partDirCount(tableDir: java.nio.file.Path): Int = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(tableDir)
+    try s.iterator().asScala.count(_.getFileName.toString.startsWith("part="))
+    finally s.close()
+  }
+}
