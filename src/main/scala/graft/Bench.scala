@@ -73,7 +73,7 @@ object Bench {
     "q89_stats_only_agg" -> 6.0, "q90_exact_k" -> 1.0,
     "q91_weighted_k" -> 1.0, "q92_stream_sessions" -> 10.0,
     "q93_tag_reads" -> 6.0, "q94_kmv_ndv" -> 8.0,
-    "q95_wap_publish" -> 8.0)
+    "q95_wap_publish" -> 8.0, "q96_maintenance" -> 10.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

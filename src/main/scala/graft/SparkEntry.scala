@@ -2255,6 +2255,56 @@ object SparkEntry {
             .orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q96: the maintenance planner — 4 residue partitions written with
+    // k+1 files each (repartition(k+1), every task non-empty at all
+    // SFs), policy maxFiles = 2, so the planner condemns exactly k2/k3
+    // (worst first — required below) and one runMaintenance call
+    // compacts them to 1 file, expires the retired versions, and
+    // vacuums the old dirs. File counts before/after are constants of
+    // the construction; rows and id sums pin conservation through the
+    // whole pass.
+    "q96_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maintq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 4).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(col("doc_id") % 4 === k).repartition(k + 1),
+              Seq("doc_id"))
+          }
+          def counts() = cat.filesTable("c").groupBy("partition").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val before = counts()
+          val plan = cat.planCompaction("c",
+            graft.pipeline.CorpusCatalog.CompactionPolicy(
+              maxFiles = 2, minFileBytes = 0))
+          require(plan.map(_.key) == Seq("k3", "k2"),
+            s"planner must condemn exactly k3,k2 worst-first: $plan")
+          val rep = cat.runMaintenance("c",
+            graft.pipeline.CorpusCatalog.CompactionPolicy(
+              maxFiles = 2, minFileBytes = 0),
+            expireBeforeMs = System.currentTimeMillis() + 60000L,
+            vacuumGraceMs = 0L)
+          require(rep.compacted == Seq("k3", "k2") && rep.vacuumed >= 2,
+            s"maintenance must compact both and reclaim the old dirs: $rep")
+          val after = counts()
+          val perPart = cat.readTable("c")
+            .groupBy((col("doc_id") % 4).as("k"))
+            .agg(count(lit(1)).as("n"), sum("doc_id").as("s"))
+            .collect().map(r =>
+              (s"k${r.getLong(0)}", r.getLong(1), r.getLong(2))).toSeq
+          perPart.map { case (p, n, sm) =>
+            (p, before(p), after(p), n, sm)
+          }.toDF("partition", "files_before", "files_after", "n_rows",
+            "id_sum").orderBy("partition")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -3994,7 +4044,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'published' AS phase, CAST(2 AS BIGINT) AS n_rows,
         |       CAST(0 AS BIGINT) AS id_sum
-        |ORDER BY phase""".stripMargin
+        |ORDER BY phase""".stripMargin,
+
+    // File counts are constants of the construction (k+1 written;
+    // partitions over maxFiles = 2 compact to 1); rows/id sums pin
+    // conservation through compact+expire+vacuum.
+    "q96_maintenance" ->
+      """SELECT 'k' || (doc_id % 4) AS partition,
+        |       CAST(doc_id % 4 + 1 AS BIGINT) AS files_before,
+        |       CAST(CASE WHEN doc_id % 4 >= 2 THEN 1
+        |            ELSE doc_id % 4 + 1 END AS BIGINT) AS files_after,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY partition""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -696,6 +696,74 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       "stats_json")
   }
 
+  /** Iceberg's `<table>.files` metadata table: one row per LIVE data
+    * file (current versions only) — name, bytes, modification time.
+    * This is the maintenance planner's input: file-count and
+    * file-size pathology is invisible in row counts. Costs one listing
+    * per partition (driver-side, metadata only) — the same order as
+    * the maintenance pass that consumes it; at extreme partition
+    * counts run it from the maintenance driver, not per query.
+    */
+  def filesTable(table: String): DataFrame = {
+    import spark.implicits._
+    snapshots(table).flatMap { s =>
+      val dir = new HPath(tableDir(table), s.dir)
+      fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (s.key, s.dir, st.getPath.getName, st.getLen,
+          st.getModificationTime))
+    }.toDF("partition", "dir", "file", "bytes", "modified_at_ms")
+  }
+
+  /** The compaction candidates under `policy`, worst (most files)
+    * first: partitions whose live version holds more than
+    * `policy.maxFiles` files, or more than one file averaging under
+    * `policy.minFileBytes` (the many-small-files pathology that makes
+    * scans file-count-bound). Metadata-only — nothing is rewritten.
+    */
+  def planCompaction(table: String,
+                     policy: CorpusCatalog.CompactionPolicy =
+                       CorpusCatalog.CompactionPolicy())
+      : Seq[CorpusCatalog.CompactionCandidate] = {
+    snapshots(table).flatMap { s =>
+      val dir = new HPath(tableDir(table), s.dir)
+      val sizes = fs.listStatus(dir).iterator
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).toSeq
+      val n = sizes.size
+      val needs = n > policy.maxFiles ||
+        (n > 1 && sizes.sum / n < policy.minFileBytes)
+      if (needs)
+        Some(CorpusCatalog.CompactionCandidate(s.key, n, sizes.sum))
+      else None
+    }.sortBy(c => (-c.nFiles, c.key))
+  }
+
+  /** One-call table maintenance, in Iceberg's canonical order:
+    * compact every [[planCompaction]] candidate (rewrite_data_files),
+    * then release retired lineage older than `expireBeforeMs`
+    * (expire_snapshots — still clamped by live tags/branches), then
+    * reclaim orphans older than `vacuumGraceMs` (remove-orphan-files —
+    * the freshly retired pre-compaction dirs included, once expired).
+    * Each step is the already-atomic primitive; a crash mid-run leaves
+    * a valid table and a re-run finishes the rest.
+    */
+  def runMaintenance(table: String,
+                     policy: CorpusCatalog.CompactionPolicy =
+                       CorpusCatalog.CompactionPolicy(),
+                     targetFiles: Int = 1,
+                     expireBeforeMs: Long = -1L,
+                     vacuumGraceMs: Long = 3600000L)
+      : CorpusCatalog.MaintenanceReport = {
+    val plan = planCompaction(table, policy)
+    val compacted = plan.filter(c =>
+      compactPartition(table, c.key, targetFiles)).map(_.key)
+    val expired =
+      if (expireBeforeMs >= 0L) expireHistory(table, expireBeforeMs) else 0
+    val vacuumed = vacuum(table, vacuumGraceMs)
+    CorpusCatalog.MaintenanceReport(compacted, expired, vacuumed)
+  }
+
   /** Time travel: the table as of snapshot `snapshotId` — Iceberg's
     * `VERSION AS OF`. The snapshot id names a CUT POINT (the commit
     * (ms, seq) of that log position); every partition then serves the
@@ -1915,6 +1983,21 @@ object CorpusCatalog {
     */
   final case class BranchRef(name: String, ms: Long, seq: Long,
                              createdAtMs: Long)
+
+  /** When a partition needs compaction: over `maxFiles` live files, or
+    * more than one file averaging under `minFileBytes`. Defaults suit a
+    * 512 MB-target parquet layout; tests shrink them.
+    */
+  final case class CompactionPolicy(maxFiles: Int = 8,
+                                    minFileBytes: Long = 32L << 20) {
+    require(maxFiles >= 1 && minFileBytes >= 0)
+  }
+
+  final case class CompactionCandidate(key: String, nFiles: Int,
+                                       bytes: Long)
+
+  final case class MaintenanceReport(compacted: Seq[String], expired: Int,
+                                     vacuumed: Int)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

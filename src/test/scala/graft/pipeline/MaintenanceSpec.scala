@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The maintenance planner: `filesTable` exposes the live file layout
+  * (the pathology row counts cannot show), `planCompaction` picks
+  * exactly the partitions the policy condemns (file-count rule OR
+  * small-average rule), worst first, and `runMaintenance` executes
+  * compact → expire → vacuum as one idempotent pass.
+  */
+class MaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-maintenance-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: CorpusCatalog => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_maint")
+    try f(new CorpusCatalog(tmp.toString, spark))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def fileCounts(cat: CorpusCatalog, t: String): Map[String, Long] =
+    cat.filesTable(t).groupBy("partition").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("filesTable rows per live data file; planCompaction fires on the " +
+    "file-count rule and the small-average rule, worst first, and is " +
+    "empty on a healthy table") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      val rows = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      assert(cat.commitPartition("t", "one", rows.repartition(1)))
+      assert(cat.commitPartition("t", "four", rows.repartition(4)))
+      assert(cat.commitPartition("t", "nine", rows.repartition(9)))
+      assert(fileCounts(cat, "t") ==
+        Map("one" -> 1L, "four" -> 4L, "nine" -> 9L))
+      val ft = cat.filesTable("t")
+      assert(ft.columns.toSeq ==
+        Seq("partition", "dir", "file", "bytes", "modified_at_ms"))
+      assert(ft.where(col("bytes") <= 0).isEmpty)
+
+      // file-count rule only (minFileBytes = 0 disables the size rule)
+      val byCount = cat.planCompaction("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 4, minFileBytes = 0))
+      assert(byCount.map(_.key) == Seq("nine"))
+      assert(byCount.head.nFiles == 9)
+      // small-average rule: every test file is tiny, so a huge
+      // minFileBytes condemns every MULTI-file partition (never the
+      // single-file one — compaction cannot improve it)
+      val bySize = cat.planCompaction("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 100,
+          minFileBytes = Long.MaxValue / 4))
+      assert(bySize.map(_.key) == Seq("nine", "four"), "worst first")
+      // healthy table: nothing to do
+      assert(cat.planCompaction("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 9, minFileBytes = 0))
+        .isEmpty)
+    }
+  }
+
+  test("runMaintenance compacts exactly the plan, expires the retired " +
+    "versions, vacuums the old dirs; a re-run is a no-op") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      val rows = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      assert(cat.commitPartition("t", "a", rows.repartition(6), Seq("id")))
+      assert(cat.commitPartition("t", "b", rows.repartition(2), Seq("id")))
+      val rep = cat.runMaintenance("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 3, minFileBytes = 0),
+        expireBeforeMs = System.currentTimeMillis() + 60000L,
+        vacuumGraceMs = 0L)
+      assert(rep.compacted == Seq("a"))
+      assert(rep.expired == 1, "the retired pre-compaction version")
+      assert(rep.vacuumed >= 1, "its dir is reclaimed")
+      assert(fileCounts(cat, "t") == Map("a" -> 1L, "b" -> 2L))
+      assert(cat.readTable("t").count() == 800L, "rows conserved")
+      // idempotent: the table is healthy now
+      val rep2 = cat.runMaintenance("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 3, minFileBytes = 0),
+        expireBeforeMs = System.currentTimeMillis() + 60000L,
+        vacuumGraceMs = 0L)
+      assert(rep2 == CorpusCatalog.MaintenanceReport(Nil, 0, 0))
+    }
+  }
+}
