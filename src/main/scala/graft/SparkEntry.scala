@@ -2305,6 +2305,72 @@ object SparkEntry {
             "id_sum").orderBy("partition")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q97: merge-on-read equality deletes (Iceberg v2 delete files) —
+    // the takedown that writes a KEY FILE instead of rewriting 100 TB.
+    // Two stacked deletes (requires pin that NO data dir changed), a
+    // re-insert after the first delete pinning the sequence rule (a
+    // delete touches only versions committed before it), a mid-lifecycle
+    // compaction materializing one partition, and the stats-refusal
+    // discipline pinned while a delete is live. The emitted rows are the
+    // delete FILES' own contents (read back from `_deletes/`) plus the
+    // pre-delete time-travel read and the final live state — all
+    // closed-form modular arithmetic over documents.
+    "q97_mor_delete" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_morq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 4).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(pmod(col("doc_id"), lit(4L)) === k),
+              Seq("doc_id"))
+          }
+          Thread.sleep(3)
+          val anchor = System.currentTimeMillis()
+          Thread.sleep(3)
+          val dirsBefore = cat.snapshots("c").map(_.dir).toSet
+          // D1: takedown class doc_id % 7 == 3 — a key file, no rewrite
+          val (nk1, _) = cat.deleteWhereMor("c",
+            pmod(col("doc_id"), lit(7L)) === 3L, "doc_id")
+          require(cat.snapshots("c").map(_.dir).toSet == dirsBefore,
+            "a MOR delete must not rewrite any data dir")
+          require(cat.aggregateFromStats("c", Seq("doc_id")).isEmpty,
+            "stats aggregation must refuse while a delete is live")
+          // sequence rule: the even half of the taken-down class comes
+          // back in a NEW partition the delete must not touch
+          cat.commitPartition("c", "re",
+            docs.filter(pmod(col("doc_id"), lit(7L)) === 3L &&
+              pmod(col("doc_id"), lit(2L)) === 0L), Seq("doc_id"))
+          // D2 harvests from the LIVE read (D1 applied, re-insert in)
+          val (nk2, _) = cat.deleteWhereMor("c",
+            pmod(col("doc_id"), lit(11L)) === 5L, "doc_id")
+          // materialize one partition mid-lifecycle: reads unchanged
+          require(cat.compactPartition("c", "k1"),
+            "compaction (MOR materialization) must succeed")
+          val dels = cat.morDeletes("c")
+          require(dels.map(_.rows) == Seq(nk1, nk2),
+            s"delete log must carry both files: $dels")
+          def agg1(phase: String,
+                   df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum("doc_id"), lit(0L))).head()
+            (phase, r.getLong(0), r.getLong(1))
+          }
+          def keyFile(f: graft.pipeline.CorpusCatalog.DeleteFile) =
+            s.read.parquet(s"${cat.root}/c/_deletes/${f.dir}")
+          Seq(
+            agg1("asof_pre", cat.readTableAsOfTime("c", anchor)),
+            agg1("d1_keys", keyFile(dels.head)),
+            agg1("d2_keys", keyFile(dels.last)),
+            agg1("final", cat.readTable("c")))
+            .toDF("phase", "n_rows", "id_sum").orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -4056,7 +4122,36 @@ object SparkEntry {
         |            ELSE doc_id % 4 + 1 END AS BIGINT) AS files_after,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY 1, 2, 3 ORDER BY partition""".stripMargin
+        |FROM documents GROUP BY 1, 2, 3 ORDER BY partition""".stripMargin,
+
+    // D1 harvests every doc_id % 7 == 3 key (the live read at that
+    // point is the whole table); live1 is that takedown plus the even
+    // half re-inserted AFTER it (sequence rule); D2 harvests the % 11
+    // == 5 keys from live1 (dead keys never re-listed); final = live1
+    // minus D2. asof_pre time-travels to before both deletes.
+    "q97_mor_delete" ->
+      """WITH live1 AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 = 3 AND doc_id % 2 = 0
+        |)
+        |SELECT 'asof_pre' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |UNION ALL
+        |SELECT 'd1_keys' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT 'd2_keys' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM live1 WHERE doc_id % 11 = 5
+        |UNION ALL
+        |SELECT 'final' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM live1 WHERE doc_id % 11 <> 5
+        |ORDER BY phase""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

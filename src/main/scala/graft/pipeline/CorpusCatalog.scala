@@ -355,9 +355,24 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   def readTable(table: String, mergeSchema: Boolean): DataFrame = {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
-    val paths = snaps.sortBy(_.key)
-      .map(s => new HPath(tableDir(table), s.dir).toString)
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    val dels = morDeletes(table)
+    if (dels.isEmpty) {
+      val paths = snaps.sortBy(_.key)
+        .map(s => new HPath(tableDir(table), s.dir).toString)
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(paths: _*)
+    } else {
+      // MOR deletes apply per the sequence rule; the merged schema (when
+      // asked for) must still come from ALL partitions, whatever delete
+      // group they land in
+      lazy val fullSchema = spark.read.option("mergeSchema", "true")
+        .parquet(snaps.map(s =>
+          new HPath(tableDir(table), s.dir).toString): _*).schema
+      val reader: Seq[String] => DataFrame =
+        if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
+        else ps => spark.read.parquet(ps: _*)
+      readVersionsWithDeletes(table, snaps.map(curVersion), dels, reader)
+    }
   }
 
   /** The committed partitions whose marker stats admit `predicate` —
@@ -403,12 +418,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         if (mergeSchema) spark.read.schema(fullSchema)
         else spark.read
       base.parquet(dirOf(all.head)).limit(0).where(predicate)
-    } else if (mergeSchema)
-      spark.read.schema(fullSchema)
-        .parquet(kept.sortBy(_.key).map(dirOf): _*)
+    } else {
+      // marker stats are PHYSICAL under MOR deletes (supersets of live
+      // rows), so pruning stays safe: it can only over-keep a partition
+      // whose matching rows are all deleted — the anti-join removes them
+      val dels = morDeletes(table)
+      val reader: Seq[String] => DataFrame =
+        if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
+        else ps => spark.read.parquet(ps: _*)
+      readVersionsWithDeletes(table, kept.map(curVersion), dels, reader)
         .where(predicate)
-    else
-      spark.read.parquet(kept.sortBy(_.key).map(dirOf): _*).where(predicate)
+    }
   }
 
   /** The table's snapshot log: one snapshot per committed partition
@@ -669,6 +689,26 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       new HPath(tableDir(table), s.dir).toString
     val upTo = all.filter(_.id <= upToSnapshotId)
     val inc = upTo.filter(_.id > afterSnapshotId)
+    // a MOR delete inside the window is a row-level change an
+    // append-only increment cannot express (it removes rows from
+    // partitions OUTSIDE the increment); deletes at or before the start
+    // never apply to window partitions (all newer — sequence rule) and
+    // deletes after the end are invisible. Materialize via
+    // runMaintenance + expireMorDeletes, or consume readChangesBetween.
+    locally {
+      val afterCut = all.filter(_.id <= afterSnapshotId).lastOption
+        .map(s => (s.committedAtMs, s.seq)).getOrElse((-1L, -1L))
+      val upCut = upTo.lastOption
+        .map(s => (s.committedAtMs, s.seq)).getOrElse((-1L, -1L))
+      val inWindow = morDeletes(table).filter(d =>
+        cutAfter(d.ms, d.seq, afterCut._1, afterCut._2) &&
+          !cutAfter(d.ms, d.seq, upCut._1, upCut._2))
+      require(inWindow.isEmpty,
+        s"readTableIncremental over $table: equality-delete file(s) " +
+          s"${inWindow.map(_.name).mkString(", ")} inside the window — " +
+          "a MOR delete is not expressible as an append-only increment; " +
+          "compact + expireMorDeletes first, or use readChangesBetween")
+    }
     lazy val schemaAsOfEnd = spark.read.option("mergeSchema", "true")
       .parquet((if (upTo.nonEmpty) upTo else all).map(dirOf): _*).schema
     if (inc.isEmpty) {
@@ -725,6 +765,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                      policy: CorpusCatalog.CompactionPolicy =
                        CorpusCatalog.CompactionPolicy())
       : Seq[CorpusCatalog.CompactionCandidate] = {
+    // a partition under an applicable equality delete is ALWAYS a
+    // candidate: compaction is the MOR materialization step, and a
+    // delete-burdened partition pays its anti-join on every read until
+    // one runs (Iceberg's delete-file-count rewrite trigger)
+    val mor = morDeletes(table)
     snapshots(table).flatMap { s =>
       val dir = new HPath(tableDir(table), s.dir)
       val sizes = fs.listStatus(dir).iterator
@@ -732,7 +777,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .map(_.getLen).toSeq
       val n = sizes.size
       val needs = n > policy.maxFiles ||
-        (n > 1 && sizes.sum / n < policy.minFileBytes)
+        (n > 1 && sizes.sum / n < policy.minFileBytes) ||
+        mor.exists(d => delApplies(d, s.committedAtMs, s.seq))
       if (needs)
         Some(CorpusCatalog.CompactionCandidate(s.key, n, sizes.sum))
       else None
@@ -760,8 +806,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       compactPartition(table, c.key, targetFiles)).map(_.key)
     val expired =
       if (expireBeforeMs >= 0L) expireHistory(table, expireBeforeMs) else 0
+    // after compaction materialized the deletes and expireHistory
+    // released retired lineage, delete files with no remaining pairable
+    // version drop; their key files become the orphans vacuum reclaims
+    val delsExpired = expireMorDeletes(table)
     val vacuumed = vacuum(table, vacuumGraceMs)
-    CorpusCatalog.MaintenanceReport(compacted, expired, vacuumed)
+    CorpusCatalog.MaintenanceReport(compacted, expired, vacuumed,
+      delsExpired)
   }
 
   /** Time travel: the table as of snapshot `snapshotId` — Iceberg's
@@ -782,10 +833,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         s"no snapshots of $table at or before id $snapshotId"))
     requireUnexpired(table, cut.committedAtMs, s"snapshot $snapshotId",
       lastMs = all.last.committedAtMs)
-    val paths = all
-      .flatMap(_.versionAt(cut.committedAtMs, cut.seq))
-      .map(v => new HPath(tableDir(table), v.dir).toString)
-    spark.read.parquet(paths: _*)
+    // deletes committed after the cut are invisible to this read;
+    // deletes at or before it apply to the resolved versions as usual
+    val dels = morDeletes(table).filterNot(d =>
+      cutAfter(d.ms, d.seq, cut.committedAtMs, cut.seq))
+    readVersionsWithDeletes(table,
+      all.flatMap(_.versionAt(cut.committedAtMs, cut.seq)), dels,
+      ps => spark.read.parquet(ps: _*))
   }
 
   /** Time travel by WALL-CLOCK time (Iceberg's `TIMESTAMP AS OF`,
@@ -803,11 +857,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(all.nonEmpty, s"no committed partitions in $table")
     requireUnexpired(table, msCut, s"time cut $msCut",
       lastMs = all.last.committedAtMs)
-    val paths = all
-      .flatMap(_.versionAt(msCut, Long.MaxValue))
-      .map(v => new HPath(tableDir(table), v.dir).toString)
-    require(paths.nonEmpty, s"no partition of $table visible at $msCut")
-    spark.read.parquet(paths: _*)
+    val versions = all.flatMap(_.versionAt(msCut, Long.MaxValue))
+    require(versions.nonEmpty, s"no partition of $table visible at $msCut")
+    val dels = morDeletes(table).filter(_.ms <= msCut)
+    readVersionsWithDeletes(table, versions, dels,
+      ps => spark.read.parquet(ps: _*))
   }
 
   /** CDC: the NET row-level changes between two snapshot cuts of the
@@ -877,27 +931,50 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                                  cutFrom: Option[(Long, Long)],
                                  cutTo: (Long, Long),
                                  netCarryovers: Boolean): DataFrame = {
-    var insDirs = List.empty[String]
-    var delDirs = List.empty[String]
+    // MOR-delete visibility: a delete file inside the window is a
+    // row-level change this version-diff cannot attribute (no version
+    // pair changed) — refuse loudly; materialize via maintenance first.
+    // Deletes at or before the FROM cut apply identically to both
+    // sides' resolved versions, so the diff nets them out correctly —
+    // including the rewritten-partition case where only the from-side
+    // version is old enough to carry them.
+    val morAll = morDeletes(table)
+    locally {
+      val (fMs, fSeq) = cutFrom.getOrElse((-1L, -1L))
+      val inWindow = morAll.filter(d =>
+        cutAfter(d.ms, d.seq, fMs, fSeq) &&
+          !cutAfter(d.ms, d.seq, cutTo._1, cutTo._2))
+      require(inWindow.isEmpty,
+        s"changelog over $table: equality-delete file(s) " +
+          s"${inWindow.map(_.name).mkString(", ")} inside the window — " +
+          "their row removals are invisible to a version diff; compact " +
+          "the affected partitions (materializing the deletes) first")
+    }
+    val morVisible = cutFrom.map { case (ms, seq) =>
+      morAll.filterNot(d => cutAfter(d.ms, d.seq, ms, seq))
+    }.getOrElse(Nil)
+    var insVs = List.empty[CorpusCatalog.Version]
+    var delVs = List.empty[CorpusCatalog.Version]
     all.foreach { s =>
       val vF = cutFrom.flatMap(c => s.versionAt(c._1, c._2))
       val vT = s.versionAt(cutTo._1, cutTo._2)
       (vF, vT) match {
-        case (None, Some(t)) => insDirs ::= t.dir
-        case (Some(f), None) => delDirs ::= f.dir // defensive: a monotone
+        case (None, Some(t)) => insVs ::= t
+        case (Some(f), None) => delVs ::= f // defensive: a monotone
           // log cannot retire a key without a successor version
         case (Some(f), Some(t)) if f.dir != t.dir =>
-          delDirs ::= f.dir; insDirs ::= t.dir
+          delVs ::= f; insVs ::= t
         case _ => () // same version at both cuts: untouched, never read
       }
     }
-    def readDirs(dirs: List[String]): DataFrame = spark.read.parquet(
-      dirs.map(d => new HPath(tableDir(table), d).toString): _*)
-    if (insDirs.isEmpty && delDirs.isEmpty)
+    def readVs(vs: List[CorpusCatalog.Version]): DataFrame =
+      readVersionsWithDeletes(table, vs, morVisible,
+        ps => spark.read.parquet(ps: _*))
+    if (insVs.isEmpty && delVs.isEmpty)
       return readTable(table).limit(0)
         .withColumn("_change_type", lit(""))
-    val insRaw = if (insDirs.isEmpty) None else Some(readDirs(insDirs))
-    val delRaw = if (delDirs.isEmpty) None else Some(readDirs(delDirs))
+    val insRaw = if (insVs.isEmpty) None else Some(readVs(insVs))
+    val delRaw = if (delVs.isEmpty) None else Some(readVs(delVs))
     val (ins, del) = (insRaw, delRaw) match {
       case (Some(i), Some(d)) if netCarryovers =>
         (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
@@ -931,6 +1008,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(cols.nonEmpty, "aggregateFromStats needs at least one column")
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
+    // marker stats are PHYSICAL; a live equality delete makes them
+    // supersets of the live rows — refuse (never a wrong number)
+    if (morDeletes(table).exists(d =>
+        snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
+      return None
     val rowsTotal = snaps.map(_.rows).sum
     val utf8 = Ordering.fromLessThan[String]((a, b) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
@@ -981,6 +1063,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       : Option[(Double, Kmv.Sketch)] = {
     val snaps = snapshots(table)
     if (snaps.isEmpty) return None
+    // sketches are PHYSICAL; a live equality delete could have removed
+    // distinct values the sketch still counts — refuse, never a guess
+    if (morDeletes(table).exists(d =>
+        snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
+      return None
     val sketches = snaps.map(_.stats.get(column).flatMap(_.kmv))
     if (sketches.exists(_.isEmpty)) return None
     val all = sketches.map(_.get)
@@ -1102,8 +1189,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val all = snapshots(table)
     require(all.nonEmpty, s"no committed partitions in $table")
     val (ms, seq) =
-      if (asOfMs < 0L) (all.last.committedAtMs, all.last.seq)
-      else {
+      if (asOfMs < 0L) {
+        // "current state" includes the delete-file log: a MOR delete
+        // committed after the last data commit is still current state,
+        // and a takedown tag that missed the takedown would be an audit
+        // hazard — pin whichever commit point is newest
+        val snapCut = (all.last.committedAtMs, all.last.seq)
+        (snapCut +: morDeletes(table).map(d => (d.ms, d.seq))).max
+      } else {
         requireUnexpired(table, asOfMs, s"tag '$name' at $asOfMs",
           all.last.committedAtMs)
         (asOfMs, Long.MaxValue)
@@ -1164,11 +1257,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val all = snapshots(table)
     require(all.nonEmpty, s"no committed partitions in $table")
     requireUnexpired(table, t.ms, s"tag '$name'", all.last.committedAtMs)
-    val paths = all
-      .flatMap(_.versionAt(t.ms, t.seq))
-      .map(v => new HPath(tableDir(table), v.dir).toString)
-    require(paths.nonEmpty, s"no partition of $table visible at tag '$name'")
-    spark.read.parquet(paths: _*)
+    val versions = all.flatMap(_.versionAt(t.ms, t.seq))
+    require(versions.nonEmpty,
+      s"no partition of $table visible at tag '$name'")
+    val dels = morDeletes(table).filterNot(d =>
+      cutAfter(d.ms, d.seq, t.ms, t.seq))
+    readVersionsWithDeletes(table, versions, dels,
+      ps => spark.read.parquet(ps: _*))
   }
 
   /** CDC between two tags — "what changed between release-v1 and
@@ -1217,7 +1312,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val all = snapshots(table)
     val (ms, seq) =
       if (all.isEmpty) (-1L, -1L)
-      else (all.last.committedAtMs, all.last.seq)
+      else {
+        // the base is "current state" — like createTag, that includes
+        // any MOR delete committed after the last data commit (the
+        // audit read must apply it, and publish must not refuse on it)
+        ((all.last.committedAtMs, all.last.seq) +:
+          morDeletes(table).map(d => (d.ms, d.seq))).max
+      }
     if (!fs.mkdirs(refsDir(table)))
       throw new java.io.IOException(s"mkdirs failed: ${refsDir(table)}")
     val ref = CorpusCatalog.BranchRef(name, ms, seq,
@@ -1321,16 +1422,33 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (b.ms >= 0 && main.nonEmpty)
       requireUnexpired(table, b.ms, s"branch '$name' base",
         main.last.committedAtMs)
-    val base: Map[String, String] =
+    val base: Map[String, CorpusCatalog.Version] =
       if (b.ms < 0) Map.empty
-      else main.flatMap(s => s.versionAt(b.ms, b.seq).map(v => s.key -> v.dir))
-        .toMap
+      else main.flatMap(s => s.versionAt(b.ms, b.seq).map(s.key -> _)).toMap
     val over = branchSnapshots(table, name).map(s => s.key -> s.dir).toMap
-    val dirs = (base ++ over).toSeq.sortBy(_._1)
+    // the audit read sees main AS OF the base — equality deletes
+    // committed at or before the base apply to the base versions (later
+    // ones are invisible, like every later main commit); branch commits
+    // are newer than the base by construction, so no delete touches them
+    val baseDels =
+      if (b.ms < 0) Nil
+      else morDeletes(table).filterNot(d => cutAfter(d.ms, d.seq, b.ms, b.seq))
+    val baseVs = base.view.filterKeys(k => !over.contains(k)).values.toSeq
+    val overDirs = over.toSeq.sortBy(_._1)
       .map { case (_, d) => new HPath(tableDir(table), d).toString }
-    require(dirs.nonEmpty,
+    require(baseVs.nonEmpty || overDirs.nonEmpty,
       s"branch '$name' of $table has no partitions (empty base, no commits)")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
+    lazy val fullSchema = spark.read.option("mergeSchema", "true")
+      .parquet((baseVs.map(v => new HPath(tableDir(table), v.dir).toString)
+        ++ overDirs): _*).schema
+    val reader: Seq[String] => DataFrame =
+      if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
+      else ps => spark.read.parquet(ps: _*)
+    val parts =
+      (if (baseVs.isEmpty) Nil
+       else Seq(readVersionsWithDeletes(table, baseVs, baseDels, reader))) ++
+        (if (overDirs.isEmpty) Nil else Seq(reader(overDirs)))
+    parts.reduce(_.unionByName(_))
   }
 
   /** The PUBLISH: fast-forward main to include every branch commit.
@@ -1366,6 +1484,18 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           s"${conflicts.map(_.key).sorted.mkString(", ")} changed on main " +
           "since the branch base — rebase (drop and re-create the branch " +
           "over current main) or dropBranch")
+    // an equality delete is a TABLE-WIDE change: committed after the
+    // base, it altered rows the branch's audit read never saw — the
+    // same staleness the per-partition conflict scan refuses
+    locally {
+      val delConf = morDeletes(table)
+        .filter(d => cutAfter(d.ms, d.seq, b.ms, b.seq))
+      if (delConf.nonEmpty)
+        throw new IllegalStateException(
+          s"publishBranch('$name') on $table: equality-delete file(s) " +
+            s"${delConf.map(_.name).mkString(", ")} committed on main " +
+            "since the branch base — rebase or dropBranch")
+    }
     var published = 0
     bs.sortBy(s => (s.committedAtMs, s.seq)).foreach { s =>
       mainByKey.get(s.key) match {
@@ -1415,6 +1545,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         throw new java.io.IOException(
           s"rollback: cannot remove marker for ${s.key}")
     }
+    // equality deletes after the rollback cut are part of the rolled-
+    // back state: remove their markers too (key files become vacuumable
+    // orphans, like the rolled-back partitions' data dirs)
+    morDeletes(table)
+      .filter(d => cutAfter(d.ms, d.seq, cutKey._1, cutKey._2))
+      .foreach { d =>
+        if (!fs.delete(new HPath(deletesDir(table), s"${d.name}.json"),
+            false))
+          throw new java.io.IOException(
+            s"rollback: cannot remove delete marker ${d.name}")
+      }
     // drop the removed markers' manifest entries NOW: a later re-commit
     // of a rolled-back key writes a fresh same-named marker, and on a
     // coarse-mtime store a stale (len, mtime)-matching entry could
@@ -1492,11 +1633,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
+      val mor = morDeletes(table)
       var rewrittenKeys = List.empty[String]
       var rewrittenDirs = List.empty[String]
       candidates.foreach { snap =>
-        val curPath = new HPath(tableDir(table), snap.dir)
-        val cur = spark.read.parquet(curPath.toString)
+        // LIVE read: a raw-dir COW rewrite would resurrect MOR-deleted
+        // rows (and a matched UPDATE of a deleted key must not revive it)
+        val (cur, liveRows) = liveCurrent(table, snap, mor)
         require(sameColumns(cur.schema, u.schema),
           s"mergeReplace: updates schema ${u.schema.simpleString} does " +
             s"not match $table/${snap.key}'s ${cur.schema.simpleString} — " +
@@ -1512,7 +1655,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           // unique (one row out per row in); a duplicate-keyed target
           // would silently collapse — abort loudly instead
           val newDir = rewriteCommitted(table, snap, merged,
-            expectedRows = snap.rows,
+            expectedRows = liveRows,
             what = "merge (duplicate keys in the TARGET partition?)")
           rewrittenKeys ::= snap.key
           rewrittenDirs ::= newDir
@@ -1591,6 +1734,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // a fresh partition is the one place a schema fork could sneak in
       // without unionByName ever objecting)
       val statCols = snapsNow.last.stats.keys.toSeq.sorted
+      val morNow = morDeletes(table)
       lazy val tableSchema = spark.read.parquet(
         new HPath(tableDir(table), snapsNow.head.dir).toString).schema
       routeCounts.foreach { case (routeOpt, cnt) =>
@@ -1598,14 +1742,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         val ins = routed.filter(col(rcol) === k).drop(rcol)
         snapsNow.find(_.key == k) match {
           case Some(snap) =>
-            val cur = spark.read.parquet(
-              new HPath(tableDir(table), snap.dir).toString)
+            // LIVE read — the insert-half rewrite must not resurrect
+            // MOR-deleted rows either
+            val (cur, liveRows) = liveCurrent(table, snap, morNow)
             require(sameColumns(cur.schema, ins.schema),
               s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
                 s"not match $table/$k's ${cur.schema.simpleString}")
             rewriteCommitted(table, snap,
               cur.unionByName(ins.select(cur.columns.map(col): _*)),
-              expectedRows = snap.rows + cnt,
+              expectedRows = liveRows + cnt,
               what = "upsert insert (concurrent writer?)")
             rewrittenKeys ::= k
           case None =>
@@ -1647,11 +1792,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
+    val mor = morDeletes(table)
     var rewrittenKeys = List.empty[String]
     var deleted = 0L
     candidates.foreach { snap =>
-      val cur = spark.read.parquet(
-        new HPath(tableDir(table), snap.dir).toString)
+      // a COW rewrite must start from the LIVE partition or it would
+      // resurrect MOR-deleted rows (the rewrite's fresh commit point
+      // retires every older delete's hold on this partition)
+      val (cur, liveRows) = liveCurrent(table, snap, mor)
       val hits = cur.where(predicate).count()
       if (hits > 0) {
         // NOT(pred) drops NULL-predicate rows too — coalesce keeps them,
@@ -1660,7 +1808,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         // non-deterministic between the count and the write — abort
         rewriteCommitted(table, snap,
           cur.where(!coalesce(predicate, lit(false))),
-          expectedRows = snap.rows - hits,
+          expectedRows = liveRows - hits,
           what = "delete (non-deterministic predicate?)")
         rewrittenKeys ::= snap.key
         deleted += hits
@@ -1772,8 +1920,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val curOpt = snapshots(table).find(_.key == key)
     if (curOpt.isEmpty) return false
     val cur = curOpt.get
-    val curPath = new HPath(tableDir(table), cur.dir)
-    val data = spark.read.parquet(curPath.toString)
+    // LIVE read: compaction is ALSO the MOR materialization step — the
+    // rewrite applies every outstanding equality delete, and its fresh
+    // commit point retires their hold on this partition (Iceberg's
+    // rewrite_data_files on a v2 table does exactly this)
+    val (data, liveRows) = liveCurrent(table, cur, morDeletes(table))
     val laidOut =
       if (zorderBy.nonEmpty) {
         // the key column exists only inside the rewrite plan: range
@@ -1797,7 +1948,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .sortWithinPartitions(sortBy.map(col): _*)
     // bloom filters live in the data files, so a rewrite DROPS them
     // unless re-specified here (same caveat as Iceberg's rewrite)
-    rewriteCommitted(table, cur, laidOut, expectedRows = cur.rows,
+    rewriteCommitted(table, cur, laidOut, expectedRows = liveRows,
       what = "compaction", bloomNdv = bloomNdv)
     // the marker was replaced IN PLACE with an (often) same-length body;
     // refresh the manifest with this key force-re-read so a same-mtime-
@@ -1828,6 +1979,222 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(markerFile(table, key)),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  // ---- merge-on-read equality deletes (Iceberg v2 delete files) --------
+
+  private def deletesDir(table: String): HPath =
+    new HPath(tableDir(table), "_deletes")
+
+  /** The table's delete-file log, oldest first — Iceberg v2's equality
+    * deletes adapted to this catalog: each entry is a tiny parquet file
+    * of deleted KEY VALUES plus a marker pinning its commit point. A
+    * table that never saw a MOR delete has no `_deletes` dir and pays
+    * exactly one existence check per read — the zero-overhead common
+    * case.
+    */
+  def morDeletes(table: String): Seq[CorpusCatalog.DeleteFile] = {
+    val d = deletesDir(table)
+    if (!fs.exists(d)) return Seq.empty
+    val R = ("""\{"name":"(del-\d+)","key_col":"([A-Za-z0-9_.-]+)",""" +
+      """"rows":(\d+),"dir":"(del@[0-9]+)","committed_at_ms":(\d+),""" +
+      """"seq_nanos":(\d+)\}""").r
+    fs.listStatus(d).iterator
+      .filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        readFully(st.getPath) match {
+          case R(name, keyCol, rows, dir, ms, seq) =>
+            CorpusCatalog.DeleteFile(name, keyCol, rows.toLong, dir,
+              ms.toLong, seq.toLong)
+          case body => throw new java.io.IOException(
+            s"unparseable delete marker ${st.getPath}: $body")
+        }
+      }.toSeq.sortBy(f => (f.ms, f.seq, f.name))
+  }
+
+  /** Iceberg's sequence rule: an equality delete applies to a data
+    * version committed strictly before the delete's commit point.
+    */
+  private def delApplies(d: CorpusCatalog.DeleteFile,
+                         vMs: Long, vSeq: Long): Boolean =
+    vMs < d.ms || (vMs == d.ms && vSeq < d.seq)
+
+  /** `(aMs, aSeq)` strictly after `(bMs, bSeq)` in commit order. */
+  private def cutAfter(aMs: Long, aSeq: Long, bMs: Long, bSeq: Long): Boolean =
+    aMs > bMs || (aMs == bMs && aSeq > bSeq)
+
+  private def curVersion(s: CorpusCatalog.Snapshot): CorpusCatalog.Version =
+    CorpusCatalog.Version(s.dir, s.rows, s.committedAtMs, s.seq)
+
+  /** Read a set of resolved data versions with MOR deletes applied.
+    *
+    * The plan shape is what makes MOR viable at 10^12 files: versions
+    * group by which SUFFIX of the delete log applies to them (deletes
+    * are (ms, seq)-sorted, and "applies" is a threshold on the version's
+    * commit point, so the applicable set is always a suffix) — the
+    * number of distinct groups is bounded by the number of LIVE delete
+    * files plus one, never by the partition count. Each group is one
+    * union read plus one broadcast LEFT ANTI join per distinct key
+    * column in its suffix: delete files are tiny key lists (that is the
+    * point of MOR), so the anti-join is a broadcast probe on the scan,
+    * not a shuffle. NULL key values never join — a NULL-keyed row
+    * survives every equality delete, SQL equality semantics.
+    *
+    * `dels` must already be filtered to the read's visibility cut
+    * (time-travel reads see only deletes committed at or before their
+    * cut). `reader` owns schema handling (mergeSchema / pinned schema).
+    */
+  private def readVersionsWithDeletes(
+      table: String,
+      versions: Seq[CorpusCatalog.Version],
+      dels: Seq[CorpusCatalog.DeleteFile],
+      reader: Seq[String] => DataFrame): DataFrame = {
+    def path(v: CorpusCatalog.Version) =
+      new HPath(tableDir(table), v.dir).toString
+    if (dels.isEmpty) reader(versions.sortBy(_.dir).map(path))
+    else versions.groupBy { v =>
+      val i = dels.indexWhere(d => delApplies(d, v.ms, v.seq))
+      if (i < 0) dels.length else i
+    }.toSeq.sortBy(_._1).map { case (i, vs) =>
+      val df0 = reader(vs.sortBy(_.dir).map(path))
+      dels.drop(i).groupBy(_.keyCol).toSeq.sortBy(_._1)
+        .foldLeft(df0) { case (df, (kc, ds)) =>
+          val keys = spark.read.parquet(ds.map(f =>
+            new HPath(deletesDir(table), f.dir).toString): _*)
+            .select(col(kc).as("__mor_key")).distinct()
+          df.join(broadcast(keys), col(kc) === col("__mor_key"), "left_anti")
+        }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The LIVE content of one committed partition (current version read
+    * through every applicable equality delete) plus its live row count.
+    * Every COW rewrite (merge / delete / upsert / compaction) MUST start
+    * from this, never the raw dir: the rewrite's new commit point is
+    * newer than every existing delete, which then stops applying — a raw
+    * rewrite would silently RESURRECT MOR-deleted rows. The count is
+    * free (the marker's) when no delete applies; one count job when one
+    * does — both inputs are immutable, so the count cannot drift before
+    * the rewrite's own conservation check.
+    */
+  private def liveCurrent(table: String, snap: CorpusCatalog.Snapshot,
+                          dels: Seq[CorpusCatalog.DeleteFile])
+      : (DataFrame, Long) = {
+    val applicable = dels.filter(d =>
+      delApplies(d, snap.committedAtMs, snap.seq))
+    val df = readVersionsWithDeletes(table, Seq(curVersion(snap)),
+      applicable, ps => spark.read.parquet(ps: _*))
+    val rows = if (applicable.isEmpty) snap.rows else df.count()
+    (df, rows)
+  }
+
+  /** Merge-on-read DELETE (`DELETE FROM table WHERE predicate`, Iceberg
+    * v2 equality deletes) — the takedown primitive at the scale where
+    * even [[deleteWhere]]'s COW rewrite is too expensive: removing a few
+    * thousand revoked documents from a 100-TB partition should not
+    * rewrite the partition. This writes NO data file: the matching rows'
+    * `keyCol` values (distinct, non-null) land in a tiny delete file
+    * under `_deletes/`, committed through the same tmp + atomic-rename
+    * marker discipline as every data commit, and every read path applies
+    * it as a broadcast anti-join. [[compactPartition]] (or
+    * [[runMaintenance]]) later MATERIALIZES the deletes — the rewrite
+    * reads the partition live, and its fresh commit point retires the
+    * delete's hold on it; [[expireMorDeletes]] then drops delete files
+    * no resolvable version can pair with.
+    *
+    * SEMANTICS ARE EQUALITY-DELETE, not positional: every row of every
+    * partition committed BEFORE this delete whose `keyCol` equals a
+    * harvested key is deleted — with a unique key column (the normal
+    * case) that is exactly the predicate's row set; with a non-unique
+    * key it is the key-closure of the predicate, the documented Iceberg
+    * equality-delete contract. Keys are harvested from the LIVE read
+    * (prior deletes applied), so a key whose live rows no longer match
+    * the predicate is never re-listed. Rows committed AFTER this delete
+    * are untouched even when their key matches (sequence rule) — a
+    * re-insert of a deleted document stays. NULL predicate rows keep
+    * (TRUE-only, SQL DELETE), NULL keys are never harvested, NULL-keyed
+    * rows never match a delete.
+    *
+    * Trade-offs stated honestly: marker stats stay PHYSICAL (supersets —
+    * pruning stays safe, but [[aggregateFromStats]] /
+    * [[approxDistinctFromStats]] refuse while a delete applies), and
+    * [[readTableIncremental]] / CDC refuse windows a live delete file
+    * intersects (a row-level change an append-only increment cannot
+    * express) — materialize via maintenance first. Returns
+    * `(distinctKeysDeleted, partitionsScanned)`; harvesting zero keys
+    * commits nothing.
+    */
+  def deleteWhereMor(table: String,
+                     predicate: org.apache.spark.sql.Column,
+                     keyCol: String): (Long, Int) = {
+    require(keyCol.matches("[A-Za-z0-9_.-]+"),
+      s"keyCol '$keyCol' outside [A-Za-z0-9_.-]+ — unsafe for the " +
+        "delete-marker JSON")
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val dels = morDeletes(table)
+    val candidates = snaps.filter(s =>
+      StatsPruning.mightMatch(predicate, s.stats, s.rows))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"deleteWhereMor over $table: ${candidates.size}/${snaps.size} " +
+        "partitions might match")
+    if (candidates.isEmpty) return (0L, 0)
+    val live = readVersionsWithDeletes(table, candidates.map(curVersion),
+      dels, ps => spark.read.parquet(ps: _*))
+    val nanos = System.nanoTime()
+    val dirName = s"del@$nanos"
+    val target = new HPath(deletesDir(table), dirName)
+    live.where(predicate).select(col(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(target.toString)
+    val n = spark.read.parquet(target.toString).count()
+    if (n == 0L) { fs.delete(target, true); return (0L, candidates.size) }
+    val name = s"del-$nanos"
+    val body = s"""{"name":"$name","key_col":"$keyCol","rows":$n,""" +
+      s""""dir":"$dirName","committed_at_ms":${System.currentTimeMillis()},""" +
+      s""""seq_nanos":${System.nanoTime()}}"""
+    val tmp = new HPath(deletesDir(table), s".$name.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new HPath(deletesDir(table), s"$name.json"))) {
+      fs.delete(tmp, false); fs.delete(target, true)
+      throw new java.io.IOException(
+        s"deleteWhereMor: delete-marker rename failed for $table/$name")
+    }
+    (n, candidates.size)
+  }
+
+  /** Drop every delete file no resolvable data version can pair with —
+    * the retention half of MOR (Iceberg drops delete files the same way
+    * once rewrites retire the data files they applied to). A delete `d`
+    * is still NEEDED iff some version `v` with `v.cut < d.cut` is
+    * resolvable at a read cut `>= d.cut`: `v` is a partition's current
+    * version, or a lineage version whose successor lands after `d` (a
+    * time-travel read between them pairs `v` with `d`). Compaction
+    * retires `d`'s hold on current data; [[expireHistory]] releases the
+    * lineage versions — run both first ([[runMaintenance]] does). The
+    * marker is removed; the key file becomes a vacuumable orphan.
+    */
+  def expireMorDeletes(table: String): Int = {
+    val dels = morDeletes(table)
+    if (dels.isEmpty) return 0
+    val snaps = snapshots(table)
+    def needed(d: CorpusCatalog.DeleteFile): Boolean =
+      snaps.exists { s =>
+        val vs = s.versions
+        vs.zipWithIndex.exists { case (v, i) =>
+          delApplies(d, v.ms, v.seq) &&
+            (i == vs.length - 1 ||
+              cutAfter(vs(i + 1).ms, vs(i + 1).seq, d.ms, d.seq))
+        }
+      }
+    var dropped = 0
+    dels.filterNot(needed).foreach { d =>
+      if (fs.delete(new HPath(deletesDir(table), s"${d.name}.json"), false))
+        dropped += 1
+    }
+    dropped
   }
 
   /** Maintenance: physically remove INVISIBLE data — part dirs no commit
@@ -1896,6 +2263,23 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
             val p = new HPath(new HPath(td, "_commits"), child)
             if (oldEnough(p) && deleteIfPresent(p)) removed += 1
           }
+      case "_deletes" =>
+        // key files whose delete marker is gone (expireMorDeletes, a
+        // crashed deleteWhereMor) are orphans; live delete files are
+        // referenced by their markers and never touched. Same grace
+        // window: a racing deleteWhereMor's freshly written keys are
+        // younger than the cutoff.
+        val dd = new HPath(td, "_deletes")
+        val liveDel = morDeletes(table).map(_.dir).toSet
+        listChildNames(dd).foreach {
+          case n if n.startsWith("del@") && !liveDel.contains(n) =>
+            val p = new HPath(dd, n)
+            if (oldEnough(p) && deleteIfPresent(p)) removed += 1
+          case n if n.startsWith(".") && n.endsWith(".tmp") =>
+            val p = new HPath(dd, n)
+            if (oldEnough(p) && deleteIfPresent(p)) removed += 1
+          case _ => ()
+        }
       case _ => ()
     }
     removed
@@ -1997,7 +2381,17 @@ object CorpusCatalog {
                                        bytes: Long)
 
   final case class MaintenanceReport(compacted: Seq[String], expired: Int,
-                                     vacuumed: Int)
+                                     vacuumed: Int, deletesExpired: Int = 0)
+
+  /** One merge-on-read equality-delete file (Iceberg v2's delete files):
+    * `dir` (under `_deletes/`) holds the deleted KEY VALUES of `keyCol`
+    * — `rows` distinct non-null keys — and `(ms, seq)` is the delete's
+    * commit point. Per Iceberg's sequence-number rule the delete applies
+    * to every data version committed strictly BEFORE it and to none
+    * committed after.
+    */
+  final case class DeleteFile(name: String, keyCol: String, rows: Long,
+                              dir: String, ms: Long, seq: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

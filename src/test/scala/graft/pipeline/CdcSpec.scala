@@ -27,12 +27,22 @@ class CdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       classOf[CountingAbstractFs].getName)
     .appName("graft-cdc-test")
     .getOrCreate()
+  // getOrCreate may return a context another suite built WITHOUT the
+  // countfs entries (spark.hadoop.* applies only at context creation);
+  // pin them imperatively so suite ordering can never drop the scheme
+  private def pinCountfs(): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[CountingFs].getName)
+    hc.set("fs.AbstractFileSystem.countfs.impl",
+      classOf[CountingAbstractFs].getName)
+  }
 
   override def afterAll(): Unit = spark.stop()
 
   private def withCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit,
                           counted: Boolean = false): Unit = {
     val tmp = Files.createTempDirectory("graft_cdc")
+    pinCountfs()
     val root = if (counted) s"countfs:$tmp" else tmp.toString
     try f(new CorpusCatalog(root, spark), tmp)
     finally {

@@ -51,11 +51,21 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       classOf[CountingAbstractFs].getName)
     .appName("graft-manifest-test")
     .getOrCreate()
+  // getOrCreate may return a context another suite built WITHOUT the
+  // countfs entries (spark.hadoop.* applies only at context creation);
+  // pin them imperatively so suite ordering can never drop the scheme
+  private def pinCountfs(): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.countfs.impl", classOf[CountingFs].getName)
+    hc.set("fs.AbstractFileSystem.countfs.impl",
+      classOf[CountingAbstractFs].getName)
+  }
 
   override def afterAll(): Unit = spark.stop()
 
   private def withCountedCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit): Unit = {
     val tmp = Files.createTempDirectory("graft_manifest")
+    pinCountfs()
     try f(new CorpusCatalog(s"countfs:$tmp", spark), tmp)
     finally {
       import scala.jdk.CollectionConverters._

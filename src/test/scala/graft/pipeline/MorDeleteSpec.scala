@@ -1,0 +1,320 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Merge-on-read equality deletes (Iceberg v2 delete files): a DELETE
+  * that writes a tiny key file instead of rewriting data, applied by
+  * every read path per the sequence rule (a delete touches only versions
+  * committed strictly before it), materialized by compaction, retired by
+  * [[CorpusCatalog.expireMorDeletes]], and refused loudly by every
+  * surface whose answer it would silently falsify (stats aggregation,
+  * incremental reads, CDC windows, branch publishes).
+  */
+class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-mor-delete-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: CorpusCatalog => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_mor")
+    try f(new CorpusCatalog(tmp.toString, spark))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def df(ids: Seq[Long]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (Option(i), s"v$i")).toDF("id", "v")
+  }
+
+  private def idSet(d: DataFrame): Set[Long] =
+    d.select("id").collect().iterator
+      .filterNot(_.isNullAt(0)).map(_.getLong(0)).toSet
+
+  test("equality delete hides matching rows from current reads; NULL " +
+    "keys and NULL-predicate rows survive; a key re-inserted AFTER the " +
+    "delete stays (sequence rule)") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      val p0 = Seq((Option(1L), "a"), (Option(3L), "b"), (Option(13L), "c"),
+        (Option.empty[Long], "nullkey")).toDF("id", "v")
+      assert(cat.commitPartition("t", "p0", p0))
+      assert(cat.commitPartition("t", "p1", df(100L until 120L)))
+      val (nKeys, scanned) =
+        cat.deleteWhereMor("t", pmod(col("id"), lit(10L)) === 3, "id")
+      // keys harvested: 3, 13, 103, 113 — NULL id is never harvested
+      // (NULL % 10 is NULL, TRUE-only) and never matched
+      assert(nKeys == 4L && scanned == 2)
+      val live = cat.readTable("t")
+      assert(live.count() == 20L) // 24 rows - 4 deleted
+      assert(idSet(live) == ((100L until 120L).toSet -- Set(103L, 113L)
+        + 1L))
+      assert(live.where(col("id").isNull).count() == 1L)
+      // sequence rule: the SAME keys committed after the delete survive
+      assert(cat.commitPartition("t", "p2", df(Seq(3L, 113L))))
+      val after = cat.readTable("t")
+      assert(after.count() == 22L)
+      assert(after.where(col("id") === 3L).count() == 1L)
+      assert(after.where(col("id") === 113L).count() == 1L)
+      // readTableWhere == readTable().where under deletes (pruning is
+      // over PHYSICAL stats — safe supersets)
+      val pred = col("id") < 110L
+      assert(cat.readTableWhere("t", pred).collect().toSet ==
+        cat.readTable("t").where(pred).collect().toSet)
+    }
+  }
+
+  test("stacked deletes: keys harvest from the LIVE read (dead keys " +
+    "never re-listed); delete files are keys-only, data dirs untouched") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 100L)))
+      val dirsBefore = cat.snapshots("t").map(_.dir)
+      val (n1, _) = cat.deleteWhereMor("t", pmod(col("id"), lit(10L)) === 3,
+        "id")
+      assert(n1 == 10L)
+      // odd ids still live: 50 odds minus the 10 (all-odd) %10==3 keys
+      val (n2, _) = cat.deleteWhereMor("t", pmod(col("id"), lit(2L)) === 1,
+        "id")
+      assert(n2 == 40L)
+      assert(idSet(cat.readTable("t")) ==
+        (0L until 100L).filter(i => i % 2 == 0 && i % 10 != 3).toSet)
+      // MOR wrote NO data: same dirs, same physical marker rows
+      val snaps = cat.snapshots("t")
+      assert(snaps.map(_.dir) == dirsBefore && snaps.head.rows == 100L)
+      val dels = cat.morDeletes("t")
+      assert(dels.map(_.rows) == Seq(10L, 40L))
+      assert(dels.forall(_.keyCol == "id"))
+      // the key file is a single-column parquet of the deleted keys
+      val keyFile = spark.read.parquet(
+        s"${cat.root}/t/_deletes/${dels.head.dir}")
+      assert(keyFile.columns.toSeq == Seq("id"))
+      assert(idSet(keyFile) == (0L until 100L).filter(_ % 10 == 3).toSet)
+      // harvesting zero keys commits nothing
+      val (n3, _) = cat.deleteWhereMor("t", col("id") === 999L, "id")
+      assert(n3 == 0L && cat.morDeletes("t").size == 2)
+    }
+  }
+
+  test("time travel: cuts before the delete see full data, cuts after " +
+    "see it applied — ids, timestamps, and tags") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 50L)))
+      val id0 = cat.snapshots("t").last.id
+      cat.createTag("t", "before")
+      Thread.sleep(5)
+      val anchor = System.currentTimeMillis()
+      Thread.sleep(5)
+      val (n, _) = cat.deleteWhereMor("t", col("id") < 10L, "id")
+      assert(n == 10L)
+      cat.createTag("t", "after")
+      assert(cat.readTableAsOf("t", id0).count() == 50L)
+      assert(cat.readTableAsOfTime("t", anchor).count() == 50L)
+      assert(cat.readTableAtTag("t", "before").count() == 50L)
+      assert(cat.readTableAtTag("t", "after").count() == 40L)
+      assert(cat.readTableAsOfTime("t",
+        System.currentTimeMillis()).count() == 40L)
+    }
+  }
+
+  test("compaction materializes: physical rows shrink to live, reads " +
+    "unchanged, the delete stops applying; expiry drops the delete file " +
+    "only after history release; vacuum reclaims the key file") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 100L)))
+      assert(cat.deleteWhereMor("t", pmod(col("id"), lit(10L)) === 3,
+        "id")._1 == 10L)
+      // delete-burdened partition is ALWAYS a compaction candidate
+      assert(cat.planCompaction("t").map(_.key) == Seq("p0"))
+      assert(cat.compactPartition("t", "p0"))
+      val snap = cat.snapshots("t").head
+      assert(snap.rows == 90L) // marker now counts LIVE rows
+      assert(spark.read.parquet(s"${cat.root}/t/${snap.dir}").count() == 90L)
+      assert(cat.readTable("t").count() == 90L)
+      assert(cat.planCompaction("t").isEmpty)
+      // the retired pre-compaction version still pairs with the delete
+      // (a time-travel read between them must keep applying it) — not
+      // expirable until expireHistory releases it
+      assert(cat.expireMorDeletes("t") == 0)
+      assert(cat.morDeletes("t").size == 1)
+      cat.expireHistory("t", System.currentTimeMillis() + 600000L)
+      assert(cat.expireMorDeletes("t") == 1)
+      assert(cat.morDeletes("t").isEmpty)
+      // the orphaned key file goes to vacuum (grace 0: offline)
+      assert(cat.vacuum("t", 0L) >= 1)
+      assert(cat.readTable("t").count() == 90L)
+    }
+  }
+
+  test("COW paths never resurrect MOR-deleted rows: deleteWhere, " +
+    "mergeReplace, mergeUpsert, and compaction all start from the live " +
+    "read and conserve live rows") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p0", df(0L until 100L)))
+      assert(cat.deleteWhereMor("t", col("id") >= 90L, "id")._1 == 10L)
+      // COW delete on the burdened partition: hits count from LIVE rows
+      val (parts, deleted) = cat.deleteWhere("t", col("id") < 5L)
+      assert(parts == 1 && deleted == 5L)
+      val snap = cat.snapshots("t").head
+      assert(snap.rows == 85L) // 100 - 10 (MOR, materialized) - 5 (COW)
+      assert(idSet(cat.readTable("t")) == (5L until 90L).toSet)
+      // the COW rewrite is NEWER than the MOR delete — re-inserting a
+      // deleted key via upsert must stay
+      val up = Seq((Option(95L), "back")).toDF("id", "v")
+      val (u, i, nIns) = cat.mergeUpsert("t", up, "id", lit("p0"))
+      assert(u == 0 && i == 1 && nIns == 1L)
+      assert(cat.readTable("t").where(col("id") === 95L).count() == 1L)
+      // mergeReplace on a fresh burdened partition conserves live rows
+      assert(cat.commitPartition("t", "p1", df(200L until 210L)))
+      assert(cat.deleteWhereMor("t", col("id") === 205L, "id")._1 == 1L)
+      val (r, unmatched) = cat.mergeReplace("t",
+        Seq((Option(206L), "upd")).toDF("id", "v"), "id")
+      assert(r == 1 && unmatched.isEmpty)
+      val p1 = cat.readTable("t").where(col("id") >= 200L)
+      assert(p1.count() == 9L) // 10 - 1 deleted; 206 updated in place
+      assert(p1.where(col("id") === 205L).isEmpty)
+      assert(p1.where(col("v") === "upd").count() == 1L)
+    }
+  }
+
+  test("incremental read and CDC refuse windows a live delete " +
+    "intersects; both work when the delete predates the window; CDC " +
+    "works after materialization + expiry") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 20L)))
+      val id0 = cat.snapshots("t").last.id
+      assert(cat.deleteWhereMor("t", col("id") < 5L, "id")._1 == 5L)
+      assert(cat.commitPartition("t", "p1", df(100L until 110L)))
+      val id1 = cat.snapshots("t").map(_.id).max
+      val e1 = intercept[IllegalArgumentException] {
+        cat.readTableIncremental("t", id0, id1).count()
+      }
+      assert(e1.getMessage.contains("append-only increment"))
+      val e2 = intercept[IllegalArgumentException] {
+        cat.readChangesBetween("t", id0, id1).count()
+      }
+      assert(e2.getMessage.contains("version diff"))
+      // a delete BEFORE the window applies to both sides and nets out
+      assert(cat.commitPartition("t", "p2", df(200L until 205L)))
+      val id2 = cat.snapshots("t").map(_.id).max
+      val inc = cat.readTableIncremental("t", id1, id2)
+      assert(idSet(inc) == (200L until 205L).toSet)
+      val cdc = cat.readChangesBetween("t", id1, id2)
+      assert(cdc.where(col("_change_type") === "insert").count() == 5L)
+      assert(cdc.where(col("_change_type") === "delete").isEmpty)
+      // materialize + expire: the blocked window becomes CDC-readable
+      // (ids re-anchor after the REPLACE commits)
+      val rep = cat.runMaintenance("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 10000,
+          minFileBytes = 0L),
+        expireBeforeMs = System.currentTimeMillis() + 600000L,
+        vacuumGraceMs = 0L)
+      assert(rep.compacted == Seq("p0") && rep.deletesExpired == 1)
+      assert(cat.morDeletes("t").isEmpty)
+      val idNow = cat.snapshots("t").map(_.id).max
+      assert(cat.readChangesBetween("t", -1L, idNow)
+        .where(col("_change_type") === "insert").count() == 30L)
+    }
+  }
+
+  test("stats surfaces refuse under a live delete and recover after " +
+    "materialization: aggregateFromStats, approxDistinctFromStats") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 100L),
+        statsCols = Seq("id"), ndvCols = Seq("id")))
+      assert(cat.aggregateFromStats("t", Seq("id")).isDefined)
+      assert(cat.approxDistinctFromStats("t", "id").isDefined)
+      assert(cat.deleteWhereMor("t", col("id") < 50L, "id")._1 == 50L)
+      assert(cat.aggregateFromStats("t", Seq("id")).isEmpty)
+      assert(cat.approxDistinctFromStats("t", "id").isEmpty)
+      assert(cat.compactPartition("t", "p0"))
+      cat.expireHistory("t", System.currentTimeMillis() + 600000L)
+      assert(cat.expireMorDeletes("t") == 1)
+      val agg = cat.aggregateFromStats("t", Seq("id"))
+      assert(agg.isDefined)
+      val row = agg.get.where(col("col_name") === "id").head()
+      assert(row.getAs[Long]("n_rows") == 50L &&
+        row.getAs[String]("min_value") == "50")
+      // KMV re-derived by the rewrite: exact below k
+      assert(cat.approxDistinctFromStats("t", "id").get._1 == 50.0)
+    }
+  }
+
+  test("branches: the audit read applies base deletes only; publish " +
+    "refuses after a post-base equality delete") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p0", df(0L until 20L)))
+      assert(cat.deleteWhereMor("t", col("id") < 5L, "id")._1 == 5L)
+      cat.createBranch("t", "wap")
+      assert(cat.commitPartitionToBranch("t", "wap", "p1",
+        df(100L until 105L)))
+      // base delete applies on the branch read; branch data untouched
+      assert(idSet(cat.readTableOnBranch("t", "wap")) ==
+        ((5L until 20L) ++ (100L until 105L)).toSet)
+      // a main-side delete AFTER the base poisons the audit — refuse
+      assert(cat.deleteWhereMor("t", col("id") === 10L, "id")._1 == 1L)
+      val e = intercept[IllegalStateException] {
+        cat.publishBranch("t", "wap")
+      }
+      assert(e.getMessage.contains("equality-delete"))
+      cat.dropBranch("t", "wap")
+    }
+  }
+
+  test("rollback removes post-cut delete markers; a crashed delete " +
+    "(key dir, no marker) is invisible and vacuumable") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df(0L until 20L)))
+      val id0 = cat.snapshots("t").last.id
+      assert(cat.deleteWhereMor("t", col("id") < 5L, "id")._1 == 5L)
+      assert(cat.readTable("t").count() == 15L)
+      cat.rollbackTo("t", id0)
+      assert(cat.morDeletes("t").isEmpty)
+      assert(cat.readTable("t").count() == 20L)
+      // crash simulation: a key dir lands but the marker write dies
+      df(Seq(7L)).write.parquet(s"${cat.root}/t/_deletes/del@999")
+      assert(cat.readTable("t").count() == 20L) // invisible
+      assert(cat.vacuum("t", 0L) >= 1)          // reclaimed
+      assert(!new java.io.File(s"${cat.root}/t/_deletes/del@999").exists())
+    }
+  }
+
+  test("mergeSchema read across delete groups: pre-evolution partitions " +
+    "surface the added column as null AND apply their deletes") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p0", df(0L until 10L)))
+      assert(cat.deleteWhereMor("t", col("id") < 3L, "id")._1 == 3L)
+      val evolved = Seq((Option(100L), "x", "extra"))
+        .toDF("id", "v", "w")
+      assert(cat.commitPartition("t", "p1", evolved))
+      val out = cat.readTable("t", mergeSchema = true)
+      assert(out.columns.toSet == Set("id", "v", "w"))
+      assert(out.count() == 8L) // 10 - 3 + 1
+      assert(out.where(col("w").isNull).count() == 7L)
+      assert(idSet(out) == ((3L until 10L) :+ 100L).toSet)
+    }
+  }
+}
