@@ -2371,6 +2371,72 @@ object SparkEntry {
             .toDF("phase", "n_rows", "id_sum").orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q98: schema evolution (Iceberg schema updates) — rename / add-
+    // with-default / drop as METADATA-ONLY ops over a three-partition
+    // documents table, a post-evolution partition committed under the
+    // new schema, a MOR delete keyed on the RENAMED column (the
+    // interleaved sequence fold applies it through the rename on old
+    // partitions and directly on the new one), and a compaction
+    // materializing the evolved physical schema. Requires pin the
+    // rename-translated data skipping and the materialized file schema;
+    // the emitted rows are the final live state and the pre-evolution
+    // time-travel read — closed-form over documents.
+    "q98_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evoq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          (0 until 3).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(pmod(col("doc_id"), lit(3L)) === k),
+              Seq("doc_id"))
+          }
+          Thread.sleep(3)
+          val anchor = System.currentTimeMillis()
+          Thread.sleep(3)
+          cat.renameColumn("c", "doc_id", "key")
+          cat.addColumn("c", "flag",
+            org.apache.spark.sql.types.LongType, Some("7"))
+          cat.commitPartition("c", "extra",
+            docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+              .select((col("doc_id") + 1000000L).as("key"),
+                col("n_chars"),
+                (pmod(col("doc_id") + 1000000L, lit(3L))).as("flag")),
+            Seq("key"))
+          cat.dropColumn("c", "n_chars")
+          // rename-translated data skipping: a predicate on the NEW
+          // name prunes the pre-evolution partitions by their OLD-name
+          // marker stats
+          require(cat.prunedSnapshots("c",
+            col("key") >= 1000000L).map(_.key) == Seq("extra"),
+            "stats translation must prune the pre-rename partitions")
+          val (nk, _) = cat.deleteWhereMor("c",
+            pmod(col("key"), lit(13L)) === 2L, "key")
+          require(nk > 0, "the MOR delete must harvest keys")
+          require(cat.compactPartition("c", "k0"),
+            "compaction (schema materialization) must succeed")
+          val k0 = cat.snapshots("c").find(_.key == "k0").get
+          require(s.read.parquet(s"${cat.root}/c/${k0.dir}")
+            .columns.toSet == Set("key", "flag"),
+            "the compacted files must carry the evolved physical schema")
+          def agg1(phase: String, a: String, b: String,
+                   df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)), coalesce(sum(a), lit(0L)),
+              coalesce(sum(b), lit(0L))).head()
+            (phase, r.getLong(0), r.getLong(1), r.getLong(2))
+          }
+          Seq(
+            agg1("final", "key", "flag", cat.readTable("c")),
+            agg1("pre", "doc_id", "n_chars",
+              cat.readTableAsOfTime("c", anchor)))
+            .toDF("phase", "n_rows", "sum_a", "sum_b").orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -4151,6 +4217,31 @@ object SparkEntry {
         |SELECT 'final' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM live1 WHERE doc_id % 11 <> 5
+        |ORDER BY phase""".stripMargin,
+
+    // final = every doc (under the renamed key, add-default flag 7)
+    // minus the % 13 == 2 takedown, plus the post-evolution partition
+    // (key = doc_id + 1e6 for doc_id % 5 == 0, flag = key % 3) under
+    // the same takedown; pre = the pre-evolution time-travel read
+    // (doc_id, n_chars).
+    "q98_schema_evolution" ->
+      """WITH ext AS (
+        |  SELECT doc_id + 1000000 AS key FROM documents WHERE doc_id % 5 = 0
+        |), fin AS (
+        |  SELECT doc_id AS key, 7 AS flag FROM documents
+        |  WHERE doc_id % 13 <> 2
+        |  UNION ALL
+        |  SELECT key, key % 3 AS flag FROM ext WHERE key % 13 <> 2
+        |)
+        |SELECT 'final' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(key) AS BIGINT) AS sum_a,
+        |       CAST(sum(flag) AS BIGINT) AS sum_b
+        |FROM fin
+        |UNION ALL
+        |SELECT 'pre' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS sum_a,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_b
+        |FROM documents
         |ORDER BY phase""".stripMargin
   )
 

@@ -356,22 +356,24 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val dels = morDeletes(table)
-    if (dels.isEmpty) {
+    val ops = schemaOps(table)
+    if (dels.isEmpty && ops.isEmpty) {
       val paths = snaps.sortBy(_.key)
         .map(s => new HPath(tableDir(table), s.dir).toString)
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(paths: _*)
     } else {
-      // MOR deletes apply per the sequence rule; the merged schema (when
-      // asked for) must still come from ALL partitions, whatever delete
-      // group they land in
+      // MOR deletes and schema ops apply per the sequence rule; the
+      // merged schema (when asked for) must still come from ALL
+      // partitions, whatever group they land in
       lazy val fullSchema = spark.read.option("mergeSchema", "true")
         .parquet(snaps.map(s =>
           new HPath(tableDir(table), s.dir).toString): _*).schema
       val reader: Seq[String] => DataFrame =
         if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
         else ps => spark.read.parquet(ps: _*)
-      readVersionsWithDeletes(table, snaps.map(curVersion), dels, reader)
+      readVersionsWithDeletes(table, snaps.map(curVersion), dels, reader,
+        ops)
     }
   }
 
@@ -382,8 +384,11 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * predicate shape) always survive.
     */
   def prunedSnapshots(table: String,
-                      predicate: org.apache.spark.sql.Column): Seq[CorpusCatalog.Snapshot] =
-    snapshots(table).filter(s => StatsPruning.mightMatch(predicate, s.stats, s.rows))
+                      predicate: org.apache.spark.sql.Column): Seq[CorpusCatalog.Snapshot] = {
+    val ops = schemaOps(table)
+    snapshots(table).filter(s =>
+      StatsPruning.mightMatch(predicate, translatedStats(s, ops), s.rows))
+  }
 
   /** Data-skipping read: `readTable(table).where(predicate)`, except
     * partitions whose commit-marker stats prove the predicate empty are
@@ -398,7 +403,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                      mergeSchema: Boolean = false): DataFrame = {
     val all = snapshots(table)
     require(all.nonEmpty, s"no committed partitions in $table")
-    val kept = all.filter(s => StatsPruning.mightMatch(predicate, s.stats, s.rows))
+    val allOps = schemaOps(table)
+    val kept = all.filter(s =>
+      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"data skipping over $table: ${kept.size}/${all.size} partitions survive")
     def dirOf(s: CorpusCatalog.Snapshot) =
@@ -413,11 +420,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       .parquet(all.map(dirOf): _*).schema
     if (kept.isEmpty) {
       // provably empty — keep the schema (and the predicate's analysis
-      // errors) without scanning anything: limit(0) under the filter
+      // errors) without scanning anything: limit(0) under the filter;
+      // schema ops still apply so the empty frame carries CURRENT names
       val base =
         if (mergeSchema) spark.read.schema(fullSchema)
         else spark.read
-      base.parquet(dirOf(all.head)).limit(0).where(predicate)
+      val h = all.head
+      val opsH = allOps.filter(o =>
+        delAppliesCut(o.ms, o.seq, h.committedAtMs, h.seq))
+      opsH.foldLeft(base.parquet(dirOf(h)).limit(0))(applySchemaOp)
+        .where(predicate)
     } else {
       // marker stats are PHYSICAL under MOR deletes (supersets of live
       // rows), so pruning stays safe: it can only over-keep a partition
@@ -426,8 +438,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       val reader: Seq[String] => DataFrame =
         if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
         else ps => spark.read.parquet(ps: _*)
-      readVersionsWithDeletes(table, kept.map(curVersion), dels, reader)
-        .where(predicate)
+      readVersionsWithDeletes(table, kept.map(curVersion), dels, reader,
+        allOps).where(predicate)
     }
   }
 
@@ -689,6 +701,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       new HPath(tableDir(table), s.dir).toString
     val upTo = all.filter(_.id <= upToSnapshotId)
     val inc = upTo.filter(_.id > afterSnapshotId)
+    // schema ops visible at the END cut apply to the increment (the
+    // Iceberg incremental-scan schema rule generalized: the increment
+    // surfaces in the end schema; ops at or before the start never
+    // apply to window partitions — all newer by the sequence rule)
+    val incOps = schemaOps(table).filter(o => upTo.lastOption.exists(u =>
+      !cutAfter(o.ms, o.seq, u.committedAtMs, u.seq)))
     // a MOR delete inside the window is a row-level change an
     // append-only increment cannot express (it removes rows from
     // partitions OUTSIDE the increment); deletes at or before the start
@@ -711,13 +729,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     }
     lazy val schemaAsOfEnd = spark.read.option("mergeSchema", "true")
       .parquet((if (upTo.nonEmpty) upTo else all).map(dirOf): _*).schema
+    val reader: Seq[String] => DataFrame =
+      if (mergeSchema) ps => spark.read.schema(schemaAsOfEnd).parquet(ps: _*)
+      else ps => spark.read.parquet(ps: _*)
     if (inc.isEmpty) {
-      val base =
-        if (mergeSchema) spark.read.schema(schemaAsOfEnd) else spark.read
-      base.parquet(dirOf(all.head)).limit(0)
-    } else if (mergeSchema)
-      spark.read.schema(schemaAsOfEnd).parquet(inc.map(dirOf): _*)
-    else spark.read.parquet(inc.map(dirOf): _*)
+      val h = all.head
+      val opsH = incOps.filter(o =>
+        delAppliesCut(o.ms, o.seq, h.committedAtMs, h.seq))
+      opsH.foldLeft(reader(Seq(dirOf(h))).limit(0))(applySchemaOp)
+    } else readVersionsWithDeletes(table, inc.map(curVersion), Nil,
+      reader, incOps)
   }
 
   /** The snapshot log as a DataFrame — Iceberg's `<table>.partitions` /
@@ -833,13 +854,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         s"no snapshots of $table at or before id $snapshotId"))
     requireUnexpired(table, cut.committedAtMs, s"snapshot $snapshotId",
       lastMs = all.last.committedAtMs)
-    // deletes committed after the cut are invisible to this read;
-    // deletes at or before it apply to the resolved versions as usual
+    // deletes/schema ops committed after the cut are invisible to this
+    // read; those at or before it apply to the resolved versions as usual
     val dels = morDeletes(table).filterNot(d =>
       cutAfter(d.ms, d.seq, cut.committedAtMs, cut.seq))
+    val ops = schemaOps(table).filterNot(o =>
+      cutAfter(o.ms, o.seq, cut.committedAtMs, cut.seq))
     readVersionsWithDeletes(table,
       all.flatMap(_.versionAt(cut.committedAtMs, cut.seq)), dels,
-      ps => spark.read.parquet(ps: _*))
+      ps => spark.read.parquet(ps: _*), ops)
   }
 
   /** Time travel by WALL-CLOCK time (Iceberg's `TIMESTAMP AS OF`,
@@ -860,8 +883,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val versions = all.flatMap(_.versionAt(msCut, Long.MaxValue))
     require(versions.nonEmpty, s"no partition of $table visible at $msCut")
     val dels = morDeletes(table).filter(_.ms <= msCut)
+    val ops = schemaOps(table).filter(_.ms <= msCut)
     readVersionsWithDeletes(table, versions, dels,
-      ps => spark.read.parquet(ps: _*))
+      ps => spark.read.parquet(ps: _*), ops)
   }
 
   /** CDC: the NET row-level changes between two snapshot cuts of the
@@ -953,6 +977,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val morVisible = cutFrom.map { case (ms, seq) =>
       morAll.filterNot(d => cutAfter(d.ms, d.seq, ms, seq))
     }.getOrElse(Nil)
+    // schema ops INSIDE the window are fine (unlike deletes, they remove
+    // no rows): both sides read under the ops visible at the TO cut, so
+    // the changelog surfaces in the destination schema — a rename nets
+    // carryovers under the new name, an added column shows its default
+    // on the from side, a drop vanishes from both
+    val opsVisible = schemaOps(table).filterNot(o =>
+      cutAfter(o.ms, o.seq, cutTo._1, cutTo._2))
     var insVs = List.empty[CorpusCatalog.Version]
     var delVs = List.empty[CorpusCatalog.Version]
     all.foreach { s =>
@@ -969,10 +1000,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     }
     def readVs(vs: List[CorpusCatalog.Version]): DataFrame =
       readVersionsWithDeletes(table, vs, morVisible,
-        ps => spark.read.parquet(ps: _*))
-    if (insVs.isEmpty && delVs.isEmpty)
-      return readTable(table).limit(0)
+        ps => spark.read.parquet(ps: _*), opsVisible)
+    if (insVs.isEmpty && delVs.isEmpty) {
+      val newest = all.maxBy(s => (s.committedAtMs, s.seq))
+      return readVs(List(curVersion(newest))).limit(0)
         .withColumn("_change_type", lit(""))
+    }
     val insRaw = if (insVs.isEmpty) None else Some(readVs(insVs))
     val delRaw = if (delVs.isEmpty) None else Some(readVs(delVs))
     val (ins, del) = (insRaw, delRaw) match {
@@ -1013,13 +1046,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (morDeletes(table).exists(d =>
         snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
       return None
+    // renames/drops translate each snapshot's stats to CURRENT names;
+    // an added column simply has no stats on pre-op partitions → None
+    val allOps = schemaOps(table)
     val rowsTotal = snaps.map(_.rows).sum
     val utf8 = Ordering.fromLessThan[String]((a, b) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .compareTo(
           org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     val perCol = cols.map { c =>
-      val css = snaps.map(_.stats.get(c))
+      val css = snaps.map(s => translatedStats(s, allOps).get(c))
       if (css.exists(_.isEmpty)) return None // a stats-less partition:
         // the fold cannot prove the answer — a scan can
       val cs = css.flatten
@@ -1068,7 +1104,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (morDeletes(table).exists(d =>
         snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
       return None
-    val sketches = snaps.map(_.stats.get(column).flatMap(_.kmv))
+    val allOps = schemaOps(table)
+    val sketches = snaps.map(s =>
+      translatedStats(s, allOps).get(column).flatMap(_.kmv))
     if (sketches.exists(_.isEmpty)) return None
     val all = sketches.map(_.get)
     if (all.map(_.hash).distinct.sizeIs > 1) return None
@@ -1190,12 +1228,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(all.nonEmpty, s"no committed partitions in $table")
     val (ms, seq) =
       if (asOfMs < 0L) {
-        // "current state" includes the delete-file log: a MOR delete
-        // committed after the last data commit is still current state,
-        // and a takedown tag that missed the takedown would be an audit
-        // hazard — pin whichever commit point is newest
+        // "current state" includes the delete-file and schema-op logs:
+        // a MOR delete (or evolution) committed after the last data
+        // commit is still current state, and a takedown tag that missed
+        // the takedown would be an audit hazard — pin the newest point
         val snapCut = (all.last.committedAtMs, all.last.seq)
-        (snapCut +: morDeletes(table).map(d => (d.ms, d.seq))).max
+        (snapCut +: (morDeletes(table).map(d => (d.ms, d.seq)) ++
+          schemaOps(table).map(o => (o.ms, o.seq)))).max
       } else {
         requireUnexpired(table, asOfMs, s"tag '$name' at $asOfMs",
           all.last.committedAtMs)
@@ -1262,8 +1301,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       s"no partition of $table visible at tag '$name'")
     val dels = morDeletes(table).filterNot(d =>
       cutAfter(d.ms, d.seq, t.ms, t.seq))
+    val ops = schemaOps(table).filterNot(o =>
+      cutAfter(o.ms, o.seq, t.ms, t.seq))
     readVersionsWithDeletes(table, versions, dels,
-      ps => spark.read.parquet(ps: _*))
+      ps => spark.read.parquet(ps: _*), ops)
   }
 
   /** CDC between two tags — "what changed between release-v1 and
@@ -1314,10 +1355,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       if (all.isEmpty) (-1L, -1L)
       else {
         // the base is "current state" — like createTag, that includes
-        // any MOR delete committed after the last data commit (the
-        // audit read must apply it, and publish must not refuse on it)
+        // any MOR delete or schema op committed after the last data
+        // commit (the audit read must apply it, and publish must not
+        // refuse on it)
         ((all.last.committedAtMs, all.last.seq) +:
-          morDeletes(table).map(d => (d.ms, d.seq))).max
+          (morDeletes(table).map(d => (d.ms, d.seq)) ++
+            schemaOps(table).map(o => (o.ms, o.seq)))).max
       }
     if (!fs.mkdirs(refsDir(table)))
       throw new java.io.IOException(s"mkdirs failed: ${refsDir(table)}")
@@ -1433,6 +1476,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val baseDels =
       if (b.ms < 0) Nil
       else morDeletes(table).filterNot(d => cutAfter(d.ms, d.seq, b.ms, b.seq))
+    val baseOps =
+      if (b.ms < 0) Nil
+      else schemaOps(table).filterNot(o => cutAfter(o.ms, o.seq, b.ms, b.seq))
     val baseVs = base.view.filterKeys(k => !over.contains(k)).values.toSeq
     val overDirs = over.toSeq.sortBy(_._1)
       .map { case (_, d) => new HPath(tableDir(table), d).toString }
@@ -1446,7 +1492,8 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       else ps => spark.read.parquet(ps: _*)
     val parts =
       (if (baseVs.isEmpty) Nil
-       else Seq(readVersionsWithDeletes(table, baseVs, baseDels, reader))) ++
+       else Seq(readVersionsWithDeletes(table, baseVs, baseDels, reader,
+         baseOps))) ++
         (if (overDirs.isEmpty) Nil else Seq(reader(overDirs)))
     parts.reduce(_.unionByName(_))
   }
@@ -1494,6 +1541,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         throw new IllegalStateException(
           s"publishBranch('$name') on $table: equality-delete file(s) " +
             s"${delConf.map(_.name).mkString(", ")} committed on main " +
+            "since the branch base — rebase or dropBranch")
+      // a schema op is table-wide too: the branch staged data under the
+      // base schema, main has since evolved — stale, refuse
+      val opConf = schemaOps(table)
+        .filter(o => cutAfter(o.ms, o.seq, b.ms, b.seq))
+      if (opConf.nonEmpty)
+        throw new IllegalStateException(
+          s"publishBranch('$name') on $table: schema op(s) " +
+            s"${opConf.map(_.name).mkString(", ")} committed on main " +
             "since the branch base — rebase or dropBranch")
     }
     var published = 0
@@ -1555,6 +1611,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
             false))
           throw new java.io.IOException(
             s"rollback: cannot remove delete marker ${d.name}")
+      }
+    // schema ops after the cut are part of the rolled-back state too
+    schemaOps(table)
+      .filter(o => cutAfter(o.ms, o.seq, cutKey._1, cutKey._2))
+      .foreach { o =>
+        if (!fs.delete(new HPath(schemaDir(table), s"${o.name}.json"),
+            false))
+          throw new java.io.IOException(
+            s"rollback: cannot remove schema op ${o.name}")
       }
     // drop the removed markers' manifest entries NOW: a later re-commit
     // of a rolled-back key writes a fresh same-named marker, and on a
@@ -1628,8 +1693,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
             .distinct().collect().map(_.get(0))
           col(onCol).isin(keys: _*)
         } else col(onCol).between(lit(kstat.get(2)), lit(kstat.get(3)))
+      val allOps = schemaOps(table)
       val candidates = snaps.filter(s =>
-        StatsPruning.mightMatch(keyPred, s.stats, s.rows))
+        StatsPruning.mightMatch(keyPred, translatedStats(s, allOps), s.rows))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
@@ -1638,8 +1704,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       var rewrittenDirs = List.empty[String]
       candidates.foreach { snap =>
         // LIVE read: a raw-dir COW rewrite would resurrect MOR-deleted
-        // rows (and a matched UPDATE of a deleted key must not revive it)
-        val (cur, liveRows) = liveCurrent(table, snap, mor)
+        // rows (and a matched UPDATE of a deleted key must not revive
+        // it); schema ops apply so updates in the CURRENT schema merge
+        // into pre-evolution partitions
+        val (cur, liveRows) = liveCurrent(table, snap, mor, allOps)
         require(sameColumns(cur.schema, u.schema),
           s"mergeReplace: updates schema ${u.schema.simpleString} does " +
             s"not match $table/${snap.key}'s ${cur.schema.simpleString} — " +
@@ -1733,18 +1801,19 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // must carry the table's exact column set (same rule as rewrites —
       // a fresh partition is the one place a schema fork could sneak in
       // without unionByName ever objecting)
-      val statCols = snapsNow.last.stats.keys.toSeq.sorted
+      val opsNow = schemaOps(table)
+      val statCols = translatedStats(snapsNow.last, opsNow).keys.toSeq.sorted
       val morNow = morDeletes(table)
-      lazy val tableSchema = spark.read.parquet(
-        new HPath(tableDir(table), snapsNow.head.dir).toString).schema
+      lazy val insertSchema = this.tableSchema(table)
       routeCounts.foreach { case (routeOpt, cnt) =>
         val k = routeOpt.get
         val ins = routed.filter(col(rcol) === k).drop(rcol)
         snapsNow.find(_.key == k) match {
           case Some(snap) =>
             // LIVE read — the insert-half rewrite must not resurrect
-            // MOR-deleted rows either
-            val (cur, liveRows) = liveCurrent(table, snap, morNow)
+            // MOR-deleted rows either, and inserts in the CURRENT
+            // schema must append to pre-evolution partitions
+            val (cur, liveRows) = liveCurrent(table, snap, morNow, opsNow)
             require(sameColumns(cur.schema, ins.schema),
               s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
                 s"not match $table/$k's ${cur.schema.simpleString}")
@@ -1754,9 +1823,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
               what = "upsert insert (concurrent writer?)")
             rewrittenKeys ::= k
           case None =>
-            require(sameColumns(tableSchema, ins.schema),
+            require(sameColumns(insertSchema, ins.schema),
               s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
-                s"not match $table's ${tableSchema.simpleString}")
+                s"not match $table's ${insertSchema.simpleString}")
             if (!commitPartition(table, k, ins, statCols))
               throw new java.io.IOException(
                 s"mergeUpsert: partition $table/$k appeared concurrently — " +
@@ -1787,8 +1856,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                   predicate: org.apache.spark.sql.Column): (Int, Long) = {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
+    val allOps = schemaOps(table)
     val candidates = snaps.filter(s =>
-      StatsPruning.mightMatch(predicate, s.stats, s.rows))
+      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
@@ -1799,7 +1869,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // a COW rewrite must start from the LIVE partition or it would
       // resurrect MOR-deleted rows (the rewrite's fresh commit point
       // retires every older delete's hold on this partition)
-      val (cur, liveRows) = liveCurrent(table, snap, mor)
+      val (cur, liveRows) = liveCurrent(table, snap, mor, allOps)
       val hits = cur.where(predicate).count()
       if (hits > 0) {
         // NOT(pred) drops NULL-predicate rows too — coalesce keeps them,
@@ -1837,8 +1907,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val target = new HPath(tableDir(table), dirName)
     withBloom(df.write.mode(SaveMode.Overwrite), bloomNdv)
       .parquet(target.toString)
+    // the rewrite output carries the CURRENT schema — stat columns (and
+    // their KMV confs) translate through any renames/drops applicable
+    // to the outgoing version
+    val tstats = translatedStats(snap, schemaOps(table))
     val (rows, stats0) = PartitionStats.collect(statsSession, spark,
-      target.toString, snap.stats.keys.toSeq.sorted)
+      target.toString, tstats.keys.toSeq.sorted)
     if (rows != expectedRows) {
       fs.delete(target, true)
       throw new java.io.IOException(
@@ -1850,7 +1924,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // commit used — a compaction keeps the estimate, a delete/merge
     // reflects the new distinct set
     val stats = attachSketches(target.toString, stats0,
-      snap.stats.collect { case (c, cs) if cs.kmv.isDefined =>
+      tstats.collect { case (c, cs) if cs.kmv.isDefined =>
         c -> ((cs.kmv.get.k, cs.kmv.get.hash)) })
     // the outgoing version joins the lineage: its dir stays on disk
     // (vacuum protects history dirs) so time travel and CDC can still
@@ -1920,11 +1994,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val curOpt = snapshots(table).find(_.key == key)
     if (curOpt.isEmpty) return false
     val cur = curOpt.get
-    // LIVE read: compaction is ALSO the MOR materialization step — the
-    // rewrite applies every outstanding equality delete, and its fresh
-    // commit point retires their hold on this partition (Iceberg's
-    // rewrite_data_files on a v2 table does exactly this)
-    val (data, liveRows) = liveCurrent(table, cur, morDeletes(table))
+    // LIVE read: compaction is ALSO the materialization step — the
+    // rewrite applies every outstanding equality delete AND schema op,
+    // and its fresh commit point retires their hold on this partition
+    // (Iceberg's rewrite_data_files on a v2 table does exactly this);
+    // the new files carry the CURRENT physical schema
+    val (data, liveRows) =
+      liveCurrent(table, cur, morDeletes(table), schemaOps(table))
     val laidOut =
       if (zorderBy.nonEmpty) {
         // the key column exists only inside the rewrite plan: range
@@ -2048,22 +2124,55 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       table: String,
       versions: Seq[CorpusCatalog.Version],
       dels: Seq[CorpusCatalog.DeleteFile],
-      reader: Seq[String] => DataFrame): DataFrame = {
+      reader: Seq[String] => DataFrame,
+      ops: Seq[CorpusCatalog.SchemaOp] = Nil): DataFrame = {
     def path(v: CorpusCatalog.Version) =
       new HPath(tableDir(table), v.dir).toString
-    if (dels.isEmpty) reader(versions.sortBy(_.dir).map(path))
-    else versions.groupBy { v =>
-      val i = dels.indexWhere(d => delApplies(d, v.ms, v.seq))
-      if (i < 0) dels.length else i
+    // deletes and schema ops interleave in ONE commit-ordered sequence:
+    // each applies to versions committed strictly before it, so a
+    // delete keyed on a column a LATER rename moved still anti-joins
+    // under the name the data physically carries at that fold point —
+    // exactly Iceberg's sequence-number semantics, one mechanism
+    val entries: Seq[Either[CorpusCatalog.DeleteFile,
+                            CorpusCatalog.SchemaOp]] =
+      (dels.map(Left(_)) ++ ops.map(Right(_))).sortBy {
+        case Left(d) => (d.ms, d.seq)
+        case Right(o) => (o.ms, o.seq)
+      }
+    if (entries.isEmpty) return reader(versions.sortBy(_.dir).map(path))
+    def antiJoin(df: DataFrame,
+                 kc: String,
+                 files: Seq[CorpusCatalog.DeleteFile]): DataFrame = {
+      val keys = spark.read.parquet(files.map(f =>
+        new HPath(deletesDir(table), f.dir).toString): _*)
+        .select(col(kc).as("__mor_key")).distinct()
+      df.join(broadcast(keys), col(kc) === col("__mor_key"), "left_anti")
+    }
+    versions.groupBy { v =>
+      val i = entries.indexWhere {
+        case Left(d) => delApplies(d, v.ms, v.seq)
+        case Right(o) => delAppliesCut(o.ms, o.seq, v.ms, v.seq)
+      }
+      if (i < 0) entries.length else i
     }.toSeq.sortBy(_._1).map { case (i, vs) =>
       val df0 = reader(vs.sortBy(_.dir).map(path))
-      dels.drop(i).groupBy(_.keyCol).toSeq.sortBy(_._1)
-        .foldLeft(df0) { case (df, (kc, ds)) =>
-          val keys = spark.read.parquet(ds.map(f =>
-            new HPath(deletesDir(table), f.dir).toString): _*)
-            .select(col(kc).as("__mor_key")).distinct()
-          df.join(broadcast(keys), col(kc) === col("__mor_key"), "left_anti")
+      // fold the applicable suffix in commit order; consecutive deletes
+      // on the same key column batch into one anti-join
+      val suffix = entries.drop(i)
+      var df = df0
+      var run = List.empty[CorpusCatalog.DeleteFile]
+      def flushRun(): Unit = if (run.nonEmpty) {
+        run.reverse.groupBy(_.keyCol).toSeq.sortBy(_._1).foreach {
+          case (kc, ds) => df = antiJoin(df, kc, ds)
         }
+        run = Nil
+      }
+      suffix.foreach {
+        case Left(d) => run ::= d
+        case Right(o) => flushRun(); df = applySchemaOp(df, o)
+      }
+      flushRun()
+      df
     }.reduce(_.unionByName(_))
   }
 
@@ -2078,12 +2187,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * the rewrite's own conservation check.
     */
   private def liveCurrent(table: String, snap: CorpusCatalog.Snapshot,
-                          dels: Seq[CorpusCatalog.DeleteFile])
+                          dels: Seq[CorpusCatalog.DeleteFile],
+                          ops: Seq[CorpusCatalog.SchemaOp] = Nil)
       : (DataFrame, Long) = {
     val applicable = dels.filter(d =>
       delApplies(d, snap.committedAtMs, snap.seq))
     val df = readVersionsWithDeletes(table, Seq(curVersion(snap)),
-      applicable, ps => spark.read.parquet(ps: _*))
+      applicable, ps => spark.read.parquet(ps: _*), ops)
+    // schema ops never change row counts — the marker count holds
+    // whenever no DELETE applies
     val rows = if (applicable.isEmpty) snap.rows else df.count()
     (df, rows)
   }
@@ -2133,14 +2245,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val dels = morDeletes(table)
+    val allOps = schemaOps(table)
     val candidates = snaps.filter(s =>
-      StatsPruning.mightMatch(predicate, s.stats, s.rows))
+      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhereMor over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
     if (candidates.isEmpty) return (0L, 0)
     val live = readVersionsWithDeletes(table, candidates.map(curVersion),
-      dels, ps => spark.read.parquet(ps: _*))
+      dels, ps => spark.read.parquet(ps: _*), allOps)
     val nanos = System.nanoTime()
     val dirName = s"del@$nanos"
     val target = new HPath(deletesDir(table), dirName)
@@ -2164,6 +2277,169 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     }
     (n, candidates.size)
   }
+
+  // ---- schema evolution (Iceberg schema updates, sequence-ruled) -------
+
+  private def schemaDir(table: String): HPath =
+    new HPath(tableDir(table), "_schema")
+
+  /** The table's schema-op log, oldest first. Like the delete-file log,
+    * a table that never evolved has no `_schema` dir and pays one
+    * existence check per read. Ops are METADATA ONLY — no data file is
+    * ever rewritten for a schema change; reads apply the ops to
+    * pre-evolution versions on the fly (rename/drop/add-with-default),
+    * and a compaction rewrites a partition into the current physical
+    * schema as a side effect of its normal live-read rewrite.
+    */
+  def schemaOps(table: String): Seq[CorpusCatalog.SchemaOp] = {
+    val d = schemaDir(table)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).iterator
+      .filter(st => st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("."))
+      .map { st =>
+        val n = PartitionStats.Mapper.readTree(readFully(st.getPath))
+        CorpusCatalog.SchemaOp(
+          n.path("name").asText(), n.path("kind").asText(),
+          n.path("col").asText(), n.path("to").asText(),
+          n.path("typ").asText(),
+          if (n.path("default").isNull || n.path("default").isMissingNode)
+            None
+          else Some(n.path("default").asText()),
+          n.path("committed_at_ms").asLong(),
+          n.path("seq_nanos").asLong())
+      }.toSeq.sortBy(o => (o.ms, o.seq, o.name))
+  }
+
+  /** The table's CURRENT logical schema: the newest partition's physical
+    * schema with every later schema op applied. One footer read.
+    */
+  def tableSchema(table: String): org.apache.spark.sql.types.StructType = {
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val newest = snaps.maxBy(s => (s.committedAtMs, s.seq))
+    val raw = spark.read.parquet(
+      new HPath(tableDir(table), newest.dir).toString)
+    val ops = schemaOps(table).filter(o =>
+      delAppliesCut(o.ms, o.seq, newest.committedAtMs, newest.seq))
+    ops.foldLeft(raw)(applySchemaOp).schema
+  }
+
+  private def delAppliesCut(opMs: Long, opSeq: Long,
+                            vMs: Long, vSeq: Long): Boolean =
+    vMs < opMs || (vMs == opMs && vSeq < opSeq)
+
+  private def applySchemaOp(df: DataFrame,
+                            o: CorpusCatalog.SchemaOp): DataFrame =
+    o.kind match {
+      case "rename" =>
+        if (df.columns.contains(o.col)) df.withColumnRenamed(o.col, o.to)
+        else df
+      case "drop" => df.drop(o.col)
+      case "add" =>
+        if (df.columns.contains(o.col)) df
+        else df.withColumn(o.col,
+          o.default.map(expr).getOrElse(lit(null)).cast(o.typ))
+      case k => throw new java.io.IOException(s"unknown schema op '$k'")
+    }
+
+  private def commitSchemaOp(table: String, kind: String, colName: String,
+                             to: String, typ: String,
+                             default: Option[String]): CorpusCatalog.SchemaOp = {
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val cur = tableSchema(table).fieldNames.toSet
+    kind match {
+      case "rename" =>
+        require(cur.contains(colName),
+          s"renameColumn: '$colName' is not in $table's current schema")
+        require(!cur.contains(to),
+          s"renameColumn: '$to' already exists in $table")
+      case "drop" =>
+        require(cur.contains(colName),
+          s"dropColumn: '$colName' is not in $table's current schema")
+        require(cur.size > 1, s"dropColumn: cannot drop $table's only column")
+      case "add" =>
+        require(!cur.contains(colName),
+          s"addColumn: '$colName' already exists in $table")
+    }
+    val nanos = System.nanoTime()
+    val name = s"evo-$nanos"
+    val node = PartitionStats.Mapper.createObjectNode()
+    node.put("name", name); node.put("kind", kind)
+    node.put("col", colName); node.put("to", to); node.put("typ", typ)
+    default match {
+      case Some(d) => node.put("default", d)
+      case None => node.putNull("default")
+    }
+    val ms = System.currentTimeMillis()
+    val seq = System.nanoTime()
+    node.put("committed_at_ms", ms); node.put("seq_nanos", seq)
+    if (!fs.mkdirs(schemaDir(table)))
+      throw new java.io.IOException(s"mkdirs failed: ${schemaDir(table)}")
+    val tmp = new HPath(schemaDir(table), s".$name.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(PartitionStats.Mapper.writeValueAsString(node)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new HPath(schemaDir(table), s"$name.json"))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"schema-op rename failed for $table/$name")
+    }
+    CorpusCatalog.SchemaOp(name, kind, colName, to, typ, default, ms, seq)
+  }
+
+  /** ADD COLUMN (metadata-only): versions committed before this op
+    * surface the column as `default` (a SQL expression over literals;
+    * None = NULL) cast to `typ`; later commits carry it physically —
+    * the caller's writers must include it from now on (the same
+    * discipline Iceberg expects after an ALTER TABLE). No file is read
+    * or written.
+    */
+  def addColumn(table: String, colName: String,
+                typ: org.apache.spark.sql.types.DataType,
+                default: Option[String] = None): CorpusCatalog.SchemaOp =
+    commitSchemaOp(table, "add", colName, "", typ.catalogString, default)
+
+  /** RENAME COLUMN (metadata-only): pre-op versions read under the old
+    * physical name and surface the new one; later commits write the new
+    * name. The stats translation keeps data skipping working across the
+    * rename (a predicate on the new name prunes against the old name's
+    * marker stats).
+    */
+  def renameColumn(table: String, from: String,
+                   to: String): CorpusCatalog.SchemaOp = {
+    require(to.matches("[A-Za-z0-9_.-]+"),
+      s"renameColumn: '$to' outside [A-Za-z0-9_.-]+")
+    commitSchemaOp(table, "rename", from, to, "", None)
+  }
+
+  /** DROP COLUMN (metadata-only): the column disappears from every read;
+    * pre-op files keep the bytes (release them by compacting — the
+    * rewrite goes through the evolved live read, so the dropped column
+    * is physically gone from the new files).
+    */
+  def dropColumn(table: String, colName: String): CorpusCatalog.SchemaOp =
+    commitSchemaOp(table, "drop", colName, "", "", None)
+
+  /** A snapshot's marker stats under the CURRENT column names: renames
+    * applicable to the snapshot move the key, drops remove it. Pruning
+    * and stats folds must see current names or an evolved table silently
+    * stops skipping (rename) or answers under a dead name (drop).
+    */
+  private def translatedStats(s: CorpusCatalog.Snapshot,
+                              ops: Seq[CorpusCatalog.SchemaOp])
+      : Map[String, PartitionStats.ColStats] =
+    ops.filter(o => delAppliesCut(o.ms, o.seq, s.committedAtMs, s.seq))
+      .foldLeft(s.stats) { (m, o) =>
+        o.kind match {
+          case "rename" =>
+            m.get(o.col).map(cs => (m - o.col) + (o.to -> cs)).getOrElse(m)
+          case "drop" => m - o.col
+          case _ => m
+        }
+      }
 
   /** Drop every delete file no resolvable data version can pair with —
     * the retention half of MOR (Iceberg drops delete files the same way
@@ -2261,6 +2537,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
           .foreach { child =>
             val p = new HPath(new HPath(td, "_commits"), child)
+            if (oldEnough(p) && deleteIfPresent(p)) removed += 1
+          }
+      case "_schema" =>
+        // crashed schema-op writers leave tmp debris; ops are tiny
+        // metadata files with no data dirs to reclaim
+        listChildNames(new HPath(td, "_schema"))
+          .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+          .foreach { child =>
+            val p = new HPath(new HPath(td, "_schema"), child)
             if (oldEnough(p) && deleteIfPresent(p)) removed += 1
           }
       case "_deletes" =>
@@ -2392,6 +2677,18 @@ object CorpusCatalog {
     */
   final case class DeleteFile(name: String, keyCol: String, rows: Long,
                               dir: String, ms: Long, seq: Long)
+
+  /** One schema-evolution op (Iceberg's schema updates, sequence-ruled
+    * like delete files: an op applies on read to every data version
+    * committed strictly BEFORE it; versions committed after carry the
+    * evolved schema physically). `kind` is "add" (col, typ DDL, optional
+    * default SQL expression — null default when absent), "rename"
+    * (col → to), or "drop" (col).
+    */
+  final case class SchemaOp(name: String, kind: String, col: String,
+                            to: String, typ: String,
+                            default: Option[String],
+                            ms: Long, seq: Long)
 }
 
 /** The full write-side job: salted repartition → per-partition pipeline →

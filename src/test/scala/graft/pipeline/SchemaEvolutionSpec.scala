@@ -1,0 +1,259 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Schema evolution (Iceberg schema updates): add/rename/drop column as
+  * METADATA-ONLY ops, sequence-ruled like delete files — an op applies
+  * on read to every version committed before it, later commits carry
+  * the evolved schema physically. No data file is rewritten for a
+  * schema change; compaction materializes the current physical schema;
+  * stats translation keeps data skipping working across renames; MOR
+  * deletes and schema ops interleave in one commit-ordered fold.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-schema-evo-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: CorpusCatalog => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_evo")
+    try f(new CorpusCatalog(tmp.toString, spark))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def df2(ids: Seq[Long]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i, s"v$i")).toDF("id", "v")
+  }
+
+  private def df3(ids: Seq[Long], w: Long => Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i, s"v$i", w(i))).toDF("id", "v", "w")
+  }
+
+  test("addColumn: pre-op partitions surface the default (or NULL), " +
+    "later commits carry it physically; stats folds refuse on the " +
+    "added column but keep answering on the old ones") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 10L), Seq("id")))
+      cat.addColumn("t", "w", IntegerType, default = Some("7"))
+      assert(cat.commitPartition("t", "p1",
+        df3(100L until 110L, i => (i % 3).toInt), Seq("id")))
+      val out = cat.readTable("t")
+      assert(out.columns.toSet == Set("id", "v", "w"))
+      assert(out.where(col("id") < 100L && col("w") === 7).count() == 10L)
+      assert(out.where(col("id") >= 100L)
+        .agg(sum("w")).head().getLong(0) ==
+        (100L until 110L).map(_ % 3).sum)
+      // NULL-default add
+      cat.addColumn("t", "z", StringType)
+      assert(cat.readTable("t").where(col("z").isNull).count() == 20L)
+      // stats: old columns still answer, the added one refuses
+      assert(cat.aggregateFromStats("t", Seq("id")).isDefined)
+      assert(cat.aggregateFromStats("t", Seq("w")).isEmpty)
+      assert(cat.tableSchema("t").fieldNames.toSet ==
+        Set("id", "v", "w", "z"))
+    }
+  }
+
+  test("renameColumn: reads surface the new name with values intact; " +
+    "data skipping prunes on the NEW name against OLD-name marker " +
+    "stats; readTableWhere stays equivalent to readTable().where") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "lo", df2(0L until 100L), Seq("id")))
+      assert(cat.commitPartition("t", "hi",
+        df2(1000L until 1100L), Seq("id")))
+      cat.renameColumn("t", "id", "doc_key")
+      val out = cat.readTable("t")
+      assert(out.columns.toSet == Set("doc_key", "v"))
+      assert(out.agg(sum("doc_key")).head().getLong(0) ==
+        (0L until 100L).sum + (1000L until 1100L).sum)
+      // pruning translates: the lo partition is provably dead for >= 1000
+      val pred = col("doc_key") >= 1000L
+      assert(cat.prunedSnapshots("t", pred).map(_.key) == Seq("hi"))
+      assert(cat.readTableWhere("t", pred).count() == 100L)
+      assert(cat.readTableWhere("t", pred).collect().toSet ==
+        cat.readTable("t").where(pred).collect().toSet)
+      // KMV/stat folds answer under the new name
+      assert(cat.aggregateFromStats("t", Seq("doc_key")).isDefined)
+    }
+  }
+
+  test("dropColumn: gone from every read; compaction materializes the " +
+    "current physical schema (dropped bytes released, added column " +
+    "written physically)") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 10L), Seq("id")))
+      cat.dropColumn("t", "v")
+      cat.addColumn("t", "flag", LongType, Some("1"))
+      assert(cat.readTable("t").columns.toSet == Set("id", "flag"))
+      assert(cat.compactPartition("t", "p0"))
+      val snap = cat.snapshots("t").head
+      val physical = spark.read.parquet(s"${cat.root}/t/${snap.dir}")
+      assert(physical.columns.toSet == Set("id", "flag"))
+      assert(physical.agg(sum("flag")).head().getLong(0) == 10L)
+      assert(cat.readTable("t").count() == 10L)
+    }
+  }
+
+  test("MOR deletes and schema ops interleave in commit order: a delete " +
+    "keyed on the old name applies before the rename, one keyed on the " +
+    "new name applies to both sides of it") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 50L)))
+      assert(cat.deleteWhereMor("t", col("id") < 10L, "id")._1 == 10L)
+      cat.renameColumn("t", "id", "key")
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p1",
+        (100L until 150L).map(i => (i, s"v$i")).toDF("key", "v")))
+      // keyed on the CURRENT name, hits p0 (through the rename) and p1
+      assert(cat.deleteWhereMor("t",
+        pmod(col("key"), lit(10L)) === 5L, "key")._1 == 9L)
+      val out = cat.readTable("t")
+      assert(out.columns.toSet == Set("key", "v"))
+      val keys = out.select("key").collect().map(_.getLong(0)).toSet
+      assert(keys ==
+        ((10L until 50L) ++ (100L until 150L)).filter(_ % 10 != 5).toSet)
+    }
+  }
+
+  test("op validation and crash debris: bad renames/adds/drops refuse; " +
+    "a tmp op file is invisible and vacuumable") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 5L)))
+      intercept[IllegalArgumentException] {
+        cat.renameColumn("t", "nope", "x")
+      }
+      intercept[IllegalArgumentException] { cat.addColumn("t", "v", LongType) }
+      intercept[IllegalArgumentException] { cat.dropColumn("t", "nope") }
+      cat.dropColumn("t", "v")
+      intercept[IllegalArgumentException] { cat.dropColumn("t", "id") }
+      // crashed op writer: tmp debris never parses into the log
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${cat.root}/t/_schema/.evo-1.json.tmp"),
+        "{garbage")
+      assert(cat.schemaOps("t").size == 1)
+      assert(cat.readTable("t").columns.toSeq == Seq("id"))
+      assert(cat.vacuum("t", 0L) >= 1)
+    }
+  }
+
+  test("time travel and tags resolve the schema AS OF the cut; rollback " +
+    "removes post-cut ops") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 5L)))
+      val id0 = cat.snapshots("t").last.id
+      cat.createTag("t", "old")
+      cat.renameColumn("t", "v", "text")
+      cat.createTag("t", "new")
+      assert(cat.readTableAsOf("t", id0).columns.toSet == Set("id", "v"))
+      assert(cat.readTableAtTag("t", "old").columns.toSet == Set("id", "v"))
+      assert(cat.readTableAtTag("t", "new").columns.toSet ==
+        Set("id", "text"))
+      assert(cat.readTable("t").columns.toSet == Set("id", "text"))
+      cat.dropTag("t", "new")
+      cat.rollbackTo("t", id0)
+      assert(cat.schemaOps("t").isEmpty)
+      assert(cat.readTable("t").columns.toSet == Set("id", "v"))
+    }
+  }
+
+  test("merge/upsert write through the evolved schema: updates in the " +
+    "CURRENT schema land in pre-evolution partitions, and the rewrite " +
+    "materializes the evolution physically") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p0", df2(0L until 10L), Seq("id")))
+      cat.renameColumn("t", "v", "text")
+      cat.addColumn("t", "score", LongType, Some("0"))
+      val up = Seq((3L, "patched", 9L), (777L, "fresh", 5L))
+        .toDF("id", "text", "score")
+      val (updated, inserted, nIns) = cat.mergeUpsert("t", up, "id",
+        when(col("id") < 100L, lit("p0")).otherwise(lit("p777")))
+      assert(updated == 1 && inserted == 1 && nIns == 1L)
+      val out = cat.readTable("t")
+      assert(out.columns.toSet == Set("id", "text", "score"))
+      assert(out.where(col("id") === 3L).head().getAs[String]("text")
+        == "patched")
+      assert(out.where(col("id") === 777L).count() == 1L)
+      // the rewritten partition carries the evolved PHYSICAL schema
+      val p0 = cat.snapshots("t").find(_.key == "p0").get
+      assert(spark.read.parquet(s"${cat.root}/t/${p0.dir}")
+        .columns.toSet == Set("id", "text", "score"))
+      // untouched rows got the add's default through the rewrite
+      assert(out.where(col("id") === 5L).head().getAs[Long]("score") == 0L)
+    }
+  }
+
+  test("CDC across an evolution window surfaces the destination schema: " +
+    "untouched partitions skip, a rewritten one diffs under the new " +
+    "name") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 10L), Seq("id")))
+      assert(cat.commitPartition("t", "p1",
+        df2(100L until 110L), Seq("id")))
+      // REPLACE commits re-densify snapshot ids — anchor the window on
+      // the stable time axis instead
+      Thread.sleep(3)
+      val fromMs = System.currentTimeMillis()
+      Thread.sleep(3)
+      cat.renameColumn("t", "v", "text")
+      cat.deleteWhere("t", col("id") === 5L)
+      Thread.sleep(3)
+      val toMs = System.currentTimeMillis()
+      val cdc = cat.readChangesBetweenTimes("t", fromMs, toMs)
+      assert(cdc.columns.toSet == Set("id", "text", "_change_type"))
+      val rows = cdc.collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+      assert(rows == Set((5L, "delete")))
+      // incremental read surfaces the end schema too
+      assert(cat.readTableIncremental("t", -1L,
+        cat.snapshots("t").map(_.id).max).columns.toSet ==
+        Set("id", "text"))
+    }
+  }
+
+  test("branches: the audit read uses the base schema; publish refuses " +
+    "after a post-base schema op") {
+    withCatalog { cat =>
+      assert(cat.commitPartition("t", "p0", df2(0L until 5L)))
+      cat.renameColumn("t", "v", "text")
+      cat.createBranch("t", "wap")
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartitionToBranch("t", "wap", "p1",
+        Seq((9L, "staged")).toDF("id", "text")))
+      assert(cat.readTableOnBranch("t", "wap").columns.toSet ==
+        Set("id", "text"))
+      assert(cat.readTableOnBranch("t", "wap").count() == 6L)
+      cat.addColumn("t", "extra", LongType)
+      val e = intercept[IllegalStateException] {
+        cat.publishBranch("t", "wap")
+      }
+      assert(e.getMessage.contains("schema op"))
+      cat.dropBranch("t", "wap")
+    }
+  }
+}
