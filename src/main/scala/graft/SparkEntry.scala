@@ -2437,6 +2437,58 @@ object SparkEntry {
             .toDF("phase", "n_rows", "sum_a", "sum_b").orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q99: hidden partitioning (Iceberg partition transforms) — the
+    // documents table bucketed 8 ways on doc_id via ONE staged
+    // partitionBy write + per-bucket atomic commits; the derived key
+    // never lands in the data files (require-pinned), and a point
+    // predicate routes to exactly ONE bucket through the transform
+    // (require-pinned — min/max stats are useless on a hash layout).
+    // The bucket hash is the reduce-first Knuth form (multiply stays
+    // under 2^62), so DuckDB re-derives every bucket assignment
+    // bit-identically — the emitted per-bucket counts and id-sums are
+    // the whole layout, oracled end to end.
+    "q99_hidden_partitioning" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hpq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          val spec = graft.pipeline.Transforms.Spec("bucket", "doc_id", 8)
+          cat.setPartitionSpec("c", spec)
+          val keys = cat.commitPartitioned("c", docs, Seq("doc_id"))
+          require(keys.nonEmpty && keys.size == cat.snapshots("c").size,
+            "every bucket must commit exactly once")
+          // hidden: the physical files carry the SOURCE columns only
+          require(s.read.parquet(
+            s"${cat.root}/c/${cat.snapshots("c").head.dir}")
+            .columns.toSet == Set("doc_id", "n_chars"),
+            "the derived partition key must not land in the data files")
+          // point routing: one bucket, not eight (stats cannot prove
+          // this — every bucket's [min, max] spans the id space)
+          val target =
+            graft.pipeline.Transforms.keyFor(spec, 42L).get
+          require(cat.prunedSnapshots("c",
+            col("doc_id") === 42L).map(_.key) == Seq(target),
+            "a point predicate must route to exactly its bucket")
+          require(cat.readTableWhere("c",
+            col("doc_id") === 42L).count() == 1L,
+            "the routed read must still find the row")
+          // materialize BEFORE the finally sweeps the temp catalog —
+          // the returned plan is lazy and the driver writes it later
+          cat.readTable("c")
+            .groupBy(graft.pipeline.Transforms.keyExpr(spec).as("bucket"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum("doc_id").as("id_sum"))
+            .orderBy("bucket")
+            .collect().map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+            .toDF("bucket", "n_rows", "id_sum").orderBy("bucket")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -4242,7 +4294,17 @@ object SparkEntry {
         |       CAST(sum(doc_id) AS BIGINT) AS sum_a,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_b
         |FROM documents
-        |ORDER BY phase""".stripMargin
+        |ORDER BY phase""".stripMargin,
+
+    // the reduce-first Knuth bucket: (v % P) * K stays under 2^62, so
+    // the arithmetic is exact in any engine; doc_id is non-negative so
+    // % == floorMod throughout
+    "q99_hidden_partitioning" ->
+      """SELECT 'b' || (((doc_id % 999999937) * 2654435761)
+        |              % 999999937 % 8) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

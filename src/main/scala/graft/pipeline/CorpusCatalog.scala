@@ -386,8 +386,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   def prunedSnapshots(table: String,
                       predicate: org.apache.spark.sql.Column): Seq[CorpusCatalog.Snapshot] = {
     val ops = schemaOps(table)
+    val tk = transformKeys(table, predicate)
     snapshots(table).filter(s =>
-      StatsPruning.mightMatch(predicate, translatedStats(s, ops), s.rows))
+      tk.forall(_.contains(s.key)) &&
+        StatsPruning.mightMatch(predicate, translatedStats(s, ops), s.rows))
   }
 
   /** Data-skipping read: `readTable(table).where(predicate)`, except
@@ -404,8 +406,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val all = snapshots(table)
     require(all.nonEmpty, s"no committed partitions in $table")
     val allOps = schemaOps(table)
+    // transform routing composes with stats pruning: on a bucket layout
+    // the stats ranges are useless for a point predicate while the
+    // transform proves the single live partition — and vice versa on a
+    // range layout
+    val tk = transformKeys(table, predicate)
     val kept = all.filter(s =>
-      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
+      tk.forall(_.contains(s.key)) &&
+        StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"data skipping over $table: ${kept.size}/${all.size} partitions survive")
     def dirOf(s: CorpusCatalog.Snapshot) =
@@ -1694,8 +1702,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           col(onCol).isin(keys: _*)
         } else col(onCol).between(lit(kstat.get(2)), lit(kstat.get(3)))
       val allOps = schemaOps(table)
+      val tk = transformKeys(table, keyPred)
       val candidates = snaps.filter(s =>
-        StatsPruning.mightMatch(keyPred, translatedStats(s, allOps), s.rows))
+        tk.forall(_.contains(s.key)) &&
+          StatsPruning.mightMatch(keyPred, translatedStats(s, allOps), s.rows))
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
@@ -1857,8 +1867,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val allOps = schemaOps(table)
+    val tk = transformKeys(table, predicate)
     val candidates = snaps.filter(s =>
-      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
+      tk.forall(_.contains(s.key)) &&
+        StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
@@ -2246,8 +2258,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(snaps.nonEmpty, s"no committed partitions in $table")
     val dels = morDeletes(table)
     val allOps = schemaOps(table)
+    val tk = transformKeys(table, predicate)
     val candidates = snaps.filter(s =>
-      StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
+      tk.forall(_.contains(s.key)) &&
+        StatsPruning.mightMatch(predicate, translatedStats(s, allOps), s.rows))
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"deleteWhereMor over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
@@ -2277,6 +2291,96 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     }
     (n, candidates.size)
   }
+
+  // ---- hidden partitioning (Iceberg partition transforms) --------------
+
+  private def specFile(table: String): HPath =
+    new HPath(tableDir(table), "_spec.json")
+
+  /** Register the table's partition transform (see [[Transforms]]) —
+    * write-once: every partition of the table must follow ONE spec for
+    * transform routing to be sound, so re-registering is refused
+    * (partition-spec evolution is out of scope; create a new table and
+    * backfill). Register BEFORE the first commit and write through
+    * [[commitPartitioned]].
+    */
+  def setPartitionSpec(table: String, spec: Transforms.Spec): Unit = {
+    if (fs.exists(specFile(table)))
+      throw new IllegalStateException(
+        s"$table already has a partition spec — specs are write-once " +
+          "(partition-spec evolution is not supported)")
+    if (!fs.mkdirs(tableDir(table)))
+      throw new java.io.IOException(s"mkdirs failed: ${tableDir(table)}")
+    val body = s"""{"kind":"${spec.kind}","col":"${spec.col}",""" +
+      s""""n":${spec.n}}"""
+    val tmp = new HPath(tableDir(table), s"._spec.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, specFile(table))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"spec rename failed for $table")
+    }
+  }
+
+  def partitionSpecOf(table: String): Option[Transforms.Spec] = {
+    if (!fs.exists(specFile(table))) return None
+    val n = PartitionStats.Mapper.readTree(readFully(specFile(table)))
+    Some(Transforms.Spec(n.path("kind").asText(), n.path("col").asText(),
+      n.path("n").asLong()))
+  }
+
+  /** Write `df` under the table's registered transform: ONE pass (a
+    * staged `partitionBy` write on the derived key — the key column
+    * itself never lands in the data files), then one footer-only
+    * stats+rows read and one atomic [[commitStaged]] per NEW partition.
+    * Already-committed keys are skipped — the same per-partition resume
+    * contract as every writer here, so a killed backfill re-runs to
+    * completion. Returns the newly committed keys. NULL source values
+    * are refused (they have no partition under a transform — filter or
+    * fill first; the loud refusal beats Hive's silent
+    * __HIVE_DEFAULT_PARTITION__).
+    */
+  def commitPartitioned(table: String, df: DataFrame,
+                        statsCols: Seq[String] = Nil): Seq[String] = {
+    val spec = partitionSpecOf(table).getOrElse(throw
+      new IllegalStateException(s"$table has no partition spec — " +
+        "setPartitionSpec first"))
+    val pk = "__graft_pk"
+    require(!df.columns.contains(pk),
+      s"commitPartitioned: the input already has a '$pk' column")
+    val staging = newStagingDir(table)
+    try {
+      val keyed = df.withColumn(pk, Transforms.keyExpr(spec))
+      keyed.write.partitionBy(pk).mode(SaveMode.Overwrite)
+        .parquet(staging.toString)
+      val children = listChildNames(staging).filter(_.startsWith(s"$pk="))
+      if (listChildNames(staging).contains(
+          s"$pk=__HIVE_DEFAULT_PARTITION__"))
+        throw new IllegalArgumentException(
+          s"commitPartitioned: NULL ${spec.col} values have no partition " +
+            s"under ${spec.kind} — filter or fill them first")
+      children.sorted.flatMap { child =>
+        val key = java.net.URLDecoder.decode(
+          child.stripPrefix(s"$pk="), "UTF-8")
+        val childPath = new HPath(staging, child)
+        val (rows, stats) = PartitionStats.collect(statsSession, spark,
+          childPath.toString, statsCols)
+        if (commitStaged(table, key, childPath, rows, stats)) Some(key)
+        else None
+      }
+    } finally deleteIfPresent(staging)
+  }
+
+  /** The keys `predicate` can touch under the table's transform — None
+    * when no spec is registered or the predicate is not analyzable
+    * (then every partition is kept; see [[Transforms.prunableKeys]]).
+    */
+  private def transformKeys(table: String,
+                            predicate: org.apache.spark.sql.Column)
+      : Option[Set[String]] =
+    partitionSpecOf(table).flatMap(sp =>
+      Transforms.prunableKeys(sp, predicate))
 
   // ---- schema evolution (Iceberg schema updates, sequence-ruled) -------
 
@@ -2362,6 +2466,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       case "add" =>
         require(!cur.contains(colName),
           s"addColumn: '$colName' already exists in $table")
+    }
+    // the transform's source column is load-bearing for partition
+    // routing AND for re-deriving keys on rewrites — renaming or
+    // dropping it would silently break both
+    if (kind != "add") partitionSpecOf(table).foreach { sp =>
+      require(!sp.col.equalsIgnoreCase(colName),
+        s"${kind}Column: '$colName' is $table's partition-transform " +
+          "source column — specs are write-once, so the column is pinned")
     }
     val nanos = System.nanoTime()
     val name = s"evo-$nanos"

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hidden partitioning (Iceberg partition transforms): the partition key
+  * is a FUNCTION of a data column — writers derive it, queries never
+  * mention it, and the catalog routes predicates on the SOURCE column to
+  * the partitions their values can live in. This is the point-lookup
+  * router min/max stats cannot provide on hash layouts: a bucket
+  * partition's [min, max] spans the whole key space, so stats pruning
+  * keeps every partition, while the transform proves `id = X` lives in
+  * exactly one.
+  *
+  * Transforms (Iceberg's, minus the ones this catalog's string keys
+  * cannot carry safely):
+  *   - `bucket(n, col)`   — integral col; key `b<h % n>` with
+  *     h = floorMod(floorMod(v, P) * K, P), P = 999999937 (prime),
+  *     K = 2654435761 (Knuth). The reduce-first form keeps the multiply
+  *     under 2^62, so ANY engine (DuckDB included, which errors on
+  *     BIGINT overflow rather than wrapping) re-derives the bucket
+  *     bit-identically — the same portability rule as the KMV knuth31
+  *     hash and the sampling filters.
+  *   - `truncate(w, col)` — integral col; key `t<floorDiv(v, w)>` (the
+  *     range-aligned bin INDEX — Iceberg's truncate emits the bin start
+  *     `v - floorMod(v, w)`, but both the start and the subtract
+  *     intermediate overflow Long at the extreme edge under ANSI mode;
+  *     the index carries the same information overflow-free).
+  *   - `days(col)`        — date/timestamp col; key `d<yyyy-MM-dd>` (UTC).
+  *   - `identity(col)`    — the value itself as the key (the classic
+  *     visible partition column); values must fit the catalog's key
+  *     charset.
+  */
+object Transforms {
+
+  val P: Long = 999999937L
+  val K: Long = 2654435761L
+
+  /** A table's partition transform. `n` is the bucket count (bucket) or
+    * the truncate width (truncate); ignored for days/identity.
+    */
+  final case class Spec(kind: String, col: String, n: Long = 0L) {
+    require(Set("bucket", "truncate", "days", "identity").contains(kind),
+      s"unknown transform kind '$kind'")
+    require(kind != "bucket" || n >= 1, s"bucket needs n >= 1: $n")
+    require(kind != "truncate" || n >= 1, s"truncate needs width >= 1: $n")
+  }
+
+  /** The partition-key EXPRESSION for writers (row-local, codegen'd —
+    * one projection, no shuffle beyond the write's own partitionBy).
+    */
+  def keyExpr(spec: Spec): Column = spec.kind match {
+    case "bucket" =>
+      concat(lit("b"), pmod(pmod(pmod(col(spec.col).cast("long"), lit(P))
+        * lit(K), lit(P)), lit(spec.n)).cast("string"))
+    case "truncate" =>
+      // floorDiv via `div` (truncation toward zero) + sign fix-up; the
+      // naive v - floorMod(v, w) underflows Long near MinValue and ANSI
+      // mode turns that into a runtime error
+      val v = col(spec.col).cast("long")
+      val q0 = ColumnBridge.column(IntegralDivide(
+        ColumnBridge.toCatalyst(v), ColumnBridge.toCatalyst(lit(spec.n))))
+      val r = v % lit(spec.n)
+      val q = when(r < 0, q0 - 1).otherwise(q0)
+      concat(lit("t"), q.cast("string"))
+    case "days" =>
+      concat(lit("d"), date_format(col(spec.col).cast("timestamp"),
+        "yyyy-MM-dd"))
+    case "identity" => col(spec.col).cast("string")
+  }
+
+  /** The key string for one literal source value — the driver-side
+    * mirror of [[keyExpr]], used to route point predicates. None when
+    * the value's type does not fit the transform.
+    */
+  def keyFor(spec: Spec, v: Any): Option[String] = {
+    def asLong(x: Any): Option[Long] = x match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+    spec.kind match {
+      case "bucket" => asLong(v).map { l =>
+        "b" + Math.floorMod(Math.floorMod(Math.floorMod(l, P) * K, P),
+          spec.n)
+      }
+      case "truncate" => asLong(v).map(l =>
+        "t" + Math.floorDiv(l, spec.n))
+      case "days" => v match {
+        case d: java.sql.Date => Some("d" + d.toString)
+        case t: java.sql.Timestamp =>
+          Some("d" + t.toInstant.atZone(java.time.ZoneOffset.UTC)
+            .toLocalDate.toString)
+        case i: java.time.Instant =>
+          Some("d" + i.atZone(java.time.ZoneOffset.UTC)
+            .toLocalDate.toString)
+        case s: String => Some("d" + s.take(10))
+        case _ => None
+      }
+      case "identity" => v match {
+        case s: String => Some(s)
+        case other => asLong(other).map(_.toString)
+      }
+    }
+  }
+
+  /** The set of partition keys `predicate` rows can live in, or None
+    * when the predicate is not transform-analyzable (the caller then
+    * keeps every partition — pruning is an optimization, never a
+    * semantics change). Supports `=` / `IN` on the source column,
+    * composed under AND (intersection; an unanalyzable conjunct cannot
+    * WIDEN the set) and OR (union; an unanalyzable disjunct poisons).
+    * NOT and everything else is conservative None. The same inclusive
+    * discipline as [[StatsPruning]].
+    */
+  def prunableKeys(spec: Spec, predicate: Column): Option[Set[String]] =
+    walk(ColumnBridge.toCatalyst(predicate), spec)
+
+  private def walk(e0: Expression, spec: Spec): Option[Set[String]] =
+    unwrap(e0) match {
+      case And(l, r) => (walk(l, spec), walk(r, spec)) match {
+        case (Some(a), Some(b)) => Some(a.intersect(b))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for (a <- walk(l, spec); b <- walk(r, spec))
+        yield a.union(b)
+      case EqualTo(a, Literal(v, _)) if isCol(a, spec.col) => keysOf(spec, v)
+      case EqualTo(Literal(v, _), a) if isCol(a, spec.col) => keysOf(spec, v)
+      case EqualNullSafe(a, l @ Literal(v, _))
+          if isCol(a, spec.col) && v != null => keysOf(spec, v)
+      case In(a, vs) if isCol(a, spec.col) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val keys = vs.map { case Literal(v, _) =>
+          if (v == null) Some(Set.empty[String]) // = NULL matches no row
+          else keysOf(spec, v)
+        }
+        if (keys.exists(_.isEmpty)) None
+        else Some(keys.flatten.flatten.toSet)
+      case _ => None
+    }
+
+  private def keysOf(spec: Spec, v: Any): Option[Set[String]] = {
+    if (v == null) return Some(Set.empty) // `col = NULL` matches nothing
+    val plain = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    keyFor(spec, plain).map(Set(_))
+  }
+
+  private def isCol(e: Expression, name: String): Boolean = e match {
+    case a: UnresolvedAttribute =>
+      a.nameParts.last.equalsIgnoreCase(name)
+    case a: AttributeReference => a.name.equalsIgnoreCase(name)
+    case Cast(c, _, _, _) => isCol(c, name)
+    case _ => false
+  }
+
+  /** Same pre-analysis unwrap as [[StatsPruning]]: the Column DSL hands
+    * us UnresolvedFunction nodes, not resolved catalyst operators.
+    */
+  private def unwrap(e: Expression): Expression = e match {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.size == 1 && !f.isDistinct =>
+      val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      (name, f.arguments) match {
+        case ("and", Seq(l, r)) => And(l, r)
+        case ("or", Seq(l, r)) => Or(l, r)
+        case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+        case ("<=>", Seq(l, r)) => EqualNullSafe(l, r)
+        case ("in", a +: rest) => In(a, rest)
+        case _ => e
+      }
+    case other => other
+  }
+}

@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Hidden partitioning (Iceberg partition transforms): the partition key
+  * is a FUNCTION of a data column — bucket/truncate/days/identity —
+  * derived by writers ([[CorpusCatalog.commitPartitioned]]), never
+  * stored in the data files, and used to route predicates on the SOURCE
+  * column to exactly the partitions their values can live in — the
+  * point-lookup pruning min/max stats cannot give on hash layouts.
+  */
+class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-hidden-part-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: CorpusCatalog => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_hp")
+    try f(new CorpusCatalog(tmp.toString, spark))
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def df(ids: Seq[Long]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i, s"v$i")).toDF("id", "v")
+  }
+
+  test("keyExpr and keyFor agree on every transform, negatives and " +
+    "astral values included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(-1000001L, -7L, -1L, 0L, 1L, 41L, 999999936L,
+      999999937L, 1000000007L, Long.MaxValue, Long.MinValue + 1)
+    for (spec <- Seq(Transforms.Spec("bucket", "id", 8),
+      Transforms.Spec("truncate", "id", 100),
+      Transforms.Spec("identity", "id"))) {
+      val got = ids.toDF("id")
+        .select(col("id"), Transforms.keyExpr(spec).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      ids.foreach { i =>
+        assert(Transforms.keyFor(spec, i).contains(got(i)),
+          s"$spec on $i: driver=${Transforms.keyFor(spec, i)} " +
+            s"engine=${got(i)}")
+      }
+    }
+    val dspec = Transforms.Spec("days", "ts")
+    val t = java.sql.Timestamp.valueOf("2026-08-18 23:59:59")
+    val got = Seq(Tuple1(t)).toDF("ts")
+      .select(Transforms.keyExpr(dspec)).head().getString(0)
+    assert(got == "d2026-08-18" && Transforms.keyFor(dspec, t).contains(got))
+  }
+
+  test("prunableKeys: =, IN, AND intersection, OR union, conservative " +
+    "None on ranges/NOT/other columns, NULL literal matches nothing") {
+    val sp = Transforms.Spec("bucket", "id", 8)
+    def k(i: Long) = Transforms.keyFor(sp, i).get
+    assert(Transforms.prunableKeys(sp, col("id") === 42L) ==
+      Some(Set(k(42L))))
+    assert(Transforms.prunableKeys(sp, col("id").isin(1L, 2L, 3L)) ==
+      Some(Set(k(1L), k(2L), k(3L))))
+    // AND: an unanalyzable conjunct cannot widen the set
+    assert(Transforms.prunableKeys(sp,
+      col("id") === 42L && col("v") === "x") == Some(Set(k(42L))))
+    assert(Transforms.prunableKeys(sp,
+      col("id") === 1L || col("id") === 2L) == Some(Set(k(1L), k(2L))))
+    // OR with an unanalyzable disjunct poisons
+    assert(Transforms.prunableKeys(sp,
+      col("id") === 1L || col("v") === "x").isEmpty)
+    assert(Transforms.prunableKeys(sp, col("id") >= 42L).isEmpty)
+    assert(Transforms.prunableKeys(sp, !(col("id") === 42L)).isEmpty)
+    assert(Transforms.prunableKeys(sp, col("v") === "x").isEmpty)
+    assert(Transforms.prunableKeys(sp,
+      col("id") === lit(null)) == Some(Set.empty))
+  }
+
+  test("commitPartitioned: one staged write, per-bucket atomic commits, " +
+    "the derived key never lands in the data files, resume skips " +
+    "committed keys") {
+    withCatalog { cat =>
+      cat.setPartitionSpec("t", Transforms.Spec("bucket", "id", 4))
+      val keys = cat.commitPartitioned("t", df(0L until 200L), Seq("id"))
+      assert(keys.toSet.subsetOf(Set("b0", "b1", "b2", "b3")))
+      val snaps = cat.snapshots("t")
+      assert(snaps.map(_.rows).sum == 200L)
+      // hidden: files carry the SOURCE column, not the derived key
+      val physical = spark.read.parquet(
+        s"${cat.root}/t/${snaps.head.dir}")
+      assert(physical.columns.toSet == Set("id", "v"))
+      // every row sits in the bucket its id hashes to
+      snaps.foreach { s =>
+        val sp = cat.partitionSpecOf("t").get
+        val ids = spark.read.parquet(s"${cat.root}/t/${s.dir}")
+          .select("id").collect().map(_.getLong(0))
+        assert(ids.forall(i => Transforms.keyFor(sp, i).contains(s.key)))
+      }
+      // resume: a re-run with the same + extra data must NOT touch the
+      // already-committed buckets (first writer wins, like every
+      // commitPartition path)
+      val again = cat.commitPartitioned("t", df(0L until 300L), Seq("id"))
+      assert(again.isEmpty)
+      assert(cat.readTable("t").count() == 200L)
+    }
+  }
+
+  test("transform routing: a point predicate reads exactly one bucket, " +
+    "readTableWhere stays equivalent, and DML rewrites only the routed " +
+    "partition") {
+    withCatalog { cat =>
+      cat.setPartitionSpec("t", Transforms.Spec("bucket", "id", 8))
+      cat.commitPartitioned("t", df(0L until 400L), Seq("id"))
+      val sp = cat.partitionSpecOf("t").get
+      val target = Transforms.keyFor(sp, 42L).get
+      // min/max stats are useless on a hash layout — the transform is
+      // what proves the single live partition
+      assert(cat.prunedSnapshots("t", col("id") === 42L).map(_.key) ==
+        Seq(target))
+      assert(cat.readTableWhere("t", col("id") === 42L).count() == 1L)
+      assert(cat.readTableWhere("t", col("id").isin(7L, 42L))
+        .collect().toSet ==
+        cat.readTable("t").where(col("id").isin(7L, 42L)).collect().toSet)
+      // COW delete routes: only the target bucket's dir changes
+      val before = cat.snapshots("t").map(s => s.key -> s.dir).toMap
+      val (parts, n) = cat.deleteWhere("t", col("id") === 42L)
+      assert(parts == 1 && n == 1L)
+      val after = cat.snapshots("t").map(s => s.key -> s.dir).toMap
+      assert(after(target) != before(target))
+      assert((before - target) == (after - target))
+      // MOR delete routes its scan the same way
+      val (nk, scanned) = cat.deleteWhereMor("t", col("id") === 43L, "id")
+      assert(nk == 1L && scanned == 1)
+    }
+  }
+
+  test("truncate, days, and identity transforms commit and route") {
+    withCatalog { cat =>
+      cat.setPartitionSpec("t", Transforms.Spec("truncate", "id", 100))
+      cat.commitPartitioned("t", df(0L until 250L))
+      assert(cat.snapshots("t").map(_.key).sorted ==
+        Seq("t0", "t1", "t2"))
+      assert(cat.prunedSnapshots("t", col("id") === 150L).map(_.key) ==
+        Seq("t1"))
+      val spark2 = spark
+      import spark2.implicits._
+      cat.setPartitionSpec("d", Transforms.Spec("days", "ts"))
+      val evs = Seq(
+        (java.sql.Timestamp.valueOf("2026-08-17 10:00:00"), 1L),
+        (java.sql.Timestamp.valueOf("2026-08-18 10:00:00"), 2L),
+        (java.sql.Timestamp.valueOf("2026-08-18 23:00:00"), 3L))
+        .toDF("ts", "x")
+      assert(cat.commitPartitioned("d", evs).sorted ==
+        Seq("d2026-08-17", "d2026-08-18"))
+      cat.setPartitionSpec("i", Transforms.Spec("identity", "lang"))
+      val langs = Seq(("en", 1L), ("de", 2L), ("en", 3L)).toDF("lang", "x")
+      assert(cat.commitPartitioned("i", langs).sorted == Seq("de", "en"))
+      assert(cat.prunedSnapshots("i", col("lang") === "en").map(_.key) ==
+        Seq("en"))
+      assert(cat.readTableWhere("i", col("lang") === "en").count() == 2L)
+    }
+  }
+
+  test("refusals: NULL source values, double spec registration, " +
+    "rename/drop of the transform source column") {
+    withCatalog { cat =>
+      cat.setPartitionSpec("t", Transforms.Spec("bucket", "id", 4))
+      val spark2 = spark
+      import spark2.implicits._
+      val withNull = Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+        .toDF("id", "v")
+      val e = intercept[IllegalArgumentException] {
+        cat.commitPartitioned("t", withNull)
+      }
+      assert(e.getMessage.contains("NULL"))
+      intercept[IllegalStateException] {
+        cat.setPartitionSpec("t", Transforms.Spec("bucket", "id", 8))
+      }
+      cat.commitPartitioned("t", df(0L until 10L))
+      intercept[IllegalArgumentException] {
+        cat.renameColumn("t", "id", "key")
+      }
+      intercept[IllegalArgumentException] { cat.dropColumn("t", "id") }
+      // renaming a NON-source column stays legal
+      cat.renameColumn("t", "v", "text")
+      assert(cat.readTable("t").columns.toSet == Set("id", "text"))
+    }
+  }
+}
