@@ -2489,6 +2489,71 @@ object SparkEntry {
             .toDF("bucket", "n_rows", "id_sum").orderBy("bucket")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q100: streaming ingestion into the snapshot catalog — a REAL
+    // three-batch AvailableNow file stream (documents split by residue
+    // into mtime-ordered files, maxFilesPerTrigger = 1) lands one
+    // ATOMIC catalog partition per micro-batch; requires pin the
+    // per-batch lineage row counts (closed-form residue counts), the
+    // exactly-once replay no-op, and stream-equals-batch conservation.
+    // Output = per-residue aggregates of the CATALOG read, which the
+    // oracle re-derives from the raw table — the stream must equal the
+    // batch world exactly.
+    "q100_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingq")
+      val out =
+        try {
+          val srcDir = java.nio.file.Files.createDirectory(
+            tmp.resolve("src"))
+          val cat = new graft.pipeline.CorpusCatalog(
+            tmp.resolve("cat").toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("n_chars"))
+          def stageFile(d: org.apache.spark.sql.DataFrame, name: String,
+                        seq: Int): Unit = {
+            val st = tmp.resolve(s"st_$name")
+            d.coalesce(1).write.parquet(st.toString)
+            import scala.jdk.CollectionConverters._
+            val part = java.nio.file.Files.list(st).iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            val dst = srcDir.resolve(s"$name.parquet")
+            java.nio.file.Files.move(part, dst)
+            dst.toFile.setLastModified(1700000000000L + seq * 60000L)
+          }
+          (0 until 3).foreach(k => stageFile(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === k), s"r$k", k))
+          val src = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          graft.streaming.CatalogStream.start(cat, "t", src,
+            tmp.resolve("ckpt").toString, statsCols = Seq("doc_id"),
+            trigger = Trigger.AvailableNow()).awaitTermination()
+          // one atomic partition per batch, in file-mtime order —
+          // batch i is exactly residue class i
+          val lineage = graft.streaming.CatalogStream.batches(cat, "t")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          val expect = (0 until 3).map(k =>
+            (k.toLong, docs.filter(
+              pmod(col("doc_id"), lit(3L)) === k).count()))
+          require(lineage == expect,
+            s"per-batch lineage must be the residue counts: $lineage")
+          // exactly-once: a crash-replayed batch id is a no-op
+          require(!graft.streaming.CatalogStream.commitMicroBatch(cat,
+            "t", docs.limit(5), 1L),
+            "a replayed batch id must not commit")
+          cat.readTable("t")
+            .groupBy(pmod(col("doc_id"), lit(3L)).as("residue"))
+            .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+              sum("n_chars").as("chars_sum"))
+            .orderBy("residue")
+            .collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getLong(2), r.getLong(3))).toSeq
+            .toDF("residue", "n_rows", "id_sum", "chars_sum")
+            .orderBy("residue")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -4304,7 +4369,16 @@ object SparkEntry {
         |              % 999999937 % 8) AS bucket,
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the stream must equal the batch world: the catalog read after a
+    // three-batch ingest is exactly the raw table
+    "q100_stream_ingest" ->
+      """SELECT CAST(doc_id % 3 AS BIGINT) AS residue,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY 1 ORDER BY residue""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.CorpusCatalog
+
+/** Streaming ingestion INTO the snapshot catalog — Iceberg's streaming
+  * append (one snapshot per micro-batch), expressed on this catalog's
+  * write-once partition granularity: every micro-batch commits as the
+  * partition `s<batchId>` through the normal atomic-marker discipline,
+  * so the catalog's resume contract IS the sink's exactly-once —
+  * a crash-replayed batch id finds its marker already present and
+  * no-ops (`commitPartition` returns false), the same idempotence
+  * Iceberg gets from recording the batch id in the snapshot summary.
+  *
+  * Everything the catalog gives batch writers composes unchanged:
+  * per-batch data-skipping stats land in the markers, readers see each
+  * batch atomically (never a partial), multi-file batches are
+  * [[CorpusCatalog.planCompaction]] candidates like any partition, and
+  * time travel / CDC / incremental reads address batches because each
+  * one IS a snapshot. Stated honestly: batch PARTITIONS accumulate one
+  * per trigger and this catalog's per-key markers cannot atomically
+  * merge partitions (a cross-key swap has no single commit point), so
+  * scan planning cost grows with batch count — size trigger intervals
+  * for the marker volume you can afford, and consolidate a long-lived
+  * stream by rewriting into a fresh table (one [[CorpusCatalog
+  * .commitPartitioned]] pass) during a maintenance window.
+  *
+  * The stream's partitions are batch-id keyed, NOT transform-keyed: a
+  * transform key is an identity a later batch would collide with
+  * (write-once markers make "append to partition" a rewrite), so a
+  * spec-carrying table refuses — stream into a staging table and
+  * publish, or let maintenance re-layout.
+  */
+object CatalogStream {
+
+  /** One micro-batch → one committed partition. Returns true when this
+    * call committed (false = replay of an already-committed batch).
+    */
+  def commitMicroBatch(cat: CorpusCatalog, table: String,
+                       batch: DataFrame, batchId: Long,
+                       statsCols: Seq[String] = Nil): Boolean = {
+    require(batchId >= 0L, s"negative batch id: $batchId")
+    cat.commitPartition(table, s"s$batchId", batch, statsCols)
+  }
+
+  /** Start the append stream: `df` must be a STREAMING DataFrame; each
+    * micro-batch lands as one atomic catalog commit. `statsCols` give
+    * every batch partition the usual data-skipping stats. Empty batches
+    * still commit (rows = 0) so the batch-id sequence stays dense and a
+    * replay is distinguishable from a gap.
+    */
+  def start(cat: CorpusCatalog, table: String, df: DataFrame,
+            checkpointDir: String,
+            statsCols: Seq[String] = Nil,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(cat.partitionSpecOf(table).isEmpty,
+      s"$table carries a partition transform — streaming appends are " +
+        "batch-id keyed and would collide with transform keys; stream " +
+        "into a plain table")
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitMicroBatch(cat, table, batch, batchId, statsCols)
+        () // exactly-once comes from the marker, not the return value
+      }
+      .start()
+  }
+
+  /** The ingested batches, oldest first: (batch_id, rows, committed_at_ms)
+    * — the stream's lineage, straight from the snapshot log (no data
+    * read).
+    */
+  def batches(cat: CorpusCatalog, table: String): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    cat.snapshots(table)
+      .filter(s => s.key.startsWith("s") &&
+        s.key.drop(1).forall(_.isDigit) && s.key.length > 1)
+      .map(s => (s.key.drop(1).toLong, s.rows, s.committedAtMs))
+      .sortBy(_._1)
+      .toDF("batch_id", "rows", "committed_at_ms")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+import graft.pipeline.{CorpusCatalog, Transforms}
+
+/** Streaming ingestion into the snapshot catalog: one micro-batch = one
+  * atomic partition commit (`s<batchId>`), exactly-once through the
+  * marker discipline (a replayed batch id no-ops), lineage from the
+  * snapshot log, and the batch/maintenance machinery composing
+  * unchanged over the per-batch partitions.
+  */
+class CatalogStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-catalog-stream-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withTmp(f: Path => Unit): Unit = {
+    val tmp = Files.createTempDirectory("graft_cs")
+    try f(tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def df(ids: Seq[Long]): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    ids.map(i => (i, s"v$i")).toDF("id", "v")
+  }
+
+  /** Stage `d` as one parquet file in `srcDir` with a pinned mtime so
+    * the file source's batch order is deterministic.
+    */
+  private def stage(d: DataFrame, srcDir: Path, name: String,
+                    seq: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val st = srcDir.resolveSibling(s"st_$name")
+    d.coalesce(1).write.parquet(st.toString)
+    val part = Files.list(st).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dst = srcDir.resolve(s"$name.parquet")
+    Files.move(part, dst)
+    dst.toFile.setLastModified(1700000000000L + seq * 60000L)
+  }
+
+  private def runStream(cat: CorpusCatalog, table: String, srcDir: Path,
+                        ckpt: String): Unit = {
+    val src = spark.readStream.schema(df(Seq(0L)).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    CatalogStream.start(cat, table, src, ckpt, statsCols = Seq("id"))
+      .awaitTermination()
+  }
+
+  test("three-file AvailableNow ingest: one atomic partition per batch, " +
+    "stats in the markers, lineage from the log; restart with no new " +
+    "file commits nothing; a new file appends exactly one batch") {
+    withTmp { tmp =>
+      val srcDir = Files.createDirectory(tmp.resolve("src"))
+      val ckpt = tmp.resolve("ckpt").toString
+      val cat = new CorpusCatalog(tmp.resolve("cat").toString, spark)
+      stage(df(0L until 10L), srcDir, "a", 0)
+      stage(df(10L until 25L), srcDir, "b", 1)
+      stage(df(25L until 30L), srcDir, "c", 2)
+      runStream(cat, "t", srcDir, ckpt)
+      assert(cat.snapshots("t").map(_.key).sorted == Seq("s0", "s1", "s2"))
+      assert(cat.readTable("t").count() == 30L)
+      // per-batch stats landed (data skipping over the stream's output)
+      assert(cat.snapshots("t").forall(_.stats.contains("id")))
+      val lin = CatalogStream.batches(cat, "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(lin.toSeq == Seq((0L, 10L), (1L, 15L), (2L, 5L)))
+      // restart, nothing new: the file source replays nothing, commits
+      // nothing
+      runStream(cat, "t", srcDir, ckpt)
+      assert(cat.snapshots("t").size == 3)
+      // a crash-replayed batch id is a marker-level no-op
+      assert(!CatalogStream.commitMicroBatch(cat, "t", df(Seq(999L)), 1L))
+      assert(cat.readTable("t").count() == 30L)
+      // one new file → exactly one more batch, prior data intact
+      stage(df(100L until 104L), srcDir, "d", 3)
+      runStream(cat, "t", srcDir, ckpt)
+      assert(cat.snapshots("t").map(_.key).sorted ==
+        Seq("s0", "s1", "s2", "s3"))
+      assert(cat.readTable("t").count() == 34L)
+      // the batches are snapshots: incremental read addresses them
+      val ids = cat.snapshots("t").sortBy(s => (s.committedAtMs, s.seq))
+      val inc = cat.readTableIncremental("t", ids(2).id, ids(3).id)
+      assert(inc.count() == 4L)
+    }
+  }
+
+  test("batch partitions behave like any partition under maintenance " +
+    "(multi-file batches compact, single-file ones are healthy); a " +
+    "transform-keyed table refuses streaming appends") {
+    withTmp { tmp =>
+      val srcDir = Files.createDirectory(tmp.resolve("src"))
+      val cat = new CorpusCatalog(tmp.resolve("cat").toString, spark)
+      (0 until 4).foreach(i =>
+        stage(df((i * 10L) until (i * 10L + 10L)), srcDir, s"f$i", i))
+      runStream(cat, "t", srcDir, tmp.resolve("ckpt").toString)
+      assert(cat.snapshots("t").size == 4)
+      // single-file batch partitions are healthy under the default
+      // policy rules (the small-average rule needs n > 1)
+      assert(cat.planCompaction("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 1000,
+          minFileBytes = Long.MaxValue / 4)).isEmpty)
+      // a batch committed in many files IS the pathology and compacts
+      assert(CatalogStream.commitMicroBatch(cat, "t",
+        df(200L until 240L).repartition(8), 99L))
+      val rep = cat.runMaintenance("t",
+        CorpusCatalog.CompactionPolicy(maxFiles = 2, minFileBytes = 0L),
+        expireBeforeMs = System.currentTimeMillis() + 600000L,
+        vacuumGraceMs = 0L)
+      assert(rep.compacted == Seq("s99"))
+      assert(cat.readTable("t").count() == 80L)
+      // transform-keyed tables refuse (batch keys would collide)
+      val cat2 = new CorpusCatalog(tmp.resolve("cat2").toString, spark)
+      cat2.setPartitionSpec("t", Transforms.Spec("bucket", "id", 4))
+      val src = spark.readStream.schema(df(Seq(0L)).schema)
+        .parquet(srcDir.toString)
+      val e = intercept[IllegalArgumentException] {
+        CatalogStream.start(cat2, "t", src,
+          tmp.resolve("ckpt2").toString)
+      }
+      assert(e.getMessage.contains("transform"))
+    }
+  }
+}
