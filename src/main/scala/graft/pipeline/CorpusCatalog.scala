@@ -2276,6 +2276,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(target.toString)
     val n = spark.read.parquet(target.toString).count()
     if (n == 0L) { fs.delete(target, true); return (0L, candidates.size) }
+    // the key file must stay broadcast-small — that is the MOR
+    // contract (every read pays one anti-join against it). A harvest
+    // this large is a bulk rewrite wearing a delete's clothes; say so
+    // instead of silently degrading every future read
+    if (n > 10000000L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"deleteWhereMor over $table harvested $n keys — key files " +
+          "this large make every read's anti-join expensive; prefer the " +
+          "COW deleteWhere (or compact immediately) for bulk deletes")
     val name = s"del-$nanos"
     val body = s"""{"name":"$name","key_col":"$keyCol","rows":$n,""" +
       s""""dir":"$dirName","committed_at_ms":${System.currentTimeMillis()},""" +
