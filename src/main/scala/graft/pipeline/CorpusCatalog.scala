@@ -150,6 +150,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                       ndvCols: Seq[String] = Nil,
                       ndvConf: Kmv.Conf = Kmv.Conf()): Boolean = {
     validateKey(key) // before any data write — no weird-named debris dirs
+    requireSpecConformantKey(table, key)
     require(ndvCols.toSet.subsetOf(statsCols.toSet),
       s"ndvCols must be a subset of statsCols: " +
         s"${ndvCols.filterNot(statsCols.contains)} are not")
@@ -235,6 +236,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                                statsOf: String => Map[String, PartitionStats.ColStats])
       : Boolean = {
     validateKey(key)
+    requireSpecConformantKey(table, key)
     if (isCommitted(table, key)) return false
     val dirName = newDataDirName(key)
     val target = new HPath(tableDir(table), dirName)
@@ -363,18 +365,40 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       spark.read.option("mergeSchema", mergeSchema.toString)
         .parquet(paths: _*)
     } else {
-      // MOR deletes and schema ops apply per the sequence rule; the
-      // merged schema (when asked for) must still come from ALL
-      // partitions, whatever group they land in
-      lazy val fullSchema = spark.read.option("mergeSchema", "true")
-        .parquet(snaps.map(s =>
-          new HPath(tableDir(table), s.dir).toString): _*).schema
-      val reader: Seq[String] => DataFrame =
-        if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
-        else ps => spark.read.parquet(ps: _*)
+      // MOR deletes and schema ops apply per the sequence rule. With NO
+      // ops the merged schema (when asked for) pins over ALL partitions
+      // — physical drift surfaces as null in every delete group. With
+      // ops that global pin would poison the groups (a pre-rename group
+      // would carry BOTH names and the rename produce a duplicate
+      // column; a pre-add group would null-fill the added column and the
+      // contains-guard skip its default) — so evolved tables merge
+      // drift PER GROUP and union groups loosely (each group ends at
+      // the current logical schema; drift-only columns null-fill across
+      // groups, exactly mergeSchema's contract).
+      val (reader, combine) = evolvedReader(mergeSchema, ops,
+        snaps.map(s => new HPath(tableDir(table), s.dir).toString))
       readVersionsWithDeletes(table, snaps.map(curVersion), dels, reader,
-        ops)
+        ops, combine)
     }
+  }
+
+  /** The (reader, group-combiner) pair for evolved/deleted reads — see
+    * the rationale at the [[readTable]] call site.
+    */
+  private def evolvedReader(mergeSchema: Boolean,
+                            ops: Seq[CorpusCatalog.SchemaOp],
+                            allDirs: => Seq[String])
+      : (Seq[String] => DataFrame, (DataFrame, DataFrame) => DataFrame) = {
+    if (mergeSchema && ops.nonEmpty)
+      (ps => spark.read.option("mergeSchema", "true").parquet(ps: _*),
+        (a, b) => a.unionByName(b, allowMissingColumns = true))
+    else if (mergeSchema) {
+      lazy val fullSchema = spark.read.option("mergeSchema", "true")
+        .parquet(allDirs: _*).schema
+      (ps => spark.read.schema(fullSchema).parquet(ps: _*),
+        (a, b) => a.unionByName(b))
+    } else
+      (ps => spark.read.parquet(ps: _*), (a, b) => a.unionByName(b))
   }
 
   /** The committed partitions whose marker stats admit `predicate` —
@@ -430,8 +454,12 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // provably empty — keep the schema (and the predicate's analysis
       // errors) without scanning anything: limit(0) under the filter;
       // schema ops still apply so the empty frame carries CURRENT names
+      // (under ops the global pin would duplicate renamed columns —
+      // read the head dir's own schema and fold its applicable ops)
       val base =
-        if (mergeSchema) spark.read.schema(fullSchema)
+        if (mergeSchema && allOps.nonEmpty)
+          spark.read.option("mergeSchema", "true")
+        else if (mergeSchema) spark.read.schema(fullSchema)
         else spark.read
       val h = all.head
       val opsH = allOps.filter(o =>
@@ -443,11 +471,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       // rows), so pruning stays safe: it can only over-keep a partition
       // whose matching rows are all deleted — the anti-join removes them
       val dels = morDeletes(table)
-      val reader: Seq[String] => DataFrame =
-        if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
-        else ps => spark.read.parquet(ps: _*)
+      val (reader, combine) = evolvedReader(mergeSchema, allOps,
+        all.map(dirOf))
       readVersionsWithDeletes(table, kept.map(curVersion), dels, reader,
-        allOps).where(predicate)
+        allOps, combine).where(predicate)
     }
   }
 
@@ -735,18 +762,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           "a MOR delete is not expressible as an append-only increment; " +
           "compact + expireMorDeletes first, or use readChangesBetween")
     }
-    lazy val schemaAsOfEnd = spark.read.option("mergeSchema", "true")
-      .parquet((if (upTo.nonEmpty) upTo else all).map(dirOf): _*).schema
-    val reader: Seq[String] => DataFrame =
-      if (mergeSchema) ps => spark.read.schema(schemaAsOfEnd).parquet(ps: _*)
-      else ps => spark.read.parquet(ps: _*)
+    val (reader, combine) = evolvedReader(mergeSchema, incOps,
+      (if (upTo.nonEmpty) upTo else all).map(dirOf))
     if (inc.isEmpty) {
       val h = all.head
       val opsH = incOps.filter(o =>
         delAppliesCut(o.ms, o.seq, h.committedAtMs, h.seq))
       opsH.foldLeft(reader(Seq(dirOf(h))).limit(0))(applySchemaOp)
     } else readVersionsWithDeletes(table, inc.map(curVersion), Nil,
-      reader, incOps)
+      reader, incOps, combine)
   }
 
   /** The snapshot log as a DataFrame — Iceberg's `<table>.partitions` /
@@ -1492,18 +1516,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       .map { case (_, d) => new HPath(tableDir(table), d).toString }
     require(baseVs.nonEmpty || overDirs.nonEmpty,
       s"branch '$name' of $table has no partitions (empty base, no commits)")
-    lazy val fullSchema = spark.read.option("mergeSchema", "true")
-      .parquet((baseVs.map(v => new HPath(tableDir(table), v.dir).toString)
-        ++ overDirs): _*).schema
-    val reader: Seq[String] => DataFrame =
-      if (mergeSchema) ps => spark.read.schema(fullSchema).parquet(ps: _*)
-      else ps => spark.read.parquet(ps: _*)
+    val (reader, combine) = evolvedReader(mergeSchema, baseOps,
+      baseVs.map(v => new HPath(tableDir(table), v.dir).toString)
+        ++ overDirs)
     val parts =
       (if (baseVs.isEmpty) Nil
        else Seq(readVersionsWithDeletes(table, baseVs, baseDels, reader,
-         baseOps))) ++
+         baseOps, combine))) ++
         (if (overDirs.isEmpty) Nil else Seq(reader(overDirs)))
-    parts.reduce(_.unionByName(_))
+    parts.reduce(combine)
   }
 
   /** The PUBLISH: fast-forward main to include every branch commit.
@@ -2100,16 +2121,20 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       }.toSeq.sortBy(f => (f.ms, f.seq, f.name))
   }
 
+  /** `(aMs, aSeq)` strictly after `(bMs, bSeq)` in commit order — THE
+    * canonical comparison the whole sequence rule hangs on; the two
+    * applies-helpers below are readability aliases over it, never
+    * separate logic.
+    */
+  private def cutAfter(aMs: Long, aSeq: Long, bMs: Long, bSeq: Long): Boolean =
+    aMs > bMs || (aMs == bMs && aSeq > bSeq)
+
   /** Iceberg's sequence rule: an equality delete applies to a data
     * version committed strictly before the delete's commit point.
     */
   private def delApplies(d: CorpusCatalog.DeleteFile,
                          vMs: Long, vSeq: Long): Boolean =
-    vMs < d.ms || (vMs == d.ms && vSeq < d.seq)
-
-  /** `(aMs, aSeq)` strictly after `(bMs, bSeq)` in commit order. */
-  private def cutAfter(aMs: Long, aSeq: Long, bMs: Long, bSeq: Long): Boolean =
-    aMs > bMs || (aMs == bMs && aSeq > bSeq)
+    cutAfter(d.ms, d.seq, vMs, vSeq)
 
   private def curVersion(s: CorpusCatalog.Snapshot): CorpusCatalog.Version =
     CorpusCatalog.Version(s.dir, s.rows, s.committedAtMs, s.seq)
@@ -2137,7 +2162,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       versions: Seq[CorpusCatalog.Version],
       dels: Seq[CorpusCatalog.DeleteFile],
       reader: Seq[String] => DataFrame,
-      ops: Seq[CorpusCatalog.SchemaOp] = Nil): DataFrame = {
+      ops: Seq[CorpusCatalog.SchemaOp] = Nil,
+      combine: (DataFrame, DataFrame) => DataFrame =
+        _.unionByName(_)): DataFrame = {
     def path(v: CorpusCatalog.Version) =
       new HPath(tableDir(table), v.dir).toString
     // deletes and schema ops interleave in ONE commit-ordered sequence:
@@ -2185,7 +2212,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       }
       flushRun()
       df
-    }.reduce(_.unionByName(_))
+    }.reduce(combine)
   }
 
   /** The LIVE content of one committed partition (current version read
@@ -2391,6 +2418,27 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     partitionSpecOf(table).flatMap(sp =>
       Transforms.prunableKeys(sp, predicate))
 
+  /** On a spec-carrying table every partition key must have the
+    * transform's SHAPE, or transform routing silently excludes the
+    * rogue partition from every routed read and DML scan forever.
+    * Derived transforms are shape-checkable; identity values are not
+    * (any string is potentially a value — caller contract there).
+    */
+  private def requireSpecConformantKey(table: String, key: String): Unit =
+    partitionSpecOf(table).foreach { sp =>
+      val ok = sp.kind match {
+        case "bucket" => key.matches("b\\d+") &&
+          key.drop(1).length <= 18 && key.drop(1).toLong < sp.n
+        case "truncate" => key.matches("t-?\\d+")
+        case "days" => key.matches("d\\d{4}-\\d{2}-\\d{2}")
+        case "identity" => true
+      }
+      require(ok, s"partition key '$key' does not fit $table's " +
+        s"${sp.kind}(${sp.col}) transform — transform routing would " +
+        "silently exclude it from every routed read; use " +
+        "commitPartitioned, or a table without a spec")
+    }
+
   // ---- schema evolution (Iceberg schema updates, sequence-ruled) -------
 
   private def schemaDir(table: String): HPath =
@@ -2438,9 +2486,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     ops.foldLeft(raw)(applySchemaOp).schema
   }
 
+  /** A schema op applies to a version committed strictly before it —
+    * the same sequence rule as [[delApplies]], via the same canonical
+    * [[cutAfter]].
+    */
   private def delAppliesCut(opMs: Long, opSeq: Long,
                             vMs: Long, vSeq: Long): Boolean =
-    vMs < opMs || (vMs == opMs && vSeq < opSeq)
+    cutAfter(opMs, opSeq, vMs, vSeq)
 
   private def applySchemaOp(df: DataFrame,
                             o: CorpusCatalog.SchemaOp): DataFrame =

@@ -68,8 +68,16 @@ object Transforms {
       val q = when(r < 0, q0 - 1).otherwise(q0)
       concat(lit("t"), q.cast("string"))
     case "days" =>
-      concat(lit("d"), date_format(col(spec.col).cast("timestamp"),
-        "yyyy-MM-dd"))
+      // tz-free epoch-day arithmetic — date_format would silently key by
+      // the SESSION timezone, making the partition key not a pure
+      // function of the data (two writers in different zones would
+      // derive different keys for the same instant). `days` expects an
+      // instant-typed TIMESTAMP column; DATE/NTZ columns must be cast
+      // by the caller with the intended zone.
+      val secs = unix_timestamp(col(spec.col).cast("timestamp"))
+      val epochDay = floor(secs.cast("double") / lit(86400.0)).cast("int")
+      concat(lit("d"),
+        date_add(to_date(lit("1970-01-01")), epochDay).cast("string"))
     case "identity" => col(spec.col).cast("string")
   }
 
@@ -94,6 +102,7 @@ object Transforms {
         "t" + Math.floorDiv(l, spec.n))
       case "days" => v match {
         case d: java.sql.Date => Some("d" + d.toString)
+        case d: java.time.LocalDate => Some("d" + d.toString)
         case t: java.sql.Timestamp =>
           Some("d" + t.toInstant.atZone(java.time.ZoneOffset.UTC)
             .toLocalDate.toString)
@@ -130,35 +139,55 @@ object Transforms {
       }
       case Or(l, r) => for (a <- walk(l, spec); b <- walk(r, spec))
         yield a.union(b)
-      case EqualTo(a, Literal(v, _)) if isCol(a, spec.col) => keysOf(spec, v)
-      case EqualTo(Literal(v, _), a) if isCol(a, spec.col) => keysOf(spec, v)
-      case EqualNullSafe(a, l @ Literal(v, _))
-          if isCol(a, spec.col) && v != null => keysOf(spec, v)
+      case EqualTo(a, l: Literal) if isCol(a, spec.col) => keysOf(spec, l)
+      case EqualTo(l: Literal, a) if isCol(a, spec.col) => keysOf(spec, l)
+      case EqualNullSafe(a, l: Literal)
+          if isCol(a, spec.col) && l.value != null => keysOf(spec, l)
       case In(a, vs) if isCol(a, spec.col) &&
           vs.forall(_.isInstanceOf[Literal]) =>
-        val keys = vs.map { case Literal(v, _) =>
-          if (v == null) Some(Set.empty[String]) // = NULL matches no row
-          else keysOf(spec, v)
+        val keys = vs.map { case l: Literal =>
+          if (l.value == null) Some(Set.empty[String]) // = NULL: no row
+          else keysOf(spec, l)
         }
         if (keys.exists(_.isEmpty)) None
         else Some(keys.flatten.flatten.toSet)
       case _ => None
     }
 
-  private def keysOf(spec: Spec, v: Any): Option[Set[String]] = {
-    if (v == null) return Some(Set.empty) // `col = NULL` matches nothing
-    val plain = v match {
-      case u: UTF8String => u.toString
-      case other => other
+  /** Keys for one LITERAL — converting Catalyst's INTERNAL
+    * representations first (dates are epoch-day Ints, timestamps are
+    * epoch-micro Longs, strings are UTF8String), or typed point routing
+    * would silently never fire for properly-typed date/timestamp
+    * predicates.
+    */
+  private def keysOf(spec: Spec, l: Literal): Option[Set[String]] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) return Some(Set.empty) // `= NULL` matches nothing
+    val plain: Any = (l.value, l.dataType) match {
+      case (d: Integer, DateType) =>
+        java.time.LocalDate.ofEpochDay(d.toLong)
+      case (t: java.lang.Long, TimestampType) =>
+        java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L),
+          Math.floorMod(t, 1000000L) * 1000L)
+      case (t: java.lang.Long, TimestampNTZType) =>
+        // NTZ wall time keyed as its own wall date (UTC arithmetic)
+        java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L),
+          Math.floorMod(t, 1000000L) * 1000L)
+      case (u: UTF8String, _) => u.toString
+      case (v, _) => v
     }
     keyFor(spec, plain).map(Set(_))
   }
 
+  /** Bare attribute only — a Cast is NOT unwrapped: a narrowing cast
+    * changes which rows satisfy the predicate, so routing through it
+    * could prune a partition that still holds matches (StatsPruning
+    * leaves Cast opaque for the same reason; conservative None here).
+    */
   private def isCol(e: Expression, name: String): Boolean = e match {
     case a: UnresolvedAttribute =>
       a.nameParts.last.equalsIgnoreCase(name)
     case a: AttributeReference => a.name.equalsIgnoreCase(name)
-    case Cast(c, _, _, _) => isCol(c, name)
     case _ => false
   }
 

@@ -177,6 +177,54 @@ class HiddenPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("typed literals route; casts do not; days keys are " +
+    "session-timezone independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dspec = Transforms.Spec("days", "ts")
+    // a properly-typed timestamp literal fires the router (catalyst
+    // hands over epoch-micro internals, not java.sql objects)
+    val t = java.sql.Timestamp.valueOf("2026-08-18 10:00:00")
+    assert(Transforms.prunableKeys(dspec, col("ts") === lit(t)) ==
+      Some(Set("d2026-08-18")))
+    val d = java.sql.Date.valueOf("2026-08-17")
+    assert(Transforms.prunableKeys(dspec, col("ts") === lit(d)) ==
+      Some(Set("d2026-08-17")))
+    // a cast wraps the attribute → conservative keep-all (a narrowing
+    // cast changes which rows match; routing through it would prune
+    // partitions that still hold matches)
+    val bspec = Transforms.Spec("bucket", "id", 8)
+    assert(Transforms.prunableKeys(bspec,
+      col("id").cast("int") === 5).isEmpty)
+    // the days key is epoch-day arithmetic, not the session-zone
+    // formatter: changing the session tz must not move the key
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    val inUtc = Seq(Tuple1(t)).toDF("ts")
+      .select(Transforms.keyExpr(dspec)).head().getString(0)
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val inNy = Seq(Tuple1(t)).toDF("ts")
+        .select(Transforms.keyExpr(dspec)).head().getString(0)
+      assert(inNy == inUtc, s"session tz moved the key: $inNy vs $inUtc")
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+  }
+
+  test("manual commits on a spec table: a rogue key refuses (it would " +
+    "be silently excluded from every routed read), a conformant key " +
+    "is allowed") {
+    withCatalog { cat =>
+      cat.setPartitionSpec("t", Transforms.Spec("bucket", "id", 4))
+      cat.commitPartitioned("t", df(0L until 40L))
+      val e = intercept[IllegalArgumentException] {
+        cat.commitPartition("t", "extra", df(Seq(1000L)))
+      }
+      assert(e.getMessage.contains("transform routing"))
+      intercept[IllegalArgumentException] {
+        cat.commitPartition("t", "b9", df(Seq(1000L))) // >= n buckets
+      }
+    }
+  }
+
   test("refusals: NULL source values, double spec registration, " +
     "rename/drop of the transform source column") {
     withCatalog { cat =>

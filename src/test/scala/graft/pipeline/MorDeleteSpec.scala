@@ -300,6 +300,25 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("plan shape: the delete apply is a BROADCAST left-anti hash join " +
+    "on the scan — never a shuffled join, and group count is bounded by " +
+    "the delete log, not the partition count") {
+    withCatalog { cat =>
+      (0 until 6).foreach(k =>
+        assert(cat.commitPartition("t", s"p$k",
+          df((k * 10L) until (k * 10L + 10L)))))
+      assert(cat.deleteWhereMor("t", pmod(col("id"), lit(7L)) === 0L,
+        "id")._1 > 0L)
+      val plan = cat.readTable("t").queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"shuffled join:\n$plan")
+      // six partitions, one delete -> exactly ONE anti-join in the plan
+      // (all six dirs fold into a single pre-delete group)
+      assert("LeftAnti".r.findAllIn(plan).size == 1, plan)
+    }
+  }
+
   test("mergeSchema read across delete groups: pre-evolution partitions " +
     "surface the added column as null AND apply their deletes") {
     withCatalog { cat =>

@@ -235,6 +235,38 @@ class SchemaEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mergeSchema composes with schema ops: rename never duplicates " +
+    "the column, drop stays dropped, add keeps its DEFAULT, and " +
+    "physical drift still null-fills across groups") {
+    withCatalog { cat =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "p0", df2(0L until 5L)))
+      cat.renameColumn("t", "id", "key")
+      cat.addColumn("t", "flag", LongType, Some("7"))
+      // post-evolution commit WITH extra physical drift column `w`
+      assert(cat.commitPartition("t", "p1",
+        Seq((100L, "x", 1L, "drift")).toDF("key", "v", "flag", "w")))
+      val out = cat.readTable("t", mergeSchema = true)
+      assert(out.columns.toSet == Set("key", "v", "flag", "w"))
+      assert(out.count() == 6L)
+      // the add's default survives mergeSchema (a pinned global schema
+      // would null-fill flag into the pre-add group and skip the default)
+      assert(out.where(col("key") < 100L && col("flag") === 7L)
+        .count() == 5L)
+      // drift null-fills exactly like plain mergeSchema
+      assert(out.where(col("w").isNull).count() == 5L)
+      cat.dropColumn("t", "v")
+      val out2 = cat.readTable("t", mergeSchema = true)
+      assert(out2.columns.toSet == Set("key", "flag", "w"))
+      // readTableWhere equivalence holds on the evolved mergeSchema path
+      val pred = col("key") >= 3L
+      assert(cat.readTableWhere("t", pred, mergeSchema = true)
+        .collect().toSet ==
+        out2.where(pred).collect().toSet)
+    }
+  }
+
   test("branches: the audit read uses the base schema; publish refuses " +
     "after a post-base schema op") {
     withCatalog { cat =>
