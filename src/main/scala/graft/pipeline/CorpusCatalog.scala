@@ -748,6 +748,13 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     // never apply to window partitions (all newer — sequence rule) and
     // deletes after the end are invisible. Materialize via
     // runMaintenance + expireMorDeletes, or consume readChangesBetween.
+    // A materialized delete cannot sneak PAST this check either:
+    // snapshot ids are positions in the current (ms, seq)-ordered log,
+    // so a compaction that materialized a delete carries a cut newer
+    // than the delete — any window containing the compacted dir
+    // contains the delete's cut and refuses while the delete file
+    // lives; once expireMorDeletes retires it, the compacted bytes ARE
+    // the correct content as of their own commit point.
     locally {
       val afterCut = all.filter(_.id <= afterSnapshotId).lastOption
         .map(s => (s.committedAtMs, s.seq)).getOrElse((-1L, -1L))
