@@ -77,7 +77,8 @@ object Bench {
     "q93_tag_reads" -> 6.0, "q94_kmv_ndv" -> 8.0,
     "q95_wap_publish" -> 8.0, "q96_maintenance" -> 10.0,
     "q97_mor_delete" -> 5.0, "q98_schema_evolution" -> 3.5,
-    "q99_hidden_partitioning" -> 2.5, "q100_stream_ingest" -> 2.5)
+    "q99_hidden_partitioning" -> 2.5, "q100_stream_ingest" -> 2.5,
+    "q101_pos_delete" -> 4.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

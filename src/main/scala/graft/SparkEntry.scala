@@ -2554,6 +2554,76 @@ object SparkEntry {
             .orderBy("residue")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q101: MOR position deletes (Iceberg v2 position-delete files) —
+    // exact DEDUP as a metadata-only commit, the delete kind equality
+    // deletes cannot express (it removes specific row OCCURRENCES).
+    // documents keyed into 37 planted duplicate classes (grp = doc_id %
+    // 37) over 4 residue partitions; deleteDuplicatesMor keeps the
+    // min-doc_id row per class WITHOUT rewriting any data dir, a
+    // positional takedown then removes class 5's survivor, the full
+    // class re-appends in a new partition (sequence rule: all survive),
+    // and one partition compacts mid-lifecycle (materialization).
+    // Emitted rows are the three time-travel phases — pure modular
+    // arithmetic over documents, re-derived in DuckDB.
+    "q101_pos_delete" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_posq")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          val docs = s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"),
+              pmod(col("doc_id"), lit(37L)).as("grp"))
+          val nDocs = docs.count()
+          (0 until 4).foreach { k =>
+            cat.commitPartition("c", s"k$k",
+              docs.filter(pmod(col("doc_id"), lit(4L)) === k),
+              Seq("doc_id", "grp"))
+          }
+          Thread.sleep(3)
+          val anchor1 = System.currentTimeMillis()
+          Thread.sleep(3)
+          val dirsBefore = cat.snapshots("c").map(_.dir).toSet
+          val (nd, ng) = cat.deleteDuplicatesMor("c", Seq("grp"),
+            col("doc_id"))
+          require(cat.snapshots("c").map(_.dir).toSet == dirsBefore,
+            "a position delete must not rewrite any data dir")
+          val nClasses = docs.select("grp").distinct().count()
+          require(nd == nDocs - nClasses && ng <= nClasses,
+            s"dedup must keep exactly one row per class: " +
+              s"nd=$nd ng=$ng n=$nDocs classes=$nClasses")
+          require(cat.aggregateFromStats("c", Seq("doc_id")).isEmpty,
+            "stats aggregation must refuse while a pos delete is live")
+          Thread.sleep(3)
+          val anchor2 = System.currentTimeMillis()
+          Thread.sleep(3)
+          // positional takedown of class 5's single survivor
+          val (nt, _) = cat.deleteAtPositionsMor("c", col("grp") === 5L)
+          require(nt == 1L,
+            s"the takedown must remove exactly the one survivor, got $nt")
+          // sequence rule: the full class returns in a NEW partition
+          cat.commitPartition("c", "re", docs.filter(col("grp") === 5L),
+            Seq("doc_id", "grp"))
+          // materialize one partition mid-lifecycle: reads unchanged
+          require(cat.compactPartition("c", "k1"),
+            "compaction (MOR materialization) must succeed")
+          require(cat.morDeletes("c").forall(_.kind == "pos"),
+            "both delete files are positional")
+          def agg1(phase: String,
+                   df: org.apache.spark.sql.DataFrame) = {
+            val r = df.agg(count(lit(1)),
+              coalesce(sum("doc_id"), lit(0L))).head()
+            (phase, r.getLong(0), r.getLong(1))
+          }
+          Seq(
+            agg1("pre", cat.readTableAsOfTime("c", anchor1)),
+            agg1("dedup", cat.readTableAsOfTime("c", anchor2)),
+            agg1("final", cat.readTable("c")))
+            .toDF("phase", "n_rows", "id_sum").orderBy("phase")
+        } finally sweepDir(tmp)
+      out
     })
   )
 
@@ -4378,7 +4448,33 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
-        |FROM documents GROUP BY 1 ORDER BY residue""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY residue""".stripMargin,
+
+    // pre = every doc; dedup = the min-doc_id keeper of each grp class;
+    // final = keepers minus class 5's keeper, plus ALL of class 5
+    // (re-appended after the takedown — sequence rule keeps them).
+    "q101_pos_delete" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 37 AS grp FROM documents
+        |), keep AS (
+        |  SELECT grp, min(doc_id) AS kid FROM docs GROUP BY grp
+        |), fin AS (
+        |  SELECT kid AS doc_id FROM keep WHERE grp <> 5
+        |  UNION ALL
+        |  SELECT doc_id FROM docs WHERE grp = 5
+        |)
+        |SELECT 'dedup' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(kid) AS BIGINT) AS id_sum
+        |FROM keep
+        |UNION ALL
+        |SELECT 'final' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM fin
+        |UNION ALL
+        |SELECT 'pre' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM docs
+        |ORDER BY phase""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

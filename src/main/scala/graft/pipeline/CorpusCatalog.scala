@@ -764,7 +764,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         cutAfter(d.ms, d.seq, afterCut._1, afterCut._2) &&
           !cutAfter(d.ms, d.seq, upCut._1, upCut._2))
       require(inWindow.isEmpty,
-        s"readTableIncremental over $table: equality-delete file(s) " +
+        s"readTableIncremental over $table: MOR delete file(s) " +
           s"${inWindow.map(_.name).mkString(", ")} inside the window — " +
           "a MOR delete is not expressible as an append-only increment; " +
           "compact + expireMorDeletes first, or use readChangesBetween")
@@ -825,7 +825,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                      policy: CorpusCatalog.CompactionPolicy =
                        CorpusCatalog.CompactionPolicy())
       : Seq[CorpusCatalog.CompactionCandidate] = {
-    // a partition under an applicable equality delete is ALWAYS a
+    // a partition under an applicable MOR delete is ALWAYS a
     // candidate: compaction is the MOR materialization step, and a
     // delete-burdened partition pays its anti-join on every read until
     // one runs (Iceberg's delete-file-count rewrite trigger)
@@ -838,7 +838,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       val n = sizes.size
       val needs = n > policy.maxFiles ||
         (n > 1 && sizes.sum / n < policy.minFileBytes) ||
-        mor.exists(d => delApplies(d, s.committedAtMs, s.seq))
+        mor.exists(d => delAffects(d, s.dir, s.committedAtMs, s.seq))
       if (needs)
         Some(CorpusCatalog.CompactionCandidate(s.key, n, sizes.sum))
       else None
@@ -853,6 +853,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * the freshly retired pre-compaction dirs included, once expired).
     * Each step is the already-atomic primitive; a crash mid-run leaves
     * a valid table and a re-run finishes the rest.
+    *
+    * `expireBeforeMs` is an ABSOLUTE wall-clock cutoff evaluated after
+    * this run's own compactions commit: a version retired by an in-run
+    * compaction only expires if its successor's commit time is at or
+    * before the cutoff, so to release what this run itself retires the
+    * cutoff must exceed the run's end time (the callers here pass
+    * now + 60 s; a too-tight `now + ε` silently expires nothing from
+    * the run — the next maintenance pass picks it up).
     */
   def runMaintenance(table: String,
                      policy: CorpusCatalog.CompactionPolicy =
@@ -1008,7 +1016,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         cutAfter(d.ms, d.seq, fMs, fSeq) &&
           !cutAfter(d.ms, d.seq, cutTo._1, cutTo._2))
       require(inWindow.isEmpty,
-        s"changelog over $table: equality-delete file(s) " +
+        s"changelog over $table: MOR delete file(s) " +
           s"${inWindow.map(_.name).mkString(", ")} inside the window — " +
           "their row removals are invisible to a version diff; compact " +
           "the affected partitions (materializing the deletes) first")
@@ -1080,10 +1088,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     require(cols.nonEmpty, "aggregateFromStats needs at least one column")
     val snaps = snapshots(table)
     require(snaps.nonEmpty, s"no committed partitions in $table")
-    // marker stats are PHYSICAL; a live equality delete makes them
+    // marker stats are PHYSICAL; a live MOR delete makes them
     // supersets of the live rows — refuse (never a wrong number)
     if (morDeletes(table).exists(d =>
-        snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
+        snaps.exists(s => delAffects(d, s.dir, s.committedAtMs, s.seq))))
       return None
     // renames/drops translate each snapshot's stats to CURRENT names;
     // an added column simply has no stats on pre-op partitions → None
@@ -1138,10 +1146,10 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       : Option[(Double, Kmv.Sketch)] = {
     val snaps = snapshots(table)
     if (snaps.isEmpty) return None
-    // sketches are PHYSICAL; a live equality delete could have removed
+    // sketches are PHYSICAL; a live MOR delete could have removed
     // distinct values the sketch still counts — refuse, never a guess
     if (morDeletes(table).exists(d =>
-        snaps.exists(s => delApplies(d, s.committedAtMs, s.seq))))
+        snaps.exists(s => delAffects(d, s.dir, s.committedAtMs, s.seq))))
       return None
     val allOps = schemaOps(table)
     val sketches = snaps.map(s =>
@@ -1575,7 +1583,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .filter(d => cutAfter(d.ms, d.seq, b.ms, b.seq))
       if (delConf.nonEmpty)
         throw new IllegalStateException(
-          s"publishBranch('$name') on $table: equality-delete file(s) " +
+          s"publishBranch('$name') on $table: MOR delete file(s) " +
             s"${delConf.map(_.name).mkString(", ")} committed on main " +
             "since the branch base — rebase or dropBranch")
       // a schema op is table-wide too: the branch staged data under the
@@ -2115,6 +2123,14 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val R = ("""\{"name":"(del-\d+)","key_col":"([A-Za-z0-9_.-]+)",""" +
       """"rows":(\d+),"dir":"(del@[0-9]+)","committed_at_ms":(\d+),""" +
       """"seq_nanos":(\d+)\}""").r
+    val RPos = ("""\{"name":"(del-\d+)","kind":"pos","rows":(\d+),""" +
+      """"dir":"(del@[0-9]+)","committed_at_ms":(\d+),""" +
+      """"seq_nanos":(\d+),"dirs":(null|\[[^\]]*\])\}""").r
+    def parseDirs(s: String): Option[Set[String]] =
+      if (s == "null") None
+      else Some(s.stripPrefix("[").stripSuffix("]").split(',')
+        .iterator.map(_.trim).filter(_.nonEmpty)
+        .map(_.stripPrefix("\"").stripSuffix("\"")).toSet)
     fs.listStatus(d).iterator
       .filter(_.getPath.getName.endsWith(".json"))
       .map { st =>
@@ -2122,6 +2138,9 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           case R(name, keyCol, rows, dir, ms, seq) =>
             CorpusCatalog.DeleteFile(name, keyCol, rows.toLong, dir,
               ms.toLong, seq.toLong)
+          case RPos(name, rows, dir, ms, seq, dirs) =>
+            CorpusCatalog.DeleteFile(name, "", rows.toLong, dir,
+              ms.toLong, seq.toLong, kind = "pos", dirs = parseDirs(dirs))
           case body => throw new java.io.IOException(
             s"unparseable delete marker ${st.getPath}: $body")
         }
@@ -2142,6 +2161,17 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   private def delApplies(d: CorpusCatalog.DeleteFile,
                          vMs: Long, vSeq: Long): Boolean =
     cutAfter(d.ms, d.seq, vMs, vSeq)
+
+  /** [[delApplies]] refined by a position delete's file scope: a scoped
+    * pos delete can only touch the versions whose dir it references, so
+    * reads of (and stats folds over) other versions skip it entirely.
+    * Unscoped pos deletes and equality deletes fall back to the pure
+    * sequence rule.
+    */
+  private def delAffects(d: CorpusCatalog.DeleteFile, vDir: String,
+                         vMs: Long, vSeq: Long): Boolean =
+    delApplies(d, vMs, vSeq) &&
+      (d.kind != "pos" || d.dirs.forall(_.contains(vDir)))
 
   private def curVersion(s: CorpusCatalog.Snapshot): CorpusCatalog.Version =
     CorpusCatalog.Version(s.dir, s.rows, s.committedAtMs, s.seq)
@@ -2171,21 +2201,55 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       reader: Seq[String] => DataFrame,
       ops: Seq[CorpusCatalog.SchemaOp] = Nil,
       combine: (DataFrame, DataFrame) => DataFrame =
-        _.unionByName(_)): DataFrame = {
+        _.unionByName(_),
+      keepPositions: Boolean = false): DataFrame = {
     def path(v: CorpusCatalog.Version) =
       new HPath(tableDir(table), v.dir).toString
-    // deletes and schema ops interleave in ONE commit-ordered sequence:
-    // each applies to versions committed strictly before it, so a
-    // delete keyed on a column a LATER rename moved still anti-joins
-    // under the name the data physically carries at that fold point —
-    // exactly Iceberg's sequence-number semantics, one mechanism
+    // position deletes apply at the LEAF scan, before the sequence
+    // fold: they bind to exact (file, row-ordinal) pairs, and version
+    // dirs are write-once + nonce-unique, so path identity alone
+    // enforces the sequence rule (a post-delete version can never carry
+    // a referenced path) and they commute with every equality delete
+    // and schema op above them. Scoped deletes skip groups whose dirs
+    // they never reference.
+    val (posDels, eqDels) = dels.partition(_.kind == "pos")
+    def leaf(vs: Seq[CorpusCatalog.Version]): DataFrame = {
+      val pds = posDels.filter(d =>
+        vs.exists(v => delAffects(d, v.dir, v.ms, v.seq)))
+      val df0 = reader(vs.sortBy(_.dir).map(path))
+      if (pds.isEmpty && !keepPositions) return df0
+      // the row's identity: "<version-dir>/<file-name>" + its ordinal
+      // in the file — derived from the scan's metadata column, so it is
+      // exactly what the harvest recorded
+      val withMeta = df0.select(col("*"),
+        concat(element_at(split(col("_metadata.file_path"), "/"), -2),
+          lit("/"), col("_metadata.file_name")).as("__pd_file"),
+        col("_metadata.row_index").as("__pd_pos"))
+      val cleaned =
+        if (pds.isEmpty) withMeta
+        else {
+          val keys = spark.read.parquet(pds.map(f =>
+            new HPath(deletesDir(table), f.dir).toString).distinct: _*)
+            .select(col("__pd_file"), col("__pd_pos")).distinct()
+          withMeta.join(broadcast(keys),
+            Seq("__pd_file", "__pd_pos"), "left_anti")
+        }
+      if (keepPositions) cleaned
+      else cleaned.drop("__pd_file", "__pd_pos")
+    }
+    // equality deletes and schema ops interleave in ONE commit-ordered
+    // sequence: each applies to versions committed strictly before it,
+    // so a delete keyed on a column a LATER rename moved still
+    // anti-joins under the name the data physically carries at that
+    // fold point — exactly Iceberg's sequence-number semantics, one
+    // mechanism
     val entries: Seq[Either[CorpusCatalog.DeleteFile,
                             CorpusCatalog.SchemaOp]] =
-      (dels.map(Left(_)) ++ ops.map(Right(_))).sortBy {
+      (eqDels.map(Left(_)) ++ ops.map(Right(_))).sortBy {
         case Left(d) => (d.ms, d.seq)
         case Right(o) => (o.ms, o.seq)
       }
-    if (entries.isEmpty) return reader(versions.sortBy(_.dir).map(path))
+    if (entries.isEmpty) return leaf(versions)
     def antiJoin(df: DataFrame,
                  kc: String,
                  files: Seq[CorpusCatalog.DeleteFile]): DataFrame = {
@@ -2201,7 +2265,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       }
       if (i < 0) entries.length else i
     }.toSeq.sortBy(_._1).map { case (i, vs) =>
-      val df0 = reader(vs.sortBy(_.dir).map(path))
+      val df0 = leaf(vs)
       // fold the applicable suffix in commit order; consecutive deletes
       // on the same key column batch into one anti-join
       val suffix = entries.drop(i)
@@ -2223,7 +2287,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
   }
 
   /** The LIVE content of one committed partition (current version read
-    * through every applicable equality delete) plus its live row count.
+    * through every applicable MOR delete) plus its live row count.
     * Every COW rewrite (merge / delete / upsert / compaction) MUST start
     * from this, never the raw dir: the rewrite's new commit point is
     * newer than every existing delete, which then stops applying — a raw
@@ -2237,7 +2301,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
                           ops: Seq[CorpusCatalog.SchemaOp] = Nil)
       : (DataFrame, Long) = {
     val applicable = dels.filter(d =>
-      delApplies(d, snap.committedAtMs, snap.seq))
+      delAffects(d, snap.dir, snap.committedAtMs, snap.seq))
     val df = readVersionsWithDeletes(table, Seq(curVersion(snap)),
       applicable, ps => spark.read.parquet(ps: _*), ops)
     // schema ops never change row counts — the marker count holds
@@ -2323,6 +2387,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     val body = s"""{"name":"$name","key_col":"$keyCol","rows":$n,""" +
       s""""dir":"$dirName","committed_at_ms":${System.currentTimeMillis()},""" +
       s""""seq_nanos":${System.nanoTime()}}"""
+    commitDeleteMarker(table, name, body, target)
+    (n, candidates.size)
+  }
+
+  /** Atomically publish one delete marker (tmp write + rename — the same
+    * discipline as data-commit markers); on failure the key file at
+    * `target` is swept so a crashed delete leaves nothing half-visible.
+    */
+  private def commitDeleteMarker(table: String, name: String, body: String,
+                                 target: HPath): Unit = {
     val tmp = new HPath(deletesDir(table), s".$name.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2330,9 +2404,162 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     if (!fs.rename(tmp, new HPath(deletesDir(table), s"$name.json"))) {
       fs.delete(tmp, false); fs.delete(target, true)
       throw new java.io.IOException(
-        s"deleteWhereMor: delete-marker rename failed for $table/$name")
+        s"MOR delete-marker rename failed for $table/$name")
     }
-    (n, candidates.size)
+  }
+
+  /** The position-delete marker body: file scope enumerated when small
+    * (reads of untouched versions skip the anti-join; see
+    * [[CorpusCatalog.DeleteFile]]), `null` for a wide harvest — an
+    * unbounded dir list would bloat a marker that must stay a cheap
+    * one-GET read.
+    */
+  private def posDeleteBody(name: String, rows: Long, dirName: String,
+                            refDirs: Seq[String]): String = {
+    val dirsJson =
+      if (refDirs.size > 64) "null"
+      else refDirs.sorted.map(d => s""""$d"""").mkString("[", ",", "]")
+    s"""{"name":"$name","kind":"pos","rows":$rows,"dir":"$dirName",""" +
+      s""""committed_at_ms":${System.currentTimeMillis()},""" +
+      s""""seq_nanos":${System.nanoTime()},"dirs":$dirsJson}"""
+  }
+
+  /** The live rows of `versions` (every visible equality AND position
+    * delete applied, schema ops folded) with two extra columns
+    * identifying each row's physical position: `__pd_file` (data-file
+    * path relative to the table dir) and `__pd_pos` (the row's ordinal
+    * in that file) — the harvest input for position deletes.
+    */
+  private def liveWithPositions(table: String,
+                                versions: Seq[CorpusCatalog.Version],
+                                dels: Seq[CorpusCatalog.DeleteFile],
+                                ops: Seq[CorpusCatalog.SchemaOp])
+      : DataFrame =
+    readVersionsWithDeletes(table, versions, dels,
+      ps => spark.read.parquet(ps: _*), ops, keepPositions = true)
+
+  /** Merge-on-read positional DELETE (Iceberg v2 position-delete files):
+    * removes exactly the row OCCURRENCES matching `predicate`, by
+    * (file, row-ordinal) — the row-level takedown for tables with no
+    * usable key column, and the only MOR delete that can remove SOME
+    * duplicates of a value while keeping others (an equality delete is
+    * all-or-nothing per key). Writes NO data file: the matching rows'
+    * positions land in a tiny delete file under `_deletes/`, and every
+    * read path applies it as a broadcast anti-join on
+    * `(__pd_file, __pd_pos)` at the scan leaf.
+    *
+    * Sequence semantics come free from file identity: version dirs are
+    * write-once and nonce-unique, so rows committed after this delete
+    * can never be referenced, and a COW rewrite (compaction / merge /
+    * delete) MATERIALIZES the delete — the rewrite reads the partition
+    * live and its fresh dir is unreferenced. Time-travel reads at cuts
+    * before this delete's commit point do not see it (marker-cut
+    * filtering, same as equality deletes).
+    *
+    * Same honesty trade-offs as [[deleteWhereMor]]: marker stats stay
+    * physical supersets (stats folds refuse while the delete touches a
+    * live version), and incremental/CDC windows intersecting the delete
+    * refuse. NULL predicate rows keep (TRUE-only, SQL DELETE). Returns
+    * `(positionsDeleted, partitionsScanned)`.
+    */
+  def deleteAtPositionsMor(table: String,
+                           predicate: org.apache.spark.sql.Column)
+      : (Long, Int) = {
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val dels = morDeletes(table)
+    val allOps = schemaOps(table)
+    val tk = transformKeys(table, predicate)
+    val candidates = snaps.filter(s =>
+      tk.forall(_.contains(s.key)) &&
+        StatsPruning.mightMatch(predicate, translatedStats(s, allOps),
+          s.rows))
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"deleteAtPositionsMor over $table: ${candidates.size}/" +
+        s"${snaps.size} partitions might match")
+    if (candidates.isEmpty) return (0L, 0)
+    val live = liveWithPositions(table, candidates.map(curVersion), dels,
+      allOps)
+    writePosDelete(table,
+      live.where(predicate).select(col("__pd_file"), col("__pd_pos")),
+      candidates.size)
+  }
+
+  /** Merge-on-read exact DEDUPLICATION (position deletes applied to the
+    * classic training-data problem): for every group of live rows
+    * agreeing on `keyCols`, keep ONE — the row minimizing `keepBy`
+    * (ties broken by physical position, so the result is deterministic)
+    * — and position-delete the rest. No data file is rewritten: exact
+    * dedup over an immutable 100-TB corpus becomes a metadata-only
+    * commit whose size is the number of duplicate rows, and compaction
+    * later materializes it partition by partition. This is the
+    * operation equality deletes cannot express at all — they remove
+    * every occurrence of a key or none.
+    *
+    * Rows with a NULL in any key column are never deleted (SQL grouping
+    * would conflate them; a NULL digest is a missing signal, not a
+    * duplicate). Rows committed AFTER this call are untouched even when
+    * they duplicate a surviving key (sequence rule) — rerun to dedup
+    * new arrivals against the live state. The plan is the standard exact-
+    * dedup shape: one map-side-combinable `groupBy(keyCols)` min +
+    * count, duplicate groups only re-joined back (AQE broadcasts the
+    * group dim when duplicates are rare — the common case), and the
+    * output is positions only, so text/vectors never shuffle twice.
+    * Returns `(positionsDeleted, duplicateGroups)`.
+    */
+  def deleteDuplicatesMor(table: String, keyCols: Seq[String],
+                          keepBy: org.apache.spark.sql.Column)
+      : (Long, Long) = {
+    require(keyCols.nonEmpty, "deleteDuplicatesMor needs key columns")
+    val snaps = snapshots(table)
+    require(snaps.nonEmpty, s"no committed partitions in $table")
+    val live = liveWithPositions(table, snaps.map(curVersion),
+      morDeletes(table), schemaOps(table))
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val ord = struct(keepBy.as("k"), col("__pd_file").as("f"),
+      col("__pd_pos").as("p"))
+    val rows = live.select(keyCols.map(col) :+ ord.as("__ord") :+
+      col("__pd_file") :+ col("__pd_pos"): _*)
+    val dupGroups = rows.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__ord")).as("__keep"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") > 1L).drop("__n")
+    val nGroups = dupGroups.count()
+    if (nGroups == 0L) return (0L, 0L)
+    val victims = rows.join(dupGroups, keyCols)
+      .where(col("__ord") =!= col("__keep"))
+      .select(col("__pd_file"), col("__pd_pos"))
+    val (n, _) = writePosDelete(table, victims, snaps.size)
+    (n, nGroups)
+  }
+
+  /** Write + atomically commit one position-delete file from a
+    * `(__pd_file, __pd_pos)` plan; the file scope is the exact set of
+    * referenced version dirs (read back from the written keys — tiny).
+    * Zero harvested positions commit nothing.
+    */
+  private def writePosDelete(table: String, positions: DataFrame,
+                             scanned: Int): (Long, Int) = {
+    val nanos = System.nanoTime()
+    val dirName = s"del@$nanos"
+    val target = new HPath(deletesDir(table), dirName)
+    positions.distinct()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(target.toString)
+    val written = spark.read.parquet(target.toString)
+    val n = written.count()
+    if (n == 0L) { fs.delete(target, true); return (0L, scanned) }
+    if (n > 10000000L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"position delete over $table harvested $n rows — delete files " +
+          "this large make every read's anti-join expensive; prefer a " +
+          "COW rewrite (or compact immediately) for bulk removals")
+    val refDirs = written
+      .select(substring_index(col("__pd_file"), "/", 1)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val name = s"del-$nanos"
+    commitDeleteMarker(table, name,
+      posDeleteBody(name, n, dirName, refDirs), target)
+    (n, scanned)
   }
 
   // ---- hidden partitioning (Iceberg partition transforms) --------------
@@ -2640,7 +2867,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       snaps.exists { s =>
         val vs = s.versions
         vs.zipWithIndex.exists { case (v, i) =>
-          delApplies(d, v.ms, v.seq) &&
+          delAffects(d, v.dir, v.ms, v.seq) &&
             (i == vs.length - 1 ||
               cutAfter(vs(i + 1).ms, vs(i + 1).seq, d.ms, d.seq))
         }
@@ -2848,15 +3075,32 @@ object CorpusCatalog {
   final case class MaintenanceReport(compacted: Seq[String], expired: Int,
                                      vacuumed: Int, deletesExpired: Int = 0)
 
-  /** One merge-on-read equality-delete file (Iceberg v2's delete files):
-    * `dir` (under `_deletes/`) holds the deleted KEY VALUES of `keyCol`
-    * — `rows` distinct non-null keys — and `(ms, seq)` is the delete's
-    * commit point. Per Iceberg's sequence-number rule the delete applies
-    * to every data version committed strictly BEFORE it and to none
-    * committed after.
+  /** One merge-on-read delete file (Iceberg v2's delete files), either
+    * kind:
+    *
+    *  - `kind = "eq"` (equality delete): `dir` (under `_deletes/`) holds
+    *    the deleted KEY VALUES of `keyCol` — `rows` distinct non-null
+    *    keys. Per Iceberg's sequence-number rule it applies to every
+    *    data version committed strictly BEFORE `(ms, seq)` and to none
+    *    committed after.
+    *  - `kind = "pos"` (position delete): `dir` holds `(__pd_file,
+    *    __pd_pos)` rows — a data file path RELATIVE to the table dir
+    *    (`<version-dir>/<file-name>`) plus the row's ordinal in that
+    *    file (parquet `_metadata.row_index`). It deletes exactly those
+    *    row OCCURRENCES. Version dirs are write-once and nonce-unique,
+    *    so path identity implements the sequence rule for free: a
+    *    version committed after the delete can never carry a referenced
+    *    path. `dirs` is the delete's file scope (Iceberg's
+    *    partition-scoped delete manifests): `Some(set)` when the
+    *    referenced version dirs are few enough to enumerate — reads of
+    *    untouched versions then skip the anti-join entirely — `None`
+    *    for a wide harvest (every pre-delete read pays the probe).
+    *    `keyCol` is unused ("").
     */
   final case class DeleteFile(name: String, keyCol: String, rows: Long,
-                              dir: String, ms: Long, seq: Long)
+                              dir: String, ms: Long, seq: Long,
+                              kind: String = "eq",
+                              dirs: Option[Set[String]] = None)
 
   /** One schema-evolution op (Iceberg's schema updates, sequence-ruled
     * like delete files: an op applies on read to every data version

@@ -277,7 +277,7 @@ class MorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       val e = intercept[IllegalStateException] {
         cat.publishBranch("t", "wap")
       }
-      assert(e.getMessage.contains("equality-delete"))
+      assert(e.getMessage.contains("MOR delete"))
       cat.dropBranch("t", "wap")
     }
   }

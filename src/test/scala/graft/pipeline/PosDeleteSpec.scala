@@ -1,0 +1,262 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Merge-on-read POSITION deletes (Iceberg v2 position-delete files) —
+  * the delete kind that binds to (file, row-ordinal) instead of key
+  * values. The contracts:
+  *   - `deleteDuplicatesMor` keeps exactly ONE row per key group (the
+  *     min-`keepBy` row, ties broken by physical position) and deletes
+  *     the rest WITHOUT rewriting any data dir — including the case
+  *     equality deletes cannot express at all: one of two fully
+  *     identical rows;
+  *   - NULL-keyed rows are never deleted;
+  *   - sequence rule: rows committed after the delete survive even when
+  *     they duplicate surviving keys (version dirs are nonce-unique, so
+  *     path identity enforces it); time travel before the delete's cut
+  *     shows the originals;
+  *   - `deleteAtPositionsMor` removes exactly the predicate's row
+  *     occurrences; its marker records the referenced-dir scope, so
+  *     stats folds refuse only while a LIVE version is referenced;
+  *   - compaction MATERIALIZES the delete (fresh dir unreferenced),
+  *     after which stats folds answer again; expire + vacuum retire the
+  *     delete file and reclaim its dir;
+  *   - incremental/CDC windows intersecting a live pos delete refuse;
+  *   - rollback across the delete's cut removes its marker;
+  *   - COW rewrites read the live state — they never resurrect
+  *     pos-deleted rows;
+  *   - pos deletes compose with equality deletes and schema ops in the
+  *     same commit-ordered fold.
+  */
+class PosDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-posdelete-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCatalog(f: (CorpusCatalog, java.nio.file.Path) => Unit)
+      : Unit = {
+    val tmp = Files.createTempDirectory("graft_posdel")
+    try f(new CorpusCatalog(tmp.toString, spark), tmp)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  private def idSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  /** ids 0..19 over two partitions; v = "c<id % 5>" plants 5 duplicate
+    * classes of 4 members each (2 per partition). Min-id keepers: 0..4.
+    */
+  private def plantDups(cat: CorpusCatalog): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    def part(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"c${i % 5}")).toDF("id", "v")
+    assert(cat.commitPartition("t", "g0", part(0L, 10L), Seq("id")))
+    assert(cat.commitPartition("t", "g1", part(10L, 20L), Seq("id")))
+  }
+
+  test("deleteDuplicatesMor keeps the min-keepBy row per group, rewrites " +
+    "nothing, and reports (positions, groups)") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      val dirsBefore = cat.snapshots("t").map(_.dir).toSet
+      val (nPos, nGroups) =
+        cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      assert(nPos == 15L && nGroups == 5L)
+      assert(cat.snapshots("t").map(_.dir).toSet == dirsBefore,
+        "a position delete must not rewrite any data dir")
+      assert(idSet(cat.readTable("t")) == Set(0L, 1L, 2L, 3L, 4L))
+      val dels = cat.morDeletes("t")
+      assert(dels.map(d => (d.kind, d.rows)) == Seq(("pos", 15L)))
+      // the scope names both referenced partition dirs
+      assert(dels.head.dirs.exists(_.size == 2))
+      // idempotent: the live read has no duplicates left
+      val (n2, g2) = cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      assert(n2 == 0L && g2 == 0L)
+      assert(cat.morDeletes("t").size == 1, "a zero harvest commits nothing")
+    }
+  }
+
+  test("one of two FULLY IDENTICAL rows is deleted — the case equality " +
+    "deletes cannot express") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g0",
+        Seq((7L, "same"), (7L, "same"), (8L, "other"))
+          .toDF("id", "v"), Seq("id")))
+      val (nPos, nGroups) =
+        cat.deleteDuplicatesMor("t", Seq("id", "v"), col("id"))
+      assert(nPos == 1L && nGroups == 1L)
+      val rows = cat.readTable("t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq((7L, "same"), (8L, "other")))
+    }
+  }
+
+  test("NULL-keyed rows are never deleted") {
+    withCatalog { (cat, _) =>
+      val spark2 = spark
+      import spark2.implicits._
+      val df = Seq((1L, Option("a")), (2L, Option("a")),
+        (3L, Option.empty[String]), (4L, Option.empty[String]))
+        .toDF("id", "v")
+      assert(cat.commitPartition("t", "g0", df, Seq("id")))
+      val (nPos, _) = cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      assert(nPos == 1L) // only the (2, "a") duplicate
+      assert(idSet(cat.readTable("t")) == Set(1L, 3L, 4L))
+    }
+  }
+
+  test("sequence rule: rows committed after the dedup survive even as " +
+    "duplicates; time travel before the cut shows the originals") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      Thread.sleep(3)
+      val anchor = System.currentTimeMillis()
+      Thread.sleep(3)
+      cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      val spark2 = spark
+      import spark2.implicits._
+      // re-insert duplicates of surviving classes in a NEW partition
+      assert(cat.commitPartition("t", "re",
+        Seq((100L, "c0"), (101L, "c1")).toDF("id", "v"), Seq("id")))
+      assert(idSet(cat.readTable("t")) ==
+        Set(0L, 1L, 2L, 3L, 4L, 100L, 101L))
+      assert(idSet(cat.readTableAsOfTime("t", anchor)) ==
+        (0L until 20L).toSet,
+        "time travel before the delete's cut must show every original")
+    }
+  }
+
+  test("deleteAtPositionsMor: predicate-harvested positions; scoped " +
+    "marker; stats folds refuse only while a live version is referenced;" +
+    " compaction materializes; expire + vacuum retire") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      // takedown three specific rows, all in g0 (ids 2, 4, 6)
+      val (nPos, scanned) = cat.deleteAtPositionsMor("t",
+        col("id").isin(2L, 4L, 6L))
+      assert(nPos == 3L && scanned >= 1)
+      val del = cat.morDeletes("t").head
+      assert(del.kind == "pos" && del.rows == 3L)
+      val g0dir = cat.snapshots("t").find(_.key == "g0").get.dir
+      assert(del.dirs.contains(Set(g0dir)),
+        s"scope must be exactly g0's dir, got ${del.dirs}")
+      assert(idSet(cat.readTable("t")) ==
+        (0L until 20L).toSet -- Set(2L, 4L, 6L))
+      // stats fold refuses while the delete references a live version
+      assert(cat.aggregateFromStats("t", Seq("id")).isEmpty,
+        "stats aggregation must refuse while a pos delete is live")
+      // compaction materializes: fresh dir unreferenced, so the fold
+      // answers again even though the delete file still exists
+      assert(cat.compactPartition("t", "g0"))
+      assert(cat.morDeletes("t").nonEmpty,
+        "the delete file survives until expire")
+      assert(idSet(cat.readTable("t")) ==
+        (0L until 20L).toSet -- Set(2L, 4L, 6L))
+      val agg = cat.aggregateFromStats("t", Seq("id"))
+      assert(agg.nonEmpty,
+        "after materialization no live version is referenced — the " +
+          "stats fold must answer")
+      assert(agg.get.select("n_rows").head().getLong(0) == 17L)
+      // expire the retired pre-compaction version, then the delete file
+      assert(cat.expireHistory("t", System.currentTimeMillis() + 1000L) >= 1)
+      assert(cat.expireMorDeletes("t") == 1)
+      assert(cat.morDeletes("t").isEmpty)
+      val swept = cat.vacuum("t")
+      assert(swept >= 2, // the pre-compaction g0 dir + the del@ key dir
+        s"vacuum must reclaim the retired dir and the key file, got $swept")
+      assert(idSet(cat.readTable("t")) ==
+        (0L until 20L).toSet -- Set(2L, 4L, 6L))
+    }
+  }
+
+  test("incremental and changelog windows intersecting a live pos " +
+    "delete refuse loudly") {
+    withCatalog { (cat, _) =>
+      plantDups(cat) // snapshots 0, 1
+      Thread.sleep(3)
+      cat.deleteAtPositionsMor("t", col("id") === 3L)
+      val spark2 = spark
+      import spark2.implicits._
+      assert(cat.commitPartition("t", "g2",
+        Seq((30L, "x")).toDF("id", "v"), Seq("id"))) // snapshot 2
+      val e1 = intercept[IllegalArgumentException] {
+        cat.readTableIncremental("t", 0L, 2L)
+      }
+      assert(e1.getMessage.contains("MOR delete"))
+      val e2 = intercept[IllegalArgumentException] {
+        cat.readChangesBetween("t", 1L, 2L)
+      }
+      assert(e2.getMessage.contains("MOR delete"))
+      // a window entirely before the delete's cut still answers
+      assert(idSet(cat.readTableIncremental("t", 0L, 1L)) ==
+        (10L until 20L).toSet)
+    }
+  }
+
+  test("rollback across the delete's cut removes its marker and " +
+    "restores the rows") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      assert(cat.morDeletes("t").size == 1)
+      cat.rollbackTo("t", 1L) // both data snapshots predate the delete
+      assert(cat.morDeletes("t").isEmpty,
+        "rollback past the delete's cut must remove its marker")
+      assert(idSet(cat.readTable("t")) == (0L until 20L).toSet)
+    }
+  }
+
+  test("COW rewrites never resurrect pos-deleted rows") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      cat.deleteDuplicatesMor("t", Seq("v"), col("id"))
+      val spark2 = spark
+      import spark2.implicits._
+      // a COW delete routed into g1 (all of whose rows are pos-deleted
+      // except none — g1 holds ids 10..19, all victims): rewrite must
+      // start from the LIVE state, not the raw dir
+      val (_, removed) = cat.deleteWhere("t", col("id") === 1L)
+      assert(removed == 1L)
+      assert(idSet(cat.readTable("t")) == Set(0L, 2L, 3L, 4L))
+      // compact the other partition too: still no resurrection
+      assert(cat.compactPartition("t", "g1"))
+      assert(idSet(cat.readTable("t")) == Set(0L, 2L, 3L, 4L))
+    }
+  }
+
+  test("pos deletes compose with equality deletes and schema ops in one " +
+    "fold") {
+    withCatalog { (cat, _) =>
+      plantDups(cat)
+      cat.deleteDuplicatesMor("t", Seq("v"), col("id")) // keeps 0..4
+      Thread.sleep(3)
+      cat.renameColumn("t", "v", "cls")
+      Thread.sleep(3)
+      val (nk, _) = cat.deleteWhereMor("t", col("cls") === "c2", "id")
+      assert(nk == 1L) // only the surviving id 2 is live to harvest
+      val live = cat.readTable("t", mergeSchema = true)
+      assert(live.columns.toSet == Set("id", "cls"))
+      assert(idSet(live) == Set(0L, 1L, 3L, 4L))
+    }
+  }
+}
