@@ -78,7 +78,8 @@ object Bench {
     "q95_wap_publish" -> 8.0, "q96_maintenance" -> 10.0,
     "q97_mor_delete" -> 5.0, "q98_schema_evolution" -> 3.5,
     "q99_hidden_partitioning" -> 2.5, "q100_stream_ingest" -> 2.5,
-    "q101_pos_delete" -> 4.0)
+    "q101_pos_delete" -> 4.0, "q102_image_decode" -> 2.0,
+    "q103_image_neardup" -> 3.0, "q104_audio_decode" -> 2.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

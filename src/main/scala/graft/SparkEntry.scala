@@ -2624,6 +2624,48 @@ object SparkEntry {
             .toDF("phase", "n_rows", "id_sum").orderBy("phase")
         } finally sweepDir(tmp)
       out
+    }),
+
+    // q102: REAL image decode — synthesized PNGs (valid CRCs, real zlib
+    // streams, row-varying filters exercising all five unfilter paths,
+    // gray and RGB color types) whose pixels follow a modular pattern,
+    // decoded distributed through PngCodec (inflate + unfilter), pixel
+    // sums re-derived per image in DuckDB. The value only matches if
+    // the decode is byte-correct.
+    "q102_image_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticPngTable(s, dir)
+      val out = graft.multimodal.Multimodal.decodeImageFeatures(media)
+      require(out.where(col("pixel_sum").isNull).isEmpty,
+        "every synthesized PNG must decode")
+      out.orderBy("doc_id")
+    }),
+
+    // q103: dHash image near-dup over decoded pixels — 23 pattern
+    // classes with per-doc brightness offsets (different bytes, same
+    // gradient signs), banded-hamming candidates (exact for maxHamming
+    // <= 3 by pigeonhole), pair counts per hamming re-derived in DuckDB
+    // from the closed-form bits.
+    "q103_image_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticDhashPngTable(s, dir)
+      graft.multimodal.ImageDedup
+        .nearDuplicates(media, "doc_id", "payload", maxHamming = 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_sum"))
+        .orderBy("hamming")
+    }),
+
+    // q104: REAL audio decode — synthesized 16-bit PCM WAVs (canonical
+    // RIFF layout) with an oscillating closed-form signal, decoded
+    // distributed through WavCodec, per-doc sample features (counts,
+    // duration, energy, zero crossings) re-derived in DuckDB with a lag
+    // window over a generated series.
+    "q104_audio_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticWavTable(s, dir)
+      val out = graft.multimodal.Multimodal.decodeAudioFeatures(media)
+      require(out.where(col("n_samples").isNull).isEmpty,
+        "every synthesized WAV must decode")
+      out.orderBy("doc_id")
     })
   )
 
@@ -4474,7 +4516,88 @@ object SparkEntry {
         |SELECT 'pre' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM docs
-        |ORDER BY phase""".stripMargin
+        |ORDER BY phase""".stripMargin,
+
+    // every pixel of every image re-derived from the construction
+    // pattern (see Multimodal.pngPatternValue): the decode only matches
+    // if inflate + all five unfilters are byte-correct.
+    "q102_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(ch AS INT) AS channels,
+        |       CAST(sum((d.doc_id + 31*x.x + 17*y.y + 59*c.c) % 256)
+        |            AS BIGINT) AS pixel_sum
+        |FROM d, generate_series(0, 7) AS x(x), generate_series(0, 5) AS y(y),
+        |     generate_series(0, 2) AS c(c)
+        |WHERE x.x < w AND y.y < h AND c.c < ch
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+
+    // the dHash bits re-derived from the construction pattern (see
+    // Multimodal.dhashPatternValue), folded into two 32-bit halves, and
+    // the FULL brute-force hamming join — equal to the banded Spark
+    // side because maxHamming <= 3 cannot touch all four 16-bit bands.
+    "q103_image_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.x AS x, y.y AS y,
+        |         ((doc_id % 23) * 7 + 13*x.x + 11*y.y) % 200
+        |           + doc_id % 50 AS v
+        |  FROM documents, generate_series(0, 8) AS x(x),
+        |       generate_series(0, 7) AS y(y)
+        |), bits AS (
+        |  SELECT a.doc_id, a.y*8 + a.x AS bit,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS s
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |), fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit < 32 THEN s * (1::BIGINT << bit)
+        |                       ELSE 0 END) AS BIGINT) AS f_lo,
+        |         CAST(sum(CASE WHEN bit >= 32
+        |                       THEN s * (1::BIGINT << (bit - 32))
+        |                       ELSE 0 END) AS BIGINT) AS f_hi
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.f_lo, b.f_lo))
+        |           + bit_count(xor(a.f_hi, b.f_hi)) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(hamming AS BIGINT) AS hamming,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every PCM sample re-derived from the construction (see
+    // Multimodal.pcmPatternValue); the lag window reproduces the
+    // zero-crossing convention exactly because the signal is never 0.
+    "q104_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 50 + doc_id % 64 AS n,
+        |         8000 + (doc_id % 8) * 1000 AS rate
+        |  FROM documents
+        |), s AS (
+        |  SELECT d.doc_id, i.i AS i,
+        |         2 * ((d.doc_id * 31 + i.i * 437) % 1001) - 1001 AS v,
+        |         d.n, d.rate
+        |  FROM d, generate_series(0, 113) AS i(i) WHERE i.i < n
+        |), z AS (
+        |  SELECT doc_id, i, v, n, rate,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(max(n) * 1000 // max(rate) AS BIGINT) AS duration_ms,
+        |       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |       CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |       CAST(sum(CASE WHEN pv IS NOT NULL AND sign(v) <> sign(pv)
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS zero_crossings
+        |FROM z GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -385,6 +385,18 @@ object SimHash {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .map { case (id, words) => (id, fingerprint(words)) }
       .toDF("id", "fp")
+    nearDuplicatesFromFingerprints(fps0, maxHamming, hotBucketCap, eager)
+  }
+
+  /** The banded-hamming candidate machinery over PRECOMPUTED 64-bit
+    * fingerprints `(id: long, fp: long)` — the same two-tier hot-bucket
+    * discipline as [[nearDuplicates]], reusable by any hamming-space
+    * fingerprint family (SimHash over words, dHash over image pixels:
+    * see `graft.multimodal.ImageDedup`).
+    */
+  def nearDuplicatesFromFingerprints(fps0: DataFrame, maxHamming: Int,
+                                     hotBucketCap: Int = 256,
+                                     eager: Boolean = true): DataFrame = {
     val fps = if (eager)
       fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else fps0

@@ -211,4 +211,152 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ===== REAL decode path (PngCodec / WavCodec — pure-JVM codecs) =====
+
+  /** The q102 construction pattern: pixel value at (x, y, channel) of
+    * doc `id` — pure modular arithmetic, so DuckDB re-derives every
+    * decoded pixel in closed form. Width/height/colortype vary per doc;
+    * the encoder's row-varying filter (`y % 5`) makes the decode
+    * exercise all five PNG unfilter paths.
+    */
+  @inline def pngPatternValue(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id + 31L * x + 17L * y + 59L * c) % 256L).toInt
+  def pngPatternDims(id: Long): (Int, Int, Int) =
+    (5 + (id % 4L).toInt, 4 + (id % 3L).toInt,
+      if (id % 2L == 0L) 1 else 3)
+
+  /** `(doc_id, payload)` of REAL PNGs (valid CRCs, real zlib streams)
+    * following the pattern above.
+    */
+  def syntheticPngTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val (w, h, ch) = pngPatternDims(id)
+        val px = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < ch) {
+              px((y * w + x) * ch + c) = pngPatternValue(id, x, y, c).toByte
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (id, PngCodec.encode(PngCodec.Image(w, h, ch, px)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode REAL PNG payloads and emit per-image pixel aggregates
+    * `(doc_id, width, height, channels, pixel_sum)` — values that only
+    * match the construction if inflate + unfilter are byte-correct.
+    * Undecodable payloads surface as NULL dims (never dropped silently).
+    */
+  def decodeImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, png) =>
+        PngCodec.decode(png) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i) & 0xFF; i += 1 }
+            (id, Option(img.width), Option(img.height),
+              Option(img.channels), Option(s))
+          case None =>
+            (id, Option.empty[Int], Option.empty[Int], Option.empty[Int],
+              Option.empty[Long])
+        }
+      }.toDF("doc_id", "width", "height", "channels", "pixel_sum")
+  }
+
+  /** The q103 construction: 9x8 grayscale PNGs in `nClasses` pattern
+    * classes (`g = id % nClasses`) with a per-doc uniform brightness
+    * offset that never wraps (pattern <= 199, offset <= 49) — same-class
+    * images have DIFFERENT bytes but identical dHash (gradient signs are
+    * shift-invariant), so near-dup clusters are the classes plus
+    * whatever cross-class collisions the closed-form bits admit.
+    */
+  @inline def dhashPatternValue(id: Long, nClasses: Int, x: Int,
+                                y: Int): Int =
+    (((id % nClasses) * 7 + 13 * x + 11 * y) % 200).toInt +
+      (id % 50L).toInt
+
+  def syntheticDhashPngTable(spark: SparkSession, sfDir: String,
+                             nClasses: Int = 23): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val px = new Array[Byte](9 * 8)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            px(y * 9 + x) = dhashPatternValue(id, nClasses, x, y).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, PngCodec.encode(PngCodec.Image(9, 8, 1, px)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** The q104 construction: mono 16-bit PCM, sample `i` of doc `id` =
+    * `2*((id*31 + i*437) % 1001) - 1001` — always odd, never zero (so
+    * the zero-crossing convention has no edge case), and the 874-step
+    * stride wraps the modulus nearly every sample, so the signal
+    * genuinely oscillates; DuckDB re-derives every feature with a lag
+    * window over a generated series.
+    */
+  @inline def pcmPatternValue(id: Long, i: Int): Short =
+    (2L * ((id * 31L + i * 437L) % 1001L) - 1001L).toShort
+  def pcmPatternDims(id: Long): (Int, Int) =
+    (50 + (id % 64L).toInt, 8000 + (id % 8L).toInt * 1000)
+
+  def syntheticWavTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val (n, rate) = pcmPatternDims(id)
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) { s(i) = pcmPatternValue(id, i); i += 1 }
+        (id, WavCodec.encode(WavCodec.Pcm(rate, 1, s)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode REAL WAV payloads and emit the deterministic sample
+    * features `(doc_id, n_samples, duration_ms, sum_abs, sum_sq,
+    * zero_crossings)`; undecodable payloads surface as NULLs.
+    */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, wav) =>
+        WavCodec.decode(wav) match {
+          case Some(pcm) =>
+            val (n, ms, sa, sq, zc) = WavCodec.features(pcm)
+            (id, Option(n), Option(ms), Option(sa), Option(sq), Option(zc))
+          case None =>
+            (id, Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long], Option.empty[Long])
+        }
+      }.toDF("doc_id", "n_samples", "duration_ms", "sum_abs", "sum_sq",
+        "zero_crossings")
+  }
 }

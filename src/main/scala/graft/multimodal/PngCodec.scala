@@ -1,0 +1,329 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** A REAL (pure-JVM) PNG codec — no image library, just the spec:
+  * chunk walk, zlib inflate of the concatenated IDAT stream
+  * (`java.util.zip.Inflater` IS zlib), and the five scanline filters
+  * (None/Sub/Up/Average/Paeth) undone per row. This replaces the
+  * byte-histogram decode stub the earlier rounds shipped: the pipeline
+  * below (grayscale, box-resize, dHash, near-dup banding) now runs on
+  * actual pixels.
+  *
+  * Scope (refused loudly as `None`, never guessed): bit depth 8 only,
+  * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  * 6 (RGBA), no interlacing (Adam7), CRCs validated. That covers what
+  * a crawl pipeline's thumbnail path actually feeds it; depth-16 and
+  * Adam7 payloads surface as undecodable rather than silently wrong.
+  *
+  * The encoder exists for fixtures and round-trip proof: real zlib
+  * stream, valid CRCs, any per-row filter type — so decoder tests
+  * exercise every unfilter path on files any external PNG tool also
+  * accepts.
+  */
+object PngCodec {
+
+  /** Decoded image: `pixels` is row-major, `channels` interleaved
+    * samples per pixel (1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; palette
+    * images decode to RGB).
+    */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  private val Signature =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Decode a PNG payload; `None` for anything outside the supported
+    * envelope or structurally corrupt (bad signature, chunk overrun,
+    * CRC mismatch, inflate error, short pixel stream, bad filter tag).
+    */
+  def decode(png: Array[Byte]): Option[Image] = {
+    if (png.length < 8 + 25 || !png.take(8).sameElements(Signature))
+      return None
+    @inline def be32(i: Int): Int =
+      ((png(i) & 0xFF) << 24) | ((png(i + 1) & 0xFF) << 16) |
+        ((png(i + 2) & 0xFF) << 8) | (png(i + 3) & 0xFF)
+    var i = 8
+    var w = 0; var h = 0; var depth = 0; var colorType = -1
+    var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawIhdr = false; var sawIend = false
+    while (!sawIend && i + 8 <= png.length) {
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > png.length) return None // overrun
+      val typ = new String(png, i + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new CRC32()
+      crc.update(png, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(i + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          depth = png(i + 16) & 0xFF; colorType = png(i + 17) & 0xFF
+          interlace = png(i + 20) & 0xFF
+          sawIhdr = true
+        case "PLTE" =>
+          if (len % 3 != 0) return None
+          palette = java.util.Arrays.copyOfRange(png, i + 8, i + 8 + len)
+        case "IDAT" => idat.write(png, i + 8, len)
+        case "IEND" => sawIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      i += 12 + len
+    }
+    if (!sawIhdr || !sawIend || w <= 0 || h <= 0) return None
+    if (depth != 8 || interlace != 0) return None
+    val srcCh = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    if (colorType == 3 && palette == null) return None
+    // a 100-TB pipeline must bound per-row work: refuse absurd dims
+    // (decompression bombs) rather than allocate w*h*ch blindly
+    val span = w.toLong * h.toLong * srcCh
+    if (span > (1L << 28)) return None
+    val raw = inflate(idat.toByteArray,
+      ((w.toLong * srcCh + 1L) * h).toInt).getOrElse(return None)
+    val stride = w * srcCh
+    val out = new Array[Byte](h * stride)
+    // undo the per-row filter; `prior` is the already-reconstructed row
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xFF
+      val rs = y * (stride + 1) + 1
+      val os = y * stride
+      val ps = os - stride
+      var x = 0
+      ft match {
+        case 0 => System.arraycopy(raw, rs, out, os, stride)
+        case 1 => // Sub: left neighbor (per channel)
+          while (x < stride) {
+            val a = if (x >= srcCh) out(os + x - srcCh) & 0xFF else 0
+            out(os + x) = ((raw(rs + x) & 0xFF) + a).toByte
+            x += 1
+          }
+        case 2 => // Up
+          while (x < stride) {
+            val b = if (y > 0) out(ps + x) & 0xFF else 0
+            out(os + x) = ((raw(rs + x) & 0xFF) + b).toByte
+            x += 1
+          }
+        case 3 => // Average (floor of (left + up) / 2)
+          while (x < stride) {
+            val a = if (x >= srcCh) out(os + x - srcCh) & 0xFF else 0
+            val b = if (y > 0) out(ps + x) & 0xFF else 0
+            out(os + x) = ((raw(rs + x) & 0xFF) + ((a + b) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth predictor
+          while (x < stride) {
+            val a = if (x >= srcCh) out(os + x - srcCh) & 0xFF else 0
+            val b = if (y > 0) out(ps + x) & 0xFF else 0
+            val c = if (y > 0 && x >= srcCh) out(ps + x - srcCh) & 0xFF else 0
+            out(os + x) = ((raw(rs + x) & 0xFF) + paeth(a, b, c)).toByte
+            x += 1
+          }
+        case _ => return None
+      }
+      y += 1
+    }
+    if (colorType == 3) {
+      // palette → RGB
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val idx = (out(p) & 0xFF) * 3
+        if (idx + 2 >= palette.length) return None
+        rgb(p * 3) = palette(idx)
+        rgb(p * 3 + 1) = palette(idx + 1)
+        rgb(p * 3 + 2) = palette(idx + 2)
+        p += 1
+      }
+      Some(Image(w, h, 3, rgb))
+    } else Some(Image(w, h, srcCh, out))
+  }
+
+  /** The Paeth predictor (PNG spec §9.4): nearest of a/b/c to a+b-c,
+    * ties resolved a, then b, then c.
+    */
+  private[multimodal] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def inflate(z: Array[Byte], expect: Int): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(z)
+      val out = new Array[Byte](expect)
+      var got = 0
+      while (got < expect && !inf.finished()) {
+        val n = inf.inflate(out, got, expect - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got == expect) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Encode row-major 8-bit pixels as a real PNG. `filterType` picks the
+    * per-row filter (0-4; the encoder applies it, the decoder must undo
+    * it) or -1 for row-varying `y % 5` — the fixture mode that exercises
+    * every unfilter path in one file. Gray (1), gray+alpha (2), RGB (3)
+    * and RGBA (4) channels supported; output carries valid CRCs and a
+    * real zlib stream, so any external PNG reader accepts it.
+    */
+  def encode(img: Image, filterType: Int = -1): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height * img.channels,
+      s"pixel buffer ${img.pixels.length} != " +
+        s"${img.width}x${img.height}x${img.channels}")
+    require(filterType >= -1 && filterType <= 4, s"filter $filterType")
+    val colorType = img.channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+      case n => throw new IllegalArgumentException(s"channels $n")
+    }
+    val stride = img.width * img.channels
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    val ch = img.channels
+    var y = 0
+    while (y < img.height) {
+      val ft = if (filterType == -1) y % 5 else filterType
+      raw(y * (stride + 1)) = ft.toByte
+      val os = y * stride
+      val rs = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(os + x) & 0xFF
+        val a = if (x >= ch) img.pixels(os + x - ch) & 0xFF else 0
+        val b = if (y > 0) img.pixels(os - stride + x) & 0xFF else 0
+        val c = if (y > 0 && x >= ch) img.pixels(os - stride + x - ch) & 0xFF
+        else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(rs + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    def_.setInput(raw); def_.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!def_.finished()) zbuf.write(tmp, 0, def_.deflate(tmp))
+    def_.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes).put(data)
+      val crc = new CRC32()
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      out.write(b.array(), 0, b.capacity())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(img.width).putInt(img.height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Integer luma (ITU-R 601-ish weights in /256 fixed point —
+    * deterministic on every JVM): gray and gray+alpha pass the gray
+    * sample through; alpha is ignored (dedup compares content, not
+    * transparency).
+    */
+  def toGray(img: Image): Array[Byte] = {
+    val n = img.width * img.height
+    val g = new Array[Byte](n)
+    var p = 0
+    img.channels match {
+      case 1 => return img.pixels
+      case 2 =>
+        while (p < n) { g(p) = img.pixels(p * 2); p += 1 }
+      case 3 | 4 =>
+        val ch = img.channels
+        while (p < n) {
+          val r = img.pixels(p * ch) & 0xFF
+          val gg = img.pixels(p * ch + 1) & 0xFF
+          val b = img.pixels(p * ch + 2) & 0xFF
+          g(p) = ((77 * r + 150 * gg + 29 * b) >> 8).toByte
+          p += 1
+        }
+      case _ => throw new IllegalArgumentException(s"channels ${img.channels}")
+    }
+    g
+  }
+
+  /** Box-average resize of a grayscale plane to `tw` x `th`: target
+    * pixel (tx, ty) averages the source window
+    * `[tx*w/tw, (tx+1)*w/tw) x [ty*h/th, (ty+1)*h/th)` (floor division,
+    * never-empty windows, truncating mean) — all-integer, so every
+    * engine re-derives it bit-identically (the q94/q91 portability
+    * rule). Upscale repeats pixels (window size 1).
+    */
+  def resizeGray(g: Array[Byte], w: Int, h: Int, tw: Int, th: Int)
+      : Array[Byte] = {
+    require(g.length == w * h, s"plane ${g.length} != ${w}x$h")
+    require(tw > 0 && th > 0)
+    val out = new Array[Byte](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = (ty.toLong * h / th).toInt
+      val y1 = math.max(y0 + 1, ((ty + 1).toLong * h / th).toInt)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = (tx.toLong * w / tw).toInt
+        val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / tw).toInt)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += g(y * w + x) & 0xFF; x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** dHash (difference hash), the standard perceptual near-dup
+    * fingerprint: resize the gray plane to 9x8, emit bit (x + 8*y) = 1
+    * iff pixel(x+1, y) > pixel(x, y) — 64 horizontal-gradient bits.
+    * Robust to uniform brightness shifts and JPEG-grade noise; compared
+    * by hamming distance (the banded machinery in
+    * [[graft.dedupe.SimHash.nearDuplicatesFromFingerprints]]).
+    */
+  def dHash(g: Array[Byte], w: Int, h: Int): Long = {
+    val r = if (w == 9 && h == 8) g else resizeGray(g, w, h, 9, 8)
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((r(y * 9 + x + 1) & 0xFF) > (r(y * 9 + x) & 0xFF))
+          fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+}

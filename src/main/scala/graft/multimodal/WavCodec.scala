@@ -1,0 +1,96 @@
+package graft.multimodal
+
+/** A REAL (pure-JVM) PCM WAV decoder — RIFF chunk walk to `fmt ` +
+  * `data`, 16-bit little-endian PCM samples materialized, plus the
+  * deterministic integer features an audio-curation pipeline computes
+  * over them (duration, energy, zero crossings). Replaces the
+  * byte-histogram stand-in for the audio modality: the features below
+  * are functions of actual SAMPLES, not container bytes.
+  *
+  * Scope (refused as `None`, never guessed): format tag 1 (PCM),
+  * 16-bit samples, a well-formed `fmt ` before `data`. Compressed/float
+  * WAVs surface as undecodable.
+  */
+object WavCodec {
+
+  /** Decoded PCM: `samples` are frame-interleaved 16-bit values. */
+  final case class Pcm(sampleRate: Int, channels: Int,
+                       samples: Array[Short])
+
+  def decode(wav: Array[Byte]): Option[Pcm] = {
+    if (wav.length < 44) return None
+    @inline def u8(i: Int): Int = wav(i) & 0xFF
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(from: Int): String = new String(wav, from, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var i = 12
+    var rate = 0; var ch = 0; var bits = 0; var fmtOk = false
+    while (i + 8 <= wav.length) {
+      val id = ascii(i)
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > wav.length) return None // size overrun
+      if (id == "fmt " && sz >= 16) {
+        if (le16(i + 8) != 1) return None // PCM only
+        ch = le16(i + 10); rate = le32(i + 12); bits = le16(i + 22)
+        if (ch <= 0 || rate <= 0 || bits != 16) return None
+        fmtOk = true
+      } else if (id == "data") {
+        if (!fmtOk) return None // data before fmt: malformed
+        val n = sz / 2
+        val out = new Array[Short](n)
+        var k = 0
+        while (k < n) { out(k) = le16(i + 8 + k * 2).toShort; k += 1 }
+        return Some(Pcm(rate, ch, out))
+      }
+      i += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Encode 16-bit PCM as a canonical WAV (the inverse of [[decode]],
+    * for fixtures and round-trip proof).
+    */
+  def encode(pcm: Pcm): Array[Byte] = {
+    val body = pcm.samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + body).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+    b.putShort(1).putShort(pcm.channels.toShort).putInt(pcm.sampleRate)
+    b.putInt(pcm.sampleRate * pcm.channels * 2)
+    b.putShort((pcm.channels * 2).toShort).putShort(16)
+    b.put("data".getBytes).putInt(body)
+    pcm.samples.foreach(s => b.putShort(s))
+    b.array()
+  }
+
+  /** Deterministic integer features over decoded samples (all channels
+    * pooled — curation filters threshold on them, they don't need
+    * channel separation):
+    * (n_samples, duration_ms, sum_abs, sum_sq, zero_crossings).
+    * `duration_ms` is per-channel frames scaled by rate (floor);
+    * a zero crossing is a strict sign change between consecutive
+    * samples (zeros carry the previous sign — the usual ZCR convention
+    * that a silence run adds nothing).
+    */
+  def features(pcm: Pcm): (Long, Long, Long, Long, Long) = {
+    val n = pcm.samples.length
+    var sumAbs = 0L; var sumSq = 0L; var zc = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val s = pcm.samples(i).toLong
+      sumAbs += math.abs(s)
+      sumSq += s * s
+      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+      if (prevSign != 0 && sign != 0 && sign != prevSign) zc += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    val frames = n / pcm.channels
+    (n.toLong, frames.toLong * 1000L / pcm.sampleRate, sumAbs, sumSq, zc)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dHash image near-dup over REAL decoded pixels. The contracts:
+  *   - same-pattern images with different uniform brightness (different
+  *     BYTES, even different filter encodings) pair at hamming 0;
+  *   - maxHamming <= 3 equals the brute-force hamming join (pigeonhole
+  *     over the 4x16-bit bands — exact recall, not just LSH-probable);
+  *   - undecodable payloads drop from fingerprints, never crash;
+  *   - clusters carry the unsigned-min-member contract shared with the
+  *     text paths.
+  */
+class ImageDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-imagededup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def img(cls: Int, offset: Int, filterType: Int): Array[Byte] = {
+    val px = Array.tabulate(72) { i =>
+      val x = i % 9; val y = i / 9
+      (((cls * 7 + 13 * x + 11 * y) % 200) + offset).toByte
+    }
+    PngCodec.encode(PngCodec.Image(9, 8, 1, px), filterType)
+  }
+
+  test("brightness-shifted same-class images pair at hamming 0 across " +
+    "different filter encodings; maxHamming<=3 equals brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 classes x 4 members (offsets 0..3*members, filters rotate)
+    val rows = for {
+      cls <- 0 until 3
+      m <- 0 until 4
+    } yield ((cls * 10 + m).toLong, img(cls * 5, m * 12, m % 5))
+    val media = rows.toDF("doc_id", "payload")
+    val pairs = ImageDedup
+      .nearDuplicates(media, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force from the same fingerprints
+    val fps = ImageDedup.fingerprints(media, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.length == 12, "every payload decodes")
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(pairs == brute, s"banded must equal brute force:\n" +
+      s"only-banded=${pairs -- brute}\nonly-brute=${brute -- pairs}")
+    // within-class pairs are hamming 0 (shift invariance through the
+    // full encode->decode->gray->dHash path)
+    for (cls <- 0 until 3; a <- 0 until 4; b <- a + 1 until 4)
+      assert(pairs.contains(((cls * 10 + a).toLong, (cls * 10 + b).toLong,
+        0L)), s"class $cls members $a,$b must pair at 0")
+  }
+
+  test("undecodable payloads drop from fingerprints; clusters carry the " +
+    "min-member contract") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      (1L, img(0, 0, 0)), (2L, img(0, 20, 1)), (3L, img(0, 40, 4)),
+      (9L, "not a png".getBytes),
+      (5L, img(50, 0, 2))).toDF("doc_id", "payload")
+    assert(ImageDedup.fingerprints(media, "doc_id", "payload").count() == 4)
+    val cl = ImageDedup.clusters(media, "doc_id", "payload", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1,2,3 cluster under min id 1; 5 and 9 are absent (singleton /
+    // undecodable)
+    assert(cl == Set((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JVM PCM WAV codec against (1) round-trip identity, (2) the
+  * JDK's independent WAV implementation (`javax.sound.sampled`) in both
+  * directions, (3) hand-computed features, and (4) refusal of
+  * non-PCM/corrupt payloads.
+  */
+class WavCodecSpec extends AnyFunSuite {
+
+  private def pcm(n: Int, ch: Int = 1, rate: Int = 8000): WavCodec.Pcm =
+    WavCodec.Pcm(rate, ch,
+      Array.tabulate(n)(i => ((i * 773) % 30000 - 15000).toShort))
+
+  test("round-trip: mono and stereo, odd sample counts") {
+    for ((n, ch) <- Seq((1, 1), (17, 1), (32, 2), (101, 2))) {
+      val p = pcm(n * ch, ch)
+      val d = WavCodec.decode(WavCodec.encode(p)).get
+      assert(d.sampleRate == p.sampleRate && d.channels == ch)
+      assert(d.samples.sameElements(p.samples))
+    }
+  }
+
+  test("differential vs the JDK's WAV reader: our files parse with the " +
+    "same format and byte-identical PCM payload") {
+    val p = pcm(64, 2, 44100)
+    val bytes = WavCodec.encode(p)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    assert(f.getSampleRate.toInt == 44100 && f.getChannels == 2 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length == p.samples.length * 2)
+    for (i <- p.samples.indices) {
+      val le = (raw(i * 2) & 0xFF) | ((raw(i * 2 + 1) & 0xFF) << 8)
+      assert(le.toShort == p.samples(i), s"sample $i")
+    }
+  }
+
+  test("differential the other way: a JDK-written WAV decodes " +
+    "identically under us") {
+    val p = pcm(48, 1, 16000)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val raw = new Array[Byte](p.samples.length * 2)
+    for (i <- p.samples.indices) {
+      raw(i * 2) = (p.samples(i) & 0xFF).toByte
+      raw(i * 2 + 1) = ((p.samples(i) >> 8) & 0xFF).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, p.samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val d = WavCodec.decode(out.toByteArray).get
+    assert(d.sampleRate == 16000 && d.channels == 1)
+    assert(d.samples.sameElements(p.samples))
+  }
+
+  test("features: hand case incl. the zero-carries-previous-sign ZCR " +
+    "convention and duration floor") {
+    // samples: +5, 0, -3, -3, 0, +2 at 1000 Hz mono
+    val p = WavCodec.Pcm(1000, 1, Array[Short](5, 0, -3, -3, 0, 2))
+    val (n, ms, sa, sq, zc) = WavCodec.features(p)
+    assert(n == 6L && ms == 6L)
+    assert(sa == 5 + 0 + 3 + 3 + 0 + 2)
+    assert(sq == 25 + 9 + 9 + 4)
+    // crossings: +5 -> (0 keeps +) -> -3 (1) -> -3 -> (0 keeps -) -> +2 (2)
+    assert(zc == 2L)
+    // stereo frames halve the duration
+    val st = WavCodec.Pcm(1000, 2, Array[Short](1, 1, -1, -1))
+    assert(WavCodec.features(st)._2 == 2L)
+  }
+
+  test("refusals: float format tag, 8-bit depth, truncated data chunk, " +
+    "data before fmt, not a RIFF") {
+    val good = WavCodec.encode(pcm(10))
+    assert(WavCodec.decode(good).nonEmpty)
+    val float = good.clone(); float(20) = 3.toByte // fmt tag IEEE float
+    assert(WavCodec.decode(float).isEmpty)
+    val bits8 = good.clone(); bits8(34) = 8.toByte
+    assert(WavCodec.decode(bits8).isEmpty)
+    assert(WavCodec.decode(good.take(good.length - 5)).isEmpty,
+      "data chunk size overrunning the payload must refuse")
+    assert(WavCodec.decode("RIFFxxxxWAVE but nothing".getBytes).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+}
