@@ -2666,6 +2666,36 @@ object SparkEntry {
       require(out.where(col("n_samples").isNull).isEmpty,
         "every synthesized WAV must decode")
       out.orderBy("doc_id")
+    }),
+
+    // q105: REAL video demux — synthesized y4m streams (the actual
+    // YUV4MPEG2 container ffmpeg writes) decoded distributed through
+    // Y4mCodec; per-video frame counts, dims, rate, and the luma sum
+    // over ALL frames re-derived in closed form in DuckDB.
+    "q105_video_decode" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticY4mTable(s, dir)
+      val out = graft.multimodal.Multimodal.decodeVideoFeatures(media)
+      require(out.where(col("n_frames").isNull).isEmpty,
+        "every synthesized y4m must decode")
+      out.orderBy("doc_id")
+    }),
+
+    // q106: video near-dup by sampled-frame dHash fingerprints — two
+    // videos pair when they share >= 2 distinct frame fingerprints;
+    // same-class videos share ALL frames across different bytes
+    // (brightness offsets), the oracle re-derives every frame hash from
+    // the construction and runs the same shared-count join in DuckDB.
+    // maxDf is lifted above the class size so the cap provably does not
+    // fire (the oracle has no cap); the operator's default keeps it.
+    "q106_video_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticY4mTable(s, dir)
+      graft.multimodal.VideoDedup
+        .nearDuplicates(media, "doc_id", "payload", minShared = 2,
+          stride = 1, maxDf = 1000000)
+        .groupBy("shared")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_sum"))
+        .orderBy("shared")
     })
   )
 
@@ -4597,7 +4627,58 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN pv IS NOT NULL AND sign(v) <> sign(pv)
         |                     THEN 1 ELSE 0 END) AS BIGINT)
         |         AS zero_crossings
-        |FROM z GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // every luma byte of every frame re-derived from the construction
+    // (see Multimodal.videoPatternValue).
+    "q105_video_decode" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents)
+        |SELECT d.doc_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(sum(((d.doc_id % 17) * 7 + 29*f.f + 13*x.x + 11*y.y)
+        |                  % 200
+        |                + d.doc_id % 50) AS BIGINT) AS luma_sum
+        |FROM d, generate_series(0, 5) AS f(f), generate_series(0, 8) AS x(x),
+        |     generate_series(0, 7) AS y(y)
+        |WHERE f.f < nf
+        |GROUP BY 1, 6 ORDER BY doc_id""".stripMargin,
+
+    // per-frame dHash re-derived from the construction, distinct per
+    // video, and the same shared-count equi-join.
+    "q106_video_neardup" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, f.f AS f, x.x AS x, y.y AS y,
+        |         ((d.doc_id % 17) * 7 + 29*f.f + 13*x.x + 11*y.y) % 200
+        |           + d.doc_id % 50 AS v
+        |  FROM d, generate_series(0, 5) AS f(f),
+        |       generate_series(0, 8) AS x(x), generate_series(0, 7) AS y(y)
+        |  WHERE f.f < nf
+        |), bits AS (
+        |  SELECT a.doc_id, a.f, a.y*8 + a.x AS bit,
+        |         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS s
+        |  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.f = b.f
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, f_lo, f_hi FROM (
+        |    SELECT doc_id, f,
+        |      sum(CASE WHEN bit < 32 THEN s * (1::BIGINT << bit)
+        |          ELSE 0 END) AS f_lo,
+        |      sum(CASE WHEN bit >= 32 THEN s * (1::BIGINT << (bit - 32))
+        |          ELSE 0 END) AS f_hi
+        |    FROM bits GROUP BY 1, 2)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fp a JOIN fp b
+        |    ON a.f_lo = b.f_lo AND a.f_hi = b.f_hi AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(shared AS BIGINT) AS shared,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum
+        |FROM pairs WHERE shared >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

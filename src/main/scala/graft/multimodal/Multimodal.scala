@@ -338,6 +338,59 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** The q105/q106 construction: mono y4m videos in 17 pattern classes
+    * (`g = id % 17`), `4 + id % 3` frames of 9x8 luma, frame `f` pixel
+    * `(x, y)` = `((g*7 + 29*f + 13*x + 11*y) % 200) + id % 50` — the
+    * per-doc brightness offset never wraps, so same-class videos have
+    * different BYTES but identical per-frame dHashes.
+    */
+  @inline def videoPatternValue(id: Long, f: Int, x: Int, y: Int): Int =
+    (((id % 17) * 7 + 29 * f + 13 * x + 11 * y) % 200).toInt +
+      (id % 50L).toInt
+  def videoPatternFrames(id: Long): Int = 4 + (id % 3L).toInt
+
+  def syntheticY4mTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val frames = Vector.tabulate(videoPatternFrames(id)) { f =>
+          Array.tabulate(72) { i =>
+            videoPatternValue(id, f, i % 9, i / 9).toByte
+          }
+        }
+        (id, Y4mCodec.encode(Y4mCodec.Video(9, 8, 25, 1, frames)))
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode REAL y4m payloads and emit per-video container + luma
+    * aggregates `(doc_id, width, height, fps_num, fps_den, n_frames,
+    * luma_sum)`; undecodable payloads surface as NULLs.
+    */
+  def decodeVideoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, y4m) =>
+        Y4mCodec.decode(y4m) match {
+          case Some(v) =>
+            var s = 0L
+            v.frames.foreach { f =>
+              var i = 0
+              while (i < f.length) { s += f(i) & 0xFF; i += 1 }
+            }
+            (id, Option(v.width), Option(v.height), Option(v.fpsNum),
+              Option(v.fpsDen), Option(v.frames.size.toLong), Option(s))
+          case None =>
+            (id, Option.empty[Int], Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Long], Option.empty[Long])
+        }
+      }.toDF("doc_id", "width", "height", "fps_num", "fps_den",
+        "n_frames", "luma_sum")
+  }
+
   /** Decode REAL WAV payloads and emit the deterministic sample
     * features `(doc_id, n_samples, duration_ms, sum_abs, sum_sq,
     * zero_crossings)`; undecodable payloads surface as NULLs.

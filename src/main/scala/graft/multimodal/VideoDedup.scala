@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Video near-duplicate detection by sampled-frame fingerprints — the
+  * standard shape for video dedup at corpus scale: demux
+  * ([[Y4mCodec]]), sample every `stride`-th luma frame, dHash each
+  * (9x8 box resize — [[PngCodec.dHash]]), and call two videos
+  * near-duplicates when they share at least `minShared` DISTINCT frame
+  * fingerprints. Re-encodes, brightness shifts, and trims all survive
+  * this (dHash is shift-invariant; sharing k frames tolerates cuts),
+  * which is exactly what a crawl dedup needs.
+  *
+  * The 100-TB shape: payloads cross the wire once into the fingerprint
+  * map (64 bits per sampled frame leave it), the candidate stage is an
+  * equi-join on the fingerprint value, and UBIQUITOUS frames (test
+  * cards, black frames, intro stings — the stop-words of video) are
+  * dropped by a document-frequency cap BEFORE the join, with the drop
+  * count logged (no silent quadratic, no silent cap): a frame hash
+  * shared by df videos contributes O(df^2) pairs, so the cap is the
+  * same discipline as WinnowPairs.maxDf / the SimHash hot-bucket tier.
+  */
+object VideoDedup {
+
+  /** `(id, frame_idx, fp)` — dHash of every `stride`-th luma frame of
+    * every DECODABLE payload (undecodable ones drop here; count them
+    * upstream if the rate matters).
+    */
+  def frameFingerprints(media: DataFrame, idCol: String,
+                        payloadCol: String, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (id, bytes) =>
+        Y4mCodec.decode(bytes).toSeq.flatMap { v =>
+          v.frames.indices.by(stride).map { f =>
+            (id, f, PngCodec.dHash(v.frames(f), v.width, v.height))
+          }
+        }
+      }.toDF("id", "frame_idx", "fp")
+  }
+
+  /** Near-dup video pairs `(id_a, id_b, shared)` with `shared >=
+    * minShared` common distinct sampled-frame fingerprints, stop-frames
+    * (df > `maxDf`) excluded.
+    */
+  def nearDuplicates(media: DataFrame, idCol: String, payloadCol: String,
+                     minShared: Int = 2, stride: Int = 1,
+                     maxDf: Int = 10000): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    // distinct per video: a looping GIF-like video sharing one frame
+    // with itself 50 times is still ONE shared fingerprint
+    val fps = frameFingerprints(media, idCol, payloadCol, stride)
+      .select(col("id"), col("fp")).distinct()
+    val byDf = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val hot = byDf.filter(col("df") > maxDf)
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"video near-dup: $nHot stop-frame fingerprints above df=$maxDf " +
+          "excluded from pairing (ubiquitous frames pair everything " +
+          "with everything — raise maxDf only with a pair budget)")
+    val kept = fps.join(byDf.filter(col("df") <= maxDf), Seq("fp"))
+      .select("id", "fp")
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

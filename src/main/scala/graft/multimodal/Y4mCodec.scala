@@ -1,0 +1,111 @@
+package graft.multimodal
+
+/** A REAL (pure-JVM) YUV4MPEG2 (.y4m) demuxer — the uncompressed video
+  * interchange format every ffmpeg ships (`-f yuv4mpeg`): a text stream
+  * header (`YUV4MPEG2 W.. H.. F..:.. C..`), then one `FRAME` marker per
+  * frame followed by planar YUV. This replaces the block-counting
+  * frame-sampler stub: frame counts, dimensions, rates, and the luma
+  * planes the fingerprint path consumes are now parsed from the actual
+  * container.
+  *
+  * Scope (anything else refuses as `None`): the 8-bit colorspaces
+  * `C420jpeg`/`C420mpeg2`/`C420paldv`/`C420` (chroma subsampling only
+  * changes the skipped plane sizes), `C422`, `C444`, and `Cmono`;
+  * high-bit-depth names (`C420p10`, ...) refuse — their planes are
+  * 2 bytes/sample. Interlaced flags are accepted and
+  * ignored (luma layout is the same); anything else refuses. Only the
+  * luma (Y) plane is retained — every downstream feature (dHash,
+  * brightness stats) is luma-based, and dropping chroma at the demuxer
+  * is the 3x-memory win a 100-TB pipeline wants.
+  */
+object Y4mCodec {
+
+  /** `frames` are luma planes, row-major `width * height` each. */
+  final case class Video(width: Int, height: Int,
+                         fpsNum: Int, fpsDen: Int,
+                         frames: Vector[Array[Byte]])
+
+  private val Magic = "YUV4MPEG2 ".getBytes(
+    java.nio.charset.StandardCharsets.US_ASCII)
+
+  def decode(y4m: Array[Byte]): Option[Video] = {
+    if (y4m.length < Magic.length ||
+      !y4m.take(Magic.length).sameElements(Magic)) return None
+    // stream header: parameters to the first \n
+    var i = Magic.length
+    val hEnd = y4m.indexOf('\n'.toByte, i)
+    if (hEnd < 0) return None
+    val header = new String(y4m, i, hEnd - i,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var fn = 30; var fd = 1
+    var cs = "420jpeg" // the spec default when C is absent
+    header.split(' ').filter(_.nonEmpty).foreach { p =>
+      try p.charAt(0) match {
+        case 'W' => w = p.substring(1).toInt
+        case 'H' => h = p.substring(1).toInt
+        case 'F' =>
+          val Array(a, b) = p.substring(1).split(':')
+          fn = a.toInt; fd = b.toInt
+        case 'C' => cs = p.substring(1)
+        case _ => () // I (interlace), A (aspect), X (extension): ignored
+      } catch { case _: RuntimeException => return None }
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    if (w.toLong * h > (1L << 26)) return None // bomb guard per frame
+    val lumaLen = w * h
+    // exact 8-bit names only: ffmpeg's high-bit-depth variants (C420p10,
+    // C422p12, mono12, ...) are 2 bytes/sample — matching on the "420"
+    // prefix would walk a 10-bit stream at half stride and emit garbage
+    // luma without tripping the truncation check on single-frame files.
+    val chromaLen: Long = cs match {
+      case "420jpeg" | "420mpeg2" | "420paldv" | "420" =>
+        2L * ((w + 1) / 2) * ((h + 1) / 2)
+      case "422" => 2L * ((w + 1) / 2) * h
+      case "444" => 2L * w * h
+      case "mono" => 0L
+      case _ => return None
+    }
+    val frames = Vector.newBuilder[Array[Byte]]
+    i = hEnd + 1
+    var n = 0
+    while (i < y4m.length) {
+      // frame header: "FRAME" + optional parameters to \n
+      if (i + 5 > y4m.length ||
+        new String(y4m, i, 5,
+          java.nio.charset.StandardCharsets.US_ASCII) != "FRAME")
+        return None
+      val fEnd = y4m.indexOf('\n'.toByte, i + 5)
+      if (fEnd < 0) return None
+      i = fEnd + 1
+      if (i + lumaLen + chromaLen > y4m.length) return None // truncated
+      frames += java.util.Arrays.copyOfRange(y4m, i, i + lumaLen)
+      i += lumaLen + chromaLen.toInt
+      n += 1
+      if (n > (1 << 20)) return None // runaway frame-count guard
+    }
+    Some(Video(w, h, fn, fd, frames.result()))
+  }
+
+  /** Encode luma frames as mono or 4:2:0 y4m (flat gray chroma) — for
+    * fixtures and round-trip proof; the output is a file ffmpeg accepts.
+    */
+  def encode(v: Video, mono: Boolean = true): Array[Byte] = {
+    val cs = if (mono) "mono" else "420jpeg"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((s"YUV4MPEG2 W${v.width} H${v.height} " +
+      s"F${v.fpsNum}:${v.fpsDen} Ip A0:0 C$cs\n").getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII))
+    val chroma =
+      if (mono) Array.emptyByteArray
+      else Array.fill(2 * ((v.width + 1) / 2) * ((v.height + 1) / 2))(
+        128.toByte)
+    v.frames.foreach { f =>
+      require(f.length == v.width * v.height, "frame size")
+      out.write("FRAME\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(f)
+      out.write(chroma)
+    }
+    out.toByteArray
+  }
+}

@@ -1,0 +1,140 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Video near-dup by sampled-frame fingerprints. Contracts:
+  *   - pairs equal the closed form: shared = |distinct frame-dHash
+  *     intersection|, brightness-shifted re-encodes share everything;
+  *   - a looping video's repeated frame counts ONCE (distinct-per-video);
+  *   - stride samples exactly every stride-th frame index;
+  *   - ubiquitous frames above maxDf are excluded from pairing (the
+  *     stop-frame cap), everything below still pairs;
+  *   - undecodable payloads drop from fingerprints, never crash.
+  */
+class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-videodedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // 9x8 luma patterns (dHash-native size); mod 97 wraps inside every
+  // row so the gradient bits genuinely vary with p (mod 200 would make
+  // every small-p pattern monotone -> one shared all-ones hash); values
+  // <= 96 + offset <= 56 never wrap a byte, so dHash is
+  // offset-invariant by construction.
+  private def pat(p: Int): Array[Byte] =
+    Array.tabulate(72) { i =>
+      ((p * 29 + 13 * (i % 9) + 11 * (i / 9)) % 97).toByte
+    }
+
+  private def video(patterns: Seq[Int], offset: Int): Array[Byte] = {
+    require(offset >= 0 && offset <= 56)
+    val fs = patterns.map(p => pat(p).map(b => (b + offset).toByte)).toVector
+    Y4mCodec.encode(Y4mCodec.Video(9, 8, 25, 1, fs), mono = true)
+  }
+
+  private def hash(p: Int): Long = PngCodec.dHash(pat(p), 9, 8)
+
+  test("pairs equal the distinct-intersection closed form; " +
+    "brightness-shifted re-encodes share everything") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the patterns used must have distinct hashes or the closed form
+    // below is wrong about itself
+    assert(((0 to 6) :+ 9).map(hash).distinct.size == 8)
+    val vids = Seq(
+      10L -> Seq(0, 1, 2), // A
+      11L -> Seq(0, 1, 3), // B: shares {0,1} with A
+      12L -> Seq(0, 1, 2), // A re-encode, brightness-shifted
+      13L -> Seq(4, 5, 6), // disjoint
+      14L -> Seq(2, 9, 9)) // shares {2} with A only -> below minShared
+    val media = vids.zipWithIndex.map { case ((id, ps), i) =>
+      (id, video(ps, i * 11))
+    }.toDF("doc_id", "payload")
+    val got = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // closed form from the construction
+    val sets = vids.toMap.view.mapValues(_.map(hash).toSet).toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      n = (sa & sb).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(want.contains((10L, 12L, 3L)), "re-encode shares all 3")
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("a looping video's repeated frame counts once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      1L -> video(Seq(0, 0, 0, 0, 1), 0),
+      2L -> video(Seq(0, 1), 13)).toDF("doc_id", "payload")
+    val got = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), s"shared=2 not 5: ${got.toSeq}")
+  }
+
+  test("stride samples every stride-th frame index") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(1L -> video(Seq(0, 1, 2, 3, 4), 0))
+      .toDF("doc_id", "payload")
+    val idx = VideoDedup
+      .frameFingerprints(media, "doc_id", "payload", stride = 2)
+      .collect().map(r => r.getInt(1)).sorted
+    assert(idx.toSeq == Seq(0, 2, 4))
+    val fps = VideoDedup.frameFingerprints(media, "doc_id", "payload")
+      .collect()
+    assert(fps.length == 5)
+    assert(fps.map(r => (r.getInt(1), r.getLong(2))).toMap ==
+      (0 to 4).map(f => f -> hash(f)).toMap, "fp = dHash of that frame")
+  }
+
+  test("stop-frames above maxDf are excluded; below-cap frames still pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pattern 50 is in all 5 videos (df=5); videos 1,2 also share {1,2}
+    assert(Seq(50, 1, 2, 11, 12, 13, 14, 15).map(hash).distinct.size == 8)
+    val media = (1L to 5L).map { id =>
+      val unique = 10 + id.toInt
+      val ps = if (id <= 2) Seq(50, 1, 2, unique) else Seq(50, unique)
+      id -> video(ps, id.toInt * 3)
+    }.toDF("doc_id", "payload")
+    val capped = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == Set((1L, 2L, 2L)),
+      s"only the below-cap overlap survives: $capped")
+    val uncapped = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 1,
+        maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped.size == 10 && uncapped.contains((1L, 2L, 3L)),
+      s"uncapped: every pair via the ubiquitous frame: $uncapped")
+  }
+
+  test("undecodable payloads drop, never crash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      1L -> video(Seq(0, 1), 0),
+      2L -> "not a video".getBytes("UTF-8"),
+      3L -> video(Seq(0, 1), 7)).toDF("doc_id", "payload")
+    val fps = VideoDedup.frameFingerprints(media, "doc_id", "payload")
+      .collect()
+    assert(fps.map(_.getLong(0)).distinct.sorted.toSeq == Seq(1L, 3L))
+    val pairs = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 3L)))
+  }
+}

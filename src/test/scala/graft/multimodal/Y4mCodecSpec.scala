@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** YUV4MPEG2 demuxer contracts (no ffmpeg in the sandbox, so the
+  * differential is bidirectional within the format's own grammar):
+  *   - encode -> decode round-trips luma byte-exactly for mono AND 4:2:0
+  *     (chroma skipped at the right stride);
+  *   - hand-built byte streams (params reordered, interlace/aspect/X
+  *     params present, C absent -> 420jpeg default, 422/444 plane
+  *     arithmetic incl. odd widths) decode to the planted luma;
+  *   - refusals, never throws: bad magic, headerless, truncated frame,
+  *     junk between frames, unsupported/high-bit-depth colorspaces,
+  *     nonsense W/H/F, decompression-bomb dims;
+  *   - a header-only stream is a valid zero-frame video.
+  */
+class Y4mCodecSpec extends AnyFunSuite {
+
+  private def frame(seed: Int, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((seed * 31 + i * 7) % 251).toByte)
+
+  test("mono encode->decode round-trips luma byte-exactly") {
+    val fs = Vector(frame(1, 35), frame(2, 35), frame(3, 35))
+    val v = Y4mCodec.Video(7, 5, 30000, 1001, fs)
+    val got = Y4mCodec.decode(Y4mCodec.encode(v, mono = true)).get
+    assert(got.width == 7 && got.height == 5)
+    assert(got.fpsNum == 30000 && got.fpsDen == 1001)
+    assert(got.frames.size == 3)
+    got.frames.zip(fs).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("4:2:0 encode->decode skips chroma at the right stride " +
+    "(odd dims: ceil-div plane sizes)") {
+    for ((w, h) <- Seq((9, 8), (7, 5), (1, 1), (10, 6))) {
+      val fs = Vector(frame(4, w * h), frame(5, w * h))
+      val v = Y4mCodec.Video(w, h, 25, 1, fs)
+      val bytes = Y4mCodec.encode(v, mono = false)
+      // the encoded stream really carries the chroma planes
+      val header = bytes.takeWhile(_ != '\n'.toByte).length + 1
+      val perFrame = 6 + w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      assert(bytes.length == header + 2 * perFrame, s"$w x $h layout")
+      val got = Y4mCodec.decode(bytes).get
+      assert(got.frames.size == 2)
+      got.frames.zip(fs).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"$w x $h luma")
+      }
+    }
+  }
+
+  private def stream(header: String, frames: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header.getBytes(US_ASCII))
+    frames.foreach(out.write)
+    out.toByteArray
+  }
+
+  test("hand-built: reordered params, interlace/aspect/X ignored, " +
+    "FRAME params ignored") {
+    val luma = frame(9, 6)
+    val bytes = stream(
+      "YUV4MPEG2 Cmono F24:1 Ip A4:3 XYSCSS=MONO H2 W3\n",
+      "FRAME Xtag=1\n".getBytes(US_ASCII), luma)
+    val v = Y4mCodec.decode(bytes).get
+    assert(v.width == 3 && v.height == 2 && v.fpsNum == 24 && v.fpsDen == 1)
+    assert(v.frames.size == 1 && v.frames.head.sameElements(luma))
+  }
+
+  test("C absent defaults to 420jpeg (chroma skipped), and 422/444 " +
+    "plane arithmetic") {
+    val luma = frame(11, 4) // 2x2
+    // default 420jpeg: chroma = 2 * 1 * 1 = 2 bytes
+    val d420 = stream("YUV4MPEG2 W2 H2 F25:1\n",
+      "FRAME\n".getBytes(US_ASCII), luma, Array[Byte](1, 2))
+    assert(Y4mCodec.decode(d420).get.frames.head.sameElements(luma))
+    // 422: chroma = 2 * ceil(w/2) * h = 2 * 1 * 2 = 4 bytes (w=2)
+    val d422 = stream("YUV4MPEG2 W2 H2 F25:1 C422\n",
+      "FRAME\n".getBytes(US_ASCII), luma, Array[Byte](1, 2, 3, 4))
+    assert(Y4mCodec.decode(d422).get.frames.head.sameElements(luma))
+    // 444: chroma = 2 * w * h = 8 bytes
+    val d444 = stream("YUV4MPEG2 W2 H2 F25:1 C444\n",
+      "FRAME\n".getBytes(US_ASCII), luma,
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(Y4mCodec.decode(d444).get.frames.head.sameElements(luma))
+    // wrong chroma size = truncated frame -> refuse
+    val short = stream("YUV4MPEG2 W2 H2 F25:1 C444\n",
+      "FRAME\n".getBytes(US_ASCII), luma, Array[Byte](1, 2))
+    assert(Y4mCodec.decode(short).isEmpty)
+  }
+
+  test("header-only stream is a zero-frame video") {
+    val v = Y4mCodec.decode("YUV4MPEG2 W4 H4 F25:1 Cmono\n"
+      .getBytes(US_ASCII)).get
+    assert(v.frames.isEmpty && v.width == 4)
+  }
+
+  test("refusals return None, never throw") {
+    val good = Y4mCodec.encode(
+      Y4mCodec.Video(3, 2, 25, 1, Vector(frame(1, 6))), mono = true)
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "YUV4MPEG3 W3 H2 F25:1\n".getBytes(US_ASCII), // bad magic
+      "YUV4MPEG2 W3 H2 F25:1".getBytes(US_ASCII), // no header newline
+      "YUV4MPEG2 W3 H2 F25:1 C420p10\nFRAME\n".getBytes(US_ASCII) ++
+        frame(1, 12), // 10-bit colorspace refused, not misread
+      "YUV4MPEG2 W3 H2 F25:1 C422p12\n".getBytes(US_ASCII),
+      "YUV4MPEG2 W3 H2 F25:1 Cmono12\n".getBytes(US_ASCII),
+      "YUV4MPEG2 W3 H2 F25:1 Crgb\n".getBytes(US_ASCII),
+      "YUV4MPEG2 WX H2 F25:1\n".getBytes(US_ASCII), // unparseable W
+      "YUV4MPEG2 W3 H2 F25\n".getBytes(US_ASCII), // malformed F
+      "YUV4MPEG2 W0 H2 F25:1\n".getBytes(US_ASCII),
+      "YUV4MPEG2 W3 H-2 F25:1\n".getBytes(US_ASCII),
+      "YUV4MPEG2 W3 H2 F0:1\n".getBytes(US_ASCII),
+      "YUV4MPEG2 W99999 H99999 F25:1\n".getBytes(US_ASCII), // bomb
+      good.dropRight(1), // truncated last frame
+      good ++ "JUNK".getBytes(US_ASCII), // junk where FRAME must be
+      good ++ "FRAME\n".getBytes(US_ASCII) // FRAME with no payload
+    )
+    cases.zipWithIndex.foreach { case (c, i) =>
+      assert(Y4mCodec.decode(c).isEmpty, s"case $i must refuse")
+    }
+    assert(Y4mCodec.decode(good).nonEmpty, "the base case itself decodes")
+  }
+}
