@@ -80,7 +80,8 @@ object Bench {
     "q99_hidden_partitioning" -> 2.5, "q100_stream_ingest" -> 2.5,
     "q101_pos_delete" -> 4.0, "q102_image_decode" -> 2.0,
     "q103_image_neardup" -> 3.0, "q104_audio_decode" -> 2.0,
-    "q105_video_decode" -> 2.0, "q106_video_neardup" -> 3.0)
+    "q105_video_decode" -> 2.0, "q106_video_neardup" -> 3.0,
+    "q107_audio_neardup" -> 3.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

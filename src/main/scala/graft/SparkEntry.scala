@@ -2696,6 +2696,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("id_a") + col("id_b")).as("id_sum"))
         .orderBy("shared")
+    }),
+
+    // q107: audio near-dup by energy-gradient fingerprints (eHash) —
+    // volume-scaled same-class WAVs (different BYTES) hash identically;
+    // the oracle re-derives every window energy and gradient bit from
+    // the construction samples in SQL and runs the brute-force hamming
+    // join (exact vs the banded machinery at maxHamming <= 3 by
+    // pigeonhole, same contract the q103 image path pins).
+    "q107_audio_neardup" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.syntheticWavDupTable(s, dir)
+      graft.multimodal.AudioDedup
+        .nearDuplicates(media, "doc_id", "payload", maxHamming = 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_sum"))
+        .orderBy("hamming")
     })
   )
 
@@ -4678,7 +4694,47 @@ object SparkEntry {
         |SELECT CAST(shared AS BIGINT) AS shared,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum
-        |FROM pairs WHERE shared >= 2 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pairs WHERE shared >= 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // every PCM sample, window energy, and gradient bit re-derived from
+    // the construction (see Multimodal.pcmDupValue); window of frame i
+    // is i*65/n by the same integer division the engine uses.
+    "q107_audio_neardup" ->
+      """WITH d AS (SELECT doc_id, 130 + 7 * (doc_id % 13) AS n
+        |           FROM documents),
+        |s AS (
+        |  SELECT d.doc_id, i.i AS i,
+        |         (2 * (((d.doc_id % 13) * 53 + i.i * 437) % 1001) - 1001)
+        |           * (1 + d.doc_id % 3) AS v,
+        |         (i.i * 65) // d.n AS w
+        |  FROM d, generate_series(0, 213) AS i(i) WHERE i.i < d.n
+        |), e AS (
+        |  SELECT doc_id, w, sum(v * v) AS energy
+        |  FROM s GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT doc_id, w - 1 AS bit,
+        |         CASE WHEN energy >
+        |           lag(energy) OVER (PARTITION BY doc_id ORDER BY w)
+        |           THEN 1 ELSE 0 END AS b
+        |  FROM e QUALIFY w >= 1
+        |), fp AS (
+        |  SELECT doc_id,
+        |         CAST(sum(CASE WHEN bit < 32 THEN b * (1::BIGINT << bit)
+        |                       ELSE 0 END) AS BIGINT) AS f_lo,
+        |         CAST(sum(CASE WHEN bit >= 32
+        |                       THEN b * (1::BIGINT << (bit - 32))
+        |                       ELSE 0 END) AS BIGINT) AS f_hi
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         bit_count(xor(a.f_lo, b.f_lo))
+        |           + bit_count(xor(a.f_hi, b.f_hi)) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(hamming AS BIGINT) AS hamming,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

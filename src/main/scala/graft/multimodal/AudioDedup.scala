@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audio near-duplicate detection over REAL decoded PCM: WAV decode
+  * ([[WavCodec]]) → channel-downmixed frame values → 65 equal
+  * time-windows → per-window energy → eHash (64 energy-gradient bits —
+  * the audio analog of the image path's dHash) → the same
+  * banded-hamming candidate machinery the text SimHash and image paths
+  * use ([[graft.dedupe.SimHash.nearDuplicatesFromFingerprints]]:
+  * two-tier hot-bucket discipline, never an unbounded within-bucket
+  * self-join).
+  *
+  * Invariances, by construction: exact volume scaling (energies scale
+  * by v^2 uniformly, so every strict `>` between windows is preserved),
+  * channel duplication (mono→stereo re-encode sums to 2x frame values,
+  * 4x energies), and container re-encodes. Time-stretch/resample is NOT
+  * invariant — windows are index-proportional — which is the honest
+  * trade for a fingerprint any engine can re-derive bit-identically
+  * (the q107 oracle does, in SQL).
+  *
+  * Recall contract: with `maxHamming <= 3` the 4x16-bit banding is
+  * EXACT by pigeonhole. The 100-TB shape: payloads cross the wire ONCE
+  * into the fingerprint map (64 bits per clip leave it), candidates
+  * come from bucketed equi-joins, undecodable or too-short (< 65
+  * frames) payloads drop at the map — never silently crash.
+  */
+object AudioDedup {
+
+  /** 65 windows → 64 gradient bits. */
+  val Windows: Int = 65
+
+  /** eHash of one decoded clip: `None` for clips shorter than
+    * [[Windows]] frames (a fingerprint over near-empty windows would
+    * pair white noise). Window of frame `f` is `f * 65 / n` — integer
+    * division, so any engine partitions identically; all 65 windows are
+    * nonempty whenever `n >= 65`.
+    */
+  def eHash(pcm: WavCodec.Pcm): Option[Long] = {
+    val ch = pcm.channels
+    if (ch <= 0) return None
+    val n = pcm.samples.length / ch
+    if (n < Windows) return None
+    val energy = new Array[Long](Windows)
+    var f = 0
+    while (f < n) {
+      var v = 0L
+      var c = 0
+      while (c < ch) { v += pcm.samples(f * ch + c); c += 1 }
+      energy((f.toLong * Windows / n).toInt) += v * v
+      f += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) fp |= 1L << i
+      i += 1
+    }
+    Some(fp)
+  }
+
+  /** `(id, fp)` eHash fingerprints of every decodable, long-enough
+    * payload; the rest drop here (count upstream if the rate matters).
+    */
+  def fingerprints(media: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { case (id, wav) =>
+        WavCodec.decode(wav).flatMap(eHash).map(fp => (id, fp))
+      }.toDF("id", "fp")
+  }
+
+  /** Verified near-dup pairs `(id_a, id_b, hamming)` with
+    * `hamming <= maxHamming`, exact for `maxHamming <= 3`.
+    */
+  def nearDuplicates(media: DataFrame, idCol: String, payloadCol: String,
+                     maxHamming: Int, hotBucketCap: Int = 256): DataFrame =
+    graft.dedupe.SimHash.nearDuplicatesFromFingerprints(
+      fingerprints(media, idCol, payloadCol), maxHamming, hotBucketCap)
+
+  /** Near-dup cluster ids (unsigned-min member over the verified pair
+    * graph) — interchangeable with the MinHash/SimHash/image dedup-apply
+    * anti-join contract.
+    */
+  def clusters(media: DataFrame, idCol: String, payloadCol: String,
+               maxHamming: Int, hotBucketCap: Int = 256): DataFrame =
+    graft.dedupe.Lsh.connectedComponents(
+      nearDuplicates(media, idCol, payloadCol, maxHamming, hotBucketCap)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
+}

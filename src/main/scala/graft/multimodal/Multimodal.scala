@@ -338,6 +338,32 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** The q107 construction: mono 16-bit PCM in 13 signal classes
+    * (`g = id % 13`), `130 + 7*g` frames of the oscillating base signal
+    * `2*((g*53 + i*437) % 1001) - 1001`, scaled by a per-doc exact
+    * volume `1 + id % 3` (max |sample| 2997, far from clipping) — so
+    * same-class docs have different BYTES but identical eHashes (window
+    * energies scale by v^2 uniformly).
+    */
+  @inline def pcmDupValue(id: Long, i: Int): Short =
+    ((2L * (((id % 13) * 53 + i * 437L) % 1001L) - 1001L) *
+      (1L + id % 3L)).toShort
+  def pcmDupFrames(id: Long): Int = 130 + 7 * (id % 13L).toInt
+
+  def syntheticWavDupTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+      .as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
+        val n = pcmDupFrames(id)
+        val s = new Array[Short](n)
+        var i = 0
+        while (i < n) { s(i) = pcmDupValue(id, i); i += 1 }
+        (id, WavCodec.encode(WavCodec.Pcm(8000, 1, s)))
+      }.toDF("doc_id", "payload")
+  }
+
   /** The q105/q106 construction: mono y4m videos in 17 pattern classes
     * (`g = id % 17`), `4 + id % 3` frames of 9x8 luma, frame `f` pixel
     * `(x, y)` = `((g*7 + 29*f + 13*x + 11*y) % 200) + id % 50` — the

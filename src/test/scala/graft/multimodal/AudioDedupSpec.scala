@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** eHash audio near-dup over REAL decoded PCM. Contracts:
+  *   - eHash windows/bits from first principles on a one-frame-per-window
+  *     clip;
+  *   - exact volume scaling AND mono->stereo duplication hash
+  *     identically (different bytes, same fingerprint);
+  *   - banded nearDuplicates equals the brute-force hamming join at
+  *     maxHamming <= 3 (pigeonhole over the 4x16-bit bands);
+  *   - too-short (< 65 frames) and undecodable payloads drop, never
+  *     crash;
+  *   - clusters carry the unsigned-min-member contract.
+  */
+class AudioDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-audiodedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def base(g: Int, i: Int): Int =
+    (2L * ((g * 53L + i * 437L) % 1001L) - 1001L).toInt
+
+  private def wav(g: Int, n: Int, vol: Int, channels: Int): Array[Byte] = {
+    val s = new Array[Short](n * channels)
+    for (i <- 0 until n; c <- 0 until channels)
+      s(i * channels + c) = (base(g, i) * vol).toShort
+    WavCodec.encode(WavCodec.Pcm(8000, channels, s))
+  }
+
+  private def hash(g: Int, n: Int): Long =
+    AudioDedup.eHash(WavCodec.decode(wav(g, n, 1, 1)).get).get
+
+  test("eHash bits from first principles: 65 frames = one per window, " +
+    "bit i = energy(i+1) > energy(i) = |v(i+1)| > |v(i)|") {
+    val vals = Array.tabulate(65)(i => base(3, i))
+    val pcm = WavCodec.Pcm(8000, 1, vals.map(_.toShort))
+    val got = AudioDedup.eHash(pcm).get
+    var want = 0L
+    for (i <- 0 until 64)
+      if (vals(i + 1).toLong * vals(i + 1) > vals(i).toLong * vals(i))
+        want |= 1L << i
+    assert(got == want)
+  }
+
+  test("eHash refuses < 65 frames, accepts exactly 65") {
+    val short = WavCodec.Pcm(8000, 1, Array.fill[Short](64)(100))
+    assert(AudioDedup.eHash(short).isEmpty)
+    val exact = WavCodec.Pcm(8000, 1,
+      Array.tabulate[Short](65)(i => base(1, i).toShort))
+    assert(AudioDedup.eHash(exact).nonEmpty)
+    // stereo: 129 samples = 64 frames -> refuse on FRAMES not samples
+    val stereoShort = WavCodec.Pcm(8000, 2, Array.fill[Short](128)(100))
+    assert(AudioDedup.eHash(stereoShort).isEmpty)
+  }
+
+  test("volume scaling and mono->stereo duplication hash identically") {
+    val mono = WavCodec.decode(wav(5, 200, 1, 1)).get
+    val loud = WavCodec.decode(wav(5, 200, 3, 1)).get
+    val stereo = WavCodec.decode(wav(5, 200, 1, 2)).get
+    val h = AudioDedup.eHash(mono).get
+    assert(AudioDedup.eHash(loud).get == h, "exact volume scale")
+    assert(AudioDedup.eHash(stereo).get == h, "channel duplication")
+    assert(!wav(5, 200, 1, 1).sameElements(wav(5, 200, 3, 1)),
+      "the bytes really differ")
+  }
+
+  test("banded nearDuplicates equals brute force at maxHamming <= 3; " +
+    "same-class volume variants pair at hamming 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // classes must be distinguishable or the closed form is vacuous
+    assert((0 until 5).map(g => hash(g, 150)).distinct.size == 5)
+    val rows = for {
+      g <- 0 until 5
+      m <- 0 until 3
+    } yield ((g * 10 + m).toLong, wav(g, 150, 1 + m, 1))
+    val media = rows.toDF("doc_id", "payload")
+    val got = AudioDedup
+      .nearDuplicates(media, "doc_id", "payload", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fps = AudioDedup.fingerprints(media, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.length == 15, "every payload decodes and is long enough")
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == brute, s"only-banded=${got -- brute} " +
+      s"only-brute=${brute -- got}")
+    for (g <- 0 until 5; m <- 1 until 3)
+      assert(got.contains((g * 10L, g * 10L + m, 0L)),
+        s"class $g volume variants at hamming 0")
+  }
+
+  test("undecodable and too-short payloads drop; clusters carry the " +
+    "unsigned-min contract") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      7L -> wav(1, 150, 1, 1),
+      8L -> wav(1, 150, 2, 1),
+      9L -> "not audio".getBytes("UTF-8"),
+      10L -> wav(2, 40, 1, 1), // 40 frames < 65 -> dropped
+      11L -> wav(3, 150, 1, 1)).toDF("doc_id", "payload")
+    val fps = AudioDedup.fingerprints(media, "doc_id", "payload")
+      .collect().map(_.getLong(0)).sorted
+    assert(fps.toSeq == Seq(7L, 8L, 11L))
+    val cl = AudioDedup.clusters(media, "doc_id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl.get(7L).contains(7L) && cl.get(8L).contains(7L),
+      s"same-class pair clusters to the min member: $cl")
+  }
+}
