@@ -2712,6 +2712,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("id_a") + col("id_b")).as("id_sum"))
         .orderBy("hamming")
+    }),
+
+    // q108: the WARC/WET crawl container, end-to-end through REAL files —
+    // documents written executor-side as per-record-gzip-member WET
+    // shards, scanned back through the magic-detecting binaryFile path,
+    // doc ids re-extracted from the WARC-Target-URI header. The oracle
+    // re-derives every aggregate from the documents table directly
+    // (strlen = the UTF-8 octet count the Content-Length header carries;
+    // length = the code-point count of the round-tripped content) — the
+    // numbers only match if encode → gzip members → parse is
+    // byte-correct for every record.
+    "q108_wet_roundtrip" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val wetDir = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        "graft_wet_" + new java.io.File(dir).getName).getPath
+      graft.sources.Warc.writeWetShards(docs, "doc_id", "text", wetDir,
+        shards = 8)
+      graft.sources.Warc.readWet(s, wetDir)
+        .withColumn("doc_id",
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long"))
+        .groupBy((col("doc_id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("sum_octets"),
+          sum(length(col("content"))).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("bucket")
     })
   )
 
@@ -4734,7 +4761,19 @@ object SparkEntry {
         |SELECT CAST(hamming AS BIGINT) AS hamming,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
         |       CAST(sum(id_a + id_b) AS BIGINT) AS id_sum
-        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the WET round trip re-derived from the source table: strlen is
+    // DuckDB's UTF-8 octet count (must equal the Content-Length header
+    // written into each record), length the code-point count of the
+    // content that came back out of the gzip members.
+    "q108_wet_roundtrip" ->
+      """SELECT CAST(doc_id % 7 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_records,
+        |       CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS sum_octets,
+        |       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -50,12 +50,19 @@ object VideoDedup {
     */
   def nearDuplicates(media: DataFrame, idCol: String, payloadCol: String,
                      minShared: Int = 2, stride: Int = 1,
-                     maxDf: Int = 10000): DataFrame = {
+                     maxDf: Int = 10000, eager: Boolean = true): DataFrame = {
     require(minShared >= 1 && maxDf >= 2)
     // distinct per video: a looping GIF-like video sharing one frame
     // with itself 50 times is still ONE shared fingerprint
-    val fps = frameFingerprints(media, idCol, payloadCol, stride)
+    val fps0 = frameFingerprints(media, idCol, payloadCol, stride)
       .select(col("id"), col("fp")).distinct()
+    // the demux+dHash map is the expensive stage and this plan reads it
+    // three times (stop-frame count, df table, pair join) — persist it so
+    // payloads decode ONCE (the SimHash eager discipline); eager = false
+    // keeps the lazy plan for plan-contract tests
+    val fps = if (eager)
+      fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fps0
     val byDf = fps.groupBy("fp").agg(count(lit(1)).as("df"))
     val hot = byDf.filter(col("df") > maxDf)
     val nHot = hot.count()
@@ -68,10 +75,27 @@ object VideoDedup {
       .select("id", "fp")
     val a = kept.select(col("fp"), col("id").as("id_a"))
     val b = kept.select(col("fp"), col("id").as("id_b"))
-    a.join(b, Seq("fp"))
+    val result = a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+    if (eager) {
+      val out = result.localCheckpoint() // materializes before unpersist
+      fps.unpersist(blocking = false)
+      out
+    } else result
   }
+
+  /** Near-dup cluster ids (unsigned-min member over the shared-frame
+    * pair graph) — the same contract as the image/audio/text dedup
+    * paths, so the dedup-apply anti-join is interchangeable across
+    * modalities.
+    */
+  def clusters(media: DataFrame, idCol: String, payloadCol: String,
+               minShared: Int = 2, stride: Int = 1,
+               maxDf: Int = 10000): DataFrame =
+    graft.dedupe.Lsh.connectedComponents(
+      nearDuplicates(media, idCol, payloadCol, minShared, stride, maxDf)
+        .select(col("id_a").as("src"), col("id_b").as("dst")))
 }

@@ -1,0 +1,296 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+import java.util.zip.GZIPOutputStream
+
+/** A REAL (pure-JVM) WARC reader — the ISO 28500 container Common Crawl
+  * ships (`.warc` / `.warc.wet.gz`), which is what a crawl-scale text
+  * pipeline actually ingests upstream of the jsonl.gz CCNet shards
+  * ([[JsonlGz]] — reference utilities/io/reader.py:43-116 reads the
+  * DOWNSTREAM format; this reads the upstream one). Parsing is from the
+  * spec, not a library: version line, CRLF-terminated named header
+  * fields to a blank line, exactly `Content-Length` octets of block,
+  * repeat; gzip files are handled as (possibly multi-member)
+  * concatenated streams — per-record gzip members are the format's own
+  * splittability trick, and the encoder writes them so fixtures carry
+  * the real framing.
+  *
+  * Refusal discipline (the codec rule every media path here follows):
+  * structural corruption — bad magic, truncated header, missing or
+  * overrunning Content-Length, non-gzip tail bytes, decompression bombs,
+  * runaway record counts — parses to `None`, never to garbage rows.
+  * In [[readWet]] an unparseable FILE contributes zero records (count
+  * files upstream if the drop rate matters — the ImageDedup contract).
+  *
+  * The 100-TB shape: WET shards are ~150 MB each and the unit of
+  * parallelism is the shard (binaryFile scan → one task per file, no
+  * shuffle anywhere in the scan); payload bytes cross the wire once into
+  * the parse map and leave it as typed rows. Record-level splitting
+  * inside one huge member-framed file is possible off the same parser
+  * (scan to the next gzip magic), but the shard-per-task shape is the
+  * one crawl corpora actually have.
+  */
+object Warc {
+
+  /** One WARC record: ordered named header fields (the order is part of
+    * the byte-exact round trip) + the raw content block. Header lookup
+    * is case-insensitive per the spec.
+    */
+  final case class Record(headers: Vector[(String, String)],
+                          content: Array[Byte]) {
+    def header(name: String): Option[String] = {
+      val n = name.toLowerCase(java.util.Locale.ROOT)
+      headers.collectFirst {
+        case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == n => v
+      }
+    }
+  }
+
+  /** Parse an UNCOMPRESSED WARC stream. `None` on any structural
+    * violation: version line not `WARC/…`, a header line without `:`,
+    * obs-fold continuation lines (refused, not guessed), missing/bad/
+    * overrunning `Content-Length`, or more than `maxRecords` records
+    * (runaway guard). Bare-LF line endings are tolerated (the usual
+    * tolerant-reader concession); inter-record CRLF padding of any
+    * length is skipped.
+    */
+  def parseRecords(warc: Array[Byte],
+                   maxRecords: Int = 1 << 20): Option[Vector[Record]] = {
+    val out = Vector.newBuilder[Record]
+    var i = 0
+    var n = 0
+    while (i < warc.length) {
+      while (i < warc.length && (warc(i) == '\r' || warc(i) == '\n')) i += 1
+      if (i >= warc.length) return Some(out.result())
+      // version line
+      val v = readLine(warc, i).getOrElse(return None)
+      if (!v._1.startsWith("WARC/")) return None
+      i = v._2
+      // header fields to the blank line
+      var len = -1L
+      val hdrs = Vector.newBuilder[(String, String)]
+      var blank = false
+      while (!blank) {
+        val l = readLine(warc, i).getOrElse(return None)
+        i = l._2
+        val line = l._1
+        if (line.isEmpty) blank = true
+        else {
+          if (line.charAt(0) == ' ' || line.charAt(0) == '\t') return None
+          val c = line.indexOf(':')
+          if (c <= 0) return None
+          val name = line.substring(0, c).trim
+          val value = line.substring(c + 1).trim
+          hdrs += name -> value
+          if (name.equalsIgnoreCase("Content-Length")) {
+            len = try value.toLong catch { case _: NumberFormatException =>
+              return None }
+          }
+        }
+      }
+      if (len < 0 || len > warc.length - i) return None // missing/overrun
+      out += Record(hdrs.result(),
+        java.util.Arrays.copyOfRange(warc, i, i + len.toInt))
+      i += len.toInt
+      n += 1
+      if (n > maxRecords) return None
+    }
+    Some(out.result())
+  }
+
+  /** (line without terminator or trailing CR, index after the LF). */
+  private def readLine(b: Array[Byte], from: Int): Option[(String, Int)] = {
+    var i = from
+    while (i < b.length && b(i) != '\n') i += 1
+    if (i >= b.length) return None // truncated: no terminator
+    val end = if (i > from && b(i - 1) == '\r') i - 1 else i
+    Some((new String(b, from, end - from, UTF_8), i + 1))
+  }
+
+  /** Gunzip a possibly multi-member stream (the per-record-member WARC
+    * framing concatenates valid gzip members), walking the members by
+    * hand with a raw `Inflater` — NOT `GZIPInputStream`, which silently
+    * treats trailing garbage as end-of-stream; here every member's
+    * CRC32 + ISIZE trailer is validated and non-member tail bytes
+    * refuse. `None` for non-gzip input, corrupt/truncated members, CRC
+    * mismatch, trailing garbage, or output beyond `maxOut`
+    * (decompression bomb).
+    */
+  def gunzip(gz: Array[Byte], maxOut: Long = 1L << 30): Option[Array[Byte]] = {
+    @inline def le16(i: Int): Int = (gz(i) & 0xFF) | ((gz(i + 1) & 0xFF) << 8)
+    @inline def le32(i: Int): Int = le16(i) | (le16(i + 2) << 16)
+    if (gz.length < 2 || (gz(0) & 0xFF) != 0x1F || (gz(1) & 0xFF) != 0x8B)
+      return None
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < gz.length) {
+      // member header: ID1 ID2 CM FLG MTIME(4) XFL OS, then FLG extras
+      if (i + 10 > gz.length || (gz(i) & 0xFF) != 0x1F ||
+        (gz(i + 1) & 0xFF) != 0x8B || (gz(i + 2) & 0xFF) != 8) return None
+      val flg = gz(i + 3) & 0xFF
+      var p = i + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > gz.length) return None
+        p += 2 + le16(p)
+        if (p > gz.length) return None
+      }
+      var skipStrings = (if ((flg & 8) != 0) 1 else 0) + // FNAME
+        (if ((flg & 16) != 0) 1 else 0) // FCOMMENT
+      while (skipStrings > 0) {
+        while (p < gz.length && gz(p) != 0) p += 1
+        if (p >= gz.length) return None
+        p += 1
+        skipStrings -= 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        p += 2
+        if (p > gz.length) return None
+      }
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(gz, p, gz.length - p)
+        val buf = new Array[Byte](1 << 16)
+        val crc = new java.util.zip.CRC32()
+        var memberOut = 0L
+        while (!inf.finished()) {
+          val n = try inf.inflate(buf) catch {
+            case _: java.util.zip.DataFormatException => return None
+          }
+          if (n == 0 && !inf.finished()) return None // truncated/needs-dict
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+          memberOut += n
+          if (out.size() > maxOut) return None
+        }
+        val t = p + inf.getBytesRead.toInt
+        if (t + 8 > gz.length) return None // missing trailer
+        if (le32(t) != crc.getValue.toInt ||
+          le32(t + 4) != (memberOut & 0xFFFFFFFFL).toInt) return None
+        i = t + 8
+      } finally inf.end()
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Encode records as a WARC stream — CRLF framing, `Content-Length`
+    * derived from the content block (any stale value in `headers` is
+    * dropped), the spec's two CRLFs after each block. With
+    * `perRecordGzip` each record is its own gzip member (the real
+    * `.warc.gz` framing, and what makes the format record-splittable);
+    * without, the raw stream (gzip the whole thing for `.wet.gz`-style
+    * whole-file members).
+    */
+  def encode(records: Seq[Record], perRecordGzip: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val one = new ByteArrayOutputStream()
+      one.write("WARC/1.0\r\n".getBytes(US_ASCII))
+      r.headers.filterNot(_._1.equalsIgnoreCase("Content-Length"))
+        .foreach { case (k, v) =>
+          one.write(s"$k: $v\r\n".getBytes(UTF_8))
+        }
+      one.write(s"Content-Length: ${r.content.length}\r\n\r\n"
+        .getBytes(US_ASCII))
+      one.write(r.content)
+      one.write("\r\n\r\n".getBytes(US_ASCII))
+      if (perRecordGzip) {
+        val gz = new GZIPOutputStream(out)
+        gz.write(one.toByteArray)
+        gz.close() // ends the member AND the deflater; BAOS close is a no-op
+      } else one.writeTo(out)
+    }
+    out.toByteArray
+  }
+
+  /** A WET `conversion` record (the extracted-text record type a text
+    * pipeline consumes) with the deterministic headers the fixture
+    * contract needs.
+    */
+  def wetRecord(uri: String, date: String, text: String): Record = {
+    val content = text.getBytes(UTF_8)
+    Record(Vector(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> uri,
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> s"<urn:graft:${uri.hashCode}>",
+      "Content-Type" -> "text/plain"), content)
+  }
+
+  /** Scan WARC/WET files (raw or gzipped, whole-file or per-record
+    * members — detected by magic, never by extension) into typed rows
+    * `(path, record_idx, warc_type, target_uri, warc_date,
+    * content_length, content)`. One task per file — the WET-shard
+    * parallelism unit; no shuffle. Unparseable files contribute zero
+    * records (refusal, not garbage).
+    */
+  def readRecords(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val raw =
+          if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+            (bytes(1) & 0xFF) == 0x8B) gunzip(bytes)
+          else Some(bytes)
+        raw.flatMap(parseRecords(_)) match {
+          case Some(recs) => recs.iterator.zipWithIndex.map { case (r, idx) =>
+            (p, idx, r.header("WARC-Type").orNull,
+              r.header("WARC-Target-URI").orNull,
+              r.header("WARC-Date").orNull,
+              r.content.length.toLong, new String(r.content, UTF_8))
+          }
+          case None => Iterator.empty
+        }
+      }.toDF("path", "record_idx", "warc_type", "target_uri", "warc_date",
+        "content_length", "content")
+  }
+
+  /** Only the `conversion` (extracted-text) records — what a WET-fed
+    * text pipeline starts from.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, path).filter(col("warc_type") === "conversion")
+
+  /** Write the documents corpus as deterministic WET shards — one
+    * `.warc.wet.gz` per partition, written EXECUTOR-SIDE (the writers
+    * run where the data is; nothing but the per-shard record count
+    * reaches the driver), per-record gzip members. Returns the number
+    * of records written. The fixture stand-in for real crawl shards
+    * (no external data), and the write half of the round-trip the spec
+    * and q108 pin.
+    */
+  def writeWetShards(docs: DataFrame, idCol: String, textCol: String,
+                     dir: String, shards: Int): Long = {
+    require(shards >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = new java.io.File(dir)
+    if (d.exists()) {
+      d.listFiles().foreach(_.delete())
+    } else d.mkdirs()
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .repartition(shards, col(idCol))
+      .mapPartitions { it =>
+        val recs = it.map { case (id, t) =>
+          wetRecord(s"https://corpus.local/doc/$id",
+            f"2024-01-${id % 28 + 1}%02dT00:00:00Z", t)
+        }.toVector
+        if (recs.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(d, f"wet-$pid%05d.warc.wet.gz")
+          val out = new java.io.FileOutputStream(f)
+          try out.write(encode(recs, perRecordGzip = true))
+          finally out.close()
+          Iterator(recs.size.toLong)
+        }
+      }.collect().sum // per-shard scalar counts only — never the records
+  }
+}

@@ -122,6 +122,32 @@ class VideoDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"uncapped: every pair via the ubiquitous frame: $uncapped")
   }
 
+  test("clusters carry the unsigned-min contract across modalities; " +
+    "eager and lazy plans agree") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq(
+      20L -> video(Seq(0, 1, 2), 0), // family A
+      21L -> video(Seq(0, 1, 2), 11),
+      22L -> video(Seq(0, 1, 3), 22), // chains to A via {0,1}
+      30L -> video(Seq(4, 5, 6), 0), // family B
+      31L -> video(Seq(4, 5, 6), 33),
+      40L -> video(Seq(9), 0)) // singleton: no pairs, no cluster row
+      .toDF("doc_id", "payload")
+    val cl = VideoDedup.clusters(media, "doc_id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L), s"got $cl")
+    val eager = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lazily = VideoDedup
+      .nearDuplicates(media, "doc_id", "payload", minShared = 2,
+        eager = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(eager == lazily, s"eager=$eager lazy=$lazily")
+  }
+
   test("undecodable payloads drop, never crash") {
     val spark2 = spark
     import spark2.implicits._

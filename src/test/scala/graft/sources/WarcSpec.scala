@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The WARC/WET container reader. Contracts:
+  *   - encode → parse round trip is EXACT (header order, content bytes,
+  *     derived Content-Length), raw and per-record-gzip-member framed,
+  *     including astral unicode content;
+  *   - refusals: every structural violation parses to None, never
+  *     garbage (truncation, overrun lengths, obs-fold, colon-less
+  *     headers, gzip trailing garbage, bombs, runaway record counts);
+  *   - bare-LF tolerance and case-insensitive header lookup;
+  *   - Spark path: executor-side WET shard write → binaryFile scan →
+  *     typed rows; an unparseable file contributes zero records.
+  */
+class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-warc-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def rec(uri: String, text: String): Warc.Record =
+    Warc.wetRecord(uri, "2024-01-05T00:00:00Z", text)
+
+  test("encode -> parse round trip: header order, content bytes, " +
+    "derived Content-Length; astral unicode content survives") {
+    val astral = "𝔘𝔫𝔦 ｃｏｄｅ\nline2"
+    val recs = Seq(rec("https://a/1", "hello world"),
+      rec("https://a/2", astral), rec("https://a/3", ""))
+    val parsed = Warc.parseRecords(Warc.encode(recs, perRecordGzip = false))
+      .getOrElse(fail("parse refused a well-formed stream"))
+    assert(parsed.size == 3)
+    parsed.zip(recs).foreach { case (p, r) =>
+      assert(p.headers.map(_._1) ==
+        r.headers.map(_._1) :+ "Content-Length", "order preserved")
+      assert(p.content.sameElements(r.content), "content byte-exact")
+      assert(p.header("content-length").get.toInt == r.content.length,
+        "derived length, case-insensitive lookup")
+    }
+    assert(new String(parsed(1).content, UTF_8) == astral)
+    // a stale Content-Length in the input headers is dropped, not trusted
+    val stale = Warc.Record(Vector("WARC-Type" -> "conversion",
+      "Content-Length" -> "99999"), "abc".getBytes(UTF_8))
+    val p2 = Warc.parseRecords(Warc.encode(Seq(stale), false)).get
+    assert(p2.head.header("Content-Length").get == "3")
+  }
+
+  test("per-record gzip members: multi-member gunzip, magic detection") {
+    val recs = Seq(rec("https://a/1", "one"), rec("https://a/2", "two"),
+      rec("https://a/3", "three"))
+    val gz = Warc.encode(recs, perRecordGzip = true)
+    // really multiple members: more than one gzip magic in the stream
+    val magics = gz.sliding(2).count(w =>
+      (w(0) & 0xFF) == 0x1F && (w(1) & 0xFF) == 0x8B)
+    assert(magics >= 3, s"expected >= 3 member magics, saw $magics")
+    val raw = Warc.gunzip(gz).getOrElse(fail("multi-member gunzip"))
+    val parsed = Warc.parseRecords(raw).get
+    assert(parsed.map(r => new String(r.content, UTF_8)) ==
+      Vector("one", "two", "three"))
+    assert(Warc.gunzip("plainly not gzip".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("refusals: every structural violation is None, never garbage") {
+    val ok = Warc.encode(Seq(rec("https://a/1", "hello")), false)
+    assert(Warc.parseRecords(ok).nonEmpty, "baseline parses")
+    // bad version line
+    assert(Warc.parseRecords("HTTP/1.1 200\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    // truncated: drop the final bytes so the block overruns
+    assert(Warc.parseRecords(ok.dropRight(8)).isEmpty)
+    // truncated header: no terminating newline at all
+    assert(Warc.parseRecords("WARC/1.0\r\nWARC-Type: x".getBytes(UTF_8))
+      .isEmpty)
+    // missing Content-Length
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nWARC-Type: conversion\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    // non-numeric Content-Length
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nContent-Length: ten\r\n\r\n".getBytes(UTF_8)).isEmpty)
+    // obs-fold continuation line: refused, not guessed
+    assert(Warc.parseRecords(
+      ("WARC/1.0\r\nWARC-Type: conversion\r\n folded\r\n" +
+        "Content-Length: 0\r\n\r\n").getBytes(UTF_8)).isEmpty)
+    // colon-less header line
+    assert(Warc.parseRecords(
+      "WARC/1.0\r\nnocolonhere\r\nContent-Length: 0\r\n\r\n"
+        .getBytes(UTF_8)).isEmpty)
+    // runaway record count
+    val many = Warc.encode((1 to 5).map(i => rec(s"u$i", "x")), false)
+    assert(Warc.parseRecords(many, maxRecords = 4).isEmpty)
+    assert(Warc.parseRecords(many, maxRecords = 5).nonEmpty)
+    // gzip trailing garbage after a valid member
+    val gz1 = Warc.encode(Seq(rec("u", "x")), perRecordGzip = true)
+    assert(Warc.gunzip(gz1 ++ "garbage".getBytes(UTF_8)).isEmpty)
+    // decompression bomb: tiny member, huge output cap exceeded
+    val big = Warc.encode(Seq(rec("u", "y" * 100000)), perRecordGzip = true)
+    assert(Warc.gunzip(big, maxOut = 1000).isEmpty)
+    assert(Warc.gunzip(big).nonEmpty)
+    // CRC corruption: flip one deflate-payload byte mid-member
+    val flip = gz1.clone()
+    flip(gz1.length / 2) = (flip(gz1.length / 2) ^ 0x40).toByte
+    assert(Warc.gunzip(flip).isEmpty, "corrupt member must refuse, " +
+      "not emit garbage (CRC validated per member)")
+    // truncated member (trailer cut off)
+    assert(Warc.gunzip(gz1.dropRight(4)).isEmpty)
+  }
+
+  test("bare-LF tolerance: LF-only framing parses identically") {
+    val crlf = Warc.encode(Seq(rec("https://a/1", "hello")), false)
+    val lf = new String(crlf, UTF_8).replace("\r\n", "\n").getBytes(UTF_8)
+    val p = Warc.parseRecords(lf).getOrElse(fail("LF framing refused"))
+    assert(new String(p.head.content, UTF_8) == "hello")
+    assert(p.head.header("WARC-Target-URI").get == "https://a/1")
+  }
+
+  test("Spark end-to-end: executor-side WET shards -> binaryFile scan -> " +
+    "typed rows; an unparseable file contributes zero records") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
+    val docs = (0L until 57L).map(id => (id, s"doc $id body 𝔘${id % 7}"))
+      .toDF("doc_id", "text")
+    val n = Warc.writeWetShards(docs, "doc_id", "text", dir, shards = 4)
+    assert(n == 57)
+    val shardFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(shardFiles.length >= 2 && shardFiles.length <= 4,
+      "one shard per non-empty partition")
+    // plant corruption: one junk file; the scan must skip it, not crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.warc.wet.gz"),
+      "not a warc, not gzip".getBytes(UTF_8))
+    val got = Warc.readWet(spark, dir)
+      .select("target_uri", "content_length", "content").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 57)
+    val byUri = got.map(g => g._1 -> g).toMap
+    (0L until 57L).foreach { id =>
+      val t = s"doc $id body 𝔘${id % 7}"
+      val g = byUri(s"https://corpus.local/doc/$id")
+      assert(g._3 == t, "content round-trips through gzip + parse")
+      assert(g._2 == t.getBytes(UTF_8).length,
+        "content_length is UTF-8 octets, not chars")
+    }
+    // readRecords exposes the type column; everything here is conversion
+    assert(Warc.readRecords(spark, dir)
+      .where($"warc_type" =!= "conversion").count() == 0)
+    // shard rewrite is idempotent: stale files are cleared first
+    assert(Warc.writeWetShards(docs, "doc_id", "text", dir, shards = 2) == 57)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.wet.gz"))
+    assert(after.length <= 2, s"stale shards cleared: ${after.length}")
+  }
+}
