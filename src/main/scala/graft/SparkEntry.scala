@@ -2739,6 +2739,34 @@ object SparkEntry {
           sum(length(col("content"))).as("sum_chars"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy("bucket")
+    }),
+
+    // q109: product-quantization ADC top-k (Jégou 2011) — the memory
+    // rung below int8 (8 code bytes per 64-dim vector vs 64). Vectors
+    // snap to an integer grid (round(x·16)) so every subspace distance
+    // is an exact integer in a double carrier — codes, ADC distances,
+    // and ranks are bit-identically re-derivable in any engine, the
+    // q59 discipline. The codebook is closed-form (constant-vector
+    // centroids j−8 per subspace, k=16, m=8), NOT trained, so the
+    // oracle replays argmin-encode and the ADC table-lookup sum
+    // relationally; distributed Lloyd training itself is pinned by
+    // PqSpec's planted-centroid convergence + empty-cell contract.
+    "q109_pq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 16)).as("vec"))
+      val cb = graft.similarity.Pq.Codebooks(64, 8,
+        Array.fill(8)(Array.tabulate(16)(j =>
+          Array.fill(8)((j - 8).toDouble))))
+      val codes = graft.similarity.Pq.encode(emb, "vec_id", "vec", cb)
+      graft.similarity.Pq.adcTopK(
+          emb.filter(col("vec_id") < 3), "vec_id", "vec",
+          codes, cb, topK = 10)
+        .select(col("query_id"), col("rank"),
+          col("id").as("vec_id"),
+          col("adc_dist").cast("long").as("adc_dist"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -4773,7 +4801,52 @@ object SparkEntry {
         |       CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS sum_octets,
         |       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PQ replayed relationally: integer-grid vectors, per-(vec,
+    // subspace, centroid) exact squared L2, argmin codes with the
+    // low-index tie-break, and the ADC distance as the sum of the
+    // query's table entries at the candidate's code — all integer
+    // arithmetic in double carriers, so every rank is exact.
+    "q109_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> round(x * 16)) AS vec
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT e.vec_id, CAST((i.i - 1) // 8 AS BIGINT) AS s,
+        |         e.vec[i.i] AS x
+        |  FROM e, generate_series(1, 64) AS i(i)
+        |), subdist AS (
+        |  SELECT vec_id, s, j.j AS j,
+        |         sum((x - (j.j - 8)) * (x - (j.j - 8))) AS d
+        |  FROM comp, generate_series(0, 15) AS j(j)
+        |  GROUP BY 1, 2, 3
+        |), code AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY d ASC, j ASC) AS rn
+        |    FROM subdist)
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT qd.vec_id AS query_id, c.vec_id AS vec_id,
+        |         sum(qd.d) AS adc_dist
+        |  FROM code c
+        |  JOIN subdist qd ON qd.s = c.s AND qd.j = c.j
+        |  WHERE qd.vec_id < 3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(adc_dist AS BIGINT) AS adc_dist
+        |FROM (SELECT query_id, vec_id, adc_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_dist ASC, vec_id ASC)
+        |               AS rank
+        |      FROM adc)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,232 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (the PQ half of IVF-PQ, Jégou et al. 2011,
+  * "Product quantization for nearest neighbor search") — the memory rung
+  * BELOW int8 ([[Quantize]]): the vector splits into `m` subspaces, each
+  * subspace gets its own k-centroid codebook, and a vector's code is `m`
+  * bytes of centroid ids. A 64-dim float64 vector costs 512 bytes, its
+  * int8 code 64, its PQ code (m=8, k=256) **8** — at 10^9 vectors that
+  * is 8 GB of codes resident per executor fleet where raw vectors would
+  * be 512 GB. Search is ADC (asymmetric distance computation): a query
+  * precomputes one `m x k` table of exact subspace distances to every
+  * centroid, and a candidate's approximate squared-L2 distance is `m`
+  * table lookups — no vector arithmetic in the scan at all.
+  *
+  * 100-TB shape:
+  *  - training is a fused treeAggregate: ONE pass per Lloyd iteration
+  *    accumulates sums+counts for all `m*k` cells at once (not m
+  *    separate k-means jobs); codebooks broadcast, vectors never leave
+  *    their partitions, nothing keyed shuffles;
+  *  - encode is a map (vectors cross the wire once, m bytes leave);
+  *  - the ADC scan is codes x broadcast-tables, map-side, followed by
+  *    the WindowGroupLimit rank cut (never a global sort);
+  *  - compose with the IVF coarse stage ([[IvfFlat]]) for cell-pruned
+  *    candidate generation, and re-score ADC survivors with full
+  *    vectors joined back by id (the [[Quantize.topKRefined]]
+  *    discipline).
+  */
+object Pq {
+
+  /** `centroids(s)(j)` is centroid `j` of subspace `s`, length
+    * `dim / m`. `k <= 256` so a code cell fits one unsigned byte.
+    */
+  final case class Codebooks(dim: Int, m: Int,
+                             centroids: Array[Array[Array[Double]]]) {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(centroids.length == m, "one codebook per subspace")
+    val k: Int = centroids.head.length
+    require(k > 0 && k <= 256, s"k $k exceeds one byte per cell")
+    val dsub: Int = dim / m
+    require(centroids.forall(cb => cb.length == k &&
+      cb.forall(_.length == dsub)), "codebook shape")
+  }
+
+  /** Squared L2 between subspace `s` of `v` and centroid `c`. */
+  @inline private def subDist(v: Array[Double], s: Int, dsub: Int,
+                              c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    val off = s * dsub
+    while (i < dsub) { val x = v(off + i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Nearest centroid of subspace `s` (ties to the lowest index —
+    * deterministic on every partitioning).
+    */
+  private def nearestSub(v: Array[Double], s: Int, cb: Codebooks): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cb.k) {
+      val d = subDist(v, s, cb.dsub, cb.centroids(s)(j))
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The m-byte PQ code of one vector. */
+  def codeOf(v: Array[Double], cb: Codebooks): Array[Byte] = {
+    require(v.length == cb.dim, s"vector ${v.length} != dim ${cb.dim}")
+    val code = new Array[Byte](cb.m)
+    var s = 0
+    while (s < cb.m) { code(s) = nearestSub(v, s, cb).toByte; s += 1 }
+    code
+  }
+
+  /** Distributed per-subspace Lloyd training from an explicit `init`
+    * (pass [[sampleInit]]'s result for the standard seeded start). Each
+    * iteration is ONE `treeAggregate` accumulating `m*k` (sum, count)
+    * cells; an empty cell keeps its previous centroid (deterministic,
+    * the [[IvfFlat.trainCentroids]] rule).
+    */
+  def train(vecs: Dataset[Array[Double]],
+            init: Codebooks, iters: Int): Codebooks = {
+    val sc = vecs.sparkSession.sparkContext
+    val dim = init.dim
+    val m = init.m
+    val k = init.k
+    val dsub = init.dsub
+    var cbs = init.centroids
+    var it = 0
+    while (it < iters) {
+      val bc = sc.broadcast(Codebooks(dim, m, cbs))
+      // accumulator: per (s, j) a dsub-sum plus a count slot
+      val zero = Array.fill(m * k)(new Array[Double](dsub + 1))
+      val agg = vecs.rdd.treeAggregate(zero)(
+        seqOp = (acc, v) => {
+          if (v != null && v.length == dim) {
+            val cb = bc.value
+            var s = 0
+            while (s < m) {
+              val j = nearestSub(v, s, cb)
+              val cell = acc(s * k + j)
+              var i = 0
+              val off = s * dsub
+              while (i < dsub) { cell(i) += v(off + i); i += 1 }
+              cell(dsub) += 1.0
+              s += 1
+            }
+          }
+          acc
+        },
+        combOp = (a, b) => {
+          var c = 0
+          while (c < a.length) {
+            var i = 0
+            while (i <= dsub) { a(c)(i) += b(c)(i); i += 1 }
+            c += 1
+          }
+          a
+        })
+      bc.destroy()
+      cbs = Array.tabulate(m) { s =>
+        Array.tabulate(k) { j =>
+          val cell = agg(s * k + j)
+          if (cell(dsub) > 0)
+            Array.tabulate(dsub)(i => cell(i) / cell(dsub))
+          else cbs(s)(j) // empty cell keeps its previous centroid
+        }
+      }
+      it += 1
+    }
+    Codebooks(dim, m, cbs)
+  }
+
+  /** Seeded deterministic init from a bounded driver-side sample
+    * (pushed-down limit, never a full collect — the [[IvfFlat.topK]]
+    * discipline): per subspace, `k` seeded picks from the sample's
+    * subvectors.
+    */
+  def sampleInit(emb: DataFrame, vecCol: String, dim: Int, m: Int, k: Int,
+                 trainSample: Int = 2048, seed: Long = 42L): Codebooks = {
+    val sample = emb.select(col(vecCol)).limit(trainSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+      .filter(_.length == dim)
+    require(sample.nonEmpty, "no full-dimension vectors to init from")
+    val dsub = dim / m
+    val rng = new graft.util.SplitMix64(seed)
+    val centroids = Array.tabulate(m) { s =>
+      Array.tabulate(k) { _ =>
+        val v = sample(((rng.nextLong() >>> 1) % sample.length).toInt)
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)
+      }
+    }
+    Codebooks(dim, m, centroids)
+  }
+
+  /** `(id, code)` PQ codes — vectors cross the wire once, `m` bytes
+    * leave. Wrong-dimension or null vectors drop here (count upstream
+    * if the rate matters — the ImageDedup contract).
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cb: Codebooks): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { case (id, v) =>
+          if (v != null && v.length == c.dim) Some((id, codeOf(v, c)))
+          else None
+        }
+      }.toDF("id", "code")
+  }
+
+  /** The query's ADC table: `t(s)(j)` = exact squared L2 between the
+    * query's subspace `s` and centroid `j`.
+    */
+  def adcTable(q: Array[Double], cb: Codebooks): Array[Array[Double]] = {
+    require(q.length == cb.dim)
+    Array.tabulate(cb.m)(s =>
+      Array.tabulate(cb.k)(j => subDist(q, s, cb.dsub, cb.centroids(s)(j))))
+  }
+
+  /** ADC top-k: queries (a SMALL set — they broadcast as precomputed
+    * tables; the guard is loud, not a silent truncation) against the
+    * codes table. Returns `(query_id, rank, id, adc_dist)`, rank by
+    * (distance asc, id asc) — the deterministic WindowGroupLimit cut.
+    * The scan is codes-only: `m` byte-lookups per (query, candidate),
+    * no vector arithmetic.
+    */
+  def adcTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              codes: DataFrame, cb: Codebooks, topK: Int,
+              maxQueries: Int = 1024): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Double])].collect()
+    require(qs.length <= maxQueries,
+      s"${qs.length} queries > maxQueries=$maxQueries: ADC tables broadcast " +
+        "per query — batch the query set or raise the cap with a budget")
+    val tables = qs.map { case (qid, qv) => (qid, adcTable(qv, cb)) }
+    val bc = spark.sparkContext.broadcast(tables)
+    val m = cb.m
+    val scored = codes.select(col("id").cast("long"), col("code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val ts = bc.value
+        it.flatMap { case (id, code) =>
+          ts.iterator.map { case (qid, t) =>
+            var d = 0.0
+            var s = 0
+            while (s < m) { d += t(s)(code(s) & 0xFF); s += 1 }
+            (qid, id, d)
+          }
+        }
+      }.toDF("query_id", "id", "adc_dist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("adc_dist"))
+  }
+}

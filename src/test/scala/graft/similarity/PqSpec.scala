@@ -1,0 +1,141 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization. Contracts:
+  *   - distributed train converges to the planted one-hot centroids from
+  *     a perturbed init (the fused m*k treeAggregate is a real Lloyd
+  *     step), empty cells keep their previous centroid;
+  *   - encode emits the closed-form codes, ties break to the lowest
+  *     centroid index, wrong-dimension vectors drop not crash;
+  *   - ADC equals brute-force table arithmetic, and for vectors sitting
+  *     exactly ON centroids ADC == exact squared L2 (the Jégou identity
+  *     when quantization error is zero);
+  *   - adcTopK equals the brute-force ranking with the (dist, id)
+  *     deterministic tie-break; the query-count guard is loud;
+  *   - codebook shape guards refuse (dim % m, k > 256).
+  */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-pq-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dim = 16
+  private val m = 4
+  private val dsub = 4
+  private val k = 3
+
+  /** planted vector: subspace s is one-hot(100) at position (v + s) % 3
+    * — every centroid of every subspace is exercised as v sweeps the
+    * residues (a multiplier pattern like v*(s+1) is degenerate where
+    * the multiplier divides the modulus and would leave centroids
+    * legitimately unassigned).
+    */
+  private def vec(v: Int): Array[Double] = {
+    val a = new Array[Double](dim)
+    for (s <- 0 until m) a(s * dsub + (v + s) % 3) = 100.0
+    a
+  }
+
+  private def oneHot(j: Int, scale: Double): Array[Double] = {
+    val a = new Array[Double](dsub)
+    a(j) = scale
+    a
+  }
+
+  private def perturbedInit: Pq.Codebooks = Pq.Codebooks(dim, m,
+    Array.fill(m)(Array.tabulate(k)(j => oneHot(j, 90.0))))
+
+  test("train converges to the planted centroids from a perturbed init; " +
+    "an empty cell keeps its previous centroid") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = spark.createDataset((0 until 60).map(vec))
+    val cb = Pq.train(vecs, perturbedInit, iters = 2)
+    for (s <- 0 until m; j <- 0 until k)
+      assert(cb.centroids(s)(j).toSeq == oneHot(j, 100.0).toSeq,
+        s"subspace $s centroid $j")
+    // only v == 0 mod 3 present -> subspace 0 assigns only centroid 0;
+    // centroids 1, 2 are never assigned and must keep the init value
+    val sparse = spark.createDataset(Seq(vec(0), vec(3), vec(6)))
+    val cb2 = Pq.train(sparse, perturbedInit, iters = 1)
+    assert(cb2.centroids(0)(0).toSeq == oneHot(0, 100.0).toSeq)
+    assert(cb2.centroids(0)(1).toSeq == oneHot(1, 90.0).toSeq, "kept")
+    assert(cb2.centroids(0)(2).toSeq == oneHot(2, 90.0).toSeq, "kept")
+  }
+
+  test("encode emits the closed-form codes; ties break low; " +
+    "wrong-dimension vectors drop not crash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = Pq.Codebooks(dim, m,
+      Array.fill(m)(Array.tabulate(k)(j => oneHot(j, 100.0))))
+    val emb = (0 until 12).map(v => (v.toLong, vec(v))) :+
+      (99L, Array(1.0, 2.0)) // wrong dim
+    val got = Pq.encode(emb.toDF("vec_id", "vec"), "vec_id", "vec", cb)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(!got.contains(99L), "wrong-dim dropped")
+    for (v <- 0 until 12)
+      assert(got(v.toLong) == (0 until m).map(s => ((v + s) % 3).toByte),
+        s"code of $v")
+    // tie: the zero vector is equidistant to all one-hot centroids ->
+    // lowest index wins everywhere
+    assert(Pq.codeOf(new Array[Double](dim), cb).toSeq ==
+      Seq.fill(m)(0.toByte))
+  }
+
+  test("ADC == exact squared L2 for on-centroid vectors; adcTopK equals " +
+    "brute force with the deterministic tie-break") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = Pq.Codebooks(dim, m,
+      Array.fill(m)(Array.tabulate(k)(j => oneHot(j, 100.0))))
+    val n = 40
+    val emb = (0 until n).map(v => (v.toLong, vec(v))).toDF("vec_id", "vec")
+    val codes = Pq.encode(emb, "vec_id", "vec", cb)
+    val queries = (0 until 3).map(q => (q.toLong, vec(q)))
+      .toDF("vec_id", "vec")
+    val got = Pq.adcTopK(queries, "vec_id", "vec", codes, cb, topK = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force: exact L2 (zero quantization error -> ADC == exact)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (0 until 3).flatMap { q =>
+      (0 until n).map(v => (q.toLong, v.toLong, l2(vec(q), vec(v))))
+        .sortBy { case (_, v, d) => (d, v) }
+        .take(7).zipWithIndex
+        .map { case ((qq, v, d), i) => (qq, i + 1L, v, d) }
+    }.toSet
+    assert(got.toSet == want, s"got=${got.toSet -- want} " +
+      s"missing=${want -- got.toSet}")
+    // the guard is loud, not a silent truncation
+    val e = intercept[IllegalArgumentException] {
+      Pq.adcTopK(emb, "vec_id", "vec", codes, cb, 3, maxQueries = 5)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+  }
+
+  test("codebook shape guards refuse") {
+    intercept[IllegalArgumentException] { // dim not divisible
+      Pq.Codebooks(10, 3, Array.fill(3)(Array.fill(2)(new Array[Double](3))))
+    }
+    intercept[IllegalArgumentException] { // k > 256
+      Pq.Codebooks(8, 2, Array.fill(2)(Array.fill(257)(new Array[Double](4))))
+    }
+    intercept[IllegalArgumentException] { // ragged codebook
+      Pq.Codebooks(8, 2, Array(
+        Array.fill(2)(new Array[Double](4)),
+        Array.fill(3)(new Array[Double](4))))
+    }
+  }
+}
