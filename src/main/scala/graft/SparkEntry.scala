@@ -2767,6 +2767,34 @@ object SparkEntry {
           col("id").as("vec_id"),
           col("adc_dist").cast("long").as("adc_dist"))
         .orderBy("query_id", "rank")
+    }),
+
+    // q110: IVF-PQ — the composed form (coarse cells prune candidates,
+    // residual PQ codes score them via per-cell ADC tables). Same
+    // integer-grid discipline as q109: coarse centroids are closed-form
+    // constant vectors (5c−8), residuals stay integer, so cell
+    // assignments, residual codes, probe sets, and ADC ranks are all
+    // exact in any engine. nProbe=2 of 4 cells — the oracle re-derives
+    // the probe cut, restricts candidates to probed cells, and replays
+    // the table-lookup sum.
+    "q110_ivfpq_adc" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 16)).as("vec"))
+      val coarse = Array.tabulate(4)(c => Array.fill(64)((5 * c - 8).toDouble))
+      val cb = graft.similarity.Pq.Codebooks(64, 8,
+        Array.fill(8)(Array.tabulate(16)(j =>
+          Array.fill(8)((j - 8).toDouble))))
+      val codes = graft.similarity.Pq.encodeIvf(emb, "vec_id", "vec",
+        coarse, cb)
+      graft.similarity.Pq.adcTopKIvf(
+          emb.filter(col("vec_id") < 3), "vec_id", "vec",
+          codes, coarse, cb, nProbe = 2, topK = 10)
+        .select(col("query_id"), col("rank"),
+          col("id").as("vec_id"),
+          col("adc_dist").cast("long").as("adc_dist"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -4836,6 +4864,77 @@ object SparkEntry {
         |  FROM code c
         |  JOIN subdist qd ON qd.s = c.s AND qd.j = c.j
         |  WHERE qd.vec_id < 3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(adc_dist AS BIGINT) AS adc_dist
+        |FROM (SELECT query_id, vec_id, adc_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY adc_dist ASC, vec_id ASC)
+        |               AS rank
+        |      FROM adc)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ replayed relationally: coarse assignment (argmin over the
+    // 4 constant-vector cells, ties low), residual codes vs the shared
+    // codebook, the nProbe=2 probe cut per query, and ADC restricted to
+    // candidates in probed cells — integer arithmetic throughout.
+    "q110_ivfpq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> round(x * 16)) AS vec
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT e.vec_id, CAST((i.i - 1) // 8 AS BIGINT) AS s,
+        |         e.vec[i.i] AS x
+        |  FROM e, generate_series(1, 64) AS i(i)
+        |), cd AS (
+        |  SELECT vec_id, c.c AS cell,
+        |         sum((x - (5*c.c - 8)) * (x - (5*c.c - 8))) AS d
+        |  FROM comp, generate_series(0, 3) AS c(c)
+        |  GROUP BY 1, 2
+        |), cell AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cd)
+        |  WHERE rn = 1
+        |), rsub AS (
+        |  SELECT comp.vec_id, comp.s, j.j AS j,
+        |         sum(((comp.x - (5*cell.cell - 8)) - (j.j - 8))
+        |             * ((comp.x - (5*cell.cell - 8)) - (j.j - 8))) AS d
+        |  FROM comp, cell, generate_series(0, 15) AS j(j)
+        |  WHERE cell.vec_id = comp.vec_id
+        |  GROUP BY 1, 2, 3
+        |), code AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY d ASC, j ASC) AS rn
+        |    FROM rsub)
+        |  WHERE rn = 1
+        |), probe AS (
+        |  SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY d ASC, cell ASC) AS rn
+        |    FROM cd WHERE vec_id < 3)
+        |  WHERE rn <= 2
+        |), qres AS (
+        |  SELECT p.query_id, p.cell, comp.s, j.j AS j,
+        |         sum(((comp.x - (5*p.cell - 8)) - (j.j - 8))
+        |             * ((comp.x - (5*p.cell - 8)) - (j.j - 8))) AS d
+        |  FROM probe p, comp, generate_series(0, 15) AS j(j)
+        |  WHERE comp.vec_id = p.query_id
+        |  GROUP BY 1, 2, 3, 4
+        |), adc AS (
+        |  SELECT q.query_id, c.vec_id, sum(q.d) AS adc_dist
+        |  FROM code c
+        |  JOIN cell cl ON cl.vec_id = c.vec_id
+        |  JOIN qres q ON q.cell = cl.cell AND q.s = c.s AND q.j = c.j
         |  GROUP BY 1, 2
         |)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,

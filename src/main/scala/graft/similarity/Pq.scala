@@ -189,6 +189,132 @@ object Pq {
       Array.tabulate(cb.k)(j => subDist(q, s, cb.dsub, cb.centroids(s)(j))))
   }
 
+  // ---------------------------------------------------------------- IVF-PQ
+
+  /** Full-dimension squared L2 (coarse-quantizer assignment). */
+  @inline private def fullDist(v: Array[Double],
+                               c: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Nearest coarse cell, ties to the lowest index. */
+  private def nearestCell(v: Array[Double],
+                          coarse: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < coarse.length) {
+      val d = fullDist(v, coarse(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The query's `nProbe` nearest cells by (distance asc, cell asc). */
+  private def probeCells(v: Array[Double], coarse: Array[Array[Double]],
+                         nProbe: Int): Array[Int] =
+    coarse.indices.map(c => (fullDist(v, coarse(c)), c))
+      .sorted.take(nProbe).map(_._2).toArray
+
+  /** IVF-PQ encode (Jégou 2011 §IV): assign each vector to its nearest
+    * coarse cell and PQ-code the RESIDUAL `v − coarse(cell)` — residuals
+    * concentrate near zero, so one shared residual codebook quantizes
+    * them far better than it would raw vectors. Returns
+    * `(id, cell, code)`; at scale, write the codes table partitioned by
+    * `cell` so a probe-limited search is a partition-pruned scan, not a
+    * filter over 10^9 rows. Vectors cross the wire once; 4+m bytes
+    * leave. Wrong-dimension / null vectors drop here.
+    */
+  def encodeIvf(emb: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Double]], cb: Codebooks): DataFrame = {
+    require(coarse.nonEmpty && coarse.forall(_.length == cb.dim),
+      "coarse centroids must match the codebook dimension")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(coarse)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    emb.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val c = bcCb.value
+        it.flatMap { case (id, v) =>
+          if (v != null && v.length == c.dim) {
+            val cell = nearestCell(v, cs)
+            val cv = cs(cell)
+            val res = new Array[Double](c.dim)
+            var i = 0
+            while (i < c.dim) { res(i) = v(i) - cv(i); i += 1 }
+            Some((id, cell, codeOf(res, c)))
+          } else None
+        }
+      }.toDF("id", "cell", "code")
+  }
+
+  /** IVF-PQ ADC top-k: each query probes its `nProbe` nearest coarse
+    * cells and scores ONLY candidates living in those cells — the
+    * candidate set shrinks by ~nProbe/nCells before any distance work.
+    * Per probed cell the query precomputes one ADC table of its OWN
+    * residual (`q − coarse(cell)`) against the shared residual codebook,
+    * so a candidate still costs `m` byte-indexed lookups. The probed
+    * cell-id union is pushed as an `isin` filter — on a codes table
+    * partitioned by `cell` that is a partition prune (the 10^12-row
+    * discipline); the per-query probe check is then a broadcast map
+    * lookup on the survivors. Returns `(query_id, rank, id, adc_dist)`
+    * ranked by (distance asc, id asc).
+    */
+  def adcTopKIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                 codes: DataFrame, coarse: Array[Array[Double]],
+                 cb: Codebooks, nProbe: Int, topK: Int,
+                 maxQueries: Int = 1024): DataFrame = {
+    require(nProbe > 0 && nProbe <= coarse.length, s"nProbe $nProbe")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Double])].collect()
+    require(qs.length <= maxQueries,
+      s"${qs.length} queries > maxQueries=$maxQueries: per-cell ADC tables " +
+        "broadcast per query — batch the query set or raise the cap")
+    // cell -> [(qid, residual ADC table)]
+    val byCell: Map[Int, Array[(Long, Array[Array[Double]])]] =
+      qs.flatMap { case (qid, qv) =>
+        probeCells(qv, coarse, nProbe).map { cell =>
+          val cv = coarse(cell)
+          val res = Array.tabulate(cb.dim)(i => qv(i) - cv(i))
+          (cell, (qid, adcTable(res, cb)))
+        }
+      }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val probedCells = byCell.keys.toSeq.sorted
+    val bc = spark.sparkContext.broadcast(byCell)
+    val m = cb.m
+    val scored = codes
+      .filter(col("cell").isin(probedCells: _*)) // partition-prunable
+      .select(col("id").cast("long"), col("cell").cast("int"), col("code"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val map = bc.value
+        it.flatMap { case (id, cell, code) =>
+          map.getOrElse(cell, Array.empty[(Long, Array[Array[Double]])])
+            .iterator.map { case (qid, t) =>
+              var d = 0.0
+              var s = 0
+              while (s < m) { d += t(s)(code(s) & 0xFF); s += 1 }
+              (qid, id, d)
+            }
+        }
+      }.toDF("query_id", "id", "adc_dist")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("adc_dist"))
+  }
+
   /** ADC top-k: queries (a SMALL set — they broadcast as precomputed
     * tables; the guard is loud, not a silent truncation) against the
     * codes table. Returns `(query_id, rank, id, adc_dist)`, rank by

@@ -125,6 +125,55 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("maxQueries"))
   }
 
+  test("IVF-PQ: encodeIvf assigns the closed-form cell and codes the " +
+    "RESIDUAL; full-probe ADC == exact L2 for on-centroid residuals; " +
+    "nProbe=1 restricts candidates to the query's nearest cell") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = Pq.Codebooks(dim, m,
+      Array.fill(m)(Array.tabulate(k)(j => oneHot(j, 100.0))))
+    val coarse = Array(Array.fill(dim)(0.0), Array.fill(dim)(1000.0))
+    def shifted(v: Int): Array[Double] = vec(v).map(_ + 1000.0)
+    val emb = ((0 until 30).map(v => (v.toLong, vec(v))) ++
+      (0 until 30).map(v => (100L + v, shifted(v))) :+
+      (999L, Array(1.0))).toDF("vec_id", "vec")
+    val codes = Pq.encodeIvf(emb, "vec_id", "vec", coarse, cb)
+    val got = codes.collect().map(r =>
+      (r.getLong(0), (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))).toMap
+    assert(!got.contains(999L), "wrong-dim dropped")
+    for (v <- 0 until 30) {
+      val code = (0 until m).map(s => ((v + s) % 3).toByte)
+      assert(got(v.toLong) == ((0, code)), s"cell0 $v")
+      assert(got(100L + v) == ((1, code)), s"cell1 residual identical $v")
+    }
+    // queries: one per cell; full probe -> ADC == exact squared L2
+    val queries = Seq((0L, vec(0)), (100L, shifted(0))).toDF("vec_id", "vec")
+    val top = Pq.adcTopKIvf(queries, "vec_id", "vec", codes, coarse, cb,
+        nProbe = 2, topK = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val all = (0 until 30).map(v => (v.toLong, vec(v))) ++
+      (0 until 30).map(v => (100L + v, shifted(v)))
+    val want = Seq((0L, vec(0)), (100L, shifted(0))).flatMap { case (q, qv) =>
+      all.map { case (id, v) => (q, id, l2(qv, v)) }
+        .sortBy { case (_, id, d) => (d, id) }
+        .take(7).zipWithIndex
+        .map { case ((qq, id, d), i) => (qq, i + 1L, id, d) }
+    }.toSet
+    assert(top.toSet == want,
+      s"extra=${top.toSet -- want} missing=${want -- top.toSet}")
+    // nProbe=1: only same-cell candidates survive (cells are 1000 apart)
+    val near = Pq.adcTopKIvf(queries, "vec_id", "vec", codes, coarse, cb,
+        nProbe = 1, topK = 60).collect()
+    assert(near.forall { r =>
+      val sameCell = (r.getLong(0) < 100L) == (r.getLong(2) < 100L)
+      sameCell
+    }, "nProbe=1 never crosses cells")
+    assert(near.count(_.getLong(0) == 0L) == 30 &&
+      near.count(_.getLong(0) == 100L) == 30, "full own cell visible")
+  }
+
   test("codebook shape guards refuse") {
     intercept[IllegalArgumentException] { // dim not divisible
       Pq.Codebooks(10, 3, Array.fill(3)(Array.fill(2)(new Array[Double](3))))
