@@ -2795,6 +2795,22 @@ object SparkEntry {
           col("id").as("vec_id"),
           col("adc_dist").cast("long").as("adc_dist"))
         .orderBy("query_id", "rank")
+    }),
+
+    // q111: repo-level context packing (the StarCoder/DeepSeek-Coder
+    // step downstream of the quality filter): each repo's files
+    // concatenate into one training document in path order under a
+    // 6000-char budget — marker overhead counts, and the budget keeps
+    // the maximal path-ordered prefix (the first overflow stops
+    // packing). The oracle replays the running-sum window and the
+    // ordered string_agg; the doc ships as sha256 so the compare pins
+    // every byte without megabyte rows.
+    "q111_repo_pack" -> ((s, dir) => {
+      graft.operators.RepoPack.pack(
+          CodeFiles(s, dir), "repo", "path", "content", maxChars = 6000)
+        .select(col("repo"), col("n_files_kept"), col("n_files_dropped"),
+          col("n_chars"), sha2(col("doc"), 256).as("doc_sha256"))
+        .orderBy("repo")
     })
   )
 
@@ -4945,7 +4961,37 @@ object SparkEntry {
         |               AS rank
         |      FROM adc)
         |WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the pack replayed: running-sum window over path-ordered piece
+    // lengths (default RANGE frame — the same tie semantics the engine
+    // documents), kept-prefix string_agg in path order, sha256 of the
+    // document bytes
+    "q111_repo_pack" ->
+      s"""WITH $cte,
+         |costed AS (
+         |  SELECT repo, path,
+         |         '// FILE: ' || path || chr(10) || content || chr(10)
+         |           AS piece
+         |  FROM code_files
+         |), cum AS (
+         |  SELECT repo, path, piece,
+         |         sum(length(piece))
+         |           OVER (PARTITION BY repo ORDER BY path) AS cum
+         |  FROM costed
+         |), agg AS (
+         |  SELECT repo,
+         |         sum(CASE WHEN cum <= 6000 THEN 1 ELSE 0 END) AS kept,
+         |         sum(CASE WHEN cum > 6000 THEN 1 ELSE 0 END) AS dropped,
+         |         coalesce(string_agg(CASE WHEN cum <= 6000 THEN piece END,
+         |                             '' ORDER BY path), '') AS doc
+         |  FROM cum GROUP BY repo
+         |)
+         |SELECT repo, CAST(kept AS BIGINT) AS n_files_kept,
+         |       CAST(dropped AS BIGINT) AS n_files_dropped,
+         |       CAST(length(doc) AS BIGINT) AS n_chars,
+         |       sha256(doc) AS doc_sha256
+         |FROM agg ORDER BY repo""".stripMargin
   )
 
   private def embedNearDupOracle(capped: Boolean): String =

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Repo-level context packing — the StarCoder/DeepSeek-Coder training-data
+  * step downstream of the quality filter: a repository's surviving files
+  * concatenate into ONE training document so the model sees cross-file
+  * context (imports, call sites, tests beside sources), each file prefixed
+  * by a path marker line.
+  *
+  * Determinism contract (what makes the operator oracle-able in any
+  * engine): files order by PATH (unique within a repo), and the per-repo
+  * budget keeps the maximal path-ordered PREFIX whose total packed length
+  * fits — the first overflowing file stops packing (no greedy skip-ahead:
+  * a mid-repo hole breaks exactly the cross-file context the operator
+  * exists to preserve, and the prefix rule is a pure running-sum window
+  * any engine replays bit-identically).
+  *
+  * 100-TB shape: the budget applies BEFORE concatenation — a running-sum
+  * window drops overflow files as rows, so the aggregated document is
+  * ≤ maxChars by construction and a 10^6-file mega-repo costs one bounded
+  * row, not an unbounded in-memory string (the skew defense; the window
+  * and the groupBy share one hash-partitioning on repo, so the whole
+  * operator is a single exchange). Markers and separators count against
+  * the budget — the emitted document length IS the training cost.
+  */
+object RepoPack {
+
+  /** One packed document per repo:
+    * `(repo, n_files_kept, n_files_dropped, n_chars, doc)` where `doc` =
+    * concat over the kept path-ordered prefix of
+    * `"// FILE: " + path + "\n" + content + "\n"`. `n_chars` counts code
+    * points (= the budget's unit). NULL content packs as empty (the file
+    * marker still appears and its overhead still counts).
+    */
+  def pack(files: DataFrame, repoCol: String, pathCol: String,
+           contentCol: String, maxChars: Long): DataFrame = {
+    require(maxChars > 0, s"maxChars $maxChars must be positive")
+    // NULL path keys as "" (concat would otherwise null the whole piece).
+    // Duplicate keys stay deterministic end-to-end: the running sum's
+    // default RANGE frame gives tied rows one shared cumulative total
+    // (both fit or both drop — the same semantics any SQL engine's
+    // default frame has), and the struct sort breaks the tie by piece
+    // bytes.
+    val pkey: Column = coalesce(col(pathCol), lit(""))
+    val piece: Column = concat(lit("// FILE: "), pkey, lit("\n"),
+      coalesce(col(contentCol), lit("")), lit("\n"))
+    val w = Window.partitionBy(repoCol).orderBy("__pkey")
+    val costed = files
+      .select(col(repoCol), pkey.as("__pkey"), piece.as("__piece"))
+      .withColumn("__cum",
+        sum(length(col("__piece")).cast("long")).over(w))
+    costed
+      .groupBy(col(repoCol).as("repo"))
+      .agg(
+        sum(when(col("__cum") <= maxChars, 1L).otherwise(0L))
+          .as("n_files_kept"),
+        sum(when(col("__cum") > maxChars, 1L).otherwise(0L))
+          .as("n_files_dropped"),
+        // path-sorted reassembly: collect_list order is not guaranteed
+        // after the aggregation, so sort the (path, piece) structs
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cum") <= maxChars,
+                struct(col("__pkey").as("p"), col("__piece").as("x"))))),
+            s => s.getField("x")),
+          "").as("doc"))
+      .withColumn("n_chars", length(col("doc")).cast("long"))
+      .select("repo", "n_files_kept", "n_files_dropped", "n_chars", "doc")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-level context packing. Contracts:
+  *   - files pack in PATH order regardless of input order, each prefixed
+  *     by its marker line, and the marker/separator overhead counts
+  *     against the budget;
+  *   - the budget keeps the maximal path-ordered PREFIX: the first
+  *     overflowing file stops packing — a small file AFTER it drops too
+  *     (no greedy skip-ahead);
+  *   - NULL content packs as a marker-only entry;
+  *   - an over-budget FIRST file yields an empty document (0 kept);
+  *   - the whole operator is one exchange (window and groupBy share the
+  *     repo hash-partitioning).
+  */
+class RepoPackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-repopack-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def mk(rows: Seq[(String, String, String)]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("repo", "path", "content")
+  }
+
+  test("path order, marker overhead, prefix budget rule, null content") {
+    // piece(path, content) = "// FILE: " + path + "\n" + content + "\n"
+    // -> cost = 11 + len(path) + len(content)
+    def piece(p: String, c: String) = s"// FILE: $p\n$c\n"
+    val rows = Seq(
+      ("A", "b.txt", "22"),   // out of path order on purpose; cost 18
+      ("A", "a.txt", "1111"), // cost 11+5+4 = 20
+      ("A", "c.txt", "333"),  // budget 40: cum 20, 38 ok; +19 = 57 over
+      ("A", "d.txt", ""),     // small but AFTER the overflow -> drops too
+      ("B", null, null),      // null path sorts first; null content packs empty
+      ("B", "z.txt", "x"))
+    // null path: Window orderBy puts nulls first; struct sort too. Keep it
+    // in to pin the two orderings agree.
+    val spark2 = spark
+    import spark2.implicits._
+    val df = rows.toDF("repo", "path", "content")
+    val got = RepoPack.pack(df, "repo", "path", "content", maxChars = 40)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val docA = piece("a.txt", "1111") + piece("b.txt", "22")
+    assert(got("A") == ((2L, 2L, docA.length.toLong, docA)),
+      s"A got ${got("A")}")
+    val docB = "// FILE: \n\n" + piece("z.txt", "x")
+    assert(got("B") == ((2L, 0L, docB.length.toLong, docB)),
+      s"B got ${got("B")}")
+  }
+
+  test("an over-budget first file yields an empty doc; exact-fit packs") {
+    val got = RepoPack.pack(
+        mk(Seq(("R", "a", "X" * 100), ("R", "b", "y"))),
+        "repo", "path", "content", maxChars = 20)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got("R") == ((0L, 2L, "")))
+    // exact fit: cost of ("a","xx") = len("// FILE: a\nxx\n") = 14
+    val exact = RepoPack.pack(mk(Seq(("R", "a", "xx"))),
+      "repo", "path", "content", maxChars = 14).collect().head
+    assert(exact.getLong(1) == 1L && exact.getLong(3) == 14L)
+    // one char under: the only file drops
+    val under = RepoPack.pack(mk(Seq(("R", "a", "xx"))),
+      "repo", "path", "content", maxChars = 13).collect().head
+    assert(under.getLong(1) == 0L && under.getString(4) == "")
+  }
+
+  test("one exchange: the window and the groupBy share the repo " +
+    "hash-partitioning") {
+    val plan = RepoPack.pack(mk(Seq(("R", "a", "x"))),
+        "repo", "path", "content", maxChars = 100)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+}
