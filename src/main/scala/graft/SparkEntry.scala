@@ -2797,6 +2797,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q112: two-stage PQ ANN — ADC coarse top-30 over 8-byte codes,
+    // exact squared-L2 rescore of ONLY the survivors with full vectors
+    // joined back by id (the q62 discipline on the PQ rung). Integer
+    // grid throughout, so the coarse cut, the exact distances, and both
+    // tie-breaks replay bit-identically in DuckDB.
+    "q112_pq_refined" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 16)).as("vec"))
+      val cb = graft.similarity.Pq.Codebooks(64, 8,
+        Array.fill(8)(Array.tabulate(16)(j =>
+          Array.fill(8)((j - 8).toDouble))))
+      val codes = graft.similarity.Pq.encode(emb, "vec_id", "vec", cb)
+      graft.similarity.Pq.adcTopKRefined(emb, "vec_id", "vec",
+          emb.filter(col("vec_id") < 3), "vec_id", "vec",
+          codes, cb, k = 10, coarseK = 30)
+        .select(col("query_id"), col("rank"),
+          col("id").as("vec_id"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("query_id", "rank")
+    }),
+
     // q111: repo-level context packing (the StarCoder/DeepSeek-Coder
     // step downstream of the quality filter): each repo's files
     // concatenate into one training document in path order under a
@@ -4960,6 +4983,64 @@ object SparkEntry {
         |                                ORDER BY adc_dist ASC, vec_id ASC)
         |               AS rank
         |      FROM adc)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // both PQ stages replayed: the q109 ADC arithmetic cut at coarse
+    // top-30, then exact squared L2 re-derived component-by-component
+    // from the integer-grid vectors on the survivors only
+    "q112_pq_refined" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> round(x * 16)) AS vec
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT e.vec_id, CAST((i.i - 1) // 8 AS BIGINT) AS s,
+        |         i.i AS i, e.vec[i.i] AS x
+        |  FROM e, generate_series(1, 64) AS i(i)
+        |), subdist AS (
+        |  SELECT vec_id, s, j.j AS j,
+        |         sum((x - (j.j - 8)) * (x - (j.j - 8))) AS d
+        |  FROM comp, generate_series(0, 15) AS j(j)
+        |  GROUP BY 1, 2, 3
+        |), code AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |           row_number() OVER (PARTITION BY vec_id, s
+        |                              ORDER BY d ASC, j ASC) AS rn
+        |    FROM subdist)
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT qd.vec_id AS query_id, c.vec_id AS vec_id,
+        |         sum(qd.d) AS adc_dist
+        |  FROM code c
+        |  JOIN subdist qd ON qd.s = c.s AND qd.j = c.j
+        |  WHERE qd.vec_id < 3
+        |  GROUP BY 1, 2
+        |), coarse AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY adc_dist ASC, vec_id ASC)
+        |             AS rn
+        |    FROM adc)
+        |  WHERE rn <= 30
+        |), ex AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         sum((q.x - v.x) * (q.x - v.x)) AS dist
+        |  FROM coarse c
+        |  JOIN comp q ON q.vec_id = c.query_id
+        |  JOIN comp v ON v.vec_id = c.vec_id AND v.i = q.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(dist AS BIGINT) AS dist
+        |FROM (SELECT query_id, vec_id, dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY dist ASC, vec_id ASC)
+        |               AS rank
+        |      FROM ex)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

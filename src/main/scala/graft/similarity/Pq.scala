@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,47 @@ object Pq {
     require(q.length == cb.dim)
     Array.tabulate(cb.m)(s =>
       Array.tabulate(cb.k)(j => subDist(q, s, cb.dsub, cb.centroids(s)(j))))
+  }
+
+  /** Two-stage PQ ANN — the [[Quantize.topKRefined]] discipline on the
+    * PQ rung: stage 1 is the ADC scan keeping the top `coarseK` per
+    * query (the only per-candidate state is the m-byte code), stage 2
+    * re-scores ONLY the survivors with exact squared L2 over the full
+    * vectors joined back by id — coarseK rows per query cross that
+    * join, never the corpus. Exact L2 is computed as
+    * `v·v − 2·q·v + q·q` through the codegen'd
+    * [[graft.functions.VectorExprs.dot_product]]; on integer-valued
+    * vectors every term is exact, so ranks are engine-independent.
+    * Equals exact brute force whenever the true top-k survive the
+    * coarse cut; deterministic regardless — both stages tie-break on
+    * (distance asc, id asc).
+    */
+  def adcTopKRefined(emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, queryIdCol: String,
+                     queryVecCol: String, codes: DataFrame, cb: Codebooks,
+                     k: Int, coarseK: Int,
+                     maxQueries: Int = 1024): DataFrame = {
+    require(coarseK >= k, s"coarseK $coarseK < k $k")
+    val dot: (Column, Column) => Column =
+      graft.functions.VectorExprs.dot_product
+    val survivors = adcTopK(queries, queryIdCol, queryVecCol, codes, cb,
+        coarseK, maxQueries)
+      .select(col("query_id"), col("id"))
+    val exact = survivors
+      .join(emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__v")), "id")
+      .join(broadcast(queries.select(
+        col(queryIdCol).cast("long").as("query_id"),
+        col(queryVecCol).as("__qv"))), "query_id")
+      .withColumn("dist",
+        dot(col("__v"), col("__v")) - lit(2.0) * dot(col("__qv"), col("__v"))
+          + dot(col("__qv"), col("__qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("id"), col("dist"))
   }
 
   // ---------------------------------------------------------------- IVF-PQ

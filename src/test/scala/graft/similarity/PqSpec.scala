@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -123,6 +124,50 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       Pq.adcTopK(emb, "vec_id", "vec", codes, cb, 3, maxQueries = 5)
     }
     assert(e.getMessage.contains("maxQueries"))
+  }
+
+  test("adcTopKRefined: the exact rescore corrects LOSSY codes at full " +
+    "coarseK (== brute-force L2), and a planted self survives a narrow " +
+    "cut at rank 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = Pq.Codebooks(dim, m,
+      Array.fill(m)(Array.tabulate(k)(j => oneHot(j, 100.0))))
+    // off-centroid noise in the 4th component of every subspace — the
+    // codebook cannot represent it, so ADC ranks are WRONG in general
+    // and only the exact stage can fix them
+    def noisy(v: Int): Array[Double] = {
+      val a = vec(v)
+      for (s <- 0 until m) a(s * dsub + 3) = ((v * (s + 2)) % 7).toDouble
+      a
+    }
+    val n = 30
+    val emb = (0 until n).map(v => (v.toLong, noisy(v))).toDF("vec_id", "vec")
+    val codes = Pq.encode(emb, "vec_id", "vec", cb)
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Pq.adcTopKRefined(emb, "vec_id", "vec",
+        queries, "vec_id", "vec", codes, cb, k = 7, coarseK = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (0 until 3).flatMap { q =>
+      (0 until n).map(v => (q.toLong, v.toLong, l2(noisy(q), noisy(v))))
+        .sortBy { case (_, v, d) => (d, v) }
+        .take(7).zipWithIndex
+        .map { case ((qq, v, d), i) => (qq, i + 1L, v, d) }
+    }.toSet
+    assert(got.toSet == want,
+      s"extra=${got.toSet -- want} missing=${want -- got.toSet}")
+    // narrow cut: the query itself survives coarseK=5 and rescores to 0
+    val narrow = Pq.adcTopKRefined(emb, "vec_id", "vec",
+        queries, "vec_id", "vec", codes, cb, k = 1, coarseK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(narrow.toSet == Set((0L, 0L, 0.0), (1L, 1L, 0.0), (2L, 2L, 0.0)))
+    intercept[IllegalArgumentException] {
+      Pq.adcTopKRefined(emb, "vec_id", "vec", queries, "vec_id", "vec",
+        codes, cb, k = 10, coarseK = 5)
+    }
   }
 
   test("IVF-PQ: encodeIvf assigns the closed-form cell and codes the " +
