@@ -2820,6 +2820,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q113: OPQ-lite variance-balanced dimension permutation (Ge 2013's
+    // permutation-only special case) — dims rank by the integer
+    // comparator n·Σx²−(Σx)² (order-equivalent to variance, exact on
+    // the integer grid, no IEEE division) and deal to subspaces in
+    // snake order. The distributed stats pass is one treeAggregate; the
+    // oracle re-derives the comparator, the rank, the snake deal, and
+    // the within-subspace fill from the raw vectors.
+    "q113_opq_permutation" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(transform(col("embedding"),
+          x => round(x.cast("double") * 16)).as("vec"))
+        .as[Array[Double]]
+      val perm = graft.similarity.Pq.balancedPermutation(vecs, 64, 8)
+      s.createDataset(perm.toIndexedSeq.zipWithIndex
+          .map { case (d, p) => (p.toLong, d.toLong) })
+        .toDF("pos", "orig_dim")
+        .orderBy("pos")
+    }),
+
     // q111: repo-level context packing (the StarCoder/DeepSeek-Coder
     // step downstream of the quality filter): each repo's files
     // concatenate into one training document in path order under a
@@ -5043,6 +5063,42 @@ object SparkEntry {
         |      FROM ex)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the OPQ-lite deal replayed: integer variance comparator per dim,
+    // rank (desc, dim asc), snake-order subspace assignment, positions
+    // filled in rank order within each subspace
+    "q113_opq_permutation" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]),
+        |                        x -> round(x * 16)) AS vec
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT e.vec_id, i.i - 1 AS dim, e.vec[i.i] AS x
+        |  FROM e, generate_series(1, 64) AS i(i)
+        |), st AS (
+        |  SELECT dim,
+        |         CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+        |           - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+        |           AS cmp
+        |  FROM comp GROUP BY 1
+        |), rk AS (
+        |  SELECT dim,
+        |         row_number() OVER (ORDER BY cmp DESC, dim ASC) - 1 AS r
+        |  FROM st
+        |), sn AS (
+        |  SELECT dim, r,
+        |         CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+        |              ELSE 7 - (r % 8) END AS s
+        |  FROM rk
+        |), ps AS (
+        |  SELECT dim, s,
+        |         row_number() OVER (PARTITION BY s ORDER BY r) - 1 AS p
+        |  FROM sn
+        |)
+        |SELECT CAST(s * 8 + p AS BIGINT) AS pos,
+        |       CAST(dim AS BIGINT) AS orig_dim
+        |FROM ps ORDER BY pos""".stripMargin,
 
     // the pack replayed: running-sum window over path-ordered piece
     // lengths (default RANGE frame — the same tie semantics the engine

@@ -189,6 +189,96 @@ object Pq {
       Array.tabulate(cb.k)(j => subDist(q, s, cb.dsub, cb.centroids(s)(j))))
   }
 
+  // ------------------------------------------------------------- OPQ-lite
+
+  /** Variance-balanced dimension permutation — the permutation-only
+    * special case of optimized product quantization (Ge et al. 2013,
+    * "Optimized Product Quantization"; FAISS's pre-PQ dimension
+    * shuffle). PQ splits the vector into m CONTIGUOUS subspaces, so
+    * high-variance dims clustered at one end starve the other
+    * codebooks; spreading variance evenly across subspaces cuts
+    * reconstruction error at ZERO extra search cost (apply the same
+    * permutation to queries).
+    *
+    * Deterministic contract (engine-replayable): dims rank by the
+    * integer comparator `n·Σx² − (Σx)²` (= n²·variance — order-
+    * equivalent, exact on integer-valued vectors, no IEEE division),
+    * ties to the lower dim; rank r deals to subspace in SNAKE order
+    * (`r%m` forward on even passes, reversed on odd) so every subspace
+    * receives one dim from each variance band; within a subspace,
+    * positions fill in deal order. Stats come from ONE treeAggregate —
+    * vectors never leave their partitions, 2·dim+1 doubles reach the
+    * driver. Returns `perm` where `perm(newPos) = originalDim`.
+    */
+  def balancedPermutation(vecs: Dataset[Array[Double]],
+                          dim: Int, m: Int): Array[Int] = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m")
+    val zero = new Array[Double](2 * dim + 1)
+    val agg = vecs.rdd.treeAggregate(zero)(
+      seqOp = (acc, v) => {
+        if (v != null && v.length == dim) {
+          var i = 0
+          while (i < dim) {
+            acc(i) += v(i); acc(dim + i) += v(i) * v(i); i += 1
+          }
+          acc(2 * dim) += 1.0
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      })
+    val n = agg(2 * dim)
+    require(n > 0, "no full-dimension vectors to rank")
+    // n·Σx² − (Σx)²: exact while inputs are integer-valued and sums
+    // stay below 2^53 — and order-correct regardless
+    val comparator = Array.tabulate(dim)(i =>
+      n * agg(dim + i) - agg(i) * agg(i))
+    val ranked = (0 until dim).sortBy(i => (-comparator(i), i))
+    val dsub = dim / m
+    val bySub = Array.fill(m)(Vector.empty[Int])
+    ranked.zipWithIndex.foreach { case (d, r) =>
+      val pass = r / m
+      val idx = r % m
+      val s = if (pass % 2 == 0) idx else m - 1 - idx
+      bySub(s) = bySub(s) :+ d
+    }
+    val perm = new Array[Int](dim)
+    for (s <- 0 until m; p <- 0 until dsub) perm(s * dsub + p) = bySub(s)(p)
+    perm
+  }
+
+  /** The permuted vector column: position i takes original dim
+    * `perm(i)` — a literal projection, codegen-friendly.
+    */
+  def permuted(vec: Column, perm: Array[Int]): Column =
+    array(perm.map(i => vec.getItem(i)).toIndexedSeq: _*)
+
+  /** Total squared reconstruction error `Σ‖v − decode(code(v))‖²` —
+    * the quantity OPQ-lite exists to shrink. One treeAggregate;
+    * wrong-dimension vectors skip (the encode contract).
+    */
+  def reconstructionError(vecs: Dataset[Array[Double]],
+                          cb: Codebooks): Double = {
+    val bc = vecs.sparkSession.sparkContext.broadcast(cb)
+    vecs.rdd.treeAggregate(0.0)(
+      seqOp = (acc, v) => {
+        val c = bc.value
+        if (v != null && v.length == c.dim) {
+          var e = 0.0
+          var s = 0
+          while (s < c.m) {
+            e += subDist(v, s, c.dsub, c.centroids(s)(nearestSub(v, s, c)))
+            s += 1
+          }
+          acc + e
+        } else acc
+      },
+      combOp = _ + _)
+  }
+
   /** Two-stage PQ ANN — the [[Quantize.topKRefined]] discipline on the
     * PQ rung: stage 1 is the ADC scan keeping the top `coarseK` per
     * query (the only per-candidate state is the m-byte code), stage 2

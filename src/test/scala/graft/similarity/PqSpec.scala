@@ -219,6 +219,57 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       near.count(_.getLong(0) == 100L) == 30, "full own cell visible")
   }
 
+  test("OPQ-lite: balancedPermutation deals variance-ranked dims in " +
+    "snake order (closed form), permuted() projects by it, and balanced " +
+    "PQ cuts reconstruction error on anisotropic data") {
+    val spark2 = spark
+    import spark2.implicits._
+    // four independent base-3 digit dims (0..3) — 81 joint combos — and
+    // twelve constant dims. Contiguous PQ puts all four digits in
+    // subspace 0 (81 points, k=3 centroids: irreducible error); the
+    // balanced layout gives each subspace ONE digit (3 levels, k=3:
+    // near-zero error).
+    def v81(v: Int): Array[Double] = {
+      val a = Array.fill(dim)(1.0)
+      for (d <- 0 until 4) a(d) = 300.0 * ((v / math.pow(3, d).toInt) % 3)
+      a
+    }
+    val vecs = spark.createDataset((0 until 81).map(v81))
+    val perm = Pq.balancedPermutation(vecs, dim, m)
+    // ranks: dims 0..3 tie on the comparator (same 3-level spread) ->
+    // dim order; constants tie at 0 -> dim order. Snake deal:
+    assert(perm.toSeq == Seq(0, 7, 8, 15, 1, 6, 9, 14, 2, 5, 10, 13,
+      3, 4, 11, 12), s"perm=${perm.toSeq}")
+    // permuted() projects position i from original dim perm(i)
+    val pvec = vecs.toDF("vec")
+      .select(Pq.permuted(col("vec"), perm).as("p"))
+      .as[Array[Double]].head()
+    assert(pvec.toSeq == perm.map(v81(0)).toSeq)
+    // error: train both arms identically, seeding each arm's init from
+    // the same three DATA vectors (v = 0/40/80 have all four digits at
+    // level j) sliced under that arm's layout — the same construction
+    // for both, so the comparison isolates the LAYOUT, not init luck
+    val raw = vecs.toDF("vec")
+    val pall = raw.select(Pq.permuted(col("vec"), perm).as("vec"))
+    def mkInit(pm: Array[Int]) = Pq.Codebooks(dim, m, Array.tabulate(m)(s =>
+      Array.tabulate(k)(j =>
+        Array.tabulate(dsub)(i => v81(40 * j)(pm(s * dsub + i))))))
+    def err(df: org.apache.spark.sql.DataFrame,
+            pm: Array[Int]): Double = {
+      val ds = df.as[Array[Double]]
+      val cb = Pq.train(ds, mkInit(pm), iters = 6)
+      Pq.reconstructionError(ds, cb)
+    }
+    val eRaw = err(raw, (0 until dim).toArray)
+    val eBal = err(pall, perm)
+    // balanced: each subspace is one 3-level digit + constants, k=3 ->
+    // Lloyd lands every centroid exactly on a level: error EXACTLY 0.
+    // contiguous: subspace 0 holds all 81 digit combos against 3
+    // centroids — irreducibly large.
+    assert(eBal == 0.0, s"balanced error $eBal != 0")
+    assert(eRaw > 1e6, s"contiguous error $eRaw unexpectedly small")
+  }
+
   test("codebook shape guards refuse") {
     intercept[IllegalArgumentException] { // dim not divisible
       Pq.Codebooks(10, 3, Array.fill(3)(Array.fill(2)(new Array[Double](3))))
