@@ -2820,6 +2820,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q114: trainable quality classifier (the DCLM/fastText-classifier
+    // discipline): distributed IRLS logistic regression fits a planted
+    // linear keep/drop rule over integer signal features (margin ≥ 0.5
+    // by the half-integer threshold), then the codegen'd decision
+    // column scores the corpus. The oracle re-derives the RULE — the
+    // confusion matrix is diagonal only if training reached 100%
+    // accuracy and every decision margin survived float accumulation.
+    "q114_quality_classifier" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          (col("doc_id") % 7).cast("double").as("x1"),
+          (col("doc_id") % 5).cast("double").as("x2"),
+          (col("doc_id") % 3).cast("double").as("x3"))
+        .withColumn("label",
+          (lit(2.0) * col("x1") - lit(3.0) * col("x2") + col("x3") > 2.5)
+            .cast("long"))
+      val m = graft.models.LogReg.train(docs, Seq("x1", "x2", "x3"),
+        "label", iters = 12, l2 = 1e-4)
+      docs.withColumn("pred",
+          graft.models.LogReg.decisionColumn(Seq("x1", "x2", "x3"), m))
+        .groupBy("label", "pred")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("label", "pred")
+    }),
+
     // q113: OPQ-lite variance-balanced dimension permutation (Ge 2013's
     // permutation-only special case) — dims rank by the integer
     // comparator n·Σx²−(Σx)² (order-equivalent to variance, exact on
@@ -5063,6 +5088,21 @@ object SparkEntry {
         |      FROM ex)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the rule on both axes: a diagonal confusion matrix — matches only
+    // if the trained classifier reproduces the planted rule exactly
+    "q114_quality_classifier" ->
+      """WITH labeled AS (
+        |  SELECT doc_id,
+        |         CASE WHEN 2.0 * (doc_id % 7) - 3.0 * (doc_id % 5)
+        |                   + (doc_id % 3) > 2.5
+        |              THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |)
+        |SELECT CAST(y AS BIGINT) AS label, CAST(y AS BIGINT) AS pred,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the OPQ-lite deal replayed: integer variance comparator per dim,
     // rank (desc, dim asc), snake-order subspace assignment, positions

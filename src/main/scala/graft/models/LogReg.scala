@@ -1,0 +1,177 @@
+package graft.models
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed L2-regularized logistic regression via IRLS (Newton-
+  * Raphson) — the trainable quality classifier: label a corpus slice by
+  * rules (or human/LLM judgments), fit p(keep | signals), score every
+  * document with one codegen'd column. The DCLM/fastText-classifier
+  * discipline with the 45-signal table as features.
+  *
+  * 100-TB shape: each iteration is ONE treeAggregate accumulating the
+  * penalized gradient (p+1 doubles) and Hessian ((p+1)² doubles) — rows
+  * never leave their partitions, the driver holds O(p²) state and solves
+  * a (p+1)-dim linear system. Newton converges quadratically, so
+  * `iters` is ~6-10 regardless of corpus size (vs hundreds of passes
+  * for first-order SGD — at 10^12 rows the pass count IS the cost).
+  * The L2 ridge keeps the Hessian positive-definite even on separable
+  * data (where unpenalized ML diverges).
+  *
+  * Determinism: per-row contributions are exact given the row, but the
+  * tree-merge order of double sums varies with partitioning — results
+  * agree across partitionings to float tolerance, not bit-identically
+  * (the honest contract for any float-accumulating distributed trainer;
+  * the spec pins a driver-sequential differential at 1e-8 and q114 pins
+  * the decisions, which are margin-stable).
+  */
+object LogReg {
+
+  /** `weights(0)` is the intercept; `weights(i)` pairs with the i-th
+    * feature column.
+    */
+  final case class Model(weights: Array[Double]) {
+    def p: Int = weights.length - 1
+  }
+
+  @inline private def sigmoid(z: Double): Double =
+    if (z >= 0) 1.0 / (1.0 + math.exp(-z))
+    else { val e = math.exp(z); e / (1.0 + e) } // no overflow for z << 0
+
+  /** Solve `A x = b` for symmetric positive-definite A by Gaussian
+    * elimination with partial pivoting (A, b are mutated). (p+1) ≤ a few
+    * dozen in any signal-table use — driver-trivial.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      require(math.abs(a(piv)(col)) > 1e-12, "singular normal equations")
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0) {
+          var c = col
+          while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+          b(r) -= f * b(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = b(i)
+      var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Fit p(label=1 | features). `labelCol` must be 0/1; rows with any
+    * NULL feature or label drop (counted upstream if the rate matters).
+    * Minimizes `−Σ log-lik + (l2/2)·‖w₁..p‖²` (intercept unpenalized,
+    * the standard convention).
+    */
+  def train(data: DataFrame, featCols: Seq[String], labelCol: String,
+            iters: Int = 8, l2: Double = 1e-3): Model = {
+    require(featCols.nonEmpty && iters > 0 && l2 >= 0)
+    val spark = data.sparkSession
+    import spark.implicits._
+    val p = featCols.length
+    val n = p + 1
+    val rows = data
+      .select((col(labelCol).cast("double") +:
+        featCols.map(c => col(c).cast("double"))): _*)
+      .na.drop()
+      .map(r => Array.tabulate(n)(i => r.getDouble(i))) // (y, x1..xp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var w = new Array[Double](n) // w(0) = intercept
+      var it = 0
+      while (it < iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        // acc layout: [0, n) gradient; [n, n + n*n) Hessian row-major
+        val acc = rows.rdd.treeAggregate(new Array[Double](n + n * n))(
+          seqOp = (a, row) => {
+            val wv = bw.value
+            val y = row(0)
+            var z = wv(0)
+            var i = 1
+            while (i < n) { z += wv(i) * row(i); i += 1 }
+            val mu = sigmoid(z)
+            val g = mu - y
+            val s = mu * (1.0 - mu)
+            // x(0) = 1 implicit
+            var r = 0
+            while (r < n) {
+              val xr = if (r == 0) 1.0 else row(r)
+              a(r) += g * xr
+              var c = 0
+              while (c < n) {
+                val xc = if (c == 0) 1.0 else row(c)
+                a(n + r * n + c) += s * xr * xc
+                c += 1
+              }
+              r += 1
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        bw.destroy()
+        val g = new Array[Double](p + 1)
+        val h = Array.ofDim[Double](n, n)
+        var r = 0
+        while (r < n) {
+          g(r) = acc(r) + (if (r > 0) l2 * w(r) else 0.0)
+          var c = 0
+          while (c < n) {
+            h(r)(c) = acc(n + r * n + c) + (if (r == c && r > 0) l2 else 0.0)
+            c += 1
+          }
+          r += 1
+        }
+        val delta = solve(h, g)
+        w = Array.tabulate(n)(i => w(i) - delta(i))
+        it += 1
+      }
+      Model(w)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** `p(label=1)` as a column — pure Catalyst arithmetic (codegen'd), no
+    * UDF: score 10^12 rows with the broadcast-free literal weights.
+    */
+  def scoreColumn(featCols: Seq[String], m: Model): Column = {
+    require(featCols.length == m.p, "feature arity")
+    val z = featCols.zipWithIndex.foldLeft(lit(m.weights(0))) {
+      case (acc, (c, i)) => acc + col(c).cast("double") * lit(m.weights(i + 1))
+    }
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The keep/drop decision at threshold 0.5 — sign of the linear score,
+    * exact where the margin is (no sigmoid rounding in the comparison).
+    */
+  def decisionColumn(featCols: Seq[String], m: Model): Column = {
+    require(featCols.length == m.p, "feature arity")
+    val z = featCols.zipWithIndex.foldLeft(lit(m.weights(0))) {
+      case (acc, (c, i)) => acc + col(c).cast("double") * lit(m.weights(i + 1))
+    }
+    (z > 0).cast("long")
+  }
+}

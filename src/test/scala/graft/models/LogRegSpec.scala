@@ -1,0 +1,135 @@
+package graft.models
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed IRLS logistic regression. Contracts:
+  *   - a linearly separable rule over integer features is recovered to
+  *     100% train accuracy (decisionColumn == the rule);
+  *   - the treeAggregate accumulation equals a driver-sequential IRLS
+  *     to float tolerance, across partitionings (the honest determinism
+  *     contract for a float-accumulating trainer);
+  *   - the L2 ridge shrinks weights monotonically;
+  *   - scoreColumn equals driver-side sigmoid; decisions are its 0.5
+  *     threshold;
+  *   - NULL-feature rows drop; collinear features at l2=0 refuse loudly
+  *     (singular normal equations) and fit fine at l2>0.
+  */
+class LogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-logreg-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val feats = Seq("x1", "x2", "x3")
+
+  /** the q114 construction: integer features, rule margin ≥ 0.5 */
+  private def planted(n: Int) = {
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until n).map { id =>
+      val (x1, x2, x3) = ((id % 7).toDouble, (id % 5).toDouble, (id % 3).toDouble)
+      val y = if (2 * x1 - 3 * x2 + x3 > 2.5) 1L else 0L
+      (id.toLong, x1, x2, x3, y)
+    }.toDF("id", "x1", "x2", "x3", "y")
+  }
+
+  test("recovers a separable rule to 100% train accuracy") {
+    val df = planted(500)
+    val m = LogReg.train(df, feats, "y", iters = 12, l2 = 1e-4)
+    val wrong = df.withColumn("pred", LogReg.decisionColumn(feats, m))
+      .filter(col("pred") =!= col("y")).count()
+    assert(wrong == 0, s"$wrong misclassified; w=${m.weights.toSeq}")
+    // the learned hyperplane points the right way
+    assert(m.weights(1) > 0 && m.weights(2) < 0 && m.weights(3) > 0,
+      m.weights.toSeq)
+  }
+
+  test("treeAggregate == driver-sequential IRLS to 1e-8, across " +
+    "partitionings") {
+    val df = planted(200)
+    // driver-side replica of the same math on the sorted rows
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getLong(4).toDouble,
+        Array(1.0, r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+    val l2 = 1e-3
+    var w = new Array[Double](4)
+    for (_ <- 0 until 8) {
+      val g = new Array[Double](4)
+      val h = Array.ofDim[Double](4, 4)
+      rows.foreach { case (y, x) =>
+        val z = (0 until 4).map(i => w(i) * x(i)).sum
+        val mu = sigmoid(z)
+        for (r <- 0 until 4) {
+          g(r) += (mu - y) * x(r)
+          for (c <- 0 until 4) h(r)(c) += mu * (1 - mu) * x(r) * x(c)
+        }
+      }
+      for (r <- 1 until 4) { g(r) += l2 * w(r); h(r)(r) += l2 }
+      // tiny Gaussian solve (no pivots needed for this PD system)
+      val a = h.map(_.clone()); val b = g.clone()
+      for (cI <- 0 until 4; r <- cI + 1 until 4) {
+        val f = a(r)(cI) / a(cI)(cI)
+        for (c <- cI until 4) a(r)(c) -= f * a(cI)(c)
+        b(r) -= f * b(cI)
+      }
+      val d = new Array[Double](4)
+      for (i <- 3 to 0 by -1)
+        d(i) = (b(i) - (i + 1 until 4).map(j => a(i)(j) * d(j)).sum) / a(i)(i)
+      w = Array.tabulate(4)(i => w(i) - d(i))
+    }
+    for (parts <- Seq(1, 4)) {
+      val m = LogReg.train(df.repartition(parts), feats, "y",
+        iters = 8, l2 = l2)
+      for (i <- 0 until 4)
+        assert(math.abs(m.weights(i) - w(i)) < 1e-8,
+          s"parts=$parts i=$i ${m.weights(i)} vs ${w(i)}")
+    }
+  }
+
+  test("L2 shrinks weights; score == driver sigmoid; nulls drop; " +
+    "collinearity refuses at l2=0 and fits at l2>0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = planted(300)
+    def norm(m: LogReg.Model) =
+      math.sqrt(m.weights.drop(1).map(x => x * x).sum)
+    val loose = LogReg.train(df, feats, "y", iters = 10, l2 = 1e-4)
+    val tight = LogReg.train(df, feats, "y", iters = 10, l2 = 10.0)
+    assert(norm(tight) < norm(loose))
+    // scoreColumn == driver sigmoid
+    val m = loose
+    val got = df.select(col("x1"), col("x2"), col("x3"),
+      LogReg.scoreColumn(feats, m).as("s")).collect()
+    got.foreach { r =>
+      val z = m.weights(0) + m.weights(1) * r.getDouble(0) +
+        m.weights(2) * r.getDouble(1) + m.weights(3) * r.getDouble(2)
+      assert(math.abs(r.getDouble(3) - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+    }
+    // a NULL feature row drops: same model as without it
+    val withNull = df.unionByName(
+      Seq((999L, null.asInstanceOf[java.lang.Double], 1.0, 1.0, 1L))
+        .toDF("id", "x1", "x2", "x3", "y")
+        .select(col("id"), col("x1").cast("double"), col("x2"), col("x3"),
+          col("y")))
+    val m2 = LogReg.train(withNull, feats, "y", iters = 10, l2 = 1e-4)
+    for (i <- 0 to 3)
+      assert(math.abs(m2.weights(i) - m.weights(i)) < 1e-12)
+    // x3 duplicated as x4: singular at l2=0, fine at l2>0
+    val dup = df.withColumn("x4", col("x3"))
+    val e = intercept[IllegalArgumentException] {
+      LogReg.train(dup, feats :+ "x4", "y", iters = 3, l2 = 0.0)
+    }
+    assert(e.getMessage.contains("singular"))
+    val ridge = LogReg.train(dup, feats :+ "x4", "y", iters = 8, l2 = 0.1)
+    assert(ridge.weights.forall(w => !w.isNaN && !w.isInfinite))
+  }
+}
