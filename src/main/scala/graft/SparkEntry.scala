@@ -2820,6 +2820,55 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q115: IVF-PQ over the CATALOG — the composition the scaladoc
+    // promises at 10^12 rows: codes land identity-partitioned by cell,
+    // the query's probe set routes through prunedSnapshots (require-
+    // pinned: exactly the probed cells' partitions, nothing else), and
+    // adcTopKIvf runs over the pruned read. Same closed-form construction
+    // as q110, so the oracle is IDENTICAL — the result must not change
+    // because storage pruning replaced the full scan.
+    "q115_ivfpq_catalog" -> ((s, dir) => {
+      import s.implicits._
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 16)).as("vec"))
+      val coarse = Array.tabulate(4)(c => Array.fill(64)((5 * c - 8).toDouble))
+      val cb = graft.similarity.Pq.Codebooks(64, 8,
+        Array.fill(8)(Array.tabulate(16)(j =>
+          Array.fill(8)((j - 8).toDouble))))
+      val codes = graft.similarity.Pq.encodeIvf(emb, "vec_id", "vec",
+        coarse, cb)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_cat")
+      val out =
+        try {
+          val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
+          cat.setPartitionSpec("codes",
+            graft.pipeline.Transforms.Spec("identity", "cell"))
+          cat.commitPartitioned("codes", codes, Seq("id"))
+          val queries = emb.filter(col("vec_id") < 3)
+          val probed = queries.select("vec").as[Array[Double]].collect()
+            .flatMap(graft.similarity.Pq.probeCells(_, coarse, 2))
+            .distinct.sorted
+          val pred = col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)
+          require(cat.prunedSnapshots("codes", pred).map(_.key).sorted ==
+            probed.map(_.toString).toSeq,
+            "the probe set must route to exactly its cells' partitions")
+          graft.similarity.Pq.adcTopKIvf(queries, "vec_id", "vec",
+              cat.readTableWhere("codes", pred), coarse, cb,
+              nProbe = 2, topK = 10)
+            .select(col("query_id"), col("rank"),
+              col("id").as("vec_id"),
+              col("adc_dist").cast("long").as("adc_dist"))
+            .orderBy("query_id", "rank")
+            .collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+            .toDF("query_id", "rank", "vec_id", "adc_dist")
+            .orderBy("query_id", "rank")
+        } finally sweepDir(tmp)
+      out
+    }),
+
     // q114: trainable quality classifier (the DCLM/fastText-classifier
     // discipline): distributed IRLS logistic regression fits a planted
     // linear keep/drop rule over integer signal features (margin ≥ 0.5
@@ -3143,7 +3192,8 @@ object SparkEntry {
     finally in.close()
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
 
     "q01_text_stats" ->
       s"""WITH $cte, $wordsCte
@@ -5169,7 +5219,12 @@ object SparkEntry {
          |       CAST(length(doc) AS BIGINT) AS n_chars,
          |       sha256(doc) AS doc_sha256
          |FROM agg ORDER BY repo""".stripMargin
-  )
+    )
+    // q115 is q110's construction behind the catalog's partition
+    // pruning — the result must be indistinguishable from the full
+    // scan, so the oracle IS q110's
+    base + ("q115_ivfpq_catalog" -> base("q110_ivfpq_adc"))
+  }
 
   private def embedNearDupOracle(capped: Boolean): String =
     s"""WITH e AS (

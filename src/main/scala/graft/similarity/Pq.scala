@@ -345,9 +345,13 @@ object Pq {
     best
   }
 
-  /** The query's `nProbe` nearest cells by (distance asc, cell asc). */
-  private def probeCells(v: Array[Double], coarse: Array[Array[Double]],
-                         nProbe: Int): Array[Int] =
+  /** The query's `nProbe` nearest cells by (distance asc, cell asc) —
+    * public so callers can push the probe set into STORAGE pruning (an
+    * identity-partitioned codes table opens only probed cells' files;
+    * q115 pins that composition end-to-end).
+    */
+  def probeCells(v: Array[Double], coarse: Array[Array[Double]],
+                 nProbe: Int): Array[Int] =
     coarse.indices.map(c => (fullDist(v, coarse(c)), c))
       .sorted.take(nProbe).map(_._2).toArray
 
@@ -405,10 +409,12 @@ object Pq {
     require(nProbe > 0 && nProbe <= coarse.length, s"nProbe $nProbe")
     val spark = codes.sparkSession
     import spark.implicits._
+    // limit BEFORE collect — the adcTopK guard discipline
     val qs = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .limit(maxQueries + 1)
       .as[(Long, Array[Double])].collect()
     require(qs.length <= maxQueries,
-      s"${qs.length} queries > maxQueries=$maxQueries: per-cell ADC tables " +
+      s"over $maxQueries queries (maxQueries): per-cell ADC tables " +
         "broadcast per query — batch the query set or raise the cap")
     // cell -> [(qid, residual ADC table)]
     val byCell: Map[Int, Array[(Long, Array[Array[Double]])]] =
@@ -458,10 +464,14 @@ object Pq {
               maxQueries: Int = 1024): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
+    // limit BEFORE collect: the guard must fire from the plan, not after
+    // an unbounded driver materialization (a 10^9-row query set would
+    // OOM the driver before a post-collect require could refuse)
     val qs = queries.select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .limit(maxQueries + 1)
       .as[(Long, Array[Double])].collect()
     require(qs.length <= maxQueries,
-      s"${qs.length} queries > maxQueries=$maxQueries: ADC tables broadcast " +
+      s"over $maxQueries queries (maxQueries): ADC tables broadcast " +
         "per query — batch the query set or raise the cap with a budget")
     val tables = qs.map { case (qid, qv) => (qid, adcTable(qv, cb)) }
     val bc = spark.sparkContext.broadcast(tables)
