@@ -2820,6 +2820,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // q116: unigram-LM tokenizer (SentencePiece model_type=unigram,
+    // Kudo 2018) — the OTHER tokenizer family beside BPE: distributed
+    // EM over segmentation lattices (one treeAggregate per iteration),
+    // prune, Viterbi encode. Construction corpus 'ab'·(1+id%3) ++
+    // 'cd'·(1+id%2): EM concentrates on the planted pieces, so per-doc
+    // token counts and segmentation lengths are closed-form — the
+    // oracle matches only if EVERY word Viterbi-segments into the
+    // planted 2-char pieces.
+    "q116_unigram_tokenizer" -> ((s, dir) => {
+      import s.implicits._
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, "ab" * (1 + (id % 3)).toInt + "cd" * (1 + (id % 2)).toInt)
+        }.toDF("doc_id", "word")
+      val m = graft.text.Unigram.train(words.select("word").as[String],
+        maxPieceLen = 2, maxVocab = 64, targetVocab = 8,
+        minFreq = 2L, iters = 6)
+      val bc = s.sparkContext.broadcast(m)
+      words.as[(Long, String)]
+        .map { case (id, w) =>
+          val toks = graft.text.Unigram.encodeWord(w, bc.value)
+          (id, toks.length.toLong, toks.mkString("|"))
+        }.toDF("doc_id", "n_toks", "seg")
+        .groupBy(col("n_toks").as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("seg"))).as("seg_chars"))
+        .orderBy("n_tokens")
+    }),
+
     // q115: IVF-PQ over the CATALOG — the composition the scaladoc
     // promises at 10^12 rows: codes land identity-partitioned by cell,
     // the query's probe set routes through prunedSnapshots (require-
@@ -5138,6 +5168,21 @@ object SparkEntry {
         |      FROM ex)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the planted segmentation in closed form: n tokens of 2 chars
+    // joined by '|' — seg length 3n−1; matches only if Viterbi picked
+    // the planted pieces for every word
+    "q116_unigram_tokenizer" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         (1 + doc_id % 3) + (1 + doc_id % 2) AS n
+        |  FROM documents
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(3 * n - 1) AS BIGINT) AS seg_chars
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the rule on both axes: a diagonal confusion matrix — matches only
     // if the trained classifier reproduces the planted rule exactly

