@@ -2944,6 +2944,38 @@ object SparkEntry {
         .orderBy("pos")
     }),
 
+    // q117: The Stack-style code-provenance filters (license routing,
+    // auto-generated detection, minified/data heuristics) — the code
+    // counterpart of the web-text signal set. Construction plants SPDX
+    // tags / license phrases (doc_id % 13), generator banners (% 17),
+    // and a 1200-char minified line (% 19) on top of CodeFiles; the
+    // oracle replants identically and re-runs the rule tables rendered
+    // to SQL from the SAME Scala constants (CodeProvenance.oracleSql) —
+    // rule drift between engines is impossible by construction. All
+    // stats integer-exact; one codegen'd map-only pass, no shuffle.
+    "q117_code_provenance" -> ((s, dir) => {
+      val planted = CodeFiles(s, dir).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 13 === 0,
+            lit("// SPDX-License-Identifier: MIT\n"))
+            .when(col("doc_id") % 13 === 1,
+              lit("/* Licensed under the Apache License, Version 2.0 */\n"))
+            .when(col("doc_id") % 13 === 2,
+              lit("// This file is free software: GNU General Public License.\n"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit("// @generated by graftgen -- DO NOT EDIT\n"))
+            .otherwise(lit("")),
+          col("content"),
+          when(col("doc_id") % 19 === 0,
+            concat(lit("\n"), repeat(lit("a+b;"), 300))).otherwise(lit(""))
+        ).as("content"))
+      graft.pipeline.CodeProvenance.annotate(planted, "content")
+        .drop("content")
+        .orderBy("doc_id")
+    }),
+
     // q111: repo-level context packing (the StarCoder/DeepSeek-Coder
     // step downstream of the quality filter): each repo's files
     // concatenate into one training document in path order under a
@@ -5239,6 +5271,32 @@ object SparkEntry {
     // lengths (default RANGE frame — the same tie semantics the engine
     // documents), kept-prefix string_agg in path order, sha256 of the
     // document bytes
+    // q117: replant the construction (SPDX / license phrases / generator
+    // banner / minified line) and re-derive every provenance column from
+    // CodeProvenance's OWN rule tables rendered to SQL — the single
+    // source of truth both engines execute.
+    "q117_code_provenance" ->
+      s"""WITH $cte, planted AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 13 = 0
+         |            THEN '// SPDX-License-Identifier: MIT' || chr(10)
+         |          WHEN doc_id % 13 = 1
+         |            THEN '/* Licensed under the Apache License, Version 2.0 */' || chr(10)
+         |          WHEN doc_id % 13 = 2
+         |            THEN '// This file is free software: GNU General Public License.' || chr(10)
+         |          ELSE '' END)
+         |    || (CASE WHEN doc_id % 17 = 0
+         |              THEN '// @generated by graftgen -- DO NOT EDIT' || chr(10)
+         |              ELSE '' END)
+         |    || content
+         |    || (CASE WHEN doc_id % 19 = 0
+         |              THEN chr(10) || repeat('a+b;', 300) ELSE '' END)
+         |      AS content
+         |  FROM code_files
+         |)
+         |SELECT doc_id, ${graft.pipeline.CodeProvenance.oracleSql("content")}
+         |FROM planted ORDER BY doc_id""".stripMargin,
+
     "q111_repo_pack" ->
       s"""WITH $cte,
          |costed AS (
