@@ -1,0 +1,245 @@
+package graft.scrub
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Aho-Corasick multi-pattern literal matching (Aho & Corasick 1975) — the
+  * scale path for large phrase blocklists. The reference's blocklist
+  * signals are token-membership sets (SignalPass's len-bucketed sets);
+  * phrase lists (LDNOOBW multi-word entries, UT1 expression files) need
+  * SUBSTRING matching, and the naive forms don't survive scale: a regex
+  * alternation of 10^5 literals is O(|patterns|) per position (or blows up
+  * the compiler), while per-pattern `contains` loops re-scan the text
+  * |patterns| times. The automaton is built ONCE driver-side
+  * (O(total pattern chars)), broadcast, and each row is a SINGLE pass
+  * (O(chars + matches)) regardless of pattern count — the per-row cost at
+  * 10^12 files is independent of how big the blocklist grows.
+  *
+  * Matching is case-sensitive over UTF-16 char sequences; two well-formed
+  * strings are char-equal iff codepoint-equal, so counts agree with any
+  * codepoint-based engine. [[AhoCorasick.counts]] counts ALL occurrences
+  * (overlapping included — the automaton's natural semantics);
+  * [[AhoCorasick.mask]] replaces the leftmost-longest non-overlapping
+  * cover. For BORDERLESS patterns (no proper prefix that is also a
+  * suffix) all-occurrences == non-overlapping count, which is what makes
+  * the DuckDB `replace`-arithmetic oracle exact.
+  */
+final class AhoCorasick private (
+    val patterns: Array[String],
+    next: Array[mutable.HashMap[Char, Int]],
+    fail: Array[Int],
+    out: Array[Array[Int]]) extends Serializable {
+
+  private def step(state0: Int, c: Char): Int = {
+    var st = state0
+    while (st != 0 && !next(st).contains(c)) st = fail(st)
+    next(st).getOrElse(c, 0)
+  }
+
+  /** Per-pattern occurrence counts (all occurrences, one text pass). */
+  def counts(text: String): Array[Long] = {
+    val n = new Array[Long](patterns.length)
+    var st = 0
+    var i = 0
+    while (i < text.length) {
+      st = step(st, text.charAt(i))
+      val os = out(st)
+      var j = 0
+      while (j < os.length) { n(os(j)) += 1; j += 1 }
+      i += 1
+    }
+    n
+  }
+
+  /** All matches as (patternIdx, startCharIdx) — one pass. */
+  private def allMatches(text: String): mutable.ArrayBuffer[(Int, Int)] = {
+    val ms = mutable.ArrayBuffer.empty[(Int, Int)]
+    var st = 0
+    var i = 0
+    while (i < text.length) {
+      st = step(st, text.charAt(i))
+      val os = out(st)
+      var j = 0
+      while (j < os.length) {
+        ms += ((os(j), i - patterns(os(j)).length + 1)); j += 1
+      }
+      i += 1
+    }
+    ms
+  }
+
+  /** Leftmost-longest non-overlapping masking: scan matches by (start asc,
+    * length desc), greedily keep non-overlapping ones, splice `tag` over
+    * each kept span. Deterministic for any pattern set.
+    */
+  def mask(text: String, tag: String): String = {
+    val ms = allMatches(text)
+    if (ms.isEmpty) return text
+    val ordered = ms.sortBy { case (p, s) => (s, -patterns(p).length) }
+    val sb = new java.lang.StringBuilder(text.length)
+    var cursor = 0
+    for ((p, s) <- ordered if s >= cursor) {
+      sb.append(text, cursor, s).append(tag)
+      cursor = s + patterns(p).length
+    }
+    sb.append(text, cursor, text.length)
+    sb.toString
+  }
+}
+
+object AhoCorasick {
+
+  /** Trie + BFS failure links; each node's output list is merged with its
+    * fail target's at build time, so matching never walks fail chains for
+    * output. Duplicate patterns are rejected loudly (their counts would
+    * be indistinguishable).
+    */
+  def build(patterns: Seq[String]): AhoCorasick = {
+    require(patterns.nonEmpty, "empty pattern list")
+    require(patterns.forall(_.nonEmpty), "empty-string pattern")
+    require(patterns.distinct.size == patterns.size,
+      "duplicate patterns: " +
+        patterns.diff(patterns.distinct).distinct.mkString(", "))
+    val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    val outB = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var st = 0
+      p.foreach { c =>
+        st = next(st).getOrElseUpdate(c, {
+          next += mutable.HashMap.empty[Char, Int]
+          outB += Nil
+          next.size - 1
+        })
+      }
+      outB(st) = pi :: outB(st)
+    }
+    val fail = new Array[Int](next.size)
+    val q = mutable.Queue.empty[Int]
+    next(0).values.foreach { s => fail(s) = 0; q += s }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      next(u).foreach { case (c, v) =>
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        fail(v) = if (next(f).contains(c) && next(f)(c) != v) next(f)(c) else 0
+        outB(v) = outB(v) ++ outB(fail(v))
+        q += v
+      }
+    }
+    new AhoCorasick(patterns.toArray, next.toArray, fail, outB.map(_.toArray).toArray)
+  }
+}
+
+/** DataFrame surface: broadcast-automaton scans, map-only. */
+object MultiPattern {
+
+  /** Per-doc rollup: `(id, n_matches, n_patterns, masked, masked_len)` —
+    * total occurrences, distinct patterns hit, and the leftmost-longest
+    * masked text. One automaton pass for counts + one for masking per row;
+    * no shuffle (spec-pinned).
+    */
+  def annotate(docs: Dataset[(Long, String)], patterns: Seq[String],
+               tag: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(AhoCorasick.build(patterns))
+    docs.mapPartitions { it =>
+      val ac = bc.value
+      it.map { case (id, text) =>
+        val c = ac.counts(text)
+        (id, c.sum, c.count(_ > 0).toLong, ac.mask(text, tag))
+      }
+    }.toDF("id", "n_matches", "n_patterns", "masked")
+      .withColumn("masked_len", length(col("masked")).cast("long"))
+  }
+
+  /** Corpus-wide totals per pattern via ONE treeAggregate —
+    * `(pattern, docs_hit, total_matches)`. The partial state is
+    * 2×|patterns| longs (map-side combinable); text never shuffles and the
+    * driver holds only the final vector, so the shape survives 10^12 rows
+    * with a 10^5-entry blocklist.
+    */
+  def corpusTotals(docs: Dataset[(Long, String)],
+                   patterns: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(AhoCorasick.build(patterns))
+    val n = patterns.size
+    val zero = (new Array[Long](n), new Array[Long](n))
+    val (hits, docsHit) = docs.rdd.treeAggregate(zero)(
+      seqOp = { case ((h, d), (_, text)) =>
+        val c = bc.value.counts(text)
+        var i = 0
+        while (i < c.length) {
+          h(i) += c(i); if (c(i) > 0) d(i) += 1; i += 1
+        }
+        (h, d)
+      },
+      combOp = { case ((h1, d1), (h2, d2)) =>
+        var i = 0
+        while (i < h1.length) { h1(i) += h2(i); d1(i) += d2(i); i += 1 }
+        (h1, d1)
+      })
+    spark.createDataset(patterns.indices.map(i =>
+        (patterns(i), docsHit(i), hits(i))))
+      .toDF("pattern", "docs_hit", "total_matches")
+  }
+
+  /** DuckDB occurrence count of literal `p` in `contentExpr` — the
+    * replace-length arithmetic, exact for borderless patterns (equal to
+    * the automaton's all-occurrence count because borderless patterns
+    * cannot self-overlap). Escapes single quotes.
+    */
+  def countSql(contentExpr: String, p: String): String = {
+    val q = sqlLit(p)
+    s"CAST((length($contentExpr) - length(replace($contentExpr, $q, ''))) " +
+      s"/ length($q) AS BIGINT)"
+  }
+
+  /** DuckDB masking as sequential per-pattern replace — equal to the
+    * automaton's leftmost-longest mask whenever no two patterns can
+    * overlap in any text (no suffix of one equals a prefix of another, no
+    * pattern nested in another, all borderless) and the tag shares no
+    * characters with any pattern. [[assertReplaceOracleSafe]] checks those
+    * conditions mechanically; call it before trusting this rendering.
+    */
+  def maskSql(contentExpr: String, patterns: Seq[String], tag: String): String =
+    patterns.foldLeft(contentExpr)((e, p) =>
+      s"replace($e, ${sqlLit(p)}, ${sqlLit(tag)})")
+
+  /** Mechanical check of the conditions under which [[maskSql]] and
+    * [[countSql]] are exact oracles for the automaton semantics; throws
+    * naming the violated condition. The theorem: with (1) every pattern
+    * borderless (no self-overlap, so replace's non-overlapping count =
+    * all-occurrence count), (2) no pattern nested in another and no
+    * suffix of one a prefix of another (occurrences of different patterns
+    * can never overlap in ANY text, so the match cover is unique and
+    * order-independent), and (3) the tag unable to take part in a match —
+    * no pattern contains the tag's first char (blocks any match covering
+    * a tag's start), no pattern starts with a proper suffix of the tag
+    * (blocks matches beginning inside a tag), no pattern a substring of
+    * the tag — sequential whole-string replaces in any order equal the
+    * automaton's leftmost-longest mask, in every text.
+    */
+  def assertReplaceOracleSafe(patterns: Seq[String], tag: String): Unit = {
+    def borders(p: String): Boolean =
+      (1 until p.length).exists(k => p.substring(0, k) == p.substring(p.length - k))
+    for (p <- patterns) {
+      require(!borders(p), s"pattern has a border (can self-overlap): '$p'")
+      require(!p.contains(tag.charAt(0)),
+        s"pattern contains the tag's first char: '$p'")
+      require(!tag.contains(p), s"pattern '$p' is a substring of the tag")
+      require(!(1 until tag.length).exists(k => p.startsWith(tag.substring(k))),
+        s"pattern '$p' starts with a suffix of the tag")
+    }
+    for (a <- patterns; b <- patterns if a != b) {
+      require(!a.contains(b), s"pattern '$b' nested in '$a'")
+      require(!(1 until math.min(a.length, b.length + 1)).exists(k =>
+          a.substring(a.length - k) == b.substring(0, math.min(k, b.length))),
+        s"suffix of '$a' is a prefix of '$b' (cross-overlap possible)")
+    }
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+}

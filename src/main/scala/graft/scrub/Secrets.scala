@@ -1,0 +1,152 @@
+package graft.scrub
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Stack / BigCode-style secrets detection + scrubbing for source-code
+  * corpora (public recipe: The Stack, arXiv 2211.15533 §2.3 "PII and
+  * secrets"; detect-secrets' published regex families). PII scrubbing for
+  * prose ([[Scrubber]]) masks emails/IPs/phones; a CODE corpus leaks a
+  * different class — cloud credentials, OAuth tokens, private-key blocks,
+  * and hardcoded `password = "…"` assignments — and shipping them into a
+  * training set is the highest-severity filter failure, so the rules are
+  * a first-class gate next to [[graft.pipeline.CodeProvenance]].
+  *
+  * Everything is pure Catalyst (codegen'd `regexp_count`/`regexp_replace`,
+  * no UDF, no shuffle — one map-only pass). Every pattern is written in
+  * the RE2-compatible subset of Java regex (no lookaround, no pattern
+  * backreference — which is why the quoted-assignment rule is split into
+  * a double-quote and a single-quote variant instead of a `(["'])…\3`
+  * backreference), so DuckDB executes the IDENTICAL pattern text;
+  * [[oracleSql]] renders the same rule table, making rule drift between
+  * the Spark path and the oracle impossible by construction. Counts are
+  * taken per rule on the ORIGINAL text (independent, order-free);
+  * scrubbing applies the rules sequentially in table order (order is part
+  * of the spec: the private-key block masks first so its body can't
+  * re-match the narrower token rules).
+  *
+  * Replacement-syntax note: group references are `$1` in Java/Spark and
+  * `\1` in DuckDB's RE2 — [[Rule.repl]] stores the Java form and
+  * [[duckRepl]] converts mechanically. Tags contain no `$`, `\`, or
+  * pattern-matchable material (spec-pinned idempotence: scrubbing a
+  * scrubbed text is the identity).
+  */
+object Secrets {
+
+  /** One detection rule: `pattern` is RE2-compatible Java regex text,
+    * `repl` the Java-syntax replacement (group refs as `$N`).
+    */
+  final case class Rule(name: String, pattern: String, repl: String)
+
+  /** ASCII-case-insensitive literal as explicit char classes — engine-
+    * independent by construction (no folding semantics involved).
+    */
+  private[scrub] def ci(s: String): String =
+    s.map { ch =>
+      if (ch.isLetter) s"[${ch.toUpper}${ch.toLower}]" else ch.toString
+    }.mkString
+
+  /** `(password|passwd|secret|api[_-]?key|auth[_-]?token|access[_-]?token)`
+    * with every letter an explicit two-case class; group 1 of both assign
+    * rules.
+    */
+  private[scrub] val CredentialKeyPattern: String =
+    "(" + Seq(
+      ci("password"), ci("passwd"), ci("secret"),
+      ci("api") + "[_-]?" + ci("key"),
+      ci("auth") + "[_-]?" + ci("token"),
+      ci("access") + "[_-]?" + ci("token")).mkString("|") + ")"
+
+  /** Ordered rule table — order is the scrub application order. */
+  final val Rules: Seq[Rule] = Seq(
+    // A full PEM block (header…footer, non-greedy across lines) masks as
+    // one unit BEFORE token rules so its base64 body can't partial-match.
+    Rule("private_key",
+      "-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----",
+      "<PRIVATE_KEY>"),
+    // AWS access key id: fixed AKIA prefix + exactly 16 upper-alnum,
+    // word-bounded both sides (a 17th trailing alnum char kills the match
+    // — fixed {16} means neither engine can backtrack into a shorter hit).
+    Rule("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "<AWS_KEY>"),
+    // GitHub tokens (classic + fine-grained prefixes): ghp_/gho_/ghu_/
+    // ghs_/ghr_ + exactly 36 alnum.
+    Rule("gh_token", "\\bgh[pousr]_[A-Za-z0-9]{36}\\b", "<GH_TOKEN>"),
+    // Slack tokens: xox[baprs]- then 8-46 of [alnum-] ending on an alnum
+    // (the explicit final class keeps `\b` well-defined — a trailing `-`
+    // has no word boundary).
+    Rule("slack_token", "\\bxox[baprs]-[0-9A-Za-z-]{8,46}[0-9A-Za-z]\\b",
+      "<SLACK_TOKEN>"),
+    // JWT: three base64url segments; eyJ is base64("{\") — the constant
+    // prefix every JSON-header JWT starts with.
+    Rule("jwt",
+      "\\beyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}\\b",
+      "<JWT>"),
+    // Hardcoded credential assignments: keep the key and separator
+    // (groups 1-2), mask only the quoted value. Split by quote kind —
+    // RE2 has no pattern backreference to pin matching quotes. Case
+    // insensitivity is spelled as explicit [Pp][Aa]… classes instead of
+    // `(?i)`: Java's flag folds ASCII only while RE2's folds Unicode
+    // (U+212A KELVIN SIGN → k, U+017F LONG S → s), and that divergence
+    // would break oracle exactness on adversarial text. Similarly the
+    // separator class is the explicit `[ \t]*` — Java's `\s` includes
+    // \x0B where RE2's does not.
+    Rule("assign_dq",
+      s"\\b$CredentialKeyPattern([ \\t]*[:=][ \\t]*)\"[^\"\\n]{6,64}\"",
+      "$1$2\"<SECRET>\""),
+    Rule("assign_sq",
+      s"\\b$CredentialKeyPattern([ \\t]*[:=][ \\t]*)'[^'\\n]{6,64}'",
+      "$1$2'<SECRET>'"))
+
+  /** Sequential scrub in rule order — a fold of codegen'd regexp_replace. */
+  def scrubCol(c: Column): Column =
+    Rules.foldLeft(c)((acc, r) => regexp_replace(acc, lit(r.pattern), lit(r.repl)))
+
+  /** Annotate: per-rule occurrence counts on the original text
+    * (`n_<rule>`), `n_secret_hits` (total), `has_secret`, the scrubbed
+    * text, and `len_delta` (chars removed net of tags). Map-only;
+    * spec-pinned shuffle-free.
+    */
+  def annotate(df: DataFrame, contentCol: String): DataFrame = {
+    val c = col(contentCol)
+    val counted = Rules.foldLeft(df)((acc, r) =>
+      acc.withColumn(s"n_${r.name}",
+        regexp_count(c, lit(r.pattern)).cast("long")))
+    counted
+      .withColumn("n_secret_hits",
+        Rules.map(r => col(s"n_${r.name}")).reduce(_ + _))
+      .withColumn("has_secret", col("n_secret_hits") > 0)
+      .withColumn("scrubbed", scrubCol(c))
+      .withColumn("len_delta",
+        (length(c) - length(col("scrubbed"))).cast("long"))
+  }
+
+  /** Java `$N` replacement → DuckDB/RE2 `\N`. Tags contain no other
+    * metacharacters (no literal `$` or `\` — enforced at build).
+    */
+  private def duckRepl(repl: String): String = {
+    require(!repl.contains("\\"), s"literal backslash in repl: $repl")
+    repl.replaceAll("\\$([0-9])", "\\\\$1")
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB rendering of [[annotate]]'s columns (same names, same rule
+    * table): per-rule `len(regexp_extract_all(...))` counts, the
+    * sequential `regexp_replace(..., 'g')` fold, and the decision/total
+    * columns. Splice after `SELECT doc_id, `.
+    */
+  def oracleSql(contentExpr: String): String = {
+    val counts = Rules.map(r =>
+      s"CAST(len(regexp_extract_all($contentExpr, ${sqlLit(r.pattern)})) " +
+        s"AS BIGINT) AS n_${r.name}")
+    val scrubbed = Rules.foldLeft(contentExpr)((acc, r) =>
+      s"regexp_replace($acc, ${sqlLit(r.pattern)}, ${sqlLit(duckRepl(r.repl))}, 'g')")
+    val total = Rules.map(r => s"n_${r.name}").mkString(" + ")
+    (counts :+
+      s"CAST($total AS BIGINT) AS n_secret_hits" :+
+      s"($total) > 0 AS has_secret" :+
+      s"sha256($scrubbed) AS scrubbed_sha256" :+
+      s"CAST(length($contentExpr) - length($scrubbed) AS BIGINT) AS len_delta")
+      .mkString(",\n  ")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.scrub
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Aho-Corasick correctness: differential fuzz against a naive O(n·m)
+  * scanner (all occurrences, overlapping included), the classic
+  * suffix-link example, leftmost-longest masking edges, the
+  * replace-oracle-safety theorem checks, and the distributed surfaces
+  * (annotate plan shape; corpusTotals ≡ relational rollup).
+  */
+class MultiPatternSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-multipattern-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** All (incl. overlapping) occurrences of p in t. */
+  private def naiveCount(t: String, p: String): Long = {
+    var n = 0L
+    var i = t.indexOf(p)
+    while (i >= 0) { n += 1; i = t.indexOf(p, i + 1) }
+    n
+  }
+
+  test("counts: classic suffix-link set he/she/his/hers") {
+    val ac = AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    val c = ac.counts("ushers and his shesheshe")
+    assert(c.toSeq == Seq(
+      naiveCount("ushers and his shesheshe", "he"),
+      naiveCount("ushers and his shesheshe", "she"),
+      naiveCount("ushers and his shesheshe", "his"),
+      naiveCount("ushers and his shesheshe", "hers")))
+    assert(c(0) == 4 && c(1) == 4 && c(2) == 1 && c(3) == 1)
+  }
+
+  test("counts: differential fuzz vs naive scanner, overlapping included") {
+    val rng = new scala.util.Random(4242)
+    for (round <- 0 until 200) {
+      val alpha = "ab" + (if (round % 2 == 0) "c" else "")
+      val pats = (0 until (1 + rng.nextInt(6))).map(_ =>
+          (0 until (1 + rng.nextInt(4)))
+            .map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+        .distinct
+      val text = (0 until rng.nextInt(200))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      val ac = AhoCorasick.build(pats)
+      val got = ac.counts(text).toSeq
+      val want = pats.map(naiveCount(text, _))
+      assert(got == want, s"round $round pats=$pats text=$text")
+    }
+  }
+
+  test("mask: leftmost-longest, adjacency, astral text") {
+    val ac = AhoCorasick.build(Seq("he", "she", "hers"))
+    // she@0 wins (leftmost); hers@1/he@1 overlap it and are skipped
+    assert(ac.mask("shers", "<T>") == "<T>rs")
+    // longest at equal start: hers beats he
+    assert(ac.mask("xhersx", "<T>") == "x<T>x")
+    // adjacent matches both mask
+    assert(ac.mask("sheshe", "<T>") == "<T><T>")
+    // no match → identity (same instance)
+    assert(ac.mask("zzz", "<T>") == "zzz")
+    // astral chars around matches survive untouched
+    val ac2 = AhoCorasick.build(Seq("lorem ipsum"))
+    assert(ac2.mask("𝔘𝔫𝔦 lorem ipsum １２", "<X>") == "𝔘𝔫𝔦 <X> １２")
+  }
+
+  test("mask: differential vs sequential replace on a safe pattern set") {
+    val pats = Seq("lorem ipsum", "to be continued", "A clean line of prose",
+      "Contact user", "@example.org")
+    MultiPattern.assertReplaceOracleSafe(pats, "<PAT>")
+    val ac = AhoCorasick.build(pats)
+    val rng = new scala.util.Random(7)
+    val fill = Seq(" x ", "word", "\n", "user7", "prose", "lorem", "Contact")
+    for (_ <- 0 until 300) {
+      val t = (0 until rng.nextInt(12)).map(_ =>
+        if (rng.nextBoolean()) pats(rng.nextInt(pats.size))
+        else fill(rng.nextInt(fill.size))).mkString
+      val seq = pats.foldLeft(t)((s, p) => s.replace(p, "<PAT>"))
+      assert(ac.mask(t, "<PAT>") == seq, s"text=$t")
+      val total = ac.counts(t).sum
+      val viaReplace = pats.map(p =>
+        (t.length - t.replace(p, "").length) / p.length).sum
+      assert(total == viaReplace, s"count mismatch on $t")
+    }
+  }
+
+  test("assertReplaceOracleSafe rejects each unsafe shape, names it") {
+    def msg(f: => Unit): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(MultiPattern.assertReplaceOracleSafe(Seq("aa"), "<T>"))
+      .contains("border"))
+    assert(msg(MultiPattern.assertReplaceOracleSafe(Seq("he", "hers"), "<T>"))
+      .contains("nested"))
+    assert(msg(MultiPattern.assertReplaceOracleSafe(Seq("abc", "cab"), "<T>"))
+      .contains("cross-overlap"))
+    assert(msg(MultiPattern.assertReplaceOracleSafe(Seq("a<b"), "<T>"))
+      .contains("first char"))
+    assert(msg(MultiPattern.assertReplaceOracleSafe(Seq("T>x"), "<T>"))
+      .contains("suffix of the tag"))
+    // and the q118 production set passes
+    MultiPattern.assertReplaceOracleSafe(graft.SparkEntry.MultiPatternList,
+      graft.SparkEntry.MultiPatternTag)
+  }
+
+  test("build rejects empty and duplicate patterns loudly") {
+    intercept[IllegalArgumentException](AhoCorasick.build(Nil))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "")))
+    intercept[IllegalArgumentException](AhoCorasick.build(Seq("a", "a")))
+  }
+
+  test("annotate is map-only (no Exchange below the rollup)") {
+    import spark.implicits._
+    val docs = Seq((1L, "she sells"), (2L, "ushers")).toDS()
+    val df = MultiPattern.annotate(docs, Seq("she", "hers"), "<T>")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"annotate gained a shuffle:\n$p")
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(1) == 1 && rows(0).getString(3) == "<T> sells")
+    // "ushers": she@1 (leftmost) masks chars 1-3; hers@2 overlaps → skipped
+    assert(rows(1).getLong(1) == 2 && rows(1).getLong(2) == 2
+      && rows(1).getString(3) == "u<T>rs")
+  }
+
+  test("corpusTotals ≡ relational rollup from per-doc counts") {
+    import spark.implicits._
+    val pats = Seq("she", "he", "his")
+    val docs = Seq((1L, "ushers"), (2L, "he and his hero"), (3L, "none"),
+      (4L, "shehe")).toDS().repartition(3)
+    val got = MultiPattern.corpusTotals(docs, pats)
+      .orderBy("pattern").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = pats.map { p =>
+      val per = Seq("ushers", "he and his hero", "none", "shehe")
+        .map(naiveCount(_, p))
+      (p, per.count(_ > 0).toLong, per.sum)
+    }.sortBy(_._1)
+    assert(got == want)
+  }
+}
