@@ -87,7 +87,8 @@ object Bench {
     "q113_opq_permutation" -> 2.0, "q114_quality_classifier" -> 3.0,
     "q115_ivfpq_catalog" -> 3.0, "q116_unigram_tokenizer" -> 3.0,
     "q117_code_provenance" -> 2.0, "q118_multipattern" -> 2.0,
-    "q119_pattern_totals" -> 2.0, "q120_secrets_scrub" -> 2.0)
+    "q119_pattern_totals" -> 2.0, "q120_secrets_scrub" -> 2.0,
+    "q121_fork_dedup" -> 2.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -3049,6 +3049,39 @@ object SparkEntry {
         .withColumn("scrubbed_sha256", sha2(col("scrubbed"), 256))
         .drop("content", "scrubbed")
         .orderBy("doc_id")
+    }),
+
+    // q121: repo-level fork dedup (The Stack's repository-dedup step,
+    // 2211.15533 §2.1): exact Jaccard over file-digest sets within a
+    // df-capped universe, transitive clustering, lexicographic-min
+    // canonical. Construction plants, per base repo, a ~2/3-subset fork
+    // and a second ~2/3-subset fork overlapping the first by only ~1/3
+    // (edge to base only — the cluster must close TRANSITIVELY), a ~6%
+    // decoy that must stay separate, a LICENSE digest in EVERY repo
+    // (df > maxDf → excluded from the universe: the cap IS the scale
+    // story, one hot digest would otherwise emit |repos|² candidate
+    // pairs), and a license-only repo whose universe is empty (own
+    // cluster, n_univ = 0). The oracle replays the whole operator
+    // relationally — df cap, integer threshold, and the transitive
+    // closure via a recursive CTE.
+    "q121_fork_dedup" -> ((s, dir) => {
+      val base = CodeFiles(s, dir).select(col("repo"),
+        sha2(col("content"), 256).as("digest"), col("doc_id"))
+      val plants = base.select("repo", "digest")
+        .unionAll(base.filter(col("doc_id") % 3 =!= 0)
+          .select(concat(col("repo"), lit("_fork")).as("repo"), col("digest")))
+        .unionAll(base.filter(col("doc_id") % 3 =!= 1)
+          .select(concat(col("repo"), lit("_fork2")).as("repo"), col("digest")))
+        .unionAll(base.filter(col("doc_id") % 17 === 0)
+          .select(concat(col("repo"), lit("_decoy")).as("repo"), col("digest")))
+      val files = plants
+        .unionAll(plants.select("repo").distinct()
+          .select(col("repo"), sha2(lit("LICENSE-BOILERPLATE"), 256).as("digest")))
+        .unionAll(s.range(1).select(lit("zz_license_only").as("repo"),
+          sha2(lit("LICENSE-BOILERPLATE"), 256).as("digest")))
+      graft.dedupe.ForkDedup.clusters(files, "repo", "digest",
+          tauNum = 1, tauDen = 2, maxDf = 30)
+        .orderBy("repo")
     })
   )
 
@@ -5389,6 +5422,56 @@ object SparkEntry {
          |)
          |SELECT doc_id, ${graft.pipeline.CodeProvenance.oracleSql("content")}
          |FROM planted ORDER BY doc_id""".stripMargin,
+
+    // q121: the ENTIRE fork-dedup operator replayed relationally — the
+    // same planting, the df-capped universe, per-repo sizes (all input
+    // repos, zero-filled), digest-grouped shared counts, the integer
+    // threshold compare, and the transitive closure as a recursive CTE
+    // whose min(peer) is exactly the lexicographic-min cluster label.
+    "q121_fork_dedup" ->
+      s"""WITH RECURSIVE $cte, base AS (
+         |  SELECT repo, sha256(content) AS digest, doc_id FROM code_files
+         |),
+         |plants AS (
+         |  SELECT repo, digest FROM base
+         |  UNION ALL SELECT repo || '_fork', digest FROM base WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT repo || '_fork2', digest FROM base WHERE doc_id % 3 <> 1
+         |  UNION ALL SELECT repo || '_decoy', digest FROM base WHERE doc_id % 17 = 0
+         |),
+         |files AS (
+         |  SELECT repo, digest FROM plants
+         |  UNION ALL SELECT DISTINCT repo, sha256('LICENSE-BOILERPLATE') FROM plants
+         |  UNION ALL SELECT 'zz_license_only', sha256('LICENSE-BOILERPLATE')
+         |),
+         |pairs AS (SELECT DISTINCT repo, digest FROM files),
+         |dfreq AS (SELECT digest, count(*) AS df FROM pairs GROUP BY digest),
+         |univ AS (SELECT p.repo, p.digest FROM pairs p
+         |         JOIN dfreq USING (digest) WHERE df <= 30),
+         |repos AS (SELECT DISTINCT repo FROM files),
+         |sizes AS (SELECT r.repo, CAST(coalesce(u.n, 0) AS BIGINT) AS n_univ
+         |          FROM repos r LEFT JOIN
+         |            (SELECT repo, count(*) AS n FROM univ GROUP BY repo) u
+         |            USING (repo)),
+         |shr AS (SELECT a.repo AS ra, b.repo AS rb, count(*) AS s
+         |        FROM univ a JOIN univ b
+         |          ON a.digest = b.digest AND a.repo < b.repo
+         |        GROUP BY 1, 2),
+         |edges AS (SELECT shr.ra, shr.rb FROM shr
+         |          JOIN sizes sa ON sa.repo = shr.ra
+         |          JOIN sizes sb ON sb.repo = shr.rb
+         |          WHERE shr.s * 2 >= 1 * (sa.n_univ + sb.n_univ - shr.s)),
+         |sym AS (SELECT ra AS a, rb AS b FROM edges
+         |        UNION ALL SELECT rb, ra FROM edges),
+         |reach(repo, peer) AS (
+         |  SELECT repo, repo FROM repos
+         |  UNION
+         |  SELECT reach.repo, sym.b FROM reach JOIN sym ON sym.a = reach.peer
+         |),
+         |labels AS (SELECT repo, min(peer) AS cluster FROM reach GROUP BY repo)
+         |SELECT l.repo, l.cluster, s.n_univ,
+         |       l.repo = l.cluster AS is_canonical
+         |FROM labels l JOIN sizes s USING (repo)
+         |ORDER BY l.repo""".stripMargin,
 
     // q118/q119: the per-pattern counts and the mask render from the SAME
     // Scala pattern list via MultiPattern.countSql/maskSql; the exactness

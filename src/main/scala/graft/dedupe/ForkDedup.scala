@@ -1,0 +1,140 @@
+package graft.dedupe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repo-level fork deduplication — The Stack's repository-dedup step
+  * (arXiv 2211.15533 §2.1: near-identical repositories, dominated by
+  * forks, are collapsed before file-level filters run). Two repos are
+  * fork-related when the exact Jaccard similarity of their file-DIGEST
+  * sets clears a threshold; related repos union into clusters
+  * (transitive: A~B, B~C ⇒ one cluster) and the lexicographically
+  * smallest repo name is the canonical survivor.
+  *
+  * The similarity universe is df-capped: digests appearing in more than
+  * `maxDf` repos (the ubiquitous LICENSE / empty __init__.py / generated
+  * boilerplate class) are EXCLUDED from both the intersection and the
+  * union before Jaccard is computed. That is simultaneously the
+  * correctness choice (ubiquitous files carry zero fork signal — an
+  * idf-style cut) and the whole scale story: the candidate join groups by
+  * digest, so without the cap one LICENSE digest shared by 10^7 repos
+  * would emit 10^14 candidate pairs; with it, no digest group exceeds
+  * `maxDf` rows and the join is bounded by construction — the same
+  * discipline as [[graft.similarity.WinnowPairs]]'s maxDf, but here the
+  * cap is part of the SEMANTIC (rendered identically into the SQL
+  * oracle), not a lossy approximation.
+  *
+  * Threshold compares in pure integer arithmetic
+  * (`shared·tauDen ≥ tauNum·(nA+nB−shared)`) so decisions hash
+  * identically in any engine; clustering reuses
+  * [[Lsh.connectedComponents]] (driver union-find below 2M edges,
+  * O(log diameter) distributed pointer-jump above) over dense repo ranks
+  * assigned by sorted zipWithIndex — rank order = name order, so the
+  * unsigned-min cluster root IS the lexicographically smallest repo and
+  * the Long id layer is invisible in the output.
+  */
+object ForkDedup {
+
+  /** Per-repo digest sets restricted to the df-capped universe:
+    * `(repo, digest)` distinct, digests with df > maxDf removed.
+    */
+  private def universe(files: DataFrame, repoCol: String, digestCol: String,
+                       maxDf: Int): DataFrame = {
+    val pairs = files.select(col(repoCol).as("repo"), col(digestCol).as("digest"))
+      .distinct()
+    val kept = pairs.groupBy("digest")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("digest")
+    pairs.join(kept, Seq("digest")).select("repo", "digest")
+  }
+
+  /** Fork edges: `(repo_a, repo_b, shared, n_a, n_b)` with
+    * `repo_a < repo_b`, Jaccard over the capped universe ≥
+    * tauNum/tauDen (integer-exact compare). Every shuffle below is on
+    * scalar (repo, digest) rows — content never moves.
+    */
+  def repoEdges(files: DataFrame, repoCol: String, digestCol: String,
+                tauNum: Long, tauDen: Long, maxDf: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be in (0,1]: $tauNum/$tauDen")
+    require(maxDf >= 2, s"maxDf < 2 admits no shared digest: $maxDf")
+    val univ = universe(files, repoCol, digestCol, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try edgesFromUniverse(univ, tauNum, tauDen)
+      .localCheckpoint() // materialize before univ unpersists
+    finally univ.unpersist(blocking = false)
+  }
+
+  private def edgesFromUniverse(univ: DataFrame, tauNum: Long,
+                                tauDen: Long): DataFrame = {
+    val sizes = univ.groupBy("repo").agg(count(lit(1)).as("n"))
+    // digest-grouped self-join: each group ≤ maxDf rows by construction
+    val shared = univ.as("a")
+      .join(univ.as("b"), col("a.digest") === col("b.digest")
+        && col("a.repo") < col("b.repo"))
+      .groupBy(col("a.repo").as("repo_a"), col("b.repo").as("repo_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("repo", "repo_a")
+        .withColumnRenamed("n", "n_a"), Seq("repo_a"))
+      .join(sizes.withColumnRenamed("repo", "repo_b")
+        .withColumnRenamed("n", "n_b"), Seq("repo_b"))
+      .filter(col("shared") * tauDen >=
+        lit(tauNum) * (col("n_a") + col("n_b") - col("shared")))
+      .select("repo_a", "repo_b", "shared", "n_a", "n_b")
+  }
+
+  /** Cluster assignment: `(repo, cluster, n_univ, is_canonical)` — one
+    * row per repo (isolated repos are their own cluster), `cluster` the
+    * lexicographically smallest member, `n_univ` the repo's capped-
+    * universe digest count.
+    */
+  def clusters(files: DataFrame, repoCol: String, digestCol: String,
+               tauNum: Long, tauDen: Long, maxDf: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be in (0,1]: $tauNum/$tauDen")
+    require(maxDf >= 2, s"maxDf < 2 admits no shared digest: $maxDf")
+    val spark = files.sparkSession
+    import spark.implicits._
+    val univ = universe(files, repoCol, digestCol, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one output row per INPUT repo — a repo whose every digest is
+    // df-capped out still appears, as its own cluster with n_univ = 0
+    val sizes = files.select(col(repoCol).as("repo")).distinct()
+      .join(univ.groupBy("repo").agg(count(lit(1)).as("__n")), Seq("repo"), "left")
+      .select(col("repo"), coalesce(col("__n"), lit(0L)).as("n_univ"))
+    val edges = edgesFromUniverse(univ, tauNum, tauDen)
+
+    // dense rank = position in the sorted repo list, via sorted
+    // zipWithIndex (range-partitioned sort + per-partition offsets — no
+    // single-partition window at 10^8 repos). Rank order = name order,
+    // so unsigned-min over ranks = lexicographic min over names.
+    val ranks = sizes.select("repo").orderBy("repo").as[String]
+      .rdd.zipWithIndex.toDF("repo", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e = edges
+        .join(ranks.withColumnRenamed("repo", "repo_a")
+          .withColumnRenamed("rank", "src"), Seq("repo_a"))
+        .join(ranks.withColumnRenamed("repo", "repo_b")
+          .withColumnRenamed("rank", "dst"), Seq("repo_b"))
+        .select("src", "dst")
+      val cc = Lsh.connectedComponents(e)
+      val byRank = ranks.join(cc, ranks("rank") === cc("id"), "left")
+      val labeled = byRank
+        .withColumn("cluster_rank", coalesce(col("cluster_id"), col("rank")))
+        .select(col("repo"), col("cluster_rank"))
+        .join(ranks.withColumnRenamed("repo", "cluster")
+          .withColumnRenamed("rank", "cluster_rank"), Seq("cluster_rank"))
+        .select("repo", "cluster")
+      labeled.join(sizes, Seq("repo"))
+        .withColumn("is_canonical", col("repo") === col("cluster"))
+        .select("repo", "cluster", "n_univ", "is_canonical")
+        .localCheckpoint() // materialize before univ/ranks unpersist
+    } finally {
+      ranks.unpersist(blocking = false)
+      univ.unpersist(blocking = false)
+    }
+  }
+}

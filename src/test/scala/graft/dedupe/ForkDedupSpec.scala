@@ -1,0 +1,149 @@
+package graft.dedupe
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ForkDedup: planted fork/decoy shapes, transitivity, the integer
+  * threshold boundary, df-cap semantics (ubiquitous digest excluded;
+  * empty-universe repo keeps its own row), guards, and differential fuzz
+  * against a naive driver replica (all-pairs exact Jaccard + union-find).
+  */
+class ForkDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-forkdedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Naive replica: (repo → (cluster, n_univ)). */
+  private def replica(files: Seq[(String, String)], tauNum: Long,
+                      tauDen: Long, maxDf: Int): Map[String, (String, Long)] = {
+    val pairs = files.distinct
+    val df = pairs.groupBy(_._2).map { case (d, xs) => d -> xs.size }
+    val univ = pairs.filter(p => df(p._2) <= maxDf)
+    val sets = univ.groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).toSet }
+    val repos = pairs.map(_._1).distinct.sorted
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x0: String): String = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    for {
+      a <- repos; b <- repos if a < b
+      sa <- sets.get(a); sb <- sets.get(b)
+      shared = (sa & sb).size.toLong if shared > 0
+      if shared * tauDen >= tauNum * (sa.size + sb.size - shared)
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    repos.map(r => r -> (find(r), sets.getOrElse(r, Set.empty).size.toLong)).toMap
+  }
+
+  private def run(files: Seq[(String, String)], tauNum: Long, tauDen: Long,
+                  maxDf: Int, parts: Int = 4): Map[String, (String, Long, Boolean)] = {
+    import spark.implicits._
+    ForkDedup.clusters(files.toDF("repo", "digest").repartition(parts),
+        "repo", "digest", tauNum, tauDen, maxDf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+  }
+
+  test("fork subset clusters with its base; canonical = lexicographic min") {
+    val base = (0 until 12).map(i => ("alpha", s"d$i"))
+    val fork = (0 until 8).map(i => ("alpha_fork", s"d$i")) // J = 8/12
+    val other = (0 until 12).map(i => ("beta", s"x$i"))
+    val got = run(base ++ fork ++ other, 1, 2, 10)
+    assert(got("alpha") == (("alpha", 12L, true)))
+    assert(got("alpha_fork") == (("alpha", 8L, false)))
+    assert(got("beta") == (("beta", 12L, true)))
+  }
+
+  test("transitivity: A~B and B~C merge even when A~C is below threshold") {
+    // A={0..9}, B={5..14}, C={10..19}: J(A,B)=J(B,C)=5/15=1/3 ≥ 1/3;
+    // J(A,C)=0 — one cluster regardless.
+    val a = (0 until 10).map(i => ("a", s"d$i"))
+    val b = (5 until 15).map(i => ("b", s"d$i"))
+    val c = (10 until 20).map(i => ("c", s"d$i"))
+    val got = run(a ++ b ++ c, 1, 3, 10)
+    assert(got.values.map(_._1).toSet == Set("a"))
+    assert(got("a")._3 && !got("b")._3 && !got("c")._3)
+  }
+
+  test("threshold boundary: exact equality is kept (≥, not >)") {
+    // A={1,2}, B={2,3}: shared=1, union=3 — J = 1/3 exactly
+    val files = Seq(("a", "1"), ("a", "2"), ("b", "2"), ("b", "3"))
+    assert(run(files, 1, 3, 10).values.map(_._1).toSet == Set("a"))
+    // and one notch tighter rejects it
+    assert(run(files, 34, 100, 10)("b")._1 == "b")
+  }
+
+  test("df cap: ubiquitous digest excluded from universe and counts; " +
+       "empty-universe repo keeps its own zero-count row") {
+    val lic = ("LIC")
+    val repos = Seq("a", "b", "c", "d")
+    val own = repos.zipWithIndex.flatMap { case (r, i) =>
+      (0 until 3).map(j => (r, s"own_${i}_$j")) }
+    val withLic = own ++ repos.map(r => (r, lic)) ++ Seq(("only_lic", lic))
+    val got = run(withLic, 1, 2, 3) // df(LIC)=5 > 3 → excluded
+    for (r <- repos) assert(got(r) == ((r, 3L, true)), s"$r: ${got(r)}")
+    assert(got("only_lic") == (("only_lic", 0L, true)))
+    // sanity: with a cap admitting LIC (maxDf=5), n_univ grows to 4 but
+    // J between distinct repos = 1/7 — still no edge at τ=1/2
+    val loose = run(withLic, 1, 2, 5)
+    assert(loose("a") == (("a", 4L, true)))
+  }
+
+  test("repoEdges emits the exact shared/size arithmetic") {
+    import spark.implicits._
+    val files = Seq(("a", "1"), ("a", "2"), ("a", "3"),
+      ("b", "2"), ("b", "3"), ("b", "4")).toDF("repo", "digest")
+    val e = ForkDedup.repoEdges(files, "repo", "digest", 1, 2, 10).collect()
+    assert(e.length == 1)
+    val r = e.head // J = 2/4 = 1/2 exactly at τ=1/2
+    assert(r.getString(0) == "a" && r.getString(1) == "b"
+      && r.getLong(2) == 2L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+  }
+
+  test("guards refuse bad thresholds and maxDf < 2 loudly") {
+    import spark.implicits._
+    val f = Seq(("a", "1")).toDF("repo", "digest")
+    intercept[IllegalArgumentException](
+      ForkDedup.clusters(f, "repo", "digest", 3, 2, 10))
+    intercept[IllegalArgumentException](
+      ForkDedup.clusters(f, "repo", "digest", 0, 2, 10))
+    intercept[IllegalArgumentException](
+      ForkDedup.repoEdges(f, "repo", "digest", 1, 2, 1))
+  }
+
+  test("differential fuzz vs naive replica, partitioning-invariant") {
+    val rng = new scala.util.Random(77)
+    for (round <- 0 until 6) {
+      val nRepos = 4 + rng.nextInt(8)
+      val nDigests = 6 + rng.nextInt(12)
+      val files = for {
+        r <- 0 until nRepos
+        d <- 0 until nDigests if rng.nextInt(3) == 0
+      } yield (f"r$r%02d", s"d$d")
+      if (files.nonEmpty) {
+        val (tn, td, cap) = (1L + rng.nextInt(2), 2L + rng.nextInt(3),
+          2 + rng.nextInt(nRepos))
+        val want = replica(files, tn, td, cap)
+        for (parts <- Seq(1, 4)) {
+          val got = run(files, tn, td, cap, parts)
+          assert(got.keySet == want.keySet, s"round $round parts $parts")
+          for ((r, (cl, n)) <- want)
+            assert(got(r)._1 == cl && got(r)._2 == n,
+              s"round $round parts $parts repo $r: got ${got(r)}, want ($cl,$n)")
+        }
+      }
+    }
+  }
+}
