@@ -3082,6 +3082,38 @@ object SparkEntry {
       graft.dedupe.ForkDedup.clusters(files, "repo", "digest",
           tauNum = 1, tauDen = 2, maxDf = 30)
         .orderBy("repo")
+    }),
+
+    // q122: comment-density signals (StarCoder's comment-ratio filter —
+    // files outside the [1%, 80%] comment band drop as undocumented
+    // machine output or comment blobs). Construction assigns a
+    // programming language by doc_id residue (incl. an unknown one the
+    // marker table refuses to guess), plants space- and tab-indented
+    // comment headers per language, a 100%-comment row (%23) and a
+    // 1-comment-in-152-lines row (%29); the oracle replants identically
+    // and re-derives every column from CommentSignals' OWN marker table
+    // and thresholds rendered to SQL. Integer-exact throughout; one
+    // codegen'd map-only pass (spec-pinned).
+    "q122_comment_signals" -> ((s, dir) => {
+      val r4 = col("doc_id") % 4
+      val plang = when(col("doc_id") % 23 === 0, lit("python"))
+        .when(col("doc_id") % 29 === 0, lit("python"))
+        .when(r4 === 0, lit("python")).when(r4 === 1, lit("java"))
+        .when(r4 === 2, lit("sql")).otherwise(lit("brainfuck"))
+      val header = when(r4 === 0, lit("# header\n  # indented comment\n\n"))
+        .when(r4 === 1, lit("// header\n\t// tab comment\n\n"))
+        .when(r4 === 2, lit("-- header\n   -- more\n\n"))
+        .otherwise(lit("# not a comment for this lang\n"))
+      val plantedContent = when(col("doc_id") % 23 === 0,
+          lit("# a\n# b\n# c\n# d"))
+        .when(col("doc_id") % 29 === 0,
+          concat(lit("# only\n"), repeat(lit("code();\n"), 150)))
+        .otherwise(concat(header, col("content")))
+      val planted = CodeFiles(s, dir).select(col("doc_id"),
+        plang.as("plang"), plantedContent.as("content"))
+      graft.pipeline.CommentSignals.annotate(planted, "content", "plang")
+        .drop("content")
+        .orderBy("doc_id")
     })
   )
 
@@ -5472,6 +5504,36 @@ object SparkEntry {
          |       l.repo = l.cluster AS is_canonical
          |FROM labels l JOIN sizes s USING (repo)
          |ORDER BY l.repo""".stripMargin,
+
+    // q122: replant (plang by residue, per-language comment headers, the
+    // 100%-comment and 1-in-152 rows) and re-derive every column from
+    // CommentSignals' own marker table + thresholds rendered to SQL.
+    "q122_comment_signals" ->
+      s"""WITH $cte, planted AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 23 = 0 THEN 'python'
+         |          WHEN doc_id % 29 = 0 THEN 'python'
+         |          WHEN doc_id % 4 = 0 THEN 'python'
+         |          WHEN doc_id % 4 = 1 THEN 'java'
+         |          WHEN doc_id % 4 = 2 THEN 'sql'
+         |          ELSE 'brainfuck' END) AS plang,
+         |    (CASE WHEN doc_id % 23 = 0
+         |            THEN '# a' || chr(10) || '# b' || chr(10) || '# c' || chr(10) || '# d'
+         |          WHEN doc_id % 29 = 0
+         |            THEN '# only' || chr(10) || repeat('code();' || chr(10), 150)
+         |          ELSE (CASE WHEN doc_id % 4 = 0
+         |                       THEN '# header' || chr(10) || '  # indented comment' || chr(10) || chr(10)
+         |                     WHEN doc_id % 4 = 1
+         |                       THEN '// header' || chr(10) || chr(9) || '// tab comment' || chr(10) || chr(10)
+         |                     WHEN doc_id % 4 = 2
+         |                       THEN '-- header' || chr(10) || '   -- more' || chr(10) || chr(10)
+         |                     ELSE '# not a comment for this lang' || chr(10) END)
+         |               || content END) AS content
+         |  FROM code_files
+         |)
+         |SELECT doc_id, plang,
+         |  ${graft.pipeline.CommentSignals.oracleSql("content", "plang")}
+         |FROM planted ORDER BY doc_id""".stripMargin,
 
     // q118/q119: the per-pattern counts and the mask render from the SAME
     // Scala pattern list via MultiPattern.countSql/maskSql; the exactness

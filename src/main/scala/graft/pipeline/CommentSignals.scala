@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Comment-density signals for source code — the StarCoder filter family
+  * (arXiv 2305.06161 §3: files whose comment ratio falls outside
+  * [~1%, ~80%] are dropped as either undocumented machine output or
+  * license-header/data blobs masquerading as code). The
+  * [[CodeProvenance]] gate handles WHO wrote the file (generated /
+  * minified / license routing); this one measures HOW it is written.
+  *
+  * Pure Catalyst, one codegen'd map-only pass: the line split and the
+  * per-line classification run as higher-order array functions
+  * (`filter` over `split`), the language → line-comment-marker table is
+  * a constant CASE fold, and every emitted stat is an integer count —
+  * the ratio rules compare `100·n_comment` against `pct·n_lines` in
+  * BIGINT so decisions hash identically in any engine. [[oracleSql]]
+  * renders the SAME marker table and thresholds as DuckDB SQL
+  * (`list_filter` over `string_split`), so rule drift between the Spark
+  * path and the oracle is impossible by construction.
+  *
+  * Line conventions (identical in both engines): lines are `\n` splits
+  * with trailing empties KEPT (a file ending in `\n` has a final empty
+  * line); a line is blank when it is empty after trimming spaces+tabs; a
+  * line is a comment when its first non-space/tab characters are the
+  * language's line-comment marker. Languages absent from [[Markers]] get
+  * `n_comment = 0` and decision `no_marker` — refusing to guess beats
+  * misclassifying an unknown syntax.
+  */
+object CommentSignals {
+
+  /** Language → line-comment marker. Constant table; extend per corpus. */
+  final val Markers: Seq[(String, String)] = Seq(
+    "python" -> "#", "shell" -> "#", "ruby" -> "#", "yaml" -> "#",
+    "c" -> "//", "cpp" -> "//", "java" -> "//", "javascript" -> "//",
+    "scala" -> "//", "go" -> "//", "rust" -> "//",
+    "sql" -> "--", "lua" -> "--", "haskell" -> "--")
+
+  /** Keep band for the comment-line percentage, inclusive bounds. */
+  final val MinPct = 1
+  final val MaxPct = 80
+
+  private def markerCol(lang: Column): Column =
+    Markers.foldLeft(lit(null).cast("string")) { case (acc, (l, m)) =>
+      when(lang === l, lit(m)).otherwise(acc)
+    }
+
+  /** Adds `n_lines`, `n_blank`, `n_comment`, `marker`, `decision`
+    * (`no_marker` | `low_comment` | `high_comment` | `ok`). Map-only.
+    */
+  def annotate(df: DataFrame, contentCol: String, langCol: String): DataFrame = {
+    val lines = split(col(contentCol), "\n", -1)
+    val trimmed: Column => Column = x => ltrim(x, " \t")
+    val m = markerCol(col(langCol))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_blank",
+        size(filter(lines, x => trimmed(x) === lit(""))).cast("long"))
+      .withColumn("marker", m)
+      .withColumn("n_comment",
+        when(m.isNull, lit(0L)).otherwise(
+          size(filter(lines, x => startswith(trimmed(x), m))).cast("long")))
+      .withColumn("decision",
+        when(m.isNull, lit("no_marker"))
+          .when(col("n_comment") * 100 < lit(MinPct.toLong) * col("n_lines"),
+            lit("low_comment"))
+          .when(col("n_comment") * 100 > lit(MaxPct.toLong) * col("n_lines"),
+            lit("high_comment"))
+          .otherwise(lit("ok")))
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB rendering of [[annotate]]'s columns from the same constants.
+    * Splice after `SELECT doc_id, `.
+    */
+  def oracleSql(contentExpr: String, langExpr: String): String = {
+    val lines = s"string_split($contentExpr, chr(10))"
+    val trim = (x: String) => s"ltrim($x, ' ' || chr(9))"
+    val marker = "(CASE " + Markers.map { case (l, m) =>
+      s"WHEN $langExpr = ${sqlLit(l)} THEN ${sqlLit(m)}"
+    }.mkString(" ") + " ELSE NULL END)"
+    val nComment = s"CAST(coalesce(len(list_filter($lines, " +
+      s"x -> starts_with(${trim("x")}, $marker))), 0) AS BIGINT)"
+    Seq(
+      s"CAST(len($lines) AS BIGINT) AS n_lines",
+      s"CAST(len(list_filter($lines, x -> ${trim("x")} = '')) AS BIGINT) AS n_blank",
+      s"$marker AS marker",
+      s"$nComment AS n_comment",
+      s"""(CASE WHEN $marker IS NULL THEN 'no_marker'
+         |      WHEN $nComment * 100 < ${MinPct.toLong} * CAST(len($lines) AS BIGINT)
+         |        THEN 'low_comment'
+         |      WHEN $nComment * 100 > ${MaxPct.toLong} * CAST(len($lines) AS BIGINT)
+         |        THEN 'high_comment'
+         |      ELSE 'ok' END) AS decision""".stripMargin
+    ).mkString(",\n  ")
+  }
+}

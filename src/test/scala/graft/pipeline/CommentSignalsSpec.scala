@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CommentSignals: per-decision fixtures incl. the exact 80% boundary,
+  * line conventions (trailing newline, space/tab indentation), unknown
+  * language, differential fuzz vs a driver-side String replica, the
+  * map-only plan pin, and the oracle rendering.
+  */
+class CommentSignalsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-commentsignals-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Driver replica of the line conventions. */
+  private def replica(text: String, lang: String): (Long, Long, Long, String) = {
+    val lines = text.split("\n", -1)
+    val marker = CommentSignals.Markers.toMap.get(lang)
+    val trim = (s: String) => s.dropWhile(c => c == ' ' || c == '\t')
+    val nBlank = lines.count(l => trim(l).isEmpty).toLong
+    val nComment = marker.fold(0L)(m => lines.count(l => trim(l).startsWith(m)).toLong)
+    val n = lines.length.toLong
+    val decision = marker match {
+      case None => "no_marker"
+      case Some(_) if nComment * 100 < CommentSignals.MinPct * n => "low_comment"
+      case Some(_) if nComment * 100 > CommentSignals.MaxPct * n => "high_comment"
+      case _ => "ok"
+    }
+    (n, nBlank, nComment, decision)
+  }
+
+  private def run(rows: Seq[(Long, String, String)]): Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    CommentSignals.annotate(
+        rows.toDF("id", "content", "plang"), "content", "plang")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_blank"), r.getAs[Long]("n_comment"),
+        r.getAs[String]("decision"))))
+      .toMap
+  }
+
+  test("fixtures: each decision, indentation, trailing-newline convention") {
+    val rows = Seq(
+      // 4 lines, 2 comments (one space-indented, one tab-indented), 50% ok
+      (1L, "# a\n  # b\ncode\n\tmore", "python"),
+      // exact 80% boundary: 4 comments / 5 lines (trailing empty line) — strict > keeps it ok
+      (2L, "# a\n# b\n# c\n# d\n", "python"),
+      // 100% comments → high
+      (3L, "// a\n// b", "java"),
+      // 1 comment / 200+ lines → low
+      (4L, "-- only\n" + "select 1;\n" * 150, "sql"),
+      // unknown language
+      (5L, "# looks like a comment", "brainfuck"),
+      // empty content = one blank line; 0 comments → low (0 < 1*1)
+      (6L, "", "python"),
+      // marker must be FIRST non-ws chars: trailing # is code
+      (7L, "x = 1 # inline\n#lead", "python"))
+    val got = run(rows)
+    for ((id, text, lang) <- rows)
+      assert(got(id) == replica(text, lang), s"row $id")
+    assert(got(1L)._4 == "ok" && got(1L)._3 == 2)
+    assert(got(2L)._4 == "ok" && got(2L) == ((5L, 1L, 4L, "ok")))
+    assert(got(3L)._4 == "high_comment")
+    assert(got(4L)._4 == "low_comment")
+    assert(got(5L) == ((1L, 0L, 0L, "no_marker")))
+    assert(got(6L) == ((1L, 1L, 0L, "low_comment")))
+    assert(got(7L)._3 == 1) // only the second line is a comment line
+  }
+
+  test("differential fuzz vs replica") {
+    val rng = new scala.util.Random(1312)
+    val langs = Seq("python", "java", "sql", "unknown")
+    val pieces = Seq("# c", "// c", "-- c", "code();", "", "  ", "\t# t",
+      " \t// t", "x # tail", "   -- d")
+    val rows = (0 until 120).map { i =>
+      val text = (0 until rng.nextInt(10)).map(_ =>
+        pieces(rng.nextInt(pieces.size))).mkString("\n") +
+        (if (rng.nextBoolean()) "\n" else "")
+      (i.toLong, text, langs(rng.nextInt(langs.size)))
+    }
+    val got = run(rows)
+    for ((id, text, lang) <- rows)
+      assert(got(id) == replica(text, lang), s"row $id lang=$lang text=$text")
+  }
+
+  test("annotate is map-only (no Exchange)") {
+    import spark.implicits._
+    val plan = CommentSignals.annotate(
+        Seq((1L, "# x", "python")).toDF("id", "content", "plang"),
+        "content", "plang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("oracleSql renders markers, thresholds, and all columns") {
+    val sql = CommentSignals.oracleSql("content", "plang")
+    for ((l, m) <- CommentSignals.Markers)
+      assert(sql.contains(s"'$l'") && sql.contains(s"'$m'"))
+    for (c <- Seq("n_lines", "n_blank", "marker", "n_comment", "decision",
+        "no_marker", "low_comment", "high_comment"))
+      assert(sql.contains(c), c)
+    assert(sql.contains(s"* 100 < ${CommentSignals.MinPct}")
+      && sql.contains(s"* 100 > ${CommentSignals.MaxPct}"))
+  }
+}
