@@ -3074,14 +3074,21 @@ object SparkEntry {
           .select(concat(col("repo"), lit("_fork2")).as("repo"), col("digest")))
         .unionAll(base.filter(col("doc_id") % 17 === 0)
           .select(concat(col("repo"), lit("_decoy")).as("repo"), col("digest")))
+      // persist the constructed digest table: the operator scans its
+      // input several times (universe df-count, sizes, ranks), and each
+      // uncached scan would re-run the 4-way union's full-content sha256
       val files = plants
         .unionAll(plants.select("repo").distinct()
           .select(col("repo"), sha2(lit("LICENSE-BOILERPLATE"), 256).as("digest")))
         .unionAll(s.range(1).select(lit("zz_license_only").as("repo"),
           sha2(lit("LICENSE-BOILERPLATE"), 256).as("digest")))
-      graft.dedupe.ForkDedup.clusters(files, "repo", "digest",
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // clusters() localCheckpoints its result, so the orderBy below
+      // never re-reads `files` after the unpersist
+      try graft.dedupe.ForkDedup.clusters(files, "repo", "digest",
           tauNum = 1, tauDen = 2, maxDf = 30)
         .orderBy("repo")
+      finally files.unpersist(blocking = false)
     }),
 
     // q122: comment-density signals (StarCoder's comment-ratio filter —
