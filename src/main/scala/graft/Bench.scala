@@ -88,7 +88,8 @@ object Bench {
     "q115_ivfpq_catalog" -> 3.0, "q116_unigram_tokenizer" -> 3.0,
     "q117_code_provenance" -> 2.0, "q118_multipattern" -> 2.0,
     "q119_pattern_totals" -> 2.0, "q120_secrets_scrub" -> 2.0,
-    "q121_fork_dedup" -> 2.5, "q122_comment_signals" -> 2.0)
+    "q121_fork_dedup" -> 2.5, "q122_comment_signals" -> 2.0,
+    "q123_topo_pack" -> 2.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

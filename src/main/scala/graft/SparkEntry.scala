@@ -3121,6 +3121,44 @@ object SparkEntry {
       graft.pipeline.CommentSignals.annotate(planted, "content", "plang")
         .drop("content")
         .orderBy("doc_id")
+    }),
+
+    // q123: dependency-aware repo packing (DeepSeek-Coder 2401.14196
+    // §3.1 — repo files concatenate in TOPOLOGICAL order of the import
+    // graph, so definitions precede uses; the refinement of q111's
+    // path-order packing). Layer = exactly-K rounds of longest-path
+    // relaxation — a DAG of depth ≤ K converges to its true depth,
+    // cycle members cap loudly at K, and because K is part of the
+    // SEMANTIC the oracle replays the SAME K rounds as chained CTEs.
+    // Construction plants, per repo (rank r = doc_id div 20 inside the
+    // round-robin source layout): chains of depth 3 (r%4 != 0 imports
+    // f_{r-1}), a skip edge exercising the max over multiple imports
+    // (r%10 == 7 imports f_{r-2}), a back edge creating a genuine
+    // 2-cycle in SOME repos only (doc_id%47 == 3 imports f_{r+1} — those
+    // repos must report max_layer = K = 6 while pure-DAG repos stay at
+    // 3), a self-import (doc_id%19 == 0, dropped), and a missing target
+    // every file imports (lib/vendor.txt, dropped). Budget contract is
+    // q111's, now ordered by (layer, path).
+    "q123_topo_pack" -> ((s, dir) => {
+      val r = floor(col("doc_id") / 20).cast("long")
+      def imp(t: Column): Column =
+        concat(lit("// IMPORT: f_"), t, lit(".txt\n"))
+      val header = concat(
+        when(r % 4 =!= 0, imp(r - 1)).otherwise(lit("")),
+        when(r % 10 === 7, imp(r - 2)).otherwise(lit("")),
+        when(col("doc_id") % 47 === 3, imp(r + 1)).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, imp(r)).otherwise(lit("")),
+        lit("// IMPORT: lib/vendor.txt\n"))
+      val files = CodeFiles(s, dir).select(
+        col("repo"),
+        concat(lit("f_"), r, lit(".txt")).as("path"),
+        concat(header, col("content")).as("content"))
+      graft.operators.TopoPack.pack(
+          files, "repo", "path", "content", maxChars = 6000)
+        .select(col("repo"), col("n_files_kept"), col("n_files_dropped"),
+          col("n_edges"), col("max_layer"), col("n_chars"),
+          sha2(col("doc"), 256).as("doc_sha256"))
+        .orderBy("repo")
     })
   )
 
@@ -5618,7 +5656,91 @@ object SparkEntry {
          |       CAST(dropped AS BIGINT) AS n_files_dropped,
          |       CAST(length(doc) AS BIGINT) AS n_chars,
          |       sha256(doc) AS doc_sha256
-         |FROM agg ORDER BY repo""".stripMargin
+         |FROM agg ORDER BY repo""".stripMargin,
+
+    // q123: replant the import headers by the SAME rank arithmetic, then
+    // replay the operator end-to-end — edge extraction (same regex text
+    // in both engines: Java and RE2 agree on `// IMPORT: ([^\n]+)`),
+    // existing-target + self-import drops, and EXACTLY K rounds of
+    // longest-path relaxation unrolled as chained CTEs rendered from the
+    // operator's own DefaultRounds (fixed K is the semantic, not a
+    // convergence test — so the unroll is exact, cycles included).
+    "q123_topo_pack" -> {
+      val k = graft.operators.TopoPack.DefaultRounds
+      val pat = graft.operators.TopoPack.DefaultImportPattern
+      val layerCtes = (1 to k).map { i =>
+        s"""lay$i AS (
+           |  SELECT n.repo, n.path, coalesce(s.lyr, 0) AS layer
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.repo, e.src AS path, max(l.layer) + 1 AS lyr
+           |    FROM edges e JOIN lay${i - 1} l
+           |      ON l.repo = e.repo AND l.path = e.dst
+           |    GROUP BY 1, 2) s
+           |    ON s.repo = n.repo AND s.path = n.path
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |files AS (
+         |  SELECT repo, 'f_' || (doc_id // 20) || '.txt' AS path,
+         |    CASE WHEN (doc_id // 20) % 4 <> 0 THEN
+         |      '// IMPORT: f_' || (doc_id // 20 - 1) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN (doc_id // 20) % 10 = 7 THEN
+         |      '// IMPORT: f_' || (doc_id // 20 - 2) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 47 = 3 THEN
+         |      '// IMPORT: f_' || (doc_id // 20 + 1) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 19 = 0 THEN
+         |      '// IMPORT: f_' || (doc_id // 20) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    '// IMPORT: lib/vendor.txt' || chr(10) || content AS content
+         |  FROM code_files
+         |),
+         |nodes AS (SELECT DISTINCT repo, path FROM files),
+         |rawimp AS (
+         |  SELECT f.repo, f.path AS src, u.dst
+         |  FROM files f,
+         |    unnest(regexp_extract_all(f.content, '$pat', 1)) AS u(dst)
+         |),
+         |edges AS (
+         |  SELECT DISTINCT r.repo, r.src, r.dst
+         |  FROM rawimp r JOIN nodes n ON n.repo = r.repo AND n.path = r.dst
+         |  WHERE r.src <> r.dst
+         |),
+         |lay0 AS (SELECT repo, path, CAST(0 AS BIGINT) AS layer FROM nodes),
+         |$layerCtes,
+         |costed AS (
+         |  SELECT f.repo, f.path, l.layer,
+         |    '// FILE: ' || f.path || chr(10) || f.content || chr(10) AS piece
+         |  FROM files f JOIN lay$k l ON l.repo = f.repo AND l.path = f.path
+         |),
+         |cum AS (
+         |  SELECT repo, layer, path, piece,
+         |    sum(length(piece)) OVER (PARTITION BY repo ORDER BY layer, path)
+         |      AS cum
+         |  FROM costed
+         |),
+         |agg AS (
+         |  SELECT repo,
+         |    sum(CASE WHEN cum <= 6000 THEN 1 ELSE 0 END) AS kept,
+         |    sum(CASE WHEN cum > 6000 THEN 1 ELSE 0 END) AS dropped,
+         |    max(layer) AS max_layer,
+         |    coalesce(string_agg(CASE WHEN cum <= 6000 THEN piece END,
+         |                        '' ORDER BY layer, path), '') AS doc
+         |  FROM cum GROUP BY repo
+         |),
+         |ecnt AS (SELECT repo, count(*) AS n_edges FROM edges GROUP BY repo)
+         |SELECT a.repo,
+         |       CAST(kept AS BIGINT) AS n_files_kept,
+         |       CAST(dropped AS BIGINT) AS n_files_dropped,
+         |       CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges,
+         |       CAST(max_layer AS BIGINT) AS max_layer,
+         |       CAST(length(doc) AS BIGINT) AS n_chars,
+         |       sha256(doc) AS doc_sha256
+         |FROM agg a LEFT JOIN ecnt e USING (repo)
+         |ORDER BY a.repo""".stripMargin
+    }
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

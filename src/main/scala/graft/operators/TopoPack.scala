@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dependency-aware repo packing — the DeepSeek-Coder refinement of
+  * [[RepoPack]] (arXiv 2401.14196 §3.1: repo files are concatenated in
+  * TOPOLOGICAL order of their import graph, so definitions precede uses
+  * and the model reads a repo the way a compiler would). [[RepoPack]]
+  * orders by path; this one orders by (dependency layer, path).
+  *
+  * Layer semantics — chosen to be deterministic AND replayable in any
+  * engine, cycles included: run EXACTLY `maxRounds` rounds of
+  * longest-path relaxation,
+  * `layer⁰(v) = 0; layerⁱ⁺¹(v) = coalesce(max over imports u of
+  * layerⁱ(u) + 1, 0)`. A DAG of depth ≤ maxRounds converges to the true
+  * longest-path depth; members of an import CYCLE keep climbing and
+  * finish at exactly `maxRounds` — a natural, loud "these files are
+  * mutually recursive" cap that needs no SCC machinery, and because the
+  * round count is part of the SEMANTIC (not a convergence test), the
+  * oracle replays it by unrolling the SAME K rounds as chained SQL CTEs.
+  * Fixed K also bounds the Spark job graph: K hash-joins co-partitioned
+  * on (repo, path), independent of corpus size.
+  *
+  * Import extraction is a one-pass `regexp_extract_all` against a marker
+  * pattern (default `// IMPORT: <path>` lines — resolving real
+  * language-level imports to paths is a resolver heuristic that callers
+  * supply as their own pattern); targets that don't exist in the same
+  * repo are ignored, self-imports dropped.
+  *
+  * Packing reuses [[RepoPack]]'s exact budget contract: the maximal
+  * ORDER-prefix whose running packed length fits, markers counted,
+  * overflow dropped as rows BEFORE concatenation (mega-repo skew stays
+  * bounded).
+  */
+object TopoPack {
+
+  final val DefaultImportPattern = "// IMPORT: ([^\\n]+)"
+  final val DefaultRounds = 6
+
+  /** In-repo import edges `(repo, src, dst)`: extracted targets that name
+    * an EXISTING path in the same repo, self-imports dropped, distinct.
+    * NULL path keys as "" (the same rule [[RepoPack]] uses, so the layer
+    * join in [[pack]] can never drop a file).
+    */
+  def importEdges(files: DataFrame, repoCol: String, pathCol: String,
+                  contentCol: String,
+                  pattern: String = DefaultImportPattern): DataFrame = {
+    val targets = files.select(col(repoCol).as("repo"),
+        coalesce(col(pathCol), lit("")).as("src"),
+        explode(regexp_extract_all(col(contentCol), lit(pattern), lit(1)))
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = files.select(col(repoCol).as("repo"),
+      coalesce(col(pathCol), lit("")).as("dst")).distinct()
+    targets.join(nodes, Seq("repo", "dst")).select("repo", "src", "dst")
+      .distinct()
+  }
+
+  /** `(repo, path, layer)` after exactly `rounds` relaxation rounds. */
+  def layers(files: DataFrame, repoCol: String, pathCol: String,
+             contentCol: String, pattern: String = DefaultImportPattern,
+             rounds: Int = DefaultRounds): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val nodes = files.select(col(repoCol).as("repo"),
+        coalesce(col(pathCol), lit("")).as("path"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = importEdges(files, repoCol, pathCol, contentCol, pattern)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var lay = nodes.withColumn("layer", lit(0L))
+      for (_ <- 0 until rounds) {
+        val stepped = edges
+          .join(lay.withColumnRenamed("path", "dst")
+            .withColumnRenamed("layer", "dst_layer"), Seq("repo", "dst"))
+          .groupBy(col("repo"), col("src").as("path"))
+          .agg((max(col("dst_layer")) + 1L).as("imp_layer"))
+        lay = nodes
+          .join(stepped, Seq("repo", "path"), "left")
+          .select(col("repo"), col("path"),
+            coalesce(col("imp_layer"), lit(0L)).as("layer"))
+      }
+      lay.localCheckpoint() // materialize before nodes/edges unpersist
+    } finally {
+      nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  /** One packed document per repo in (layer, path) order under the
+    * RepoPack budget contract:
+    * `(repo, n_files_kept, n_files_dropped, n_edges, max_layer, n_chars,
+    * doc)`.
+    */
+  def pack(files: DataFrame, repoCol: String, pathCol: String,
+           contentCol: String, maxChars: Long,
+           pattern: String = DefaultImportPattern,
+           rounds: Int = DefaultRounds): DataFrame = {
+    require(maxChars > 0, s"maxChars $maxChars must be positive")
+    val lay = layers(files, repoCol, pathCol, contentCol, pattern, rounds)
+    val edgeCounts = importEdges(files, repoCol, pathCol, contentCol, pattern)
+      .groupBy("repo").agg(count(lit(1)).as("n_edges"))
+    val pkey: Column = coalesce(col(pathCol), lit(""))
+    val piece: Column = concat(lit("// FILE: "), pkey, lit("\n"),
+      coalesce(col(contentCol), lit("")), lit("\n"))
+    val w = Window.partitionBy("repo").orderBy("__layer", "__pkey")
+    val costed = files
+      .select(col(repoCol).as("repo"), pkey.as("__pkey"), piece.as("__piece"))
+      .join(lay.withColumnRenamed("path", "__pkey")
+        .withColumnRenamed("layer", "__layer"), Seq("repo", "__pkey"))
+      .withColumn("__cum", sum(length(col("__piece")).cast("long")).over(w))
+    costed
+      .groupBy(col("repo"))
+      .agg(
+        sum(when(col("__cum") <= maxChars, 1L).otherwise(0L)).as("n_files_kept"),
+        sum(when(col("__cum") > maxChars, 1L).otherwise(0L)).as("n_files_dropped"),
+        max(col("__layer")).as("max_layer"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__cum") <= maxChars,
+                struct(col("__layer").as("l"), col("__pkey").as("p"),
+                  col("__piece").as("x"))))),
+            s => s.getField("x")),
+          "").as("doc"))
+      .join(edgeCounts, Seq("repo"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .withColumn("n_chars", length(col("doc")).cast("long"))
+      .select("repo", "n_files_kept", "n_files_dropped", "n_edges",
+        "max_layer", "n_chars", "doc")
+  }
+}

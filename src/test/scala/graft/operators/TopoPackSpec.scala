@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dependency-aware repo packing. Contracts:
+  *   - layer = exactly-K rounds of longest-path relaxation: a DAG of
+  *     depth ≤ K reports its true longest-path depth; members of an
+  *     import cycle (and their downstream importers) cap at exactly K;
+  *   - imports of nonexistent in-repo targets and self-imports are
+  *     dropped; edges are distinct; cross-repo paths never connect;
+  *   - multi-import nodes take the MAX over imported layers (+1);
+  *   - packing is RepoPack's budget contract re-ordered by
+  *     (layer, path): running-sum prefix, marker overhead counted,
+  *     first overflow stops the repo;
+  *   - the result is independent of input partitioning/order;
+  *   - a driver-side replica (plain Scala relaxation over collected
+  *     edges) agrees on randomized graphs, cycles included.
+  */
+class TopoPackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-topopack-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def imp(t: String) = s"// IMPORT: $t\n"
+
+  private def mk(rows: Seq[(String, String, String)]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("repo", "path", "content")
+  }
+
+  private def layerMap(rows: Seq[(String, String, String)],
+                       rounds: Int = TopoPack.DefaultRounds)
+      : Map[(String, String), Long] =
+    TopoPack.layers(mk(rows), "repo", "path", "content", rounds = rounds)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("DAG depths, fan-in max, dropped self/missing imports") {
+    val rows = Seq(
+      // chain: a <- b <- c  (c imports b imports a)
+      ("R", "a.txt", "base"),
+      ("R", "b.txt", imp("a.txt") + "mid"),
+      ("R", "c.txt", imp("b.txt") + "top"),
+      // d imports BOTH a (layer 0) and c (layer 2) -> max+1 = 3
+      ("R", "d.txt", imp("a.txt") + imp("c.txt") + "fan"),
+      // self-import and a missing target: both dropped -> layer 0
+      ("R", "e.txt", imp("e.txt") + imp("nope.txt") + "leaf"),
+      // same path name in ANOTHER repo must not connect to R's graph
+      ("S", "b.txt", imp("a.txt") + "other")) // S has no a.txt -> layer 0
+    val lay = layerMap(rows)
+    assert(lay(("R", "a.txt")) == 0L)
+    assert(lay(("R", "b.txt")) == 1L)
+    assert(lay(("R", "c.txt")) == 2L)
+    assert(lay(("R", "d.txt")) == 3L)
+    assert(lay(("R", "e.txt")) == 0L)
+    assert(lay(("S", "b.txt")) == 0L)
+    // edge table: distinct, in-repo, no self edges
+    val edges = TopoPack.importEdges(mk(rows), "repo", "path", "content")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(edges == Set(("R", "b.txt", "a.txt"), ("R", "c.txt", "b.txt"),
+      ("R", "d.txt", "a.txt"), ("R", "d.txt", "c.txt")))
+  }
+
+  test("cycle members and their importers cap at exactly K rounds") {
+    val rows = Seq(
+      ("R", "x.txt", imp("y.txt")),
+      ("R", "y.txt", imp("x.txt")),          // 2-cycle
+      ("R", "z.txt", imp("x.txt")),          // downstream of the cycle
+      ("R", "w.txt", "independent"))
+    for (k <- Seq(1, 3, TopoPack.DefaultRounds)) {
+      val lay = layerMap(rows, rounds = k)
+      assert(lay(("R", "x.txt")) == k.toLong, s"x at k=$k")
+      assert(lay(("R", "y.txt")) == k.toLong, s"y at k=$k")
+      assert(lay(("R", "z.txt")) == k.toLong, s"z at k=$k")
+      assert(lay(("R", "w.txt")) == 0L)
+    }
+    // a deep CHAIN truncates the same way: depth > K reports K
+    val chain = (0 to 9).map { i =>
+      ("C", f"p$i%02d.txt",
+        if (i == 0) "root" else imp(f"p${i - 1}%02d.txt"))
+    }
+    val lay3 = layerMap(chain, rounds = 3)
+    assert(lay3(("C", "p02.txt")) == 2L)
+    assert(lay3(("C", "p09.txt")) == 3L) // true depth 9, capped at K=3
+  }
+
+  test("packing: (layer, path) order, budget prefix, marker overhead") {
+    def piece(p: String, c: String) = s"// FILE: $p\n$c\n"
+    // z imports a -> layer 1, so z packs AFTER b despite z > b in path
+    // order only mattering within a layer.
+    val rows = Seq(
+      ("R", "z.txt", imp("a.txt") + "zz"),
+      ("R", "a.txt", "aa"),
+      ("R", "b.txt", "bb"))
+    val full = TopoPack.pack(mk(rows), "repo", "path", "content",
+        maxChars = 1000)
+      .collect().head
+    val pz = piece("z.txt", imp("a.txt") + "zz")
+    val docFull = piece("a.txt", "aa") + piece("b.txt", "bb") + pz
+    assert(full.getAs[String]("doc") == docFull)
+    assert(full.getAs[Long]("n_files_kept") == 3L)
+    assert(full.getAs[Long]("n_edges") == 1L)
+    assert(full.getAs[Long]("max_layer") == 1L)
+    assert(full.getAs[Long]("n_chars") == docFull.length.toLong)
+    // budget stops at the first overflow IN LAYER ORDER: cost = 11 +
+    // len(path) + len(content) -> a=18, b=18, z=35. Budget 36 keeps a+b
+    // (exact fit at the boundary), drops z.
+    val cut = TopoPack.pack(mk(rows), "repo", "path", "content",
+        maxChars = 36)
+      .collect().head
+    assert(cut.getAs[Long]("n_files_kept") == 2L)
+    assert(cut.getAs[Long]("n_files_dropped") == 1L)
+    assert(cut.getAs[String]("doc") ==
+      piece("a.txt", "aa") + piece("b.txt", "bb"))
+    // max_layer still reports the DROPPED file's layer (graph stat, not
+    // a packed stat)
+    assert(cut.getAs[Long]("max_layer") == 1L)
+  }
+
+  test("result is independent of input partitioning and row order") {
+    val rows = (0 until 60).map { i =>
+      val r = s"repo${i % 3}"
+      val header =
+        (if (i % 4 != 0) imp(s"f_${i - 3}.txt") else "") +
+          (if (i % 10 == 7) imp(s"f_${i - 6}.txt") else "") +
+          (if (i % 13 == 0) imp(s"f_${i + 3}.txt") else "") + // back edges
+          imp("missing.txt")
+      (r, s"f_$i.txt", header + ("x" * (i % 17)))
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TopoPack.pack(df, "repo", "path", "content", maxChars = 400)
+        .orderBy("repo")
+        .collect().map(_.toSeq).toSeq
+    val a = run(mk(rows))
+    val b = run(mk(scala.util.Random.shuffle(rows)).repartition(7))
+    assert(a == b)
+  }
+
+  test("differential fuzz vs a driver-side relaxation replica") {
+    val rnd = new scala.util.Random(123)
+    for (trial <- 0 until 5) {
+      val n = 18 + rnd.nextInt(10)
+      val paths = (0 until n).map(i => f"p$i%02d")
+      val rows = paths.zipWithIndex.map { case (p, i) =>
+        val nImp = rnd.nextInt(3)
+        val targets = Seq.fill(nImp)(paths(rnd.nextInt(n))) // may self/cycle
+        ("F", p, targets.map(imp).mkString + s"body$i")
+      }
+      val k = 1 + rnd.nextInt(6)
+      // replica: same fixed-K relaxation over the edge list
+      val edges = rows.flatMap { case (_, src, c) =>
+        "// IMPORT: ([^\n]+)".r.findAllMatchIn(c).map(m => (src, m.group(1)))
+      }.filter { case (s, d) => s != d && paths.contains(d) }.distinct
+      var lay = paths.map(_ -> 0L).toMap
+      for (_ <- 0 until k) {
+        val stepped = edges.groupBy(_._1).map { case (src, es) =>
+          src -> (es.map(e => lay(e._2)).max + 1L)
+        }
+        lay = paths.map(p => p -> stepped.getOrElse(p, 0L)).toMap
+      }
+      val got = layerMap(rows, rounds = k).map { case ((_, p), l) => p -> l }
+      assert(got == lay, s"trial $trial k=$k: $got vs $lay")
+    }
+  }
+
+  test("guards") {
+    intercept[IllegalArgumentException] {
+      TopoPack.pack(mk(Seq(("R", "a", "x"))), "repo", "path", "content",
+        maxChars = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopoPack.layers(mk(Seq(("R", "a", "x"))), "repo", "path", "content",
+        rounds = 0)
+    }
+  }
+}
