@@ -3159,6 +3159,53 @@ object SparkEntry {
           col("n_edges"), col("max_layer"), col("n_chars"),
           sha2(col("doc"), 256).as("doc_sha256"))
         .orderBy("repo")
+    }),
+
+    // q124: Jupyter-notebook → script conversion (The Stack 2211.15533
+    // §2.1 / StarCoder 2305.06161 §3 "Jupyter-scripts" — the ingestion
+    // step before any code filter applies). from_json with an EXPLICIT
+    // schema (no inference pass at 10^12 files) + higher-order array
+    // rendering, one codegen'd map-only pass. Construction builds real
+    // .ipynb JSON from the corpus via to_json in BOTH engines (each
+    // engine escapes its own JSON, each parses its own back — values
+    // compare, bytes don't have to): per doc_id residue a valid 2-cell
+    // notebook, a raw cell (%5, dropped+counted), a source-less code
+    // cell (%7, empty body still emits its "# %%" marker), plus the
+    // invalid trio — non-JSON (%13=0), nbformat 3 (%13=1), missing
+    // cells (%13=2) — and the empty-cells notebook (%13=3, script '').
+    // The oracle re-renders cell markers, markdown comment-prefixing,
+    // and the validity rule from Notebooks' OWN constants.
+    "q124_notebook_convert" -> ((s, dir) => {
+      def cell(t: String, src: Column): Column =
+        struct(lit(t).as("cell_type"), src.as("source"))
+      val baseCells = array(
+        cell("code", array(lit("import os\n"), col("content"))),
+        cell("markdown", array(lit("# Title\n"), lit(""), col("content"))))
+      val emptyCells = slice(baseCells, 1, 0)
+      val withExtras = concat(baseCells,
+        when(col("doc_id") % 5 === 0,
+          array(cell("raw", array(lit("meta"))))).otherwise(emptyCells),
+        when(col("doc_id") % 7 === 0,
+          array(struct(lit("code").as("cell_type"),
+            lit(null).cast("array<string>").as("source"))))
+          .otherwise(emptyCells))
+      val r13 = col("doc_id") % 13
+      val nb = when(r13 === 0, lit("not json"))
+        .when(r13 === 1, to_json(struct(lit(3L).as("nbformat"),
+          array(cell("code", array(col("content")))).as("cells"))))
+        .when(r13 === 2, lit("""{"nbformat":4}"""))
+        .when(r13 === 3, to_json(struct(lit(4L).as("nbformat"),
+          emptyCells.as("cells"))))
+        .otherwise(to_json(struct(lit(4L).as("nbformat"),
+          withExtras.as("cells"))))
+      val df = CodeFiles(s, dir).select(col("doc_id"), nb.as("nb"))
+      graft.pipeline.Notebooks.toScript(df, "nb")
+        .select(col("doc_id"), col("decision"), col("n_cells"),
+          col("n_code"), col("n_md"), col("n_dropped"),
+          coalesce(length(col("script")).cast("long"), lit(-1L))
+            .as("n_script_chars"),
+          coalesce(sha2(col("script"), 256), lit("")).as("script_sha"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5740,6 +5787,42 @@ object SparkEntry {
          |       sha256(doc) AS doc_sha256
          |FROM agg a LEFT JOIN ecnt e USING (repo)
          |ORDER BY a.repo""".stripMargin
+    },
+
+    // q124: replant the notebook JSON with DuckDB's own to_json (each
+    // engine builds AND parses its own JSON — the compared values are
+    // the post-parse conversion outputs), then render the conversion
+    // from Notebooks' constants via Notebooks.oracleSql.
+    "q124_notebook_convert" -> {
+      val conv = graft.pipeline.Notebooks.oracleSql("nb", "nbs")
+      s"""WITH $cte,
+         |nbs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN 'not json'
+         |         WHEN doc_id % 13 = 1 THEN CAST(to_json({'nbformat': 3,
+         |           'cells': [{'cell_type': 'code', 'source': [content]}]})
+         |           AS VARCHAR)
+         |         WHEN doc_id % 13 = 2 THEN '{"nbformat":4}'
+         |         WHEN doc_id % 13 = 3 THEN
+         |           CAST(to_json({'nbformat': 4, 'cells': []}) AS VARCHAR)
+         |         ELSE CAST(to_json({'nbformat': 4, 'cells':
+         |           [{'cell_type': 'code',
+         |             'source': ['import os' || chr(10), content]},
+         |            {'cell_type': 'markdown',
+         |             'source': ['# Title' || chr(10), '', content]}]
+         |           || CASE WHEN doc_id % 5 = 0
+         |                THEN [{'cell_type': 'raw', 'source': ['meta']}]
+         |                ELSE [] END
+         |           || CASE WHEN doc_id % 7 = 0
+         |                THEN [{'cell_type': 'code',
+         |                       'source': CAST(NULL AS VARCHAR[])}]
+         |                ELSE [] END}) AS VARCHAR)
+         |    END AS nb
+         |  FROM code_files)
+         |SELECT doc_id, decision, n_cells, n_code, n_md, n_dropped,
+         |  coalesce(CAST(length(script) AS BIGINT), -1) AS n_script_chars,
+         |  coalesce(sha256(script), '') AS script_sha
+         |FROM $conv ORDER BY doc_id""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

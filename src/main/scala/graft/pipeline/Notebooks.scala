@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Jupyter-notebook → script conversion — the ingestion step every
+  * code-corpus pipeline runs before its text filters can apply (The Stack,
+  * arXiv 2211.15533 §2.1 converts notebooks to scripts; StarCoder,
+  * arXiv 2305.06161 §3 ships both "Jupyter-scripts" and
+  * "Jupyter-structured" renderings). A `.ipynb` file is a JSON document
+  * (nbformat 4): `{"nbformat": 4, "cells": [{"cell_type":
+  * "code"|"markdown"|"raw", "source": [line, ...]}, ...]}`; the conversion
+  * renders code cells verbatim and markdown cells as comments, in the
+  * jupytext "percent" layout (`# %%` cell markers), dropping raw cells.
+  *
+  * Pure Catalyst, one codegen'd map-only pass per row: `from_json` with an
+  * explicit schema (never schema inference — at 10^12 files a sampling
+  * inference pass would be a full extra scan, and a hostile row could
+  * widen the schema for everyone), then higher-order array functions
+  * (`filter`/`transform`/`array_join`) do the rendering. No UDF, no
+  * shuffle; composes with the catalog's partitioned write like any other
+  * map stage.
+  *
+  * Engine-identical by construction: every rule below is rendered into
+  * DuckDB SQL by [[oracleSql]] from the SAME constants, and the
+  * validity rule is deliberately insensitive to the one spot where the
+  * engines' permissive JSON parsers differ (a type-mismatched `nbformat`
+  * nulls just the field in DuckDB but may null the whole struct in
+  * Spark — both land in `decision = 'invalid'`, whose outputs are all
+  * zeroed/NULL). Conversion rules, all spec-pinned:
+  *   - a notebook is VALID iff it parses, `nbformat` = [[NbFormat]], and
+  *     `cells` is present; anything else → `decision = 'invalid'`,
+  *     counts 0, script NULL;
+  *   - a cell body is the concatenation of its `source` elements (the
+  *     nbformat convention: elements carry their own trailing newlines);
+  *     a missing `source` is an empty body;
+  *   - code cells render as [[CodeMarker]] + newline + body; markdown
+  *     cells as [[MdMarker]] + newline + each body line prefixed with
+  *     [[CommentPrefix]] (empty lines included — deterministic beats
+  *     pretty); other cell types (raw, …) drop, counted in `n_dropped`;
+  *   - kept cells join with [[CellSep]] in notebook order.
+  */
+object Notebooks {
+
+  /** nbformat major version this converter accepts. */
+  final val NbFormat = 4L
+
+  final val CodeMarker = "# %%"
+  final val MdMarker = "# %% [markdown]"
+  final val CommentPrefix = "# "
+  final val CellSep = "\n\n"
+
+  /** Explicit parse schema — the whole point is NO inference pass. */
+  final val Schema: StructType = StructType(Seq(
+    StructField("nbformat", LongType),
+    StructField("cells", ArrayType(StructType(Seq(
+      StructField("cell_type", StringType),
+      StructField("source", ArrayType(StringType))))))))
+
+  private def body(c: Column): Column =
+    array_join(coalesce(c.getField("source"),
+      array().cast(ArrayType(StringType))), "")
+
+  private def render(c: Column): Column =
+    when(c.getField("cell_type") === "code",
+      concat(lit(CodeMarker + "\n"), body(c)))
+      .otherwise(concat(lit(MdMarker + "\n"),
+        array_join(
+          transform(split(body(c), "\n", -1),
+            x => concat(lit(CommentPrefix), x)), "\n")))
+
+  /** Adds `decision` (`ok` | `invalid`), `n_cells`, `n_code`, `n_md`,
+    * `n_dropped`, and `script` (NULL when invalid). Map-only.
+    */
+  def toScript(df: DataFrame, contentCol: String): DataFrame = {
+    val js = from_json(col(contentCol), Schema)
+    val cells = js.getField("cells")
+    val invalid = js.isNull || js.getField("nbformat").isNull ||
+      js.getField("nbformat") =!= NbFormat || cells.isNull
+    val typed = (t: String) => size(filter(cells,
+      c => c.getField("cell_type") === t)).cast("long")
+    val kept = filter(cells,
+      c => c.getField("cell_type").isin("code", "markdown"))
+    df.withColumn("decision", when(invalid, lit("invalid")).otherwise(lit("ok")))
+      .withColumn("n_cells",
+        when(invalid, lit(0L)).otherwise(size(cells).cast("long")))
+      .withColumn("n_code", when(invalid, lit(0L)).otherwise(typed("code")))
+      .withColumn("n_md", when(invalid, lit(0L)).otherwise(typed("markdown")))
+      .withColumn("n_dropped",
+        when(invalid, lit(0L))
+          .otherwise((size(cells) - size(kept)).cast("long")))
+      .withColumn("script",
+        when(invalid, lit(null).cast("string"))
+          .otherwise(array_join(transform(kept, render(_)), CellSep)))
+  }
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** DuckDB rendering of [[toScript]] from the same constants. Returns a
+    * full derived-table SQL (parse once in the inner SELECT, render in
+    * the outer) producing `(doc_id, decision, n_cells, n_code, n_md,
+    * n_dropped, script)` from `fromClause` (a table/CTE with `doc_id`
+    * and `contentExpr`).
+    */
+  def oracleSql(contentExpr: String, fromClause: String): String = {
+    val tpl = """{"nbformat":"BIGINT","cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}]}"""
+    val invalid = s"(js IS NULL OR js.nbformat IS NULL OR " +
+      s"js.nbformat <> $NbFormat OR js.cells IS NULL)"
+    // DuckDB's array_to_string returns NULL on an EMPTY list where
+    // Spark's array_join returns '' — every join below coalesces, or an
+    // empty-bodied cell would silently vanish from the oracle's script.
+    val bodyOf = (c: String) =>
+      s"coalesce(array_to_string(coalesce($c.source, []), ''), '')"
+    val renderOf =
+      s"""CASE WHEN x.cell_type = 'code'
+         |  THEN ${sqlLit(CodeMarker + "\n")} || ${bodyOf("x")}
+         |  ELSE ${sqlLit(MdMarker + "\n")} ||
+         |    coalesce(array_to_string(list_transform(
+         |      string_split(${bodyOf("x")}, chr(10)),
+         |      y -> ${sqlLit(CommentPrefix)} || y), chr(10)), '') END""".stripMargin
+    s"""(SELECT doc_id,
+       |  CASE WHEN $invalid THEN 'invalid' ELSE 'ok' END AS decision,
+       |  CASE WHEN $invalid THEN 0
+       |       ELSE CAST(len(js.cells) AS BIGINT) END AS n_cells,
+       |  CASE WHEN $invalid THEN 0
+       |       ELSE CAST(len(list_filter(js.cells, x -> x.cell_type = 'code'))
+       |         AS BIGINT) END AS n_code,
+       |  CASE WHEN $invalid THEN 0
+       |       ELSE CAST(len(list_filter(js.cells, x -> x.cell_type = 'markdown'))
+       |         AS BIGINT) END AS n_md,
+       |  CASE WHEN $invalid THEN 0
+       |       ELSE CAST(len(js.cells)
+       |         - len(list_filter(js.cells,
+       |             x -> x.cell_type IN ('code', 'markdown'))) AS BIGINT)
+       |       END AS n_dropped,
+       |  CASE WHEN $invalid THEN NULL
+       |       ELSE coalesce(array_to_string(list_transform(
+       |         list_filter(js.cells, x -> x.cell_type IN ('code', 'markdown')),
+       |         x -> $renderOf), ${sqlLit(CellSep)}), '') END AS script
+       | FROM (SELECT doc_id,
+       |         CASE WHEN json_valid($contentExpr)
+       |           THEN json_transform($contentExpr, '$tpl') END AS js
+       |       FROM $fromClause))""".stripMargin
+  }
+}

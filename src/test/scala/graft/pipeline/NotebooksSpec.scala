@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Notebooks: exact rendered scripts per conversion rule (markers,
+  * markdown comment-prefixing, raw-cell drop, source-less cell, empty
+  * notebook), the validity rule on every invalid shape, the map-only
+  * plan pin, and the oracle rendering's constant parity.
+  */
+class NotebooksSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-notebooks-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(rows: Seq[(Long, String)]): Map[Long, (String, Long, Long, Long, Long, Option[String])] = {
+    import spark.implicits._
+    Notebooks.toScript(rows.toDF("id", "nb"), "nb")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[String]("decision"),
+        r.getAs[Long]("n_cells"), r.getAs[Long]("n_code"),
+        r.getAs[Long]("n_md"), r.getAs[Long]("n_dropped"),
+        Option(r.getAs[String]("script")))))
+      .toMap
+  }
+
+  test("rendering: markers, md prefixing, raw drop, empty body, cell order") {
+    val nb =
+      """{"nbformat":4,"cells":[
+        |{"cell_type":"code","source":["import os\n","print(1)"]},
+        |{"cell_type":"markdown","source":["# Title\n","","body\nmore"]},
+        |{"cell_type":"raw","source":["meta"]},
+        |{"cell_type":"code"}]}""".stripMargin.replace("\n", "")
+    // the JSON above has literal \n escapes inside source strings only
+    val got = run(Seq(1L -> nb))(1L)
+    assert(got._1 == "ok")
+    assert((got._2, got._3, got._4, got._5) == ((4L, 2L, 1L, 1L)))
+    val expected =
+      "# %%\nimport os\nprint(1)" + "\n\n" +
+        "# %% [markdown]\n# # Title\n# body\n# more" + "\n\n" +
+        "# %%\n"
+    assert(got._6.contains(expected))
+  }
+
+  test("empty cells array converts to the empty script, not NULL") {
+    val got = run(Seq(1L -> """{"nbformat":4,"cells":[]}"""))(1L)
+    assert(got == (("ok", 0L, 0L, 0L, 0L, Some(""))))
+  }
+
+  test("invalid shapes: non-JSON, wrong nbformat, missing nbformat, missing cells") {
+    val got = run(Seq(
+      1L -> "not json",
+      2L -> """{"nbformat":3,"cells":[]}""",
+      3L -> """{"cells":[]}""",
+      4L -> """{"nbformat":4}"""))
+    got.values.foreach { v =>
+      assert(v == (("invalid", 0L, 0L, 0L, 0L, None)))
+    }
+  }
+
+  test("markdown empty lines keep the bare comment prefix") {
+    val nb = """{"nbformat":4,"cells":[{"cell_type":"markdown","source":["a\n\nb"]}]}"""
+    val got = run(Seq(1L -> nb))(1L)
+    assert(got._6.contains("# %% [markdown]\n# a\n# \n# b"))
+  }
+
+  test("map-only plan: no exchange anywhere") {
+    import spark.implicits._
+    val df = Notebooks.toScript(
+      Seq((1L, """{"nbformat":4,"cells":[]}""")).toDF("id", "nb"), "nb")
+    val exchanges = df.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, "Notebooks.toScript must stay map-only")
+  }
+
+  test("oracle rendering splices the SAME constants") {
+    val sql = Notebooks.oracleSql("nb", "nbs")
+    assert(sql.contains("'# %%' || chr(10)"))
+    assert(sql.contains("'# %% [markdown]' || chr(10)"))
+    assert(sql.contains(s"js.nbformat <> ${Notebooks.NbFormat}"))
+    assert(sql.contains("'# '"))
+  }
+}
