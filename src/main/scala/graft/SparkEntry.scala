@@ -3206,6 +3206,35 @@ object SparkEntry {
             .as("n_script_chars"),
           coalesce(sha2(col("script"), 256), lit("")).as("script_sha"))
         .orderBy("doc_id")
+    }),
+
+    // q125: file-importance PageRank over the import graph (the
+    // centrality signal for rank-weighted sampling / hub-first packing
+    // inside mega-repos; composes with q123's edges). Exact fixed-point
+    // integer arithmetic, exactly K = DefaultRounds power-iteration
+    // rounds — the oracle unrolls the SAME K as chained CTEs rendered
+    // from the operator's own constants. Construction plants, per repo:
+    // a HUB every other file imports (f_0 — must dominate the ranking),
+    // depth chains (r%4 != 0 imports f_{r-1}), a genuine 2-cycle in some
+    // repos (doc_id%47 == 3 imports f_{r+1} — damping must bound it, no
+    // blowup), a self-import (doc_id%19 == 0, dropped) and a missing
+    // target every file imports (dropped).
+    "q125_file_rank" -> ((s, dir) => {
+      val r = floor(col("doc_id") / 20).cast("long")
+      def imp(t: Column): Column =
+        concat(lit("// IMPORT: f_"), t, lit(".txt\n"))
+      val header = concat(
+        when(r =!= 0, imp(lit(0L))).otherwise(lit("")),
+        when(r % 4 =!= 0, imp(r - 1)).otherwise(lit("")),
+        when(col("doc_id") % 47 === 3, imp(r + 1)).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, imp(r)).otherwise(lit("")),
+        lit("// IMPORT: lib/missing.txt\n"))
+      val files = CodeFiles(s, dir).select(
+        col("repo"),
+        concat(lit("f_"), r, lit(".txt")).as("path"),
+        concat(header, col("content")).as("content"))
+      graft.operators.FileRank.ranks(files, "repo", "path", "content")
+        .orderBy("repo", "path")
     })
   )
 
@@ -5823,6 +5852,47 @@ object SparkEntry {
          |  coalesce(CAST(length(script) AS BIGINT), -1) AS n_script_chars,
          |  coalesce(sha256(script), '') AS script_sha
          |FROM $conv ORDER BY doc_id""".stripMargin
+    },
+
+    // q125: replant the hub/chain/cycle import headers by the SAME
+    // residue arithmetic, rebuild nodes/edges exactly as q123's oracle
+    // does (same regex in both engines, existing-target + self-import
+    // drops), then unroll the K power-iteration rounds via
+    // FileRank.oracleCtes — every quantity BIGINT, both divisions
+    // integral, so the ranks hash identically.
+    "q125_file_rank" -> {
+      val pat = graft.operators.TopoPack.DefaultImportPattern
+      s"""WITH $cte,
+         |files AS (
+         |  SELECT repo, 'f_' || (doc_id // 20) || '.txt' AS path,
+         |    CASE WHEN (doc_id // 20) <> 0 THEN
+         |      '// IMPORT: f_0.txt' || chr(10) ELSE '' END ||
+         |    CASE WHEN (doc_id // 20) % 4 <> 0 THEN
+         |      '// IMPORT: f_' || (doc_id // 20 - 1) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 47 = 3 THEN
+         |      '// IMPORT: f_' || (doc_id // 20 + 1) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 19 = 0 THEN
+         |      '// IMPORT: f_' || (doc_id // 20) || '.txt' || chr(10)
+         |      ELSE '' END ||
+         |    '// IMPORT: lib/missing.txt' || chr(10) || content AS content
+         |  FROM code_files
+         |),
+         |nodes AS (SELECT DISTINCT repo, path FROM files),
+         |rawimp AS (
+         |  SELECT f.repo, f.path AS src, u.dst
+         |  FROM files f,
+         |    unnest(regexp_extract_all(f.content, '$pat', 1)) AS u(dst)
+         |),
+         |edges AS (
+         |  SELECT DISTINCT r.repo, r.src, r.dst
+         |  FROM rawimp r JOIN nodes n ON n.repo = r.repo AND n.path = r.dst
+         |  WHERE r.src <> r.dst
+         |),
+         |${graft.operators.FileRank.oracleCtes()}
+         |SELECT repo, path, out_deg, rank FROM franks
+         |ORDER BY repo, path""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

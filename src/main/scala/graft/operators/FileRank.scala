@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** File-importance ranking over the in-repo import graph — PageRank
+  * (Brin & Page 1998) in exact fixed-point integer arithmetic, the
+  * centrality signal a code-corpus curator uses where [[TopoPack]] uses
+  * depth: rank-weighted file sampling inside mega-repos, hub-first
+  * context packing, and "is this file load-bearing or vendored debris"
+  * pruning (the repo-level curation step discussed in the code-pretraining
+  * line of The Stack / DeepSeek-Coder; the graph is [[TopoPack]]'s import
+  * graph, so the two operators compose on the same edges).
+  *
+  * Semantics — deterministic and replayable in any engine:
+  * exactly `rounds` power-iteration rounds of
+  * `r⁰(v) = Scale;  rⁱ⁺¹(v) = ((DampDen − DampNum)·Scale
+  *   + DampNum · Σ over in-edges (u,v) of (rⁱ(u) div outdeg(u)))
+  *   div DampDen`
+  * with every quantity a BIGINT and both `div`s integral — group sums are
+  * order-independent in integer arithmetic, so results hash identically
+  * under any partitioning and in the SQL oracle (which unrolls the SAME
+  * `rounds` as chained CTEs rendered from [[DefaultRounds]]). Rank mass
+  * donated by a file with no out-edges evaporates (no dangling
+  * redistribution): rank here is a relative ordering signal, not a
+  * probability, and the jump term keeps every file's rank ≥
+  * `(DampDen−DampNum)·Scale div DampDen` > 0. Import cycles are fine —
+  * damping geometrically bounds them, no SCC machinery.
+  *
+  * Scale shape: content is read ONCE (edge extraction); all `rounds`
+  * iterations move scalar `(repo, path, rank)` rows through K hash-joins
+  * co-partitioned on (repo, path) — the job graph is fixed-size,
+  * independent of corpus size. Overflow bound: a repo's total rank mass
+  * never exceeds `n_files·Scale`, so the pre-division product stays under
+  * `DampNum·n_files·Scale` — safe in BIGINT to ~10^11 files per repo.
+  */
+object FileRank {
+
+  /** Fixed-point scale of the unit rank. */
+  final val Scale = 1000000L
+
+  /** Damping factor DampNum/DampDen = 0.85, the published constant. */
+  final val DampNum = 85L
+  final val DampDen = 100L
+
+  /** Power-iteration rounds — part of the SEMANTIC (the oracle unrolls
+    * exactly this many), not a convergence test.
+    */
+  final val DefaultRounds = 8
+
+  /** `(repo, path, out_deg, rank)` after exactly `rounds` rounds over
+    * [[TopoPack.importEdges]]'s graph (same pattern, same existing-target
+    * / self-import drops).
+    */
+  def ranks(files: DataFrame, repoCol: String, pathCol: String,
+            contentCol: String,
+            pattern: String = TopoPack.DefaultImportPattern,
+            rounds: Int = DefaultRounds): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val nodes = files.select(col(repoCol).as("repo"),
+        coalesce(col(pathCol), lit("")).as("path"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = TopoPack.importEdges(files, repoCol, pathCol, contentCol,
+        pattern)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("repo", "src").agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // each round localCheckpoints its scalar (repo, path, rank) rows
+      // and drops the previous round's blocks (the Lsh pointer-jump
+      // discipline): the per-round job graph stays constant-size no
+      // matter how many rounds, and Catalyst never sees a K-deep plan
+      var r = nodes.withColumn("rank", lit(Scale)).localCheckpoint()
+      for (_ <- 0 until rounds) {
+        val contrib = edges
+          .join(deg, Seq("repo", "src"))
+          .join(r.select(col("repo"), col("path").as("src"),
+            col("rank").as("rs")), Seq("repo", "src"))
+          .groupBy(col("repo"), col("dst").as("path"))
+          .agg(sum(expr("rs div d")).as("c"))
+        val next = nodes
+          .join(contrib, Seq("repo", "path"), "left")
+          .select(col("repo"), col("path"),
+            expr(s"(${(DampDen - DampNum) * Scale} + $DampNum * " +
+              s"coalesce(c, 0L)) div $DampDen").as("rank"))
+          .localCheckpoint()
+        r.unpersist(blocking = false) // previous round's checkpoint
+        r = next
+      }
+      val out = nodes
+        .join(deg.select(col("repo"), col("src").as("path"), col("d")),
+          Seq("repo", "path"), "left")
+        .join(r, Seq("repo", "path"))
+        .select(col("repo"), col("path"),
+          coalesce(col("d"), lit(0L)).as("out_deg"), col("rank"))
+        .localCheckpoint() // materialize before the unpersists below
+      r.unpersist(blocking = false)
+      out
+    } finally {
+      nodes.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
+  }
+
+  /** DuckDB CTE chain replaying [[ranks]] — splice after `WITH`; expects
+    * CTEs `nodes(repo, path)` and `edges(repo, src, dst)` already
+    * defined. Produces CTE `franks(repo, path, out_deg, rank)`.
+    */
+  def oracleCtes(rounds: Int = DefaultRounds): String = {
+    val jump = (DampDen - DampNum) * Scale
+    val steps = (1 to rounds).map { i =>
+      s"""fr$i AS (
+         |  SELECT n.repo, n.path,
+         |         ($jump + $DampNum * coalesce(s.c, 0)) // $DampDen AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.repo, e.dst AS path, sum(p.rank // d.d) AS c
+         |    FROM edges e
+         |    JOIN fdeg d ON d.repo = e.repo AND d.src = e.src
+         |    JOIN fr${i - 1} p ON p.repo = e.repo AND p.path = e.src
+         |    GROUP BY 1, 2) s
+         |    ON s.repo = n.repo AND s.path = n.path
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""fdeg AS (SELECT repo, src, count(*) AS d FROM edges GROUP BY 1, 2),
+       |fr0 AS (SELECT repo, path, CAST($Scale AS BIGINT) AS rank FROM nodes),
+       |$steps,
+       |franks AS (
+       |  SELECT n.repo, n.path,
+       |         CAST(coalesce(d.d, 0) AS BIGINT) AS out_deg,
+       |         CAST(r.rank AS BIGINT) AS rank
+       |  FROM nodes n
+       |  LEFT JOIN fdeg d ON d.repo = n.repo AND d.src = n.path
+       |  JOIN fr$rounds r ON r.repo = n.repo AND r.path = n.path
+       |)""".stripMargin
+  }
+}

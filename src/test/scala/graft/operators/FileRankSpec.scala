@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** FileRank: hand-checked tiny graphs, the hub dominance and cycle
+  * boundedness properties, cross-repo isolation, partitioning
+  * invariance, and a driver-replica differential fuzz on random graphs
+  * with cycles.
+  */
+class FileRankSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-filerank-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Driver replica of the exact integer semantics. */
+  private def replica(nodes: Seq[(String, String)],
+                      edges: Seq[(String, String, String)],
+                      rounds: Int): Map[(String, String), Long] = {
+    val deg = edges.groupBy(e => (e._1, e._2)).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(n => n -> FileRank.Scale).toMap
+    for (_ <- 0 until rounds) {
+      val contrib = edges.groupBy(e => (e._1, e._3)).view.mapValues { es =>
+        es.map(e => r((e._1, e._2)) / deg((e._1, e._2))).sum
+      }.toMap
+      r = nodes.map { n =>
+        n -> (((FileRank.DampDen - FileRank.DampNum) * FileRank.Scale +
+          FileRank.DampNum * contrib.getOrElse(n, 0L)) / FileRank.DampDen)
+      }.toMap
+    }
+    r
+  }
+
+  private def files(rows: Seq[(String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("repo", "path", "content")
+  }
+
+  private def run(rows: Seq[(String, String, String)], rounds: Int = FileRank.DefaultRounds) =
+    FileRank.ranks(files(rows), "repo", "path", "content", rounds = rounds)
+      .collect()
+      .map(r => (r.getAs[String]("repo"), r.getAs[String]("path")) ->
+        ((r.getAs[Long]("out_deg"), r.getAs[Long]("rank"))))
+      .toMap
+
+  test("two-node chain matches the hand-derived fixpoint trajectory") {
+    // a imports b: a keeps the jump rank, b gets jump + 0.85*r(a)
+    val got = run(Seq(
+      ("r", "a", "// IMPORT: b\nbody"),
+      ("r", "b", "body")))
+    val expect = replica(Seq(("r", "a"), ("r", "b")), Seq(("r", "a", "b")),
+      FileRank.DefaultRounds)
+    assert(got(("r", "a")) == ((1L, expect(("r", "a")))))
+    assert(got(("r", "b")) == ((0L, expect(("r", "b")))))
+    // a converged to the jump floor after round 1
+    assert(got(("r", "a"))._2 ==
+      (FileRank.DampDen - FileRank.DampNum) * FileRank.Scale / FileRank.DampDen)
+    assert(got(("r", "b"))._2 > got(("r", "a"))._2)
+  }
+
+  test("hub with N importers dominates; 2-cycle stays bounded") {
+    val importers = (1 to 10).map(i =>
+      ("r", s"f$i", "// IMPORT: hub\nbody"))
+    val cyc = Seq(
+      ("r", "c1", "// IMPORT: c2\nbody"),
+      ("r", "c2", "// IMPORT: c1\nbody"))
+    val got = run(importers ++ cyc :+ (("r", "hub", "body")))
+    val hubRank = got(("r", "hub"))._2
+    assert(got.forall { case (k, v) => k == (("r", "hub")) || v._2 <= hubRank })
+    // cycle ranks bounded by the geometric series limit Scale/(1-d) = 6.67·Scale
+    assert(got(("r", "c1"))._2 < 7L * FileRank.Scale)
+    assert(got(("r", "c1"))._2 == got(("r", "c2"))._2)
+  }
+
+  test("self-imports and missing targets contribute nothing; repos isolate") {
+    val got = run(Seq(
+      ("r1", "a", "// IMPORT: a\n// IMPORT: missing\nbody"),
+      ("r1", "b", "body"),
+      ("r2", "a", "// IMPORT: b\nbody"),
+      ("r2", "b", "body")))
+    val floorRank =
+      (FileRank.DampDen - FileRank.DampNum) * FileRank.Scale / FileRank.DampDen
+    // r1: no surviving edges at all — both nodes sit at the jump floor
+    assert(got(("r1", "a")) == ((0L, floorRank)))
+    assert(got(("r1", "b")) == ((0L, floorRank)))
+    // r2's b must NOT see r1's identically-named b
+    assert(got(("r2", "b"))._2 > floorRank)
+  }
+
+  test("differential fuzz vs the driver replica on random cyclic graphs") {
+    val rnd = new Random(125)
+    for (trial <- 0 until 5) {
+      val n = 12 + rnd.nextInt(8)
+      val paths = (0 until n).map(i => s"f$i")
+      val rows = paths.map { p =>
+        val targets = (0 until rnd.nextInt(4)).map(_ => paths(rnd.nextInt(n)))
+        val header = targets.map(t => s"// IMPORT: $t\n").mkString
+        ("repo", p, header + s"content of $p")
+      }
+      val nodes = paths.map(p => ("repo", p))
+      val edges = rows.flatMap { case (repo, p, c) =>
+        "// IMPORT: ([^\n]+)".r.findAllMatchIn(c).map(m => (repo, p, m.group(1)))
+      }.filter(e => e._2 != e._3 && paths.contains(e._3)).distinct
+      val expect = replica(nodes, edges, FileRank.DefaultRounds)
+      val got = run(rows)
+      assert(got.view.mapValues(_._2).toMap == expect, s"trial $trial")
+    }
+  }
+
+  test("partitioning invariance") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      ("r" + (i % 3), s"f$i", s"// IMPORT: f${(i + 3) % 30}\nbody $i")
+    }
+    val a = FileRank.ranks(rows.toDF("repo", "path", "content"),
+      "repo", "path", "content").collect().map(_.toSeq).toSet
+    val b = FileRank.ranks(rows.toDF("repo", "path", "content").repartition(7),
+      "repo", "path", "content").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
