@@ -3235,6 +3235,31 @@ object SparkEntry {
         concat(header, col("content")).as("content"))
       graft.operators.FileRank.ranks(files, "repo", "path", "content")
         .orderBy("repo", "path")
+    }),
+
+    // q126: tokenizer fertility per language (the tokenizer-QA rollup —
+    // chars-per-token compression ratio per language; a language whose
+    // ratio collapses is being shredded into bytes by the vocab).
+    // Construction = q41's closed-form BPE corpus (merges (a,b)→(ab,c)
+    // →(ab,ab) ⇒ 'abab '/'abc '/'dd ' encode to 1/1/2 tokens), so both
+    // the per-doc token count AND the per-doc char count are residue
+    // arithmetic the oracle aggregates per language. One mapPartitions
+    // pass (chars + tokens together, no join back), map-side-combinable
+    // agg to |langs| rows, integer fixed-point ratio.
+    "q126_token_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = CodeFiles(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("repo"), col("path"), col("commit"),
+          col("lang"),
+          expr("repeat('abab ', CAST(doc_id % 3 + 1 AS INT)) || " +
+            "repeat('abc ', CAST(doc_id % 5 + 1 AS INT)) || " +
+            "repeat('dd ', CAST(doc_id % 2 + 1 AS INT))").as("content"))
+      val bpe = bpeCache.computeIfAbsent(dir, _ =>
+        graft.pipeline.TokenCount.train(corpus.select("content").as[String], 3))
+      graft.pipeline.TokenCount
+        .fertilityByLang(corpus.as[graft.pipeline.CodeFile], bpe)
+        .orderBy("lang")
     })
   )
 
@@ -5893,7 +5918,26 @@ object SparkEntry {
          |${graft.operators.FileRank.oracleCtes()}
          |SELECT repo, path, out_deg, rank FROM franks
          |ORDER BY repo, path""".stripMargin
-    }
+    },
+
+    // q126: q41's closed-form construction aggregated per language —
+    // tokens = (id%3+1)+(id%5+1)+2*(id%2+1), chars = 5*(id%3+1)
+    // +4*(id%5+1)+3*(id%2+1) — then the SAME integer fixed-point ratio.
+    "q126_token_fertility" ->
+      s"""WITH $cte,
+         |per_doc AS (
+         |  SELECT lang,
+         |         CAST(5 * (doc_id % 3 + 1) + 4 * (doc_id % 5 + 1)
+         |              + 3 * (doc_id % 2 + 1) AS BIGINT) AS n_chars,
+         |         CAST((doc_id % 3 + 1) + (doc_id % 5 + 1)
+         |              + 2 * (doc_id % 2 + 1) AS BIGINT) AS num_tokens
+         |  FROM code_files)
+         |SELECT lang, count(*) AS n_docs,
+         |       sum(n_chars) AS n_chars,
+         |       sum(num_tokens) AS n_tokens,
+         |       (1000 * sum(n_chars)) // sum(num_tokens)
+         |         AS chars_per_token_x1000
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -70,6 +70,37 @@ object TokenCount {
     }.toDF("input_id", "doc_id", "snapshot_id", "num_tokens")
   }
 
+  /** Tokenizer-fertility rollup per language — the tokenizer-QA table
+    * (chars-per-token compression ratio, the per-language "fertility"
+    * StarCoder-style tokenizer evaluations report; a language whose ratio
+    * collapses is being shredded into bytes by the vocab). One
+    * mapPartitions pass computes codepoint length AND the BPE token count
+    * together (no join back to the corpus), then a map-side-combinable
+    * aggregate collapses to |languages| rows — nothing content-sized ever
+    * shuffles. Ratios are integer fixed-point (`1000·chars div tokens`)
+    * so they hash identically in any engine; a zero-token language
+    * reports NULL rather than a fake ratio.
+    */
+  def fertilityByLang(files: Dataset[CodeFile], bpe: Bpe): DataFrame = {
+    import files.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val bc = files.sparkSession.sparkContext.broadcast(bpe)
+    files.mapPartitions { it =>
+      val b = bc.value
+      val memo = scala.collection.mutable.HashMap.empty[String, Int]
+      it.map(cf => (cf.lang,
+        graft.text.PyCompat.cpLength(cf.content).toLong,
+        b.countTokens(cf.content, memo).toLong))
+    }.toDF("lang", "n_chars", "num_tokens")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("num_tokens").as("n_tokens"))
+      .withColumn("chars_per_token_x1000",
+        when(col("n_tokens") > 0,
+          expr("1000 * n_chars div n_tokens")).otherwise(lit(null)))
+  }
+
   /** Pretokenized export — one row per document with the full vocab-id
     * sequence, the artifact a trainer ingests directly (the step after
     * counting: publish `ids` once instead of re-tokenizing per epoch).

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TokenCount.fertilityByLang: hand-derived ratios, codepoint (not
+  * UTF-16) char counting on astral text, the zero-token NULL refusal,
+  * and the partial-aggregate plan shape.
+  */
+class FertilitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-fertility-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def bpe = {
+    import spark.implicits._
+    // frequencies chosen so the 3 merges land exactly as q41's
+    // construction expects: (a,b) → (ab,ab) → (ab,c); 'dd' never merges
+    TokenCount.train(Seq("abab abab abab abc abc dd").toDS(), 3)
+  }
+
+  private def files(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.map { case (id, lang, content) =>
+      CodeFile(id, "r", "p", "c0000000", lang, content)
+    }.toDS()
+  }
+
+  test("hand-derived per-language ratios") {
+    val out = TokenCount.fertilityByLang(files(Seq(
+        (1L, "py", "abab abab "),   // 10 chars, 2 tokens
+        (2L, "py", "abc "),         // 4 chars, 1 token
+        (3L, "go", "dd "))), bpe)   // 3 chars, 2 tokens
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_tokens"), r.getAs[java.lang.Long]("chars_per_token_x1000"))))
+      .toMap
+    assert(out("py") == ((2L, 14L, 3L, java.lang.Long.valueOf(14000L / 3))))
+    assert(out("go") == ((1L, 3L, 2L, java.lang.Long.valueOf(1500L))))
+  }
+
+  test("astral text counts codepoints, not UTF-16 units") {
+    // 𝔘𝔫𝔦 = 3 codepoints (6 UTF-16 units) + space + dd = 6 codepoints
+    val out = TokenCount.fertilityByLang(
+        files(Seq((1L, "py", "𝔘𝔫𝔦 dd"))), bpe)
+      .collect()(0)
+    assert(out.getAs[Long]("n_chars") == 6L)
+  }
+
+  test("empty corpus language never divides by zero") {
+    val out = TokenCount.fertilityByLang(files(Seq((1L, "py", ""))), bpe)
+      .collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 0L)
+    assert(out.getAs[java.lang.Long]("chars_per_token_x1000") == null)
+  }
+
+  test("plan is a partial aggregate over the map pass — one exchange total") {
+    val df = TokenCount.fertilityByLang(files(Seq((1L, "py", "abc "))), bpe)
+    df.collect() // finalize the AQE plan before inspecting it
+    // the AQE string repeats the plan under "== Initial Plan ==" — scope
+    // the count to the final section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("HashAggregate"), p.take(2000))
+    val exchanges =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly one hash exchange:\n$p")
+  }
+}
