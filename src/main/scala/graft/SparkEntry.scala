@@ -3260,6 +3260,38 @@ object SparkEntry {
       graft.pipeline.TokenCount
         .fertilityByLang(corpus.as[graft.pipeline.CodeFile], bpe)
         .orderBy("lang")
+    }),
+
+    // q127: corpus-wide declared-symbol heavy hitters (WIMBD 2310.20707
+    // specialized to code — which function/class names dominate; the
+    // boilerplate detector and the decontamination consult table).
+    // Construction plants a hot symbol in EVERY file (def main — with a
+    // second copy in %9 files so occ > df), residue-salted class/
+    // function/fn declarations exercising space and tab indentation and
+    // the ^ branch (first_line at the very start of %13 files), plus
+    // three decoys that must NOT match (define/classic_mode/undef — the
+    // keyword needs [ \t]+ after it and a line start before it). The
+    // oracle runs the IDENTICAL pattern text (Java∩RE2) and the same
+    // two-stage (per-doc, per-symbol) aggregation.
+    "q127_symbol_stats" -> ((s, dir) => {
+      val header = concat(
+        when(col("doc_id") % 13 === 0, lit("def first_line(x):\n"))
+          .otherwise(lit("")),
+        lit("def main():\n    pass\n"),
+        concat(lit("class Widget_"), col("doc_id") % 7, lit(":\n")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("  function helper_"), col("doc_id") % 5,
+            lit("() {\n"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\tfn tabbed_decl(x)\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit("def main():\n"))
+          .otherwise(lit("")),
+        lit("define x_not_a_decl(\nclassic_mode(\nundef broken(\n"))
+      val files = CodeFiles(s, dir).select(col("doc_id"),
+        concat(header, col("content")).as("content"))
+      graft.operators.SymbolStats.topK(
+          graft.operators.SymbolStats.stats(files, "doc_id", "content"), 25)
+        .orderBy(col("df").desc, col("occ").desc, col("symbol").asc)
     })
   )
 
@@ -5937,7 +5969,46 @@ object SparkEntry {
          |       sum(num_tokens) AS n_tokens,
          |       (1000 * sum(n_chars)) // sum(num_tokens)
          |         AS chars_per_token_x1000
-         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q127: replant the declaration headers by the SAME residue
+    // arithmetic, run the IDENTICAL regex text, aggregate the same way.
+    "q127_symbol_stats" -> {
+      val pat = graft.operators.SymbolStats.DeclPattern
+      s"""WITH $cte,
+         |files AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0
+         |      THEN 'def first_line(x):' || chr(10) ELSE '' END ||
+         |    'def main():' || chr(10) || '    pass' || chr(10) ||
+         |    'class Widget_' || (doc_id % 7) || ':' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN '  function helper_' || (doc_id % 5) || '() {' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN chr(9) || 'fn tabbed_decl(x)' || chr(10) ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 0
+         |      THEN 'def main():' || chr(10) ELSE '' END ||
+         |    'define x_not_a_decl(' || chr(10) || 'classic_mode(' ||
+         |      chr(10) || 'undef broken(' || chr(10) ||
+         |    content AS content
+         |  FROM code_files
+         |),
+         |syms AS (
+         |  SELECT f.doc_id, u.symbol
+         |  FROM files f,
+         |    unnest(regexp_extract_all(f.content, '$pat', 1)) AS u(symbol)
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, symbol, count(*) AS c FROM syms GROUP BY 1, 2
+         |),
+         |agg AS (
+         |  SELECT symbol, count(*) AS df, sum(c) AS occ
+         |  FROM perdoc GROUP BY symbol
+         |)
+         |SELECT symbol, CAST(df AS BIGINT) AS df, CAST(occ AS BIGINT) AS occ
+         |FROM agg ORDER BY df DESC, occ DESC, symbol ASC LIMIT 25""".stripMargin
+    }
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide declared-symbol statistics — WIMBD's "what is in my big
+  * data?" analysis (arXiv 2310.20707) specialized to code: which function
+  * / class names dominate the corpus (boilerplate detectors: a symbol
+  * declared in 10^6 files is generated scaffolding, not authorship), and
+  * the symbol→frequency table eval-set decontamination consults before
+  * trusting a benchmark's function names.
+  *
+  * Declaration extraction is one `regexp_extract_all` pass per row with a
+  * pattern in the Java∩RE2 intersection (flag-free `(?:^|\n)` line
+  * anchoring, no lookaround, no `\b`), so the SQL oracle executes the
+  * IDENTICAL pattern text. Aggregation is two map-side-combinable
+  * shuffles of scalar `(doc_id, symbol)` rows — content never moves:
+  * per-doc counts first (df semantics need per-doc distinctness), then
+  * per-symbol `(df, occ)`. Top-k compiles to TakeOrderedAndProject —
+  * never a global sort.
+  */
+object SymbolStats {
+
+  /** `def` / `class` / `function` / `fn` at line start (leading
+    * spaces/tabs allowed), capturing the declared identifier. `(?:^|\n)`
+    * rather than multiline `^`: identical semantics in Java and RE2
+    * without flags.
+    */
+  final val DeclPattern: String =
+    "(?:^|\\n)[ \\t]*(?:def|class|function|fn)[ \\t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+  /** One row per declaration occurrence: `(<idCol>, symbol)`. */
+  def declared(files: DataFrame, idCol: String, contentCol: String,
+               pattern: String = DeclPattern): DataFrame =
+    files.select(col(idCol),
+      explode(regexp_extract_all(col(contentCol), lit(pattern), lit(1)))
+        .as("symbol"))
+
+  /** `(symbol, df, occ)` — document frequency and total occurrences. */
+  def stats(files: DataFrame, idCol: String, contentCol: String,
+            pattern: String = DeclPattern): DataFrame =
+    declared(files, idCol, contentCol, pattern)
+      .groupBy(col(idCol), col("symbol"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("occ"))
+
+  /** The k most-declared symbols by document frequency, ties broken by
+    * occ desc then symbol asc — a total order, so the cut is
+    * deterministic. TakeOrderedAndProject, never a global sort.
+    */
+  def topK(statsDf: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    statsDf.orderBy(col("df").desc, col("occ").desc, col("symbol").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SymbolStats: extraction edges (line anchoring, indentation, the four
+  * keywords, decoys that must not match), df vs occ semantics, the
+  * deterministic top-k cut, and the TakeOrderedAndProject plan pin.
+  */
+class SymbolStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-symbolstats-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def stats(rows: Seq[(Long, String)]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    SymbolStats.stats(rows.toDF("doc_id", "content"), "doc_id", "content")
+      .collect()
+      .map(r => r.getAs[String]("symbol") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("occ"))))
+      .toMap
+  }
+
+  test("extraction: start-of-file, indentation, all four keywords") {
+    val got = stats(Seq(
+      1L -> "def first(x):\n  class Inner:\n\tfn rusty(y)\nfunction js() {\n"))
+    assert(got == Map(
+      "first" -> ((1L, 1L)), "Inner" -> ((1L, 1L)),
+      "rusty" -> ((1L, 1L)), "js" -> ((1L, 1L))))
+  }
+
+  test("decoys never match: keyword needs a line start and trailing space") {
+    val got = stats(Seq(
+      1L -> "define x(\nclassic_mode(\nundef broken(\nxs = def\nmydef f(\n"))
+    assert(got.isEmpty)
+  }
+
+  test("df counts documents once; occ counts every declaration") {
+    val got = stats(Seq(
+      1L -> "def main():\ndef main():\n",
+      2L -> "def main():\n",
+      3L -> "def other():\n"))
+    assert(got("main") == ((2L, 3L)))
+    assert(got("other") == ((1L, 1L)))
+  }
+
+  test("topK: total-order deterministic cut, TakeOrderedAndProject plan") {
+    import spark.implicits._
+    val df = SymbolStats.topK(SymbolStats.stats(
+      Seq((1L, "def a():\ndef b():\ndef c():\n"),
+        (2L, "def a():\ndef b():\n"),
+        (3L, "def a():\n")).toDF("doc_id", "content"),
+      "doc_id", "content"), 2)
+    val rows = df.collect().map(r =>
+      (r.getAs[String]("symbol"), r.getAs[Long]("df")))
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 2L)))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "topK must compile to TakeOrderedAndProject, not a global sort")
+  }
+}
