@@ -89,7 +89,10 @@ object Bench {
     "q117_code_provenance" -> 2.0, "q118_multipattern" -> 2.0,
     "q119_pattern_totals" -> 2.0, "q120_secrets_scrub" -> 2.0,
     "q121_fork_dedup" -> 2.5, "q122_comment_signals" -> 2.0,
-    "q123_topo_pack" -> 2.5)
+    "q123_topo_pack" -> 2.5, "q124_notebook_convert" -> 2.0,
+    "q125_file_rank" -> 5.0, "q126_token_fertility" -> 1.5,
+    "q127_symbol_stats" -> 2.0,
+    "q128_repo_rollup" -> 1.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -125,6 +125,25 @@ object PerfProbe {
         }
       }
     }
+    // FileRank 10×-input linearity: replicas become DISTINCT repos (the
+    // realistic growth direction — more repos, same per-repo structure),
+    // so the graph grows horizontally while K stays fixed. A linear
+    // operator holds rows/s within storm noise across the 10×.
+    if (sys.env.contains("SPARK_GRAFT_PROBE_FILERANK")) {
+      val base = sys.env("SPARK_GRAFT_PROBE_FILERANK").toInt
+      def corpus(k: Int) = CodeFiles(spark, sfDir)
+        .crossJoin(broadcast(spark.range(k).toDF("rep")))
+        .select(concat(col("repo"), lit("_"), col("rep")).as("repo"),
+          concat(lit("f_"), floor(col("doc_id") / 20).cast("long"),
+            lit(".txt")).as("path"),
+          concat(lit("// IMPORT: f_0.txt\n"), col("content")).as("content"))
+      for (k <- Seq(base, base * 10)) {
+        time(s"file-rank x$k") {
+          graft.operators.FileRank.ranks(corpus(k), "repo", "path", "content")
+            .count()
+        }
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_PROBE_STREAMLSH")) {
       val base = sys.env("SPARK_GRAFT_PROBE_STREAMLSH").toInt
       val hasher = new graft.dedupe.MinHasher(128, 13, 42L)

@@ -3292,6 +3292,35 @@ object SparkEntry {
       graft.operators.SymbolStats.topK(
           graft.operators.SymbolStats.stats(files, "doc_id", "content"), 25)
         .orderBy(col("df").desc, col("occ").desc, col("symbol").asc)
+    }),
+
+    // q128: repo-level quality rollup (The Stack v2 / StarCoder2
+    // 2402.19173 §2 — repositories are the curation unit: a repo whose
+    // files overwhelmingly fail the gate drops entirely). Per-file
+    // decisions are q02's SQL-expressible 6-rule policy slice (the full
+    // 20-rule FilterPolicy is pinned separately by AcceptanceSpec/q33 —
+    // here the ORACLE must replay the decision, so the oracle-shared rule
+    // set is the right per-file input); RepoRollup then aggregates:
+    // counts, kept token mass, the dominant drop reason
+    // (min(struct(-c, reason)) — partial-aggregable, no window), and the
+    // integer-exact repo keep rule 100·n_kept ≥ 25·n_files.
+    "q128_repo_rollup" -> ((s, dir) => {
+      val st = SignalPass.statsFromDir(s, dir)
+      val wc = col("word_count")
+      val reason =
+        when(wc < 50 || wc > 100000, "word_count")
+          .when(col("sum_word_chars") < wc * 3 || col("sum_word_chars") > wc * 10,
+            "mean_word_length")
+          .when(col("n_ellipsis_lines") * 10 > col("n_lines") * 3, "ellipsis_lines")
+          .when(col("n_stop_words_norm") < 2, "stop_words")
+          .when(col("n_lorem") > 0, "lorem_ipsum")
+          .when(col("n_curly") > 0, "curly_bracket")
+          .otherwise("")
+      val dec = st.select(col("repo"), reason.as("drop_reason"), wc)
+        .withColumn("keep", col("drop_reason") === "")
+      graft.pipeline.RepoRollup
+        .rollup(dec, "repo", "keep", "drop_reason", "word_count")
+        .orderBy("repo")
     })
   )
 
@@ -6008,7 +6037,44 @@ object SparkEntry {
          |)
          |SELECT symbol, CAST(df AS BIGINT) AS df, CAST(occ AS BIGINT) AS occ
          |FROM agg ORDER BY df DESC, occ DESC, symbol ASC LIMIT 25""".stripMargin
-    }
+    },
+
+    // q128: the shared dropReasonCte gives per-file reasons; aggregate
+    // per repo with the SAME integer keep rule and the same
+    // (count desc, reason asc) dominant-reason tie-break.
+    "q128_repo_rollup" ->
+      s"""WITH $cte, $wordsCte, $dropReasonCte,
+         |perfile AS (
+         |  SELECT c.repo, r.drop_reason, f.wc
+         |  FROM reasons r
+         |  JOIN code_files c USING (doc_id)
+         |  JOIN facts f USING (doc_id)
+         |),
+         |rollup AS (
+         |  SELECT repo, count(*) AS n_files,
+         |         sum(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END) AS n_kept,
+         |         sum(CASE WHEN drop_reason = '' THEN wc ELSE 0 END)
+         |           AS kept_words
+         |  FROM perfile GROUP BY repo
+         |),
+         |topreason AS (
+         |  SELECT repo, drop_reason AS top_reason
+         |  FROM (SELECT repo, drop_reason,
+         |               row_number() OVER (PARTITION BY repo
+         |                 ORDER BY count(*) DESC, drop_reason ASC) AS rn
+         |        FROM perfile WHERE drop_reason <> ''
+         |        GROUP BY repo, drop_reason)
+         |  WHERE rn = 1
+         |)
+         |SELECT r.repo,
+         |       CAST(n_files AS BIGINT) AS n_files,
+         |       CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(kept_words AS BIGINT) AS kept_words,
+         |       coalesce(t.top_reason, '') AS top_reason,
+         |       (100 * n_kept >= ${graft.pipeline.RepoRollup.KeepPct} * n_files)
+         |         AS repo_keep
+         |FROM rollup r LEFT JOIN topreason t USING (repo)
+         |ORDER BY r.repo""".stripMargin
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Repo-level quality rollup — the aggregation step above the per-file
+  * keep/drop decision (The Stack v2 / StarCoder2 discipline, arXiv
+  * 2402.19173 §2: repositories are the curation unit; a repo whose files
+  * overwhelmingly fail the quality gate drops ENTIRELY, because its kept
+  * slivers are usually vendored debris riding a junk repo). Emits, per
+  * repo: file counts, kept counts, kept token mass, the dominant drop
+  * reason (the triage column an operator reads first), and the repo-level
+  * keep decision `100·n_kept ≥ KeepPct·n_files` in BIGINT arithmetic —
+  * engine-identical, never a float ratio.
+  *
+  * Scale shape: two map-side-combinable aggregates of scalar rows and one
+  * AQE-broadcastable join — no window (the dominant-reason argmax is a
+  * `min(struct(-count, reason))`, which partial-aggregates; a per-repo
+  * row_number window would funnel every mega-repo into one sort task).
+  */
+object RepoRollup {
+
+  /** Keep a repo when at least this percent of its files survive. */
+  final val KeepPct = 25L
+
+  /** `(repo, n_files, n_kept, kept_words, repo_keep, top_reason)` from a
+    * per-file decision table ([[QualityFilterJob.decide]]'s shape).
+    * `top_reason` is the most frequent non-empty drop reason, ties broken
+    * lexicographically; `''` for an all-kept repo.
+    */
+  def rollup(decisions: DataFrame, repoCol: String = "repo",
+             keepCol: String = "keep", reasonCol: String = "drop_reason",
+             weightCol: String = "word_count"): DataFrame = {
+    val top = decisions.filter(col(reasonCol) =!= "")
+      .groupBy(col(repoCol), col(reasonCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(repoCol))
+      .agg(min(struct((-col("c")).as("nc"), col(reasonCol).as("r"))).as("m"))
+      .select(col(repoCol), col("m.r").as("top_reason"))
+    decisions.groupBy(col(repoCol))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col(keepCol), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col(keepCol), col(weightCol)).otherwise(0L)).as("kept_words"))
+      .join(top, Seq(repoCol), "left")
+      .withColumn("top_reason", coalesce(col("top_reason"), lit("")))
+      .withColumn("repo_keep",
+        col("n_kept") * 100L >= col("n_files") * KeepPct)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RepoRollup: the integer keep boundary, dominant-reason counting and
+  * tie-break, the all-kept empty reason, and the no-window plan pin.
+  */
+class RepoRollupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-reporollup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(rows: Seq[(String, Boolean, String, Long)]) = {
+    import spark.implicits._
+    RepoRollup.rollup(rows.toDF("repo", "keep", "drop_reason", "word_count"))
+      .collect()
+      .map(r => r.getAs[String]("repo") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("kept_words"), r.getAs[Boolean]("repo_keep"),
+          r.getAs[String]("top_reason"))))
+      .toMap
+  }
+
+  test("keep boundary is exactly 25%: 1/4 keeps, 1/5 drops") {
+    val quarter = Seq(("a", true, "", 10L)) ++
+      (1 to 3).map(i => ("a", false, "stop_words", 0L))
+    val fifth = Seq(("b", true, "", 7L)) ++
+      (1 to 4).map(i => ("b", false, "word_count", 0L))
+    val got = run(quarter ++ fifth)
+    assert(got("a") == ((4L, 1L, 10L, true, "stop_words")))
+    assert(got("b") == ((5L, 1L, 7L, false, "word_count")))
+  }
+
+  test("dominant reason by count, ties lexicographic; all-kept is ''") {
+    val got = run(Seq(
+      ("r", false, "zeta", 0L), ("r", false, "zeta", 0L),
+      ("r", false, "alpha", 0L), ("r", false, "beta", 0L),
+      ("r", false, "beta", 0L),  // zeta=2, beta=2 -> beta wins the tie
+      ("ok", true, "", 5L), ("ok", true, "", 6L)))
+    assert(got("r")._5 == "beta")
+    assert(got("ok") == ((2L, 2L, 11L, true, "")))
+  }
+
+  test("kept_words sums only kept files") {
+    val got = run(Seq(
+      ("r", true, "", 100L), ("r", false, "word_count", 999L),
+      ("r", true, "", 23L), ("r", false, "stop_words", 999L)))
+    assert(got("r")._3 == 123L)
+    assert(got("r")._4 == true) // 2/4 = 50% >= 25%
+  }
+
+  test("no window anywhere — the argmax is a partial-aggregable struct min") {
+    import spark.implicits._
+    val df = RepoRollup.rollup(
+      Seq(("r", false, "x", 0L)).toDF("repo", "keep", "drop_reason", "word_count"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"rollup must not use a window:\n$p")
+  }
+}
