@@ -3321,6 +3321,33 @@ object SparkEntry {
       graft.pipeline.RepoRollup
         .rollup(dec, "repo", "keep", "drop_reason", "word_count")
         .orderBy("repo")
+    }),
+
+    // q129: sorted-neighborhood dedup (Hernández & Stolfo merge/purge,
+    // SIGMOD '95 — the SORT-based candidate family beside the hash
+    // families LSH/SimHash: sort by a discriminating key, compare each
+    // row to its `window` successors). Candidates are an EQUI-join on
+    // position buckets (per-row fan-out ≤ 2·window by construction — no
+    // hot bucket possible), positions from range-sort + zipWithIndex
+    // (never a single-task window), verification Levenshtein on a
+    // 200-char bounded prefix. Construction plants, for %10 == 3, a twin
+    // whose char 31 is overwritten — identical 30-char sort key (so SNM
+    // must land it adjacent), prefix distance ≤ 1. The oracle replays
+    // the total order (key, id) via row_number, the same bucket-free
+    // windowed pairing as an inequality join, and DuckDB's own
+    // levenshtein — algorithm-independent twins.
+    "q129_snm_dedup" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir)
+      val twins = cf.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(substring(col("content"), 1, 30), lit("X"),
+            expr("substring(content, 32)")).as("content"))
+      val corpus = cf.select(col("doc_id").as("id"), col("content"))
+        .unionAll(twins)
+        .withColumn("key", substring(col("content"), 1, 30))
+      graft.dedupe.SortedNeighborhood
+        .duplicates(corpus, "id", "key", "content", maxDist = 5L)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6074,7 +6101,45 @@ object SparkEntry {
          |       (100 * n_kept >= ${graft.pipeline.RepoRollup.KeepPct} * n_files)
          |         AS repo_keep
          |FROM rollup r LEFT JOIN topreason t USING (repo)
-         |ORDER BY r.repo""".stripMargin
+         |ORDER BY r.repo""".stripMargin,
+
+    // q129: replant the char-31-overwritten twins, replay the total
+    // order (key, id) via row_number, pair by an inequality join (the
+    // bucket trick is the ENGINE's shape; the window semantics are what
+    // both must agree on), and verify with DuckDB's own levenshtein on
+    // the same 200-char prefixes — algorithm-independent.
+    "q129_snm_dedup" -> {
+      val w = graft.dedupe.SortedNeighborhood.DefaultWindow
+      val mv = graft.dedupe.SortedNeighborhood.DefaultMaxVerifyChars
+      s"""WITH $cte,
+         |corpus AS (
+         |  SELECT doc_id AS id, content FROM code_files
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id,
+         |         substr(content, 1, 30) || 'X' || substr(content, 32)
+         |           AS content
+         |  FROM code_files WHERE doc_id % 10 = 3
+         |),
+         |keyed AS (
+         |  SELECT id, substr(content, 1, 30) AS key,
+         |         substr(content, 1, $mv) AS vc
+         |  FROM corpus
+         |),
+         |ranked AS (
+         |  SELECT id, vc,
+         |         row_number() OVER (ORDER BY key, id) - 1 AS pos
+         |  FROM keyed
+         |),
+         |prs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         levenshtein(a.vc, b.vc) AS dist
+         |  FROM ranked a JOIN ranked b
+         |    ON b.pos > a.pos AND b.pos <= a.pos + $w
+         |)
+         |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+         |FROM prs WHERE dist <= 5
+         |ORDER BY id_a, id_b""".stripMargin
+    }
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -1,0 +1,119 @@
+package graft.dedupe
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** SortedNeighborhood: window semantics (≤ w paired exactly once, w+1
+  * never), the (key, id) total order, Levenshtein verification on the
+  * bounded prefix, a naive-replica differential fuzz, and the
+  * no-θ-join plan pin.
+  */
+class SortedNeighborhoodSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-snm-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(rows: Seq[(Long, String, String)], w: Int = 3,
+                  mv: Int = 200): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    SortedNeighborhood.pairs(rows.toDF("id", "key", "content"),
+        "id", "key", "content", w, mv)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist")))
+      .toSet
+  }
+
+  /** Driver replica of the full semantics. */
+  private def replica(rows: Seq[(Long, String, String)], w: Int,
+                      mv: Int): Set[(Long, Long, Long)] = {
+    def lev(a: String, b: String): Long = {
+      val (x, y) = (a.take(mv), b.take(mv))
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length).toLong
+    }
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    (for {
+      i <- sorted.indices
+      j <- (i + 1) to math.min(i + w, sorted.length - 1)
+    } yield (sorted(i)._1, sorted(j)._1,
+      lev(sorted(i)._3, sorted(j)._3))).toSet
+  }
+
+  test("window semantics: distance <= w paired exactly once, w+1 never") {
+    // keys k0..k5 in order; w=2 pairs (i, i+1) and (i, i+2) only
+    val rows = (0 to 5).map(i => (i.toLong, f"k$i", s"same text $i"))
+    val got = run(rows, w = 2)
+    val pairsOnly = got.map(p => (p._1, p._2))
+    val expect = (for {
+      i <- 0 to 5; j <- (i + 1) to math.min(i + 2, 5)
+    } yield (i.toLong, j.toLong)).toSet
+    assert(pairsOnly == expect)
+    // exactly once: the DataFrame row count equals the set size
+    import spark.implicits._
+    val n = SortedNeighborhood.pairs(
+      rows.toDF("id", "key", "content"), "id", "key", "content", 2).count()
+    assert(n == expect.size)
+  }
+
+  test("order is (key, id): equal keys tie-break by id") {
+    val rows = Seq((30L, "same", "a"), (10L, "same", "b"), (20L, "same", "c"))
+    val got = run(rows, w = 1)
+    assert(got.map(p => (p._1, p._2)) == Set((10L, 20L), (20L, 30L)))
+  }
+
+  test("levenshtein verifies on the bounded prefix only") {
+    val base = "x" * 250
+    val rows = Seq(
+      (1L, "k", base),
+      (2L, "k", base.take(249) + "Y")) // edit at position 250 — beyond mv=200
+    assert(run(rows, w = 1, mv = 200).head._3 == 0L)
+    // and an edit INSIDE the prefix counts
+    val rows2 = Seq((1L, "k", base), (2L, "k", "Y" + base.drop(1)))
+    assert(run(rows2, w = 1, mv = 200).head._3 == 1L)
+  }
+
+  test("differential fuzz vs the naive replica") {
+    val rnd = new Random(129)
+    for (trial <- 0 until 4) {
+      val n = 20 + rnd.nextInt(15)
+      val rows = (0 until n).map { i =>
+        val key = s"k${rnd.nextInt(6)}"
+        val content = Seq.fill(3 + rnd.nextInt(5))(
+          ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(3)))
+          .mkString(" ")
+        (i.toLong, key, content)
+      }
+      val w = 1 + rnd.nextInt(4)
+      assert(run(rows, w) == replica(rows, w, 200), s"trial $trial w=$w")
+    }
+  }
+
+  test("no θ-join: candidates come from an equi-join on position buckets") {
+    import spark.implicits._
+    // inspect the pre-checkpoint join stage (pairs() returns a
+    // LogicalRDD whose plan would pass any assertion vacuously)
+    val ranked = (0 to 9).map(i => (i.toLong, i.toLong, "t"))
+      .toDF("id", "pos", "vc")
+    val df = SortedNeighborhood.pairsFromPositions(ranked, 3, 200)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"SNM pairing must be an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+}
