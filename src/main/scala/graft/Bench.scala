@@ -93,7 +93,8 @@ object Bench {
     "q125_file_rank" -> 5.0, "q126_token_fertility" -> 1.5,
     "q127_symbol_stats" -> 2.0,
     "q128_repo_rollup" -> 1.5,
-    "q129_snm_dedup" -> 2.5)
+    "q129_snm_dedup" -> 2.5,
+    "q130_boilerplate_lines" -> 2.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -3348,6 +3348,35 @@ object SparkEntry {
       graft.dedupe.SortedNeighborhood
         .duplicates(corpus, "id", "key", "content", maxDist = 5L)
         .orderBy("id_a", "id_b")
+    }),
+
+    // q130: per-repo boilerplate-line removal (RefinedWeb 2306.01116
+    // §3.2 line-wise dedup scoped to repos — strips exactly the license
+    // headers / generated banners / pasted import blocks file-level
+    // dedup can't touch and global paragraph dedup would over-fire on).
+    // Construction plants, per file: a 2-line license header in EVERY
+    // file (df = n_files → removed), an import line in ~1/3 of files
+    // (above the 25% band → removed), a line in ~1/10 (below → kept),
+    // a blank line (exempt even at 100% df), and a per-doc unique
+    // marker (kept). The oracle replays the df rule, the band, the
+    // blank exemption, and the order-preserving rebuild.
+    "q130_boilerplate_lines" -> ((s, dir) => {
+      val planted = concat(
+        lit("// Copyright ACME\n// SPDX-License-Identifier: MIT\n"),
+        when(col("doc_id") % 3 === 0, lit("import common\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit("rare shared\n"))
+          .otherwise(lit("")),
+        lit("\n"),
+        lit("unique marker "), col("doc_id"), lit("\n"),
+        col("content"))
+      val files = CodeFiles(s, dir).select(col("repo"), col("doc_id"),
+        planted.as("content"))
+      graft.pipeline.BoilerplateLines
+        .clean(files, "repo", "doc_id", "content")
+        .select(col("doc_id"), col("n_lines"), col("n_removed"),
+          sha2(col("cleaned"), 256).as("cleaned_sha"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6139,7 +6168,29 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
          |FROM prs WHERE dist <= 5
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    // q130: replant the headers by the SAME residue arithmetic, then
+    // replay the whole rule via BoilerplateLines.oracleCtes.
+    "q130_boilerplate_lines" ->
+      s"""WITH $cte,
+         |bfiles AS (
+         |  SELECT repo, doc_id AS id,
+         |    '// Copyright ACME' || chr(10) ||
+         |    '// SPDX-License-Identifier: MIT' || chr(10) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'import common' || chr(10)
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 10 = 0 THEN 'rare shared' || chr(10)
+         |      ELSE '' END ||
+         |    chr(10) ||
+         |    'unique marker ' || doc_id || chr(10) ||
+         |    content AS content
+         |  FROM code_files
+         |),
+         |${graft.pipeline.BoilerplateLines.oracleCtes()}
+         |SELECT id AS doc_id, n_lines, n_removed,
+         |       sha256(cleaned) AS cleaned_sha
+         |FROM bclean ORDER BY doc_id""".stripMargin
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-repo boilerplate-line removal — RefinedWeb's line-wise
+  * deduplication (arXiv 2306.01116 §3.2, "removal of repeated lines
+  * across documents of the same source") specialized to code repos,
+  * where it strips exactly the license headers, generated banners, and
+  * copy-pasted import blocks that file-level dedup cannot touch (the
+  * files differ) and global paragraph dedup would over-fire on (a line
+  * legitimate in repo A may be boilerplate in repo B).
+  *
+  * Rule — integer-exact and engine-replayable: a line is boilerplate in
+  * a repo when it occurs in at least `minDf` DISTINCT files of that repo
+  * AND `100·df ≥ pct·n_files(repo)`, and it is not blank after trimming
+  * spaces+tabs (blank lines are structure, not boilerplate). ALL
+  * occurrences of a boilerplate line drop from every file of the repo;
+  * line order is otherwise preserved. Lines are `\n` splits with
+  * trailing empties kept (the [[CommentSignals]] convention).
+  *
+  * Scale shape: the df pass moves scalar `(repo, line)` rows with
+  * per-doc distinctness applied BEFORE the exchange (map-side
+  * distinct); the boilerplate set per repo is bounded by the rule
+  * itself (a line must recur across ≥ pct% of files — there are at most
+  * `100/pct` disjoint sets of that size per file count, and in practice
+  * headers/banners), travels back as one array column on a repo join,
+  * and the rebuild is a row-local higher-order `filter`. Content
+  * crosses the wire once (the rebuild join); at 10^12 files the join is
+  * repo-partitioned and AQE-skew-splittable.
+  */
+object BoilerplateLines {
+
+  final val DefaultMinDf = 3L
+  final val DefaultPct = 25L
+
+  /** Adds `n_lines`, `n_removed`, and `cleaned` (the rebuilt text). */
+  def clean(files: DataFrame, repoCol: String, idCol: String,
+            contentCol: String, minDf: Long = DefaultMinDf,
+            pct: Long = DefaultPct): DataFrame = {
+    require(minDf >= 2, s"minDf $minDf must be >= 2 (df 1 is just content)")
+    require(pct >= 1 && pct <= 100, s"pct $pct must be in [1, 100]")
+    val lines = split(col(contentCol), "\n", -1)
+    val nFiles = files.groupBy(col(repoCol).as("__repo"))
+      .agg(count(lit(1)).as("__nf"))
+    val df = files
+      .select(col(repoCol).as("__repo"),
+        explode(array_distinct(filter(lines,
+          l => ltrim(l, " \t") =!= ""))).as("__line"))
+      .groupBy("__repo", "__line")
+      .agg(count(lit(1)).as("__df"))
+    val bp = df.join(nFiles, Seq("__repo"))
+      .filter(col("__df") >= minDf &&
+        col("__df") * 100L >= lit(pct) * col("__nf"))
+      .groupBy("__repo")
+      .agg(collect_list(col("__line")).as("__bp"))
+    files
+      .join(bp, col(repoCol) === col("__repo"), "left")
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("__kept",
+        when(col("__bp").isNull, lines)
+          .otherwise(filter(lines, l => !array_contains(col("__bp"), l))))
+      .withColumn("n_removed",
+        (size(lines) - size(col("__kept"))).cast("long"))
+      .withColumn("cleaned", array_join(col("__kept"), "\n"))
+      .drop("__repo", "__bp", "__kept")
+  }
+
+  /** DuckDB rendering of the SAME rule — splice after `WITH`; expects a
+    * CTE `bfiles(repo, id, content)`. Yields `bclean(repo, id, n_lines,
+    * n_removed, cleaned)`.
+    */
+  def oracleCtes(minDf: Long = DefaultMinDf, pct: Long = DefaultPct): String =
+    s"""blines AS (
+       |  SELECT repo, id, string_split(content, chr(10)) AS ls FROM bfiles
+       |),
+       |bdf AS (
+       |  SELECT repo, line, count(*) AS df FROM (
+       |    SELECT DISTINCT b.repo, b.id, u.line
+       |    FROM blines b, unnest(b.ls) AS u(line)
+       |    WHERE ltrim(u.line, ' ' || chr(9)) <> ''
+       |  ) GROUP BY repo, line
+       |),
+       |bnf AS (SELECT repo, count(*) AS nf FROM bfiles GROUP BY repo),
+       |bbp AS (
+       |  SELECT d.repo, list(d.line) AS bp
+       |  FROM bdf d JOIN bnf n ON n.repo = d.repo
+       |  WHERE d.df >= $minDf AND d.df * 100 >= $pct * n.nf
+       |  GROUP BY d.repo
+       |),
+       |bclean AS (
+       |  SELECT l.repo, l.id,
+       |    CAST(len(l.ls) AS BIGINT) AS n_lines,
+       |    CAST(len(l.ls) - len(CASE WHEN p.bp IS NULL THEN l.ls
+       |      ELSE list_filter(l.ls, x -> NOT list_contains(p.bp, x)) END)
+       |      AS BIGINT) AS n_removed,
+       |    coalesce(array_to_string(CASE WHEN p.bp IS NULL THEN l.ls
+       |      ELSE list_filter(l.ls, x -> NOT list_contains(p.bp, x)) END,
+       |      chr(10)), '') AS cleaned
+       |  FROM blines l LEFT JOIN bbp p ON p.repo = l.repo
+       |)""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BoilerplateLines: the df+band rule both ways, per-doc distinctness,
+  * the blank exemption, repo scoping, order-preserving rebuild, and the
+  * guards.
+  */
+class BoilerplateLinesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-boilerplate-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(rows: Seq[(String, Long, String)], minDf: Long = 3,
+                  pct: Long = 25): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    BoilerplateLines.clean(rows.toDF("repo", "id", "content"),
+        "repo", "id", "content", minDf, pct)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("cleaned"))))
+      .toMap
+  }
+
+  test("header in every file strips; unique lines and blanks survive") {
+    val rows = (1L to 4L).map(i =>
+      ("r", i, s"// LICENSE\n\nbody $i\n// LICENSE"))
+    val got = run(rows)
+    // both LICENSE occurrences drop (ALL occurrences, per-doc df counts once)
+    (1L to 4L).foreach { i =>
+      assert(got(i) == ((4L, 2L, s"\nbody $i")))
+    }
+  }
+
+  test("df below minDf survives even when the pct band is met") {
+    // 2 of 4 files share a line: 50% >= 25% but df 2 < minDf 3
+    val rows = Seq(
+      ("r", 1L, "shared\na1"), ("r", 2L, "shared\na2"),
+      ("r", 3L, "b3"), ("r", 4L, "b4"))
+    assert(run(rows).values.forall(_._2 == 0L))
+  }
+
+  test("pct band: df 3 of 20 files (15%) survives at pct=25, strips at pct=10") {
+    val sharers = (1L to 3L).map(i => ("r", i, s"shared\nu$i"))
+    val rest = (4L to 20L).map(i => ("r", i, s"u$i"))
+    assert(run(sharers ++ rest, minDf = 3, pct = 25).values.forall(_._2 == 0L))
+    val strict = run(sharers ++ rest, minDf = 3, pct = 10)
+    assert((1L to 3L).forall(i => strict(i)._2 == 1L))
+  }
+
+  test("repo scoping: the same line is boilerplate in A, content in B") {
+    val a = (1L to 3L).map(i => ("A", i, s"common\nua$i"))
+    val b = Seq(("B", 10L, "common\nub"))
+    val got = run(a ++ b, minDf = 3, pct = 25)
+    assert((1L to 3L).forall(i => got(i)._2 == 1L))
+    assert(got(10L)._2 == 0L)
+  }
+
+  test("order preserved; whitespace-only lines exempt at 100% df") {
+    val rows = (1L to 3L).map(i => ("r", i, s"  \nkeep $i\n  \nend $i"))
+    val got = run(rows)
+    assert(got(1L) == ((4L, 0L, "  \nkeep 1\n  \nend 1")))
+  }
+
+  test("guards reject degenerate parameters") {
+    import spark.implicits._
+    val df = Seq(("r", 1L, "x")).toDF("repo", "id", "content")
+    intercept[IllegalArgumentException] {
+      BoilerplateLines.clean(df, "repo", "id", "content", minDf = 1)
+    }
+    intercept[IllegalArgumentException] {
+      BoilerplateLines.clean(df, "repo", "id", "content", pct = 0)
+    }
+  }
+}
