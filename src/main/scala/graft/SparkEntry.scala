@@ -3377,6 +3377,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_removed"),
           sha2(col("cleaned"), 256).as("cleaned_sha"))
         .orderBy("doc_id")
+    }),
+
+    // q131: multi-pass SNM (Hernández & Stolfo §4 — no single key orders
+    // every duplicate pair adjacently; run one pass per independent key
+    // and union, min-merging distances). Construction plants twins whose
+    // char 5 is overwritten: the EDITED prefix breaks pass 1's key
+    // (chars 1-30) so sort adjacency there is luck, but pass 2's key
+    // (chars 31-60) is untouched and MUST land each twin adjacent to
+    // its original. The oracle replays both passes as inequality joins
+    // and the same union + min merge.
+    "q131_snm_multipass" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir)
+      val twins = cf.filter(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(substring(col("content"), 1, 4), lit("X"),
+            expr("substring(content, 6)")).as("content"))
+      val corpus = cf.select(col("doc_id").as("id"), col("content"))
+        .unionAll(twins)
+        .withColumn("k1", substring(col("content"), 1, 30))
+        .withColumn("k2", substring(col("content"), 31, 30))
+      graft.dedupe.SortedNeighborhood
+        .multiPass(corpus, "id", Seq("k1", "k2"), "content")
+        .filter(col("dist") <= 5)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -6190,7 +6214,48 @@ object SparkEntry {
          |${graft.pipeline.BoilerplateLines.oracleCtes()}
          |SELECT id AS doc_id, n_lines, n_removed,
          |       sha256(cleaned) AS cleaned_sha
-         |FROM bclean ORDER BY doc_id""".stripMargin
+         |FROM bclean ORDER BY doc_id""".stripMargin,
+
+    // q131: both passes replayed as inequality joins over their own
+    // (key, id) total orders, unioned, min-merged.
+    "q131_snm_multipass" -> {
+      val w = graft.dedupe.SortedNeighborhood.DefaultWindow
+      val mv = graft.dedupe.SortedNeighborhood.DefaultMaxVerifyChars
+      def pass(key: String) =
+        s"""(SELECT a.id AS id_a, b.id AS id_b,
+           |        levenshtein(a.vc, b.vc) AS dist
+           | FROM (SELECT id, vc,
+           |         row_number() OVER (ORDER BY $key, id) - 1 AS pos
+           |       FROM keyed) a
+           | JOIN (SELECT id, vc,
+           |         row_number() OVER (ORDER BY $key, id) - 1 AS pos
+           |       FROM keyed) b
+           |   ON b.pos > a.pos AND b.pos <= a.pos + $w)""".stripMargin
+      s"""WITH $cte,
+         |corpus AS (
+         |  SELECT doc_id AS id, content FROM code_files
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS id,
+         |         substr(content, 1, 4) || 'X' || substr(content, 6)
+         |           AS content
+         |  FROM code_files WHERE doc_id % 10 = 3
+         |),
+         |keyed AS (
+         |  SELECT id, substr(content, 1, 30) AS k1,
+         |         substr(content, 31, 30) AS k2,
+         |         substr(content, 1, $mv) AS vc
+         |  FROM corpus
+         |),
+         |unioned AS (
+         |  SELECT * FROM ${pass("k1")}
+         |  UNION ALL
+         |  SELECT * FROM ${pass("k2")}
+         |)
+         |SELECT id_a, id_b, CAST(min(dist) AS BIGINT) AS dist
+         |FROM unioned GROUP BY id_a, id_b
+         |HAVING min(dist) <= 5
+         |ORDER BY id_a, id_b""".stripMargin
+    }
     )
     // q115 is q110's construction behind the catalog's partition
     // pruning — the result must be indistinguishable from the full

@@ -99,4 +99,22 @@ object SortedNeighborhood {
                  maxVerifyChars: Int = DefaultMaxVerifyChars): DataFrame =
     pairs(df, idCol, keyCol, contentCol, window, maxVerifyChars)
       .filter(col("dist") <= maxDist)
+
+  /** Multi-pass SNM — the published completion of the method (Hernández
+    * & Stolfo §4: no single key orders every duplicate pair adjacently;
+    * run one pass per independent key and union). A pair found by
+    * several passes keeps its MINIMUM distance (passes share the same
+    * verification, so distances agree unless prefixes differ — min is
+    * the conservative merge). Cost is additive in passes; each pass
+    * keeps the bounded 2·window fan-out.
+    */
+  def multiPass(df: DataFrame, idCol: String, keyCols: Seq[String],
+                contentCol: String, window: Int = DefaultWindow,
+                maxVerifyChars: Int = DefaultMaxVerifyChars): DataFrame = {
+    require(keyCols.nonEmpty, "multiPass needs at least one key")
+    keyCols.map(k => pairs(df, idCol, k, contentCol, window, maxVerifyChars))
+      .reduce(_ unionAll _)
+      .groupBy("id_a", "id_b")
+      .agg(min("dist").as("dist"))
+  }
 }

@@ -103,6 +103,28 @@ class SortedNeighborhoodSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multiPass: a second key recovers pairs the first key's order separates") {
+    import spark.implicits._
+    // k1 differs wildly (twin edit at the front), k2 identical
+    val rows = Seq(
+      (1L, "aaaa", "zz", "hello world"),
+      (2L, "zzzz", "zz", "hello worlX"),
+      // far separators so (1,2) are NOT within w=1 of each other on k1
+      (3L, "bbbb", "m1", "unrelated a"),
+      (4L, "cccc", "m2", "unrelated b"),
+      (5L, "dddd", "m3", "unrelated c"))
+      .toDF("id", "k1", "k2", "content")
+    val single = SortedNeighborhood.pairs(rows, "id", "k1", "content", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!single.contains((1L, 2L)), s"fixture broken: $single")
+    val multi = SortedNeighborhood
+      .multiPass(rows, "id", Seq("k1", "k2"), "content", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(multi.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1L))
+    // union never double-counts a pair
+    assert(multi.map(p => (p._1, p._2)).distinct.length == multi.length)
+  }
+
   test("no θ-join: candidates come from an equi-join on position buckets") {
     import spark.implicits._
     // inspect the pre-checkpoint join stage (pairs() returns a
