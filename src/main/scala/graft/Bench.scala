@@ -95,7 +95,8 @@ object Bench {
     "q128_repo_rollup" -> 1.5,
     "q129_snm_dedup" -> 2.5,
     "q130_boilerplate_lines" -> 2.0,
-    "q131_snm_multipass" -> 3.0)
+    "q131_snm_multipass" -> 3.0,
+    "q132_function_clones" -> 2.0)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

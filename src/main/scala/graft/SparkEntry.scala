@@ -3401,6 +3401,34 @@ object SparkEntry {
         .multiPass(corpus, "id", Seq("k1", "k2"), "content")
         .filter(col("dist") <= 5)
         .orderBy("id_a", "id_b")
+    }),
+
+    // q132: function-level clone detection (the granularity file-level
+    // dedup misses: two files that each paste the same helper are not
+    // file near-dups, but the helper is a clone — the BigCode/CodeParrot
+    // duplication class). Functions are lexical: a DeclPattern match
+    // plus everything until the next declaration/EOF. Construction
+    // plants a helper pasted VERBATIM at EOF in 1/4 of files (one clone
+    // group), a same-NAME different-body decoy in another 1/4 (must
+    // form its own group — clone identity is (symbol, body), not
+    // symbol), and a unique per-doc function (df 1, excluded by
+    // minDf 2). The oracle replays segmentation with string_split_regex
+    // + parallel unnest and the same two-stage aggregation.
+    "q132_function_clones" -> ((s, dir) => {
+      val planted = concat(col("content"),
+        lit("\ndef uniq_"), col("doc_id"), lit("(q):\n  pass\n"),
+        when(col("doc_id") % 4 === 0,
+          lit("def helper_util(a):\n  return a + 1\n"))
+          .when(col("doc_id") % 4 === 1,
+            lit("def helper_util(a):\n  return a + 2\n"))
+          .otherwise(lit("")))
+      val files = CodeFiles(s, dir).select(col("doc_id"),
+        planted.as("content"))
+      graft.operators.FunctionClones.topClones(
+          graft.operators.FunctionClones.clones(files, "doc_id", "content"),
+          20)
+        .orderBy(col("df").desc, col("occ").desc, col("symbol").asc,
+          col("body_sha").asc)
     })
   )
 
@@ -6255,6 +6283,49 @@ object SparkEntry {
          |FROM unioned GROUP BY id_a, id_b
          |HAVING min(dist) <= 5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q132: replant, segment with string_split_regex on the SAME
+    // uncaptured pattern (parallel unnest pairs symbol i with segment
+    // i+1), aggregate identically.
+    "q132_function_clones" -> {
+      val decl = graft.operators.SymbolStats.DeclPattern
+      val split = graft.operators.FunctionClones.SplitPattern
+      s"""WITH $cte,
+         |files AS (
+         |  SELECT doc_id,
+         |    content || chr(10) ||
+         |    'def uniq_' || doc_id || '(q):' || chr(10) || '  pass' ||
+         |      chr(10) ||
+         |    CASE WHEN doc_id % 4 = 0 THEN
+         |        'def helper_util(a):' || chr(10) || '  return a + 1' ||
+         |          chr(10)
+         |      WHEN doc_id % 4 = 1 THEN
+         |        'def helper_util(a):' || chr(10) || '  return a + 2' ||
+         |          chr(10)
+         |      ELSE '' END AS content
+         |  FROM code_files
+         |),
+         |fns AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(content, '$decl', 1)) AS symbol,
+         |         unnest(list_slice(string_split_regex(content, '$split'),
+         |           2, len(string_split_regex(content, '$split')))) AS body
+         |  FROM files
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, symbol, sha256(body) AS body_sha, count(*) AS c
+         |  FROM fns GROUP BY 1, 2, 3
+         |),
+         |agg AS (
+         |  SELECT symbol, body_sha, count(*) AS df, sum(c) AS occ
+         |  FROM perdoc GROUP BY 1, 2
+         |)
+         |SELECT symbol, body_sha, CAST(df AS BIGINT) AS df,
+         |       CAST(occ AS BIGINT) AS occ
+         |FROM agg WHERE df >= 2
+         |ORDER BY df DESC, occ DESC, symbol ASC, body_sha ASC
+         |LIMIT 20""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Function-level clone detection — dedup at the granularity the
+  * file-level families miss: two files that each copy-paste the same
+  * helper are NOT file-level near-dups, but the helper is still a clone
+  * the corpus counts twice (the function-granularity dedup question
+  * raised in the BigCode/The Stack dedup line; CodeParrot's dataset
+  * analysis reports exactly this duplication class). A "function" is a
+  * declaration match of [[SymbolStats.DeclPattern]]'s keyword grammar
+  * plus everything until the next declaration (or EOF) — deliberately
+  * lexical, not parsed: identical in Java and RE2, so the SQL oracle
+  * replays it with `string_split_regex` + parallel unnest.
+  *
+  * Segmentation invariant: splitting on the UNCAPTURED pattern yields
+  * `len(segments) = len(symbols) + 1` (segment 0 is the preamble before
+  * the first declaration; segment i+1 is declaration i's body, empty
+  * when two declarations are adjacent). A clone group is an identical
+  * `(symbol, body)` pair — same name, byte-identical signature+body
+  * text; `df` counts files (per-file distinctness), `occ` every copy.
+  *
+  * Scale shape: segmentation is one codegen'd map pass; only scalar
+  * `(id, symbol, body_sha)` rows shuffle (the body itself never does —
+  * it is hashed in the map stage); two map-side-combinable aggregates;
+  * top-k via TakeOrderedAndProject.
+  */
+object FunctionClones {
+
+  /** [[SymbolStats.DeclPattern]] without the capture group — the split
+    * delimiter. Kept in lock-step by construction (derived, not copied).
+    */
+  val SplitPattern: String =
+    SymbolStats.DeclPattern.replace("([A-Za-z_][A-Za-z0-9_]*)",
+      "[A-Za-z_][A-Za-z0-9_]*")
+
+  /** One row per declared function: `(<idCol>, symbol, body)`. */
+  def functions(files: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val syms = regexp_extract_all(col(contentCol),
+      lit(SymbolStats.DeclPattern), lit(1))
+    val segs = split(col(contentCol), SplitPattern, -1)
+    // sequence(1, 0) DESCENDS rather than stopping (the HeavyHitters
+    // lesson) — a declaration-free file must short-circuit to empty
+    val zipped = when(size(col("__syms")) >= 1,
+      transform(sequence(lit(1), size(col("__syms"))),
+        i => struct(element_at(col("__syms"), i).as("symbol"),
+          element_at(col("__segs"), i + 1).as("body"))))
+      .otherwise(array().cast("array<struct<symbol:string,body:string>>"))
+    files.select(col(idCol), syms.as("__syms"), segs.as("__segs"))
+      .select(col(idCol), explode(zipped).as("__f"))
+      .select(col(idCol), col("__f.symbol").as("symbol"),
+        col("__f.body").as("body"))
+  }
+
+  /** Clone groups `(symbol, body_sha, df, occ)` with `df ≥ minDf` files
+    * sharing a byte-identical `(symbol, body)`.
+    */
+  def clones(files: DataFrame, idCol: String, contentCol: String,
+             minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2, s"minDf $minDf must be >= 2 (df 1 is not a clone)")
+    functions(files, idCol, contentCol)
+      .select(col(idCol), col("symbol"), sha2(col("body"), 256).as("body_sha"))
+      .groupBy(col(idCol), col("symbol"), col("body_sha"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("symbol", "body_sha")
+      .agg(count(lit(1)).as("df"), sum("c").as("occ"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** The k biggest clone groups under the total order
+    * `(df desc, occ desc, symbol asc, body_sha asc)`.
+    */
+  def topClones(clonesDf: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    clonesDf.orderBy(col("df").desc, col("occ").desc, col("symbol").asc,
+      col("body_sha").asc).limit(k)
+  }
+}

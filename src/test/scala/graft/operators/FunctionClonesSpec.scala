@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FunctionClones: the segmentation invariant (preamble, body-until-next
+  * -decl, adjacent decls), clone identity = (symbol, body), df vs occ,
+  * and the guards.
+  */
+class FunctionClonesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-fnclones-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fns(rows: Seq[(Long, String)]): Seq[(Long, String, String)] = {
+    import spark.implicits._
+    FunctionClones.functions(rows.toDF("id", "content"), "id", "content")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("symbol"),
+        r.getAs[String]("body")))
+      .toSeq
+  }
+
+  test("segmentation: preamble dropped, body runs to next decl, adjacent decls empty") {
+    val got = fns(Seq(
+      1L -> "preamble\ndef a(x):\n  one\nclass B:\ndef c():\n  tail"))
+    assert(got == Seq(
+      (1L, "a", "(x):\n  one"),
+      (1L, "B", ":"),
+      (1L, "c", "():\n  tail")))
+  }
+
+  test("clone identity is (symbol, body): same name, different body separates") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "def h(a):\n  v1\n"), (2L, "def h(a):\n  v1\n"),
+      (3L, "def h(a):\n  v2\n"), (4L, "def h(a):\n  v2\n"),
+      (5L, "def h(a):\n  v3\n")) // df 1 — excluded
+    val got = FunctionClones.clones(rows.toDF("id", "content"), "id", "content")
+      .collect().map(r => (r.getAs[Long]("df"), r.getAs[Long]("occ")))
+    assert(got.toSeq.sorted == Seq((2L, 2L), (2L, 2L)))
+  }
+
+  test("df counts files once; occ counts every pasted copy") {
+    import spark.implicits._
+    // a trailing sentinel decl keeps every h-body byte-identical (a
+    // body runs to the NEXT decl, so an EOF copy would keep its final
+    // newline and split the group — itself a segmentation fact)
+    val twice = "def h():\n  same\ndef h():\n  same\ndef zz():\nx"
+    val rows = Seq((1L, twice), (2L, "def h():\n  same\ndef zz():\nx"))
+    val got = FunctionClones.clones(rows.toDF("id", "content"), "id", "content")
+      .collect().map(r => r.getAs[String]("symbol") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("occ")))).toMap
+    assert(got("h") == ((2L, 3L)))
+    assert(got("zz") == ((2L, 2L)))
+  }
+
+  test("no declarations yields no functions; minDf guard") {
+    import spark.implicits._
+    assert(fns(Seq(1L -> "just text, no decls")).isEmpty)
+    intercept[IllegalArgumentException] {
+      FunctionClones.clones(
+        Seq((1L, "x")).toDF("id", "content"), "id", "content", minDf = 1)
+    }
+  }
+}
