@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   * pair set.
   *
   * Every rule is engine-replayable: the order is the total order
-  * `(key, id)`, positions are `row_number − 1` over it, the distance is
-  * `levenshtein` on codepoints — identical in Spark and DuckDB.
+  * `(key, id)`, positions are `row_number − 1` over it. The distance is
+  * CODEPOINT Levenshtein (Spark's semantics — one astral substitution
+  * costs 1). Cross-engine caveat, measured and spec-pinned: DuckDB's
+  * `levenshtein` is BYTE-based (the same astral substitution costs 4,
+  * a fullwidth-digit swap 3 per char), so the SQL oracle is exact on
+  * ASCII corpora (q129/q131's) and a non-ASCII corpus needs an
+  * oracle-side transcode or a bytes-equal verification column instead.
   */
 object SortedNeighborhood {
 

@@ -103,6 +103,14 @@ class SortedNeighborhoodSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distance is CODEPOINT levenshtein: one astral substitution costs 1") {
+    // pins the Spark semantics the scaladoc documents; DuckDB's
+    // levenshtein is BYTE-based (this pair would cost 4 there), which is
+    // why the oracle equivalence is scoped to ASCII corpora
+    val rows = Seq((1L, "k", "𝔘𝔫𝔦code"), (2L, "k", "𝔘X𝔦code"))
+    assert(run(rows, w = 1).head._3 == 1L)
+  }
+
   test("multiPass: a second key recovers pairs the first key's order separates") {
     import spark.implicits._
     // k1 differs wildly (twin edit at the front), k2 identical
