@@ -3429,6 +3429,31 @@ object SparkEntry {
           20)
         .orderBy(col("df").desc, col("occ").desc, col("symbol").asc,
           col("body_sha").asc)
+    }),
+
+    // q133: delimiter-balance / truncation-integrity signals — the
+    // parse-free structural proxy for CUT files (the CodeParrot
+    // "does it even parse" class without a per-language parser): a close
+    // before its open is head damage (corrupt), opens outstanding at EOF
+    // is tail damage (truncated). Construction plants one class per
+    // residue: %5==1 a stray close (corrupt), %5==2 an unclosed
+    // `if (x {` fragment (truncated), %5==3 cross-pair misnesting
+    // `(a[b)c]` which must stay ok (pairs are independent by design —
+    // the documented proxy limit), else a balanced nest. The oracle
+    // replays counts as length arithmetic and the depth scan as a
+    // parallel unnest + window sum, all rendered from the SAME
+    // CodeIntegrity.Pairs table.
+    "q133_code_integrity" -> ((s, dir) => {
+      val planted = CodeFiles(s, dir).select(
+        col("doc_id"), col("lang"),
+        concat(col("content"),
+          when(col("doc_id") % 5 === 1, lit("\n} stray close\n"))
+            .when(col("doc_id") % 5 === 2, lit("\nif (x { y[0] \n"))
+            .when(col("doc_id") % 5 === 3, lit("\n(a[b)c]\n"))
+            .otherwise(lit("\n{ ( [ ok ] ) }\n"))).as("content"))
+      graft.pipeline.CodeIntegrity.annotate(planted, "content")
+        .drop("content")
+        .orderBy("doc_id")
     })
   )
 
@@ -6326,6 +6351,25 @@ object SparkEntry {
          |FROM agg WHERE df >= 2
          |ORDER BY df DESC, occ DESC, symbol ASC, body_sha ASC
          |LIMIT 20""".stripMargin
+    },
+
+    // q133: replant, then the CodeIntegrity twin — counts as length
+    // arithmetic over per-pair stripped copies, the depth scan as
+    // parallel unnest (chars ∥ positions) + running window sum + min,
+    // the same two-class CASE. The whole tail is RENDERED from
+    // CodeIntegrity.Pairs (lock-step by construction).
+    "q133_code_integrity" -> {
+      s"""WITH $cte,
+         |ci_in AS (
+         |  SELECT doc_id, lang,
+         |    content || CASE
+         |      WHEN doc_id % 5 = 1 THEN chr(10) || '} stray close' || chr(10)
+         |      WHEN doc_id % 5 = 2 THEN chr(10) || 'if (x { y[0] ' || chr(10)
+         |      WHEN doc_id % 5 = 3 THEN chr(10) || '(a[b)c]' || chr(10)
+         |      ELSE chr(10) || '{ ( [ ok ] ) }' || chr(10) END AS content
+         |  FROM code_files
+         |),
+         |${graft.pipeline.CodeIntegrity.oracleSql("ci_in")}""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Delimiter-balance / truncation-integrity signals — the parse-free
+  * structural-integrity proxy code filters use to catch CUT files before
+  * any text-quality signal sees them (the CodeParrot/SantaCoder "does it
+  * even parse" class, reduced to the part that needs no per-language
+  * parser): a source file whose braces close before they open lost its
+  * HEAD; one that ends with opens outstanding lost its TAIL. Both are
+  * overwhelmingly transfer/extraction damage, not style — and neither is
+  * visible to line-length/alnum heuristics ([[CodeProvenance]]) or
+  * comment-density bands ([[CommentSignals]]).
+  *
+  * Per delimiter pair (braces, parens, brackets), each computed over the
+  * RAW character stream (string literals and comments are NOT excluded —
+  * that would need a per-language lexer; the proxy is documented and the
+  * thresholds are the caller's policy knob):
+  *
+  *  - `n_open_*` / `n_close_*` — raw occurrence counts;
+  *  - `min_depth_*` — the minimum running prefix depth (open = +1,
+  *    close = −1) over ALL prefixes INCLUDING the empty one (so it is
+  *    always ≤ 0; the oracle clamps its per-char min with `least(_, 0)`
+  *    to the same definition): negative means some close precedes its
+  *    open;
+  *  - `end_depth_*` — `n_open − n_close`: positive means opens were
+  *    never closed.
+  *
+  * Classification (precedence fixed, spec-pinned): `corrupt` when any
+  * pair's `min_depth < 0` (head damage — the stronger signal, since a
+  * positive end depth in its presence may be a SYMPTOM of the same cut);
+  * else `truncated` when any pair's `end_depth > 0`; else `ok`. A
+  * negative end depth implies a negative min depth, so two failure
+  * classes are exhaustive. Pairs are checked INDEPENDENTLY — cross-pair
+  * misnesting like `(a[b)c]` is invisible by design (detecting it is a
+  * parser's job, and real lexers legitimately emit such streams inside
+  * strings/comments anyway).
+  *
+  * 100-TB shape: one codegen'd map-only pass — counts are length
+  * arithmetic over a stripped copy, the depth scan is a higher-order
+  * `aggregate` over ONLY the delimiter characters (the stripped string,
+  * typically a few hundred chars of a 100 KB file — never the full
+  * text), no shuffle, no UDF. Every rule is integer-exact and rendered
+  * into the DuckDB oracle from the SAME [[Pairs]] table
+  * ([[oracleSql]] — lock-step by construction).
+  */
+object CodeIntegrity {
+
+  /** (open, close, name, stripRe, closeRe): `stripRe` removes every char
+    * that is not this pair, `closeRe` matches the close char. Both are in
+    * the Java∩RE2 intersection so the SAME text renders into the DuckDB
+    * oracle.
+    */
+  final val Pairs: Seq[(String, String, String, String, String)] = Seq(
+    ("{", "}", "brace", "[^{}]", "\\}"),
+    ("(", ")", "paren", "[^()]", "\\)"),
+    ("[", "]", "bracket", "[^\\[\\]]", "\\]"))
+
+  final val Ok = "ok"
+  final val Truncated = "truncated"
+  final val Corrupt = "corrupt"
+
+  /** Adds, per pair `p`: `n_open_p`, `n_close_p`, `min_depth_p`,
+    * `end_depth_p` (all BIGINT), plus the `integrity` class.
+    */
+  def annotate(df: DataFrame, contentCol: String): DataFrame = {
+    val c = col(contentCol)
+    val withPairs = Pairs.foldLeft(df) {
+      case (acc, (open, _, name, stripRe, closeRe)) =>
+        val stripped = regexp_replace(c, lit(stripRe), lit(""))
+        val nOpen =
+          length(regexp_replace(stripped, lit(closeRe), lit(""))).cast("long")
+        val nClose = length(stripped).cast("long") - nOpen
+        // the scan walks ONLY the delimiter chars; the filter guards the
+        // empty-string artifact of split-on-empty-pattern
+        val chars = filter(split(stripped, ""), ch => length(ch) > 0)
+        val step = (acc0: Column, ch: Column) =>
+          acc0.getField("d") + when(ch === lit(open), lit(1L)).otherwise(lit(-1L))
+        val scan = aggregate(
+          chars,
+          struct(lit(0L).as("d"), lit(0L).as("m")),
+          (acc0, ch) => struct(
+            step(acc0, ch).as("d"),
+            least(acc0.getField("m"), step(acc0, ch)).as("m")))
+        acc
+          .withColumn(s"n_open_$name", nOpen)
+          .withColumn(s"n_close_$name", nClose)
+          .withColumn(s"min_depth_$name", scan.getField("m"))
+          .withColumn(s"end_depth_$name", nOpen - nClose)
+    }
+    val anyCorrupt =
+      Pairs.map { case (_, _, n, _, _) => col(s"min_depth_$n") < 0 }
+        .reduce(_ || _)
+    val anyTruncated =
+      Pairs.map { case (_, _, n, _, _) => col(s"end_depth_$n") > 0 }
+        .reduce(_ || _)
+    withPairs.withColumn("integrity",
+      when(anyCorrupt, lit(Corrupt))
+        .when(anyTruncated, lit(Truncated))
+        .otherwise(lit(Ok)))
+  }
+
+  /** The full DuckDB twin, rendered from [[Pairs]]: a `WITH`-tail
+    * (prepend your input CTE) over `inputCte(doc_id, lang, content)`,
+    * selecting the same columns `annotate` adds, ordered by doc_id.
+    * Depth replay: parallel unnest of the stripped chars with their
+    * 1-based positions, running window sum, min per doc.
+    */
+  def oracleSql(inputCte: String): String = {
+    val strippedCols = Pairs.map { case (_, _, n, stripRe, _) =>
+      s"regexp_replace(content, '$stripRe', '', 'g') AS s_$n"
+    }.mkString(",\n    ")
+    val depthCtes = Pairs.map { case (open, _, n, _, _) =>
+      s"""d_$n AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(s_$n, '')) AS ch,
+         |         unnest(generate_series(1, length(s_$n))) AS i
+         |  FROM ci_stripped WHERE length(s_$n) > 0
+         |),
+         |m_$n AS (
+         |  SELECT doc_id, CAST(least(min(dep), 0) AS BIGINT)
+         |    AS min_depth_$n FROM (
+         |    SELECT doc_id, sum(CASE WHEN ch = '$open' THEN 1 ELSE -1 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS dep FROM d_$n)
+         |  GROUP BY doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val baseCols = Pairs.map { case (_, _, n, _, closeRe) =>
+      s"""    length(regexp_replace(s_$n, '$closeRe', '', 'g')) AS n_open_$n,
+         |    length(s_$n) - length(regexp_replace(s_$n, '$closeRe', '', 'g'))
+         |      AS n_close_$n,
+         |    coalesce(m_$n.min_depth_$n, 0) AS min_depth_$n,
+         |    2 * length(regexp_replace(s_$n, '$closeRe', '', 'g')) - length(s_$n)
+         |      AS end_depth_$n""".stripMargin
+    }.mkString(",\n")
+    val joins = Pairs.map { case (_, _, n, _, _) =>
+      s"  LEFT JOIN m_$n USING (doc_id)"
+    }.mkString("\n")
+    val corrupt =
+      Pairs.map { case (_, _, n, _, _) => s"min_depth_$n < 0" }.mkString(" OR ")
+    val truncated =
+      Pairs.map { case (_, _, n, _, _) => s"end_depth_$n > 0" }.mkString(" OR ")
+    s"""ci_stripped AS (
+       |  SELECT doc_id, lang,
+       |    $strippedCols
+       |  FROM $inputCte
+       |),
+       |$depthCtes,
+       |ci_base AS (
+       |  SELECT ci_stripped.doc_id, lang,
+       |$baseCols
+       |  FROM ci_stripped
+       |$joins
+       |)
+       |SELECT *,
+       |  CASE WHEN $corrupt THEN '$Corrupt'
+       |       WHEN $truncated THEN '$Truncated'
+       |       ELSE '$Ok' END AS integrity
+       |FROM ci_base ORDER BY doc_id""".stripMargin
+  }
+}

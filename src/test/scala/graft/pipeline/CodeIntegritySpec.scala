@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CodeIntegrity: hand fixtures for every class and the precedence rule,
+  * the per-pair-independence proxy pin (cross-pair misnesting stays ok),
+  * the empty-prefix min-depth convention, astral/no-delimiter inputs,
+  * differential fuzz vs a driver-side replica, and the map-only plan pin.
+  */
+class CodeIntegritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-codeintegrity-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private case class PairStats(nOpen: Long, nClose: Long,
+                               minDepth: Long, endDepth: Long)
+
+  /** Driver replica of the per-pair scan: min prefix depth over ALL
+    * prefixes including the empty one (hence ≤ 0 always).
+    */
+  private def replicaPair(text: String, open: Char, close: Char): PairStats = {
+    var d = 0L; var m = 0L; var no = 0L; var nc = 0L
+    text.foreach { ch =>
+      if (ch == open) { no += 1; d += 1; if (d < m) m = d }
+      else if (ch == close) { nc += 1; d -= 1; if (d < m) m = d }
+    }
+    PairStats(no, nc, m, no - nc)
+  }
+
+  private def replica(text: String): (Seq[PairStats], String) = {
+    val stats = CodeIntegrity.Pairs.map { case (o, c, _, _, _) =>
+      replicaPair(text, o.head, c.head)
+    }
+    val cls =
+      if (stats.exists(_.minDepth < 0)) CodeIntegrity.Corrupt
+      else if (stats.exists(_.endDepth > 0)) CodeIntegrity.Truncated
+      else CodeIntegrity.Ok
+    (stats, cls)
+  }
+
+  private def run(rows: Seq[(Long, String)])
+      : Map[Long, (Seq[PairStats], String)] = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "content")
+    CodeIntegrity.annotate(df, "content").collect().map { r =>
+      val stats = CodeIntegrity.Pairs.map { case (_, _, n, _, _) =>
+        PairStats(
+          r.getAs[Long](s"n_open_$n"), r.getAs[Long](s"n_close_$n"),
+          r.getAs[Long](s"min_depth_$n"), r.getAs[Long](s"end_depth_$n"))
+      }
+      r.getAs[Long]("doc_id") -> ((stats, r.getAs[String]("integrity")))
+    }.toMap
+  }
+
+  test("hand fixtures: every class, counts, and depths") {
+    val out = run(Seq(
+      1L -> "{}", 2L -> "}{", 3L -> "{{", 4L -> "",
+      5L -> "no delimiters at all", 6L -> "([)]", 7L -> "a(b]c",
+      8L -> "{", 9L -> "😀{😀}"))
+    // balanced
+    assert(out(1L)._1.head == PairStats(1, 1, 0, 0))
+    assert(out(1L)._2 == CodeIntegrity.Ok)
+    // close before open: head damage
+    assert(out(2L)._1.head == PairStats(1, 1, -1, 0))
+    assert(out(2L)._2 == CodeIntegrity.Corrupt)
+    // opens outstanding: tail damage; min includes the EMPTY prefix → 0
+    assert(out(3L)._1.head == PairStats(2, 0, 0, 2))
+    assert(out(3L)._2 == CodeIntegrity.Truncated)
+    // empty and delimiter-free inputs: all-zero, ok (the split-on-empty
+    // artifact must not leak a phantom char)
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id)._1.forall(_ == PairStats(0, 0, 0, 0)))
+      assert(out(id)._2 == CodeIntegrity.Ok)
+    }
+    // cross-pair misnesting is INVISIBLE by design: each pair balanced
+    assert(out(6L)._2 == CodeIntegrity.Ok)
+    assert(out(6L)._1(1) == PairStats(1, 1, 0, 0)) // paren
+    assert(out(6L)._1(2) == PairStats(1, 1, 0, 0)) // bracket
+    // precedence: bracket head damage (corrupt) beats paren tail damage
+    assert(out(7L)._1(1).endDepth == 1L)
+    assert(out(7L)._1(2).minDepth == -1L)
+    assert(out(7L)._2 == CodeIntegrity.Corrupt)
+    // single open survives the char-split path
+    assert(out(8L)._1.head == PairStats(1, 0, 0, 1))
+    assert(out(8L)._2 == CodeIntegrity.Truncated)
+    // astral codepoints strip away; counts are delimiter-only
+    assert(out(9L)._1.head == PairStats(1, 1, 0, 0))
+    assert(out(9L)._2 == CodeIntegrity.Ok)
+  }
+
+  test("differential fuzz vs the driver replica") {
+    val rnd = new scala.util.Random(20260819L)
+    val alphabet = "{}()[]ab\n \t"
+    val rows = (0L until 200L).map { i =>
+      val n = rnd.nextInt(60)
+      i -> Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val out = run(rows)
+    rows.foreach { case (id, text) =>
+      assert(out(id) == replica(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("annotate is map-only (no Exchange)") {
+    import spark.implicits._
+    val df = Seq((1L, "{(x)}")).toDF("doc_id", "content")
+    val plan = CodeIntegrity.annotate(df, "content")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("oracle SQL renders from the Pairs table") {
+    val sql = CodeIntegrity.oracleSql("ci_in")
+    CodeIntegrity.Pairs.foreach { case (_, _, n, stripRe, closeRe) =>
+      assert(sql.contains(s"'$stripRe'"))
+      assert(sql.contains(s"'$closeRe'"))
+      assert(sql.contains(s"n_open_$n"))
+      assert(sql.contains(s"min_depth_$n"))
+    }
+    assert(sql.contains(CodeIntegrity.Corrupt))
+    assert(sql.contains(CodeIntegrity.Truncated))
+  }
+}
