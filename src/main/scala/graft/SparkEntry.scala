@@ -3454,6 +3454,30 @@ object SparkEntry {
       graft.pipeline.CodeIntegrity.annotate(planted, "content")
         .drop("content")
         .orderBy("doc_id")
+    }),
+
+    // q134: whitespace-normalized exact dedup (The Stack 2211.15533 §3's
+    // exact-dedup rule for code: identical after stripping whitespace —
+    // reformatting, tab↔space churn, and CRLF reflow never defeat the
+    // match, while any non-whitespace byte keeps files apart).
+    // Construction plants a whitespace-mutated twin for every %10==0 doc
+    // (every space becomes newline+tab — MUST group with its original)
+    // and a one-byte-appended decoy for every %10==5 doc (MUST stay out
+    // of every group); the organic raw-duplicate texts the q04 family
+    // dedups group here too (raw-equal ⊂ whitespace-equal). Only
+    // (sha, id) scalars shuffle; one map-side-combinable aggregate.
+    "q134_normalized_dedup" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir)
+      val twins = cf.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + lit(1000000000L)).as("id"),
+        regexp_replace(col("content"), lit(" "), lit("\n\t")).as("content"))
+      val decoys = cf.filter(col("doc_id") % 10 === 5).select(
+        (col("doc_id") + lit(2000000000L)).as("id"),
+        concat(col("content"), lit("x")).as("content"))
+      val corpus = cf.select(col("doc_id").as("id"), col("content"))
+        .unionAll(twins).unionAll(decoys)
+      graft.dedupe.NormalizedDedup.groups(corpus, "id", "content")
+        .orderBy("norm_sha")
     })
   )
 
@@ -6370,6 +6394,25 @@ object SparkEntry {
          |  FROM code_files
          |),
          |${graft.pipeline.CodeIntegrity.oracleSql("ci_in")}""".stripMargin
+    },
+
+    // q134: replant (twin = every space → newline+tab; decoy = one
+    // appended byte), then the NormalizedDedup twin — the SAME NormRe
+    // rendered verbatim, the same count/min/sum aggregate.
+    "q134_normalized_dedup" -> {
+      s"""WITH $cte,
+         |corpus AS (
+         |  SELECT doc_id AS id, content FROM code_files
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000 AS id,
+         |         regexp_replace(content, ' ', chr(10) || chr(9), 'g')
+         |           AS content
+         |  FROM code_files WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000000 AS id, content || 'x' AS content
+         |  FROM code_files WHERE doc_id % 10 = 5
+         |),
+         |${graft.dedupe.NormalizedDedup.oracleSql("corpus")}""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

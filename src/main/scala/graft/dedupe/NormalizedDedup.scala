@@ -1,0 +1,83 @@
+package graft.dedupe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Whitespace-normalized exact dedup — The Stack's (2211.15533 §3) exact
+  * deduplication rule for code: two files are duplicates when their
+  * contents are identical AFTER stripping whitespace, so reformatting
+  * (re-indentation, tab↔space churn, CRLF↔LF, line rewrapping) never
+  * defeats the match. Sits between raw exact dedup (digest of the bytes,
+  * [[graft.SparkEntry]] q04) and MinHash near-dup ([[MinHasher]]): still
+  * EXACT — no false positives beyond the declared equivalence — but
+  * insensitive to the one mutation class that dominates code corpora.
+  *
+  * Normalization is the ASCII whitespace class `[ \t\r\n]+` deleted
+  * globally (a shared Java∩RE2 pattern, [[NormRe]], rendered verbatim
+  * into the DuckDB oracle). Unicode spaces are deliberately out: the
+  * rule must be byte-stable across engines, and code whitespace is
+  * ASCII. A file that is ALL whitespace normalizes to `""` and groups
+  * with every other such file — correct under the declared equivalence.
+  *
+  * 100-TB shape: `sha256(normalized)` computes in the map stage, so only
+  * `(sha, id)` scalars ever shuffle — content crosses the wire zero
+  * times; the group view is ONE map-side-combinable aggregate (count +
+  * min — no window, no hot-key sort); `dedup` applies keepers with a
+  * left-anti join against the loser set (sha-equi, AQE-broadcastable
+  * when the dup universe is small, plain shuffle join when it is not).
+  */
+object NormalizedDedup {
+
+  /** ASCII whitespace run — identical semantics in Java regex and RE2. */
+  final val NormRe = "[ \\t\\r\\n]+"
+
+  /** `sha256(content with whitespace deleted)` — the group key. */
+  def normSha(content: Column): Column =
+    sha2(regexp_replace(content, lit(NormRe), lit("")), 256)
+
+  /** One row per duplicate group (size > 1): the normalized digest, the
+    * group size, the keeper (min id — the deterministic first-wins
+    * convention the other dedup families share), and the id sum (a
+    * membership checksum the oracle can re-derive without arrays).
+    */
+  def groups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        normSha(col(contentCol)).as("norm_sha"))
+      .groupBy("norm_sha")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper_id"),
+        sum(col("id")).as("id_sum"))
+      .filter(col("n_docs") > 1)
+
+  /** The survivors: every row whose (norm_sha, id) is not a losing
+    * member of some group — keepers and singletons pass through with
+    * the caller's columns untouched.
+    */
+  def dedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keyed = df.withColumn("__nd_sha", normSha(col(contentCol)))
+    val losers = keyed
+      .select(col(idCol).cast("long").as("__nd_id"), col("__nd_sha"))
+      .groupBy("__nd_sha")
+      .agg(min(col("__nd_id")).as("__nd_keep"), count(lit(1)).as("__nd_n"))
+      .filter(col("__nd_n") > 1)
+      .select(col("__nd_sha"), col("__nd_keep"))
+    keyed.join(losers, Seq("__nd_sha"), "left")
+      .filter(col("__nd_keep").isNull ||
+        col(idCol).cast("long") === col("__nd_keep"))
+      .drop("__nd_sha", "__nd_keep")
+  }
+
+  /** DuckDB twin of [[groups]] over `inputCte(id, content)` — the SAME
+    * [[NormRe]] rendered verbatim, the same aggregate.
+    */
+  def oracleSql(inputCte: String): String =
+    s"""nd_keyed AS (
+       |  SELECT id, sha256(regexp_replace(content, '$NormRe', '', 'g'))
+       |    AS norm_sha
+       |  FROM $inputCte
+       |)
+       |SELECT norm_sha, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(min(id) AS BIGINT) AS keeper_id,
+       |       CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM nd_keyed GROUP BY norm_sha HAVING count(*) > 1
+       |ORDER BY norm_sha""".stripMargin
+}

@@ -1,0 +1,97 @@
+package graft.dedupe
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NormalizedDedup: the declared equivalence exactly (whitespace-only
+  * mutations group, any non-whitespace byte does not), the all-whitespace
+  * degenerate class, dedup()'s keeper/singleton/column contract, a
+  * differential fuzz vs a driver replica, and the one-exchange plan pin.
+  */
+class NormalizedDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-normalizeddedup-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import java.security.MessageDigest
+  private def replicaSha(text: String): String = {
+    val norm = text.replaceAll(NormalizedDedup.NormRe, "")
+    MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def groupsOf(rows: Seq[(Long, String)]): Map[String, (Long, Long, Long)] = {
+    import spark.implicits._
+    NormalizedDedup.groups(rows.toDF("id", "content"), "id", "content")
+      .collect()
+      .map(r => r.getAs[String]("norm_sha") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("keeper_id"),
+          r.getAs[Long]("id_sum"))))
+      .toMap
+  }
+
+  test("whitespace mutations group; any non-whitespace byte does not") {
+    val base = "def f(a, b):\n  return a + b\n"
+    val out = groupsOf(Seq(
+      1L -> base,
+      2L -> base.replace(" ", "\t\t"),          // tab churn
+      3L -> base.replace("\n", "\r\n"),         // CRLF reflow
+      4L -> ("   " + base + "\n\n"),            // padding
+      5L -> base.replace("a + b", "a+c"),       // REAL change: own class
+      6L -> "unrelated"))
+    assert(out.size == 1)
+    val g = out(replicaSha(base))
+    assert(g == ((4L, 1L, 10L)))
+  }
+
+  test("all-whitespace files form one group keyed on the empty norm") {
+    val out = groupsOf(Seq(1L -> " \t", 2L -> "\n\n\n", 3L -> "x"))
+    assert(out.size == 1)
+    val g = out(replicaSha(""))
+    assert(g == ((2L, 1L, 3L)))
+  }
+
+  test("dedup keeps keepers and singletons with columns untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "a b", "x1"), (11L, "a\tb", "x2"), (12L, "ab", "x3"),
+      (13L, "solo", "x4")).toDF("id", "content", "extra")
+    val out = NormalizedDedup.dedup(df, "id", "content")
+    assert(out.columns.toSeq == Seq("id", "content", "extra"))
+    val kept = out.collect().map(r => r.getAs[Long]("id")).toSet
+    // 10/11/12 all normalize to "ab" → keeper 10; 13 is a singleton
+    assert(kept == Set(10L, 13L))
+    assert(out.filter("id = 10").collect().head.getAs[String]("extra") == "x1")
+  }
+
+  test("differential fuzz vs the driver replica") {
+    val rnd = new scala.util.Random(134L)
+    val alphabet = "ab \t\r\n"
+    val rows = (0L until 120L).map { i =>
+      i -> Array.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+    }
+    val out = groupsOf(rows)
+    val expected = rows.groupBy { case (_, t) => replicaSha(t) }
+      .filter(_._2.size > 1)
+      .map { case (sha, m) =>
+        sha -> ((m.size.toLong, m.map(_._1).min, m.map(_._1).sum)) }
+    assert(out == expected)
+  }
+
+  test("groups is one exchange (map-side sha, partial agg, no window)") {
+    import spark.implicits._
+    val plan = NormalizedDedup
+      .groups(Seq((1L, "a")).toDF("id", "content"), "id", "content")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.split("Exchange").length - 1 == 1, plan)
+  }
+}
