@@ -3478,6 +3478,25 @@ object SparkEntry {
         .unionAll(twins).unionAll(decoys)
       graft.dedupe.NormalizedDedup.groups(corpus, "id", "content")
         .orderBy("norm_sha")
+    }),
+
+    // q135: leakage-safe train/valid/test carving at REPO granularity
+    // (CodeSearchNet 1909.09436 §4's evaluation discipline: the split is
+    // a function of the repository alone, so near-identical files inside
+    // one repo can never land train+test). The construction derives 100
+    // synthetic repos of 5 files each (source × doc_id%5) so the
+    // invariant is non-trivial; the rollup is per (split, lang). The
+    // assignment rule has no integer-hash portability question at all:
+    // 3-hex-char sha256 buckets compared lexicographically against
+    // boundary literals rendered from the same weights in both engines.
+    "q135_repo_split" -> ((s, dir) => {
+      val cf = CodeFiles(s, dir).withColumn("repo2",
+        concat(col("repo"), lit("_"), (col("doc_id") % 5).cast("string")))
+      val assigned =
+        graft.operators.RepoSplit.assign(cf, "repo2", SplitWeights)
+      graft.operators.RepoSplit
+        .summary(assigned, "repo2", "doc_id", Seq("lang"))
+        .orderBy("split", "lang")
     })
   )
 
@@ -3672,6 +3691,12 @@ object SparkEntry {
   // -------------------------------------------------------------- oracles
 
   private val cte = CodeFiles.oracleCte
+
+  /** q135's split weights — 70/15/15 in exact 4096ths, shared by the
+    * Spark query and the rendered oracle CASE.
+    */
+  private val SplitWeights =
+    Seq(("train", 2867), ("valid", 615), ("test", 614))
   private def nrm(c: String) = CodeFiles.normSql(c)
 
   /** A word list as a DuckDB array literal — generated from the SAME
@@ -6413,6 +6438,26 @@ object SparkEntry {
          |  FROM code_files WHERE doc_id % 10 = 5
          |),
          |${graft.dedupe.NormalizedDedup.oracleSql("corpus")}""".stripMargin
+    },
+
+    // q135: the same derived repos, the same boundary literals (rendered
+    // by RepoSplit.oracleCase from the shared weights), the same rollup.
+    "q135_repo_split" -> {
+      val caseExpr = graft.operators.RepoSplit.oracleCase("repo2", SplitWeights)
+      s"""WITH $cte,
+         |derived AS (
+         |  SELECT doc_id, lang, repo || '_' || (doc_id % 5) AS repo2
+         |  FROM code_files
+         |),
+         |assigned AS (
+         |  SELECT doc_id, lang, repo2, $caseExpr AS split FROM derived
+         |)
+         |SELECT split, lang,
+         |       CAST(count(DISTINCT repo2) AS BIGINT) AS n_repos,
+         |       CAST(count(*) AS BIGINT) AS n_files,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM assigned GROUP BY split, lang
+         |ORDER BY split, lang""".stripMargin
     }
     )
     // q115 is q110's construction behind the catalog's partition

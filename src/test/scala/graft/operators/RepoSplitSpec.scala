@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RepoSplit: assignment replica fuzz, the no-straddle leakage invariant
+  * on multi-file repos, strict-< boundary semantics via a constructed
+  * exact-boundary repo, the weight guards, and the map-only plan pin.
+  */
+class RepoSplitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-reposplit-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val W = Seq(("train", 2867), ("valid", 615), ("test", 614))
+
+  private def bucketOf(repo: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(repo.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .substring(0, 3)
+
+  private def replica(repo: String, weights: Seq[(String, Int)]): String = {
+    val b = Integer.parseInt(bucketOf(repo), 16)
+    var cum = 0
+    for ((name, w) <- weights) {
+      cum += w
+      if (b < cum) return name
+    }
+    weights.last._1
+  }
+
+  private def assign(repos: Seq[String], weights: Seq[(String, Int)])
+      : Map[String, String] = {
+    import spark.implicits._
+    RepoSplit.assign(repos.toDF("repo"), "repo", weights)
+      .collect().map(r => r.getAs[String]("repo") -> r.getAs[String]("split"))
+      .toMap
+  }
+
+  test("assignment matches the driver replica on 300 fuzzed repos") {
+    val rnd = new scala.util.Random(135L)
+    val repos = (0 until 300).map(i => s"org${rnd.nextInt(50)}/repo$i")
+    val out = assign(repos, W)
+    repos.foreach { r => assert(out(r) == replica(r, W), r) }
+    // sanity: with 300 repos at 70/15/15 every split is populated
+    assert(out.values.toSet == Set("train", "valid", "test"))
+  }
+
+  test("no repo straddles splits (the leakage invariant)") {
+    import spark.implicits._
+    val rows = for (r <- 0 until 40; f <- 0 until 6)
+      yield (s"repo$r", s"file$f", r.toLong * 6 + f)
+    val assigned =
+      RepoSplit.assign(rows.toDF("repo", "path", "id"), "repo", W)
+    val straddlers = assigned.select("repo", "split").distinct()
+      .groupBy("repo").count().filter("count > 1").count()
+    assert(straddlers == 0L)
+  }
+
+  test("boundaries are strict <: an exact-boundary repo goes NEXT") {
+    // construct the boundary FROM the repo: weights (a=bucket, b=rest)
+    // put the boundary exactly on this repo's bucket — strict < sends it
+    // to b
+    val repo = "exact-boundary-probe"
+    val b = Integer.parseInt(bucketOf(repo), 16)
+    assume(b > 0 && b < RepoSplit.Buckets)
+    val weights = Seq(("a", b), ("b", RepoSplit.Buckets - b))
+    assert(assign(Seq(repo), weights)(repo) == "b")
+    // one bucket higher and the same repo is inside a
+    val weights2 = Seq(("a", b + 1), ("b", RepoSplit.Buckets - b - 1))
+    assert(assign(Seq(repo), weights2)(repo) == "a")
+  }
+
+  test("weight guards refuse loudly") {
+    import spark.implicits._
+    val df = Seq("r").toDF("repo")
+    intercept[IllegalArgumentException] {
+      RepoSplit.assign(df, "repo", Seq(("a", 4095)))
+    }
+    intercept[IllegalArgumentException] {
+      RepoSplit.assign(df, "repo", Seq(("a", 4097), ("b", -1)))
+    }
+    intercept[IllegalArgumentException] {
+      RepoSplit.assign(df, "repo", Nil)
+    }
+  }
+
+  test("assign is map-only (no Exchange); summary is one exchange pair") {
+    import spark.implicits._
+    val df = Seq(("r", 1L)).toDF("repo", "id")
+    val aPlan = RepoSplit.assign(df, "repo", W)
+      .queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), aPlan)
+    val sPlan = RepoSplit.summary(RepoSplit.assign(df, "repo", W), "repo", "id")
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Window"), sPlan)
+  }
+
+  test("oracleCase renders the same boundaries") {
+    val sql = RepoSplit.oracleCase("repo", W)
+    assert(sql.contains(f"${2867}%03x"))
+    assert(sql.contains(f"${2867 + 615}%03x"))
+    assert(sql.contains("ELSE 'test'"))
+  }
+}
