@@ -96,7 +96,9 @@ object Bench {
     "q129_snm_dedup" -> 2.5,
     "q130_boilerplate_lines" -> 2.0,
     "q131_snm_multipass" -> 3.0,
-    "q132_function_clones" -> 2.0)
+    "q132_function_clones" -> 2.0,
+    "q133_code_integrity" -> 0.5, "q134_normalized_dedup" -> 0.8,
+    "q135_repo_split" -> 0.5)
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
