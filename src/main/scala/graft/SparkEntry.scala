@@ -6176,9 +6176,9 @@ object SparkEntry {
          |              + 2 * (doc_id % 2 + 1) AS BIGINT) AS num_tokens
          |  FROM code_files)
          |SELECT lang, count(*) AS n_docs,
-         |       sum(n_chars) AS n_chars,
-         |       sum(num_tokens) AS n_tokens,
-         |       (1000 * sum(n_chars)) // sum(num_tokens)
+         |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(num_tokens) AS BIGINT) AS n_tokens,
+         |       CAST((1000 * sum(n_chars)) // sum(num_tokens) AS BIGINT)
          |         AS chars_per_token_x1000
          |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
 
