@@ -93,9 +93,13 @@ object Bench {
     "q125_file_rank" -> 5.0, "q126_token_fertility" -> 1.5,
     "q127_symbol_stats" -> 2.0,
     "q128_repo_rollup" -> 1.5,
-    "q129_snm_dedup" -> 2.5,
+    // q129/q131: the Levenshtein DP on 200-char prefixes dominates
+    // (~2·window·N pairs × 40k cells each) — three independent sf0.1
+    // runs converged at 6.5/12.5 s, so the real clean cost is an order
+    // above the other queries, not storm noise
+    "q129_snm_dedup" -> 6.0,
     "q130_boilerplate_lines" -> 2.0,
-    "q131_snm_multipass" -> 3.0,
+    "q131_snm_multipass" -> 12.0,
     "q132_function_clones" -> 2.0,
     "q133_code_integrity" -> 0.5, "q134_normalized_dedup" -> 0.8,
     "q135_repo_split" -> 0.5)
