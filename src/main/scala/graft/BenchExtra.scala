@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round tooling (guide §1): NOT part of the driver
+  * contract — `Bench` stays the frozen harness. This main
+  *  - times any declared query with the noop sink (isolates the
+  *    computation from the count()-vs-write question, §1.4),
+  *  - dumps `.explain("formatted")` for a query to plans/<round>/ so
+  *    plan claims are checkable offline,
+  *  - runs named stage-isolation probes for the queries being tuned.
+  *
+  * Usage:
+  *   SPARK_GRAFT_EXTRA=plans:q129,q131   dump plans (suffix via
+  *     SPARK_GRAFT_PLAN_SUFFIX, default "after")
+  *   SPARK_GRAFT_EXTRA=noop:q103,q107    noop-sink timings (3 runs each)
+  *   SPARK_GRAFT_EXTRA=probe:mm          multimodal stage isolation
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spec = sys.env.getOrElse("SPARK_GRAFT_EXTRA", "noop:q01")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same load-time work as Bench: models are artifacts, not query work
+    graft.models.Artifacts.trainFor(spark, sfDir)
+    SparkEntry.queries("q34_langid_check")(spark, sfDir)
+    SparkEntry.queries("q35_quality_check")(spark, sfDir)
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[extra] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    val Array(mode, rest @ _*) = spec.split(":", 2)
+    val names = rest.headOption.map(_.split(',').toSeq).getOrElse(Nil)
+    mode match {
+      case "plans" =>
+        val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "after")
+        val outDir = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r06"))
+        java.nio.file.Files.createDirectories(outDir)
+        names.foreach { prefix =>
+          SparkEntry.queries.keys.filter(_.startsWith(prefix)).foreach { q =>
+            val df = SparkEntry.queries(q)(spark, sfDir)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            java.nio.file.Files.writeString(
+              outDir.resolve(s"${q}_$suffix.txt"), plan)
+            println(s"[extra] wrote ${outDir.resolve(s"${q}_$suffix.txt")}")
+          }
+        }
+      case "noop" =>
+        names.foreach { prefix =>
+          SparkEntry.queries.keys.toSeq.sorted
+            .filter(_.startsWith(prefix)).foreach { q =>
+            (1 to 3).foreach { i =>
+              time(s"$q noop#$i") { noop(SparkEntry.queries(q)(spark, sfDir)) }
+              spark.catalog.clearCache()
+              System.gc()
+            }
+          }
+        }
+      case "probe" => names.foreach {
+        case "mm" =>
+          // multimodal stage isolation: synthesis vs fingerprint vs pairs
+          val wav = time("wav synth") {
+            val t = graft.multimodal.Multimodal.syntheticWavDupTable(spark, sfDir)
+              .persist(); t.count(); t
+          }
+          time("wav fingerprints noop") {
+            noop(graft.multimodal.AudioDedup.fingerprints(wav, "doc_id", "payload"))
+          }
+          time("wav neardup full") {
+            noop(graft.multimodal.AudioDedup
+              .nearDuplicates(wav, "doc_id", "payload", maxHamming = 3))
+          }
+          wav.unpersist()
+          val png = time("png synth") {
+            val t = graft.multimodal.Multimodal.syntheticDhashPngTable(spark, sfDir)
+              .persist(); t.count(); t
+          }
+          time("png fingerprints noop") {
+            noop(graft.multimodal.ImageDedup.fingerprints(png, "doc_id", "payload"))
+          }
+          time("png neardup full") {
+            noop(graft.multimodal.ImageDedup
+              .nearDuplicates(png, "doc_id", "payload", maxHamming = 3))
+          }
+          png.unpersist()
+        case "rank" =>
+          // q125 stage isolation: edge extraction vs the iteration loop
+          val r = floor(col("doc_id") / 20).cast("long")
+          def imp(t: org.apache.spark.sql.Column) =
+            concat(lit("// IMPORT: f_"), t, lit(".txt\n"))
+          val header = concat(
+            when(r =!= 0, imp(lit(0L))).otherwise(lit("")),
+            when(r % 4 =!= 0, imp(r - 1)).otherwise(lit("")),
+            when(col("doc_id") % 47 === 3, imp(r + 1)).otherwise(lit("")),
+            when(col("doc_id") % 19 === 0, imp(r)).otherwise(lit("")),
+            lit("// IMPORT: lib/missing.txt\n"))
+          val files = graft.pipeline.CodeFiles(spark, sfDir).select(
+            col("repo"),
+            concat(lit("f_"), r, lit(".txt")).as("path"),
+            concat(header, col("content")).as("content"))
+          time("importEdges noop") {
+            noop(graft.operators.TopoPack.importEdges(
+              files, "repo", "path", "content"))
+          }
+          time("nodes distinct noop") {
+            noop(files.select(col("repo"),
+              coalesce(col("path"), lit("")).as("path")).distinct())
+          }
+          (1 to 2).foreach { i =>
+            time(s"ranks full #$i") {
+              noop(graft.operators.FileRank.ranks(
+                files, "repo", "path", "content"))
+            }
+          }
+        case other => sys.error(s"unknown probe '$other'")
+      }
+      case other => sys.error(s"unknown mode '$other'")
+    }
+    spark.stop()
+  }
+}

@@ -1526,10 +1526,7 @@ object SparkEntry {
         try {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val cf = CodeFiles(s, dir)
-          (0 until 5).foreach { k =>
-            cat.commitPartition("tt", s"k$k",
-              cf.filter(col("doc_id") % 5 === k))
-          }
+          cat.commitKeyed("tt", cf, concat(lit("k"), col("doc_id") % 5))
           cat.snapshots("tt").map { sn =>
             (sn.id, sn.key, cat.readTableAsOf("tt", sn.id).count())
           }
@@ -1732,11 +1729,9 @@ object SparkEntry {
           // bucket width so the corpus always splits into exactly 8
           // ranges regardless of sf (doc_ids are dense from 0)
           val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
-          (0L until 8L).foreach { g =>
-            cat.commitPartition("d", s"g$g",
-              docs.filter(expr(s"doc_id div $b") === g),
-              Seq("doc_id", "n_chars"))
-          }
+          cat.commitKeyed("d", docs,
+            concat(lit("g"), expr(s"doc_id div $b")),
+            Seq("doc_id", "n_chars"))
           val pred = col("doc_id").between(b + 3L, 3L * b + 5L) &&
             col("n_chars") >= 0L
           val kept = cat.prunedSnapshots("d", pred).size.toLong
@@ -1761,10 +1756,7 @@ object SparkEntry {
         try {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val cf = CodeFiles(s, dir).select(col("doc_id"))
-          (0 until 5).foreach { k =>
-            cat.commitPartition("t", s"k$k",
-              cf.filter(col("doc_id") % 5 === k))
-          }
+          cat.commitKeyed("t", cf, concat(lit("k"), col("doc_id") % 5))
           (0L until 5L).flatMap { i =>
             val inc = cat.readTableIncremental("t", i - 1L, i)
               .agg(count(lit(1)), sum("doc_id")).head()
@@ -1795,10 +1787,10 @@ object SparkEntry {
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
           val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
-          (0L until 8L).foreach { g =>
-            cat.commitPartition("m", s"g$g",
-              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
-          }
+          // batch commit: same 8 ascending-key partitions as a
+          // commitPartition loop, from ONE staged write + ONE stats job
+          cat.commitKeyed("m", docs,
+            concat(lit("g"), expr(s"doc_id div $b")), Seq("doc_id"))
           val updates = docs
             .filter(col("doc_id").between(b + 2L, 2L * b + 1L))
             .select(col("doc_id"), (col("doc_id") * 2L + 1L).as("n_chars"))
@@ -1824,10 +1816,8 @@ object SparkEntry {
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
           val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
-          (0L until 8L).foreach { g =>
-            cat.commitPartition("d", s"g$g",
-              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
-          }
+          cat.commitKeyed("d", docs,
+            concat(lit("g"), expr(s"doc_id div $b")), Seq("doc_id"))
           val (rewritten, deleted) = cat.deleteWhere("d",
             col("doc_id").between(b + 5L, 3L * b - 2L))
           val r = cat.readTable("d")
@@ -1880,10 +1870,8 @@ object SparkEntry {
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
           val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
-          (0L until 8L).foreach { g =>
-            cat.commitPartition("u", s"g$g",
-              docs.filter(expr(s"doc_id div $b") === g), Seq("doc_id"))
-          }
+          cat.commitKeyed("u", docs,
+            concat(lit("g"), expr(s"doc_id div $b")), Seq("doc_id"))
           val matched = docs
             .filter(col("doc_id").between(b + 2L, 2L * b + 1L))
             .select(col("doc_id"), (col("doc_id") * 2L + 1L).as("n_chars"))
@@ -1925,10 +1913,8 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
-          (0 until 5).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(col("doc_id") % 5 === k), Seq("doc_id"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), col("doc_id") % 5), Seq("doc_id"))
           def agg1(phase: String, ct: String,
                    df: org.apache.spark.sql.DataFrame) = {
             val r = df.agg(count(lit(1)),
@@ -1999,11 +1985,9 @@ object SparkEntry {
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
           val b = docs.agg(max("doc_id")).head().getLong(0) / 8L + 1L
-          (0L until 8L).foreach { g =>
-            cat.commitPartition("a", s"g$g",
-              docs.filter(expr(s"doc_id div $b") === g),
-              Seq("doc_id", "n_chars"))
-          }
+          cat.commitKeyed("a", docs,
+            concat(lit("g"), expr(s"doc_id div $b")),
+            Seq("doc_id", "n_chars"))
           // the result is a LocalRelation (built from the marker fold on
           // the driver) — safe to return after the catalog dir sweeps
           cat.aggregateFromStats("a", Seq("doc_id", "n_chars")).get
@@ -2138,10 +2122,8 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
-          (0 until 5).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(col("doc_id") % 5 === k), Seq("doc_id"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), col("doc_id") % 5), Seq("doc_id"))
           cat.createTag("c", "v1")
           cat.deleteWhere("c", col("doc_id") % 10L === 7L)
           require(cat.compactPartition("c", "k1"))
@@ -2219,10 +2201,8 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
-          (0 until 4).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(col("doc_id") % 4 === k), Seq("doc_id"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), col("doc_id") % 4), Seq("doc_id"))
           val full = cat.readTable("c")
             .agg(count(lit(1)), sum("doc_id")).head()
           cat.createBranch("c", "audit")
@@ -2325,11 +2305,8 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
-          (0 until 4).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(pmod(col("doc_id"), lit(4L)) === k),
-              Seq("doc_id"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), pmod(col("doc_id"), lit(4L))), Seq("doc_id"))
           Thread.sleep(3)
           val anchor = System.currentTimeMillis()
           Thread.sleep(3)
@@ -2391,11 +2368,8 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), col("n_chars"))
-          (0 until 3).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(pmod(col("doc_id"), lit(3L)) === k),
-              Seq("doc_id"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), pmod(col("doc_id"), lit(3L))), Seq("doc_id"))
           Thread.sleep(3)
           val anchor = System.currentTimeMillis()
           Thread.sleep(3)
@@ -2577,11 +2551,9 @@ object SparkEntry {
             .select(col("doc_id"),
               pmod(col("doc_id"), lit(37L)).as("grp"))
           val nDocs = docs.count()
-          (0 until 4).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(pmod(col("doc_id"), lit(4L)) === k),
-              Seq("doc_id", "grp"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), pmod(col("doc_id"), lit(4L))),
+            Seq("doc_id", "grp"))
           Thread.sleep(3)
           val anchor1 = System.currentTimeMillis()
           Thread.sleep(3)
@@ -3397,8 +3369,12 @@ object SparkEntry {
         .unionAll(twins)
         .withColumn("k1", substring(col("content"), 1, 30))
         .withColumn("k2", substring(col("content"), 31, 30))
+      // maxDist bounds the verification DP (length pre-gate + banded
+      // levenshtein); output is provably identical to the unbounded
+      // multiPass + this filter — see SortedNeighborhood.multiPass doc
       graft.dedupe.SortedNeighborhood
-        .multiPass(corpus, "id", Seq("k1", "k2"), "content")
+        .multiPass(corpus, "id", Seq("k1", "k2"), "content",
+          maxDist = Some(5L))
         .filter(col("dist") <= 5)
         .orderBy("id_a", "id_b")
     }),

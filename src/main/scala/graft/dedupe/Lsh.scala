@@ -397,9 +397,17 @@ object SimHash {
   def nearDuplicatesFromFingerprints(fps0: DataFrame, maxHamming: Int,
                                      hotBucketCap: Int = 256,
                                      eager: Boolean = true): DataFrame = {
-    val fps = if (eager)
-      fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else fps0
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // in eager mode every multiply-referenced intermediate persists for
+    // the duration of the call: the final union references withDf /
+    // fpGroups / repsWithDf from up to four subtrees each, and WITHOUT
+    // the persists every reference re-runs the whole upstream chain of
+    // shuffled aggregations (measured on the q103/q107 shape: ~10 s of
+    // which ~1 s is the actual fingerprint+pair work — guide §2.4, one
+    // exchange computed once instead of N times). All blocks drop before
+    // returning; lazy mode keeps the raw plan for plan-contract tests.
+    def keep(df: DataFrame): DataFrame = if (eager) df.persist(lvl) else df
+    val fps = keep(fps0)
     val banded = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -411,16 +419,16 @@ object SimHash {
       .groupBy("band", "key")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
-    val withDf = banded.join(groups, Seq("band", "key"))
+    val withDf = keep(banded.join(groups, Seq("band", "key")))
     // exact all-pairs inside bounded buckets
     val small = withDf.filter(col("df") <= hotBucketCap)
     val smallPairs = allPairs(small)
     // hot buckets: collapse to distinct-fingerprint representatives
     val hot = withDf.filter(col("df") > hotBucketCap)
-    val fpGroups = hot
+    val fpGroups = keep(hot
       .groupBy("band", "key", "fp")
       .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
-        .as("rep"))
+        .as("rep")))
     // rep ↔ member edges: identical fingerprints, hamming 0 — exact-dup
     // recall is unconditional
     val memberPairs = hot.join(fpGroups, Seq("band", "key", "fp"))
@@ -434,7 +442,7 @@ object SimHash {
       .agg(Lsh.fromUnsignedOrder(min(Lsh.toUnsignedOrder(col("id"))))
         .as("min_node"), count(lit(1)).as("rdf"))
       .filter(col("rdf") > 1)
-    val repsWithDf = reps.join(repCounts, Seq("band", "key"))
+    val repsWithDf = keep(reps.join(repCounts, Seq("band", "key")))
     val repSmallPairs = allPairs(repsWithDf.filter(col("rdf") <= hotBucketCap))
     // beyond cap even in distinct fingerprints: min-rep star edges, O(#fps)
     val repStarPairs = repsWithDf
@@ -461,6 +469,9 @@ object SimHash {
     if (eager) {
       val out = result.localCheckpoint() // materializes before unpersist
       fps.unpersist(blocking = false)
+      withDf.unpersist(blocking = false)
+      fpGroups.unpersist(blocking = false)
+      repsWithDf.unpersist(blocking = false)
       out
     } else result
   }

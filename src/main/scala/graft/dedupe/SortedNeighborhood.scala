@@ -62,15 +62,43 @@ object SortedNeighborhood {
     * Levenshtein distance of their `maxVerifyChars`-bounded content
     * prefixes. `dist ≤ maxDist` filtering is the caller's choice —
     * returning the distance keeps the operator reusable for clustering.
+    *
+    * When the caller DOES know the acceptance threshold, passing
+    * `maxDist` bounds the verification cost (the merge/purge discipline
+    * — most pairs are decidable far cheaper than a full DP):
+    *  - a length-difference pre-gate (pure Catalyst): if
+    *    `|len(va) − len(vb)| > maxDist` then `dist > maxDist` — no DP
+    *    at all for those pairs;
+    *  - a threshold-banded DP (Ukkonen O(maxDist·n) instead of the
+    *    full O(n²)): Spark's 3-arg `levenshtein(l, r, t)` returns the
+    *    exact distance when ≤ t and −1 otherwise.
+    * Output with `maxDist = Some(d)` is EXACTLY
+    * `pairs(...).filter(dist ≤ d)` — the band returns the true distance
+    * for every surviving pair (spec-pinned band-DP ≡ full-DP).
     */
   def pairs(df: DataFrame, idCol: String, keyCol: String,
             contentCol: String, window: Int = DefaultWindow,
-            maxVerifyChars: Int = DefaultMaxVerifyChars): DataFrame = {
-    val ranked = withPositions(df, idCol, keyCol, contentCol)
-      .withColumn("vc", substring(col("content"), 1, maxVerifyChars))
-      .select("id", "pos", "vc")
+            maxVerifyChars: Int = DefaultMaxVerifyChars,
+            maxDist: Option[Long] = None): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // project BEFORE the exchange (the operator's one global sort):
+    // positions depend only on (key, id) and verification only on the
+    // maxVerifyChars prefix, so the full content never needs to cross
+    // the range-sort shuffle — same (key, id) total order, same
+    // prefixes, shuffle bytes cut from whole documents to ≤ 200 chars.
+    // (withPositions keeps the full-content contract for callers that
+    // need the ordered documents themselves.)
+    val ranked = df
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("key"),
+        substring(col(contentCol), 1, maxVerifyChars).as("vc"))
+      .orderBy("key", "id")
+      .as[(Long, String, String)]
+      .rdd.zipWithIndex
+      .map { case ((id, _, vc), pos) => (id, vc, pos) }
+      .toDF("id", "vc", "pos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try pairsFromPositions(ranked, window, maxVerifyChars)
+    try pairsFromPositions(ranked, window, maxVerifyChars, maxDist)
       .localCheckpoint() // materialize before unpersist
     finally ranked.unpersist(blocking = false)
   }
@@ -81,9 +109,11 @@ object SortedNeighborhood {
     * LogicalRDD).
     */
   private[dedupe] def pairsFromPositions(ranked: DataFrame, window: Int,
-                                         maxVerifyChars: Int): DataFrame = {
+                                         maxVerifyChars: Int,
+                                         maxDist: Option[Long] = None): DataFrame = {
     require(window >= 1, s"window $window must be >= 1")
     require(maxVerifyChars >= 1, s"maxVerifyChars $maxVerifyChars must be >= 1")
+    maxDist.foreach(d => require(d >= 0, s"maxDist $d must be >= 0"))
     val w = window.toLong
     val left = ranked.select(col("id").as("id_a"), col("pos").as("pa"),
       col("vc").as("va"),
@@ -91,10 +121,26 @@ object SortedNeighborhood {
         .as("b"))
     val right = ranked.select(col("id").as("id_b"), col("pos").as("pb"),
       col("vc").as("vb"), expr(s"pos div $w").as("b"))
-    left.join(right, Seq("b"))
+    val candidates = left.join(right, Seq("b"))
       .filter(col("pb") > col("pa") && col("pb") <= col("pa") + w)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("va"), col("vb")).cast("long").as("dist"))
+    maxDist match {
+      case None =>
+        candidates.select(col("id_a"), col("id_b"),
+          levenshtein(col("va"), col("vb")).cast("long").as("dist"))
+      case Some(d) =>
+        // `dist ≥ |len(va) − len(vb)|` always (each surplus codepoint
+        // needs its own insert/delete), so the length gate discards with
+        // ZERO DP work; the survivors pay a banded O(d·n) DP whose value
+        // is exact whenever ≤ d (Spark returns −1 above the threshold,
+        // filtered here — never visible to callers).
+        candidates
+          .filter(abs(length(col("va")) - length(col("vb"))) <= lit(d))
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("va"), col("vb"),
+              math.min(d, Int.MaxValue.toLong).toInt)
+              .cast("long").as("dist"))
+          .filter(col("dist") >= 0 && col("dist") <= lit(d))
+    }
   }
 
   /** Duplicate pairs at `dist ≤ maxDist` — the merge/purge output. */
@@ -102,7 +148,8 @@ object SortedNeighborhood {
                  contentCol: String, maxDist: Long,
                  window: Int = DefaultWindow,
                  maxVerifyChars: Int = DefaultMaxVerifyChars): DataFrame =
-    pairs(df, idCol, keyCol, contentCol, window, maxVerifyChars)
+    pairs(df, idCol, keyCol, contentCol, window, maxVerifyChars,
+        maxDist = Some(maxDist))
       .filter(col("dist") <= maxDist)
 
   /** Multi-pass SNM — the published completion of the method (Hernández
@@ -113,11 +160,20 @@ object SortedNeighborhood {
     * the conservative merge). Cost is additive in passes; each pass
     * keeps the bounded 2·window fan-out.
     */
+  /** With `maxDist = Some(d)` each pass verifies under the bounded DP
+    * and the output equals `multiPass(...no maxDist...).filter(dist ≤ d)`:
+    * `min(dists) ≤ d` iff SOME pass's dist ≤ d, so dropping per-pass
+    * dists > d before the min-merge removes exactly the pairs the
+    * caller's threshold filter would, and the min over survivors is the
+    * true min whenever it is ≤ d.
+    */
   def multiPass(df: DataFrame, idCol: String, keyCols: Seq[String],
                 contentCol: String, window: Int = DefaultWindow,
-                maxVerifyChars: Int = DefaultMaxVerifyChars): DataFrame = {
+                maxVerifyChars: Int = DefaultMaxVerifyChars,
+                maxDist: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "multiPass needs at least one key")
-    keyCols.map(k => pairs(df, idCol, k, contentCol, window, maxVerifyChars))
+    keyCols.map(k =>
+        pairs(df, idCol, k, contentCol, window, maxVerifyChars, maxDist))
       .reduce(_ unionAll _)
       .groupBy("id_a", "id_b")
       .agg(min("dist").as("dist"))

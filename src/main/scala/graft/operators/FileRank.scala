@@ -61,8 +61,11 @@ object FileRank {
         coalesce(col(pathCol), lit("")).as("path"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = TopoPack.importEdges(files, repoCol, pathCol, contentCol,
-        pattern)
+    // the edge join reuses the persisted node set (one fewer content
+    // scan than importEdges rebuilding it internally)
+    val edges = TopoPack.importEdgesAgainst(files, repoCol, pathCol,
+        contentCol, pattern,
+        nodes.select(col("repo"), col("path").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("repo", "src").agg(count(lit(1)).as("d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -70,7 +73,12 @@ object FileRank {
       // each round localCheckpoints its scalar (repo, path, rank) rows
       // and drops the previous round's blocks (the Lsh pointer-jump
       // discipline): the per-round job graph stays constant-size no
-      // matter how many rounds, and Catalyst never sees a K-deep plan
+      // matter how many rounds, and Catalyst never sees a K-deep plan.
+      // (r06 measured the alternatives on the q125 shape and kept this:
+      // checkpointing every 2/4/8 rounds and pre-joining edges⋈deg both
+      // land within noise of this form — the per-round exchange IS the
+      // propagation cost — while the extra persists they need add their
+      // own barriers.)
       var r = nodes.withColumn("rank", lit(Scale)).localCheckpoint()
       for (_ <- 0 until rounds) {
         val contrib = edges

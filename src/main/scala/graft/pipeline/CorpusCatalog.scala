@@ -1851,34 +1851,71 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       val statCols = translatedStats(snapsNow.last, opsNow).keys.toSeq.sorted
       val morNow = morDeletes(table)
       lazy val insertSchema = this.tableSchema(table)
-      routeCounts.foreach { case (routeOpt, cnt) =>
+      val (existingRoutes, newRoutes) = routeCounts.partition {
+        case (routeOpt, _) => snapsNow.exists(_.key == routeOpt.get)
+      }
+      existingRoutes.foreach { case (routeOpt, cnt) =>
         val k = routeOpt.get
         val ins = routed.filter(col(rcol) === k).drop(rcol)
-        snapsNow.find(_.key == k) match {
-          case Some(snap) =>
-            // LIVE read — the insert-half rewrite must not resurrect
-            // MOR-deleted rows either, and inserts in the CURRENT
-            // schema must append to pre-evolution partitions
-            val (cur, liveRows) = liveCurrent(table, snap, morNow, opsNow)
-            require(sameColumns(cur.schema, ins.schema),
-              s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
-                s"not match $table/$k's ${cur.schema.simpleString}")
-            rewriteCommitted(table, snap,
-              cur.unionByName(ins.select(cur.columns.map(col): _*)),
-              expectedRows = liveRows + cnt,
-              what = "upsert insert (concurrent writer?)")
-            rewrittenKeys ::= k
-          case None =>
-            require(sameColumns(insertSchema, ins.schema),
-              s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
-                s"not match $table's ${insertSchema.simpleString}")
-            if (!commitPartition(table, k, ins, statCols))
+        // LIVE read — the insert-half rewrite must not resurrect
+        // MOR-deleted rows either, and inserts in the CURRENT
+        // schema must append to pre-evolution partitions
+        val snap = snapsNow.find(_.key == k).get
+        val (cur, liveRows) = liveCurrent(table, snap, morNow, opsNow)
+        require(sameColumns(cur.schema, ins.schema),
+          s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
+            s"not match $table/$k's ${cur.schema.simpleString}")
+        rewriteCommitted(table, snap,
+          cur.unionByName(ins.select(cur.columns.map(col): _*)),
+          expectedRows = liveRows + cnt,
+          what = "upsert insert (concurrent writer?)")
+        rewrittenKeys ::= k
+        inserted += cnt
+        insertParts += 1
+      }
+      if (newRoutes.nonEmpty) {
+        // ALL brand-new partitions land in ONE partitionBy staged write +
+        // ONE grouped stats job (the commitPartitioned / CheckpointedRun
+        // batch discipline) instead of one staged write + one stats job
+        // per key — the per-new-key commit loop was q86's dominant cost.
+        // Semantics are unchanged: the same rows land under the same keys
+        // with the same stat columns; the marker race behaves exactly as
+        // commitPartition's (a concurrently appearing key throws).
+        val newKeys = newRoutes.map(_._1.get)
+        val insAll = routed.filter(col(rcol).isin(newKeys: _*))
+        require(sameColumns(insertSchema, insAll.drop(rcol).schema),
+          s"mergeUpsert: insert schema " +
+            s"${insAll.drop(rcol).schema.simpleString} does " +
+            s"not match $table's ${insertSchema.simpleString}")
+        val staging = newStagingDir(table)
+        try {
+          insAll.write.mode(SaveMode.Overwrite).partitionBy(rcol)
+            .parquet(staging.toString)
+          val childByKey = listChildNames(staging)
+            .filter(_.startsWith(s"$rcol="))
+            .map(c => java.net.URLDecoder.decode(
+              c.stripPrefix(s"$rcol="), "UTF-8") -> c)
+            .toMap
+          val skipStats =
+            if (statCols.isEmpty)
+              Map.empty[String, (Long, Map[String, PartitionStats.ColStats])]
+            else PartitionStats.collectGrouped(
+              spark, staging.toString, rcol, statCols)
+          newRoutes.foreach { case (routeOpt, cnt) =>
+            val k = routeOpt.get
+            val child = new HPath(staging, childByKey.getOrElse(k,
+              throw new IllegalStateException(
+                s"mergeUpsert: staged write produced no dir for route '$k'")))
+            if (!commitStaged(table, k, child, cnt,
+                skipStats.get(k).map(_._2)
+                  .getOrElse(Map.empty[String, PartitionStats.ColStats])))
               throw new java.io.IOException(
                 s"mergeUpsert: partition $table/$k appeared concurrently — " +
                   "re-run the upsert to merge into it")
-        }
-        inserted += cnt
-        insertParts += 1
+            inserted += cnt
+            insertParts += 1
+          }
+        } finally deleteIfPresent(staging)
       }
       if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
         checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
@@ -2637,6 +2674,51 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         val (rows, stats) = PartitionStats.collect(statsSession, spark,
           childPath.toString, statsCols)
         if (commitStaged(table, key, childPath, rows, stats)) Some(key)
+        else None
+      }
+    } finally deleteIfPresent(staging)
+  }
+
+  /** Batch [[commitPartition]]: every distinct value of `keyExpr`
+    * commits as its own partition from ONE staged `partitionBy` write
+    * plus ONE grouped stats job ([[PartitionStats.collectGrouped]]),
+    * instead of one write job + one stats job per key — the same
+    * batch-commit discipline as [[commitPartitioned]], for tables keyed
+    * by an explicit expression rather than a registered transform spec.
+    * Per-key semantics are [[commitPartition]]'s exactly: same rows
+    * under the same keys, same stat columns in the marker, same
+    * marker race (an already-committed key is skipped, returning it
+    * absent from the result). Keys commit in SORTED order, so the
+    * snapshot log orders like the conventional ascending-key commit
+    * loop this replaces. NULL key values are rejected loudly.
+    * Returns the committed keys, sorted.
+    */
+  def commitKeyed(table: String, df: DataFrame,
+                  keyExpr: org.apache.spark.sql.Column,
+                  statsCols: Seq[String] = Nil): Seq[String] = {
+    val pk = "__graft_pk"
+    require(!df.columns.contains(pk),
+      s"commitKeyed: the input already has a '$pk' column")
+    val staging = newStagingDir(table)
+    try {
+      df.withColumn(pk, keyExpr.cast("string"))
+        .write.partitionBy(pk).mode(SaveMode.Overwrite)
+        .parquet(staging.toString)
+      val children = listChildNames(staging).filter(_.startsWith(s"$pk="))
+      if (children.contains(s"$pk=__HIVE_DEFAULT_PARTITION__"))
+        throw new IllegalArgumentException(
+          "commitKeyed: NULL key values have no partition — filter or " +
+            "fill them first")
+      val byKey = children.map(c =>
+        java.net.URLDecoder.decode(c.stripPrefix(s"$pk="), "UTF-8") -> c)
+        .sortBy(_._1)
+      val grouped = PartitionStats.collectGrouped(
+        spark, staging.toString, pk, statsCols)
+      byKey.flatMap { case (key, child) =>
+        val (rows, stats) = grouped.getOrElse(key,
+          (0L, Map.empty[String, PartitionStats.ColStats]))
+        if (commitStaged(table, key, new HPath(staging, child), rows,
+            stats)) Some(key)
         else None
       }
     } finally deleteIfPresent(staging)

@@ -133,6 +133,56 @@ class SortedNeighborhoodSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(multi.map(p => (p._1, p._2)).distinct.length == multi.length)
   }
 
+  test("band-DP ≡ full-DP: maxDist output equals unbounded pairs filtered") {
+    import spark.implicits._
+    val rnd = new Random(631)
+    for (trial <- 0 until 4) {
+      val n = 18 + rnd.nextInt(12)
+      val rows = (0 until n).map { i =>
+        // contents engineered to straddle every gate: length spreads wider
+        // than maxDist (length pre-gate fires), distances land below, AT,
+        // and above maxDist (band boundary exact on both sides)
+        val content = Seq.fill(1 + rnd.nextInt(8))(
+          ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(4)))
+          .mkString(" ")
+        (i.toLong, s"k${rnd.nextInt(5)}", content)
+      }.toDF("id", "key", "content")
+      val w = 1 + rnd.nextInt(3)
+      for (d <- Seq(0L, 2L, 5L)) {
+        val bounded = SortedNeighborhood
+          .pairs(rows, "id", "key", "content", w, 200, maxDist = Some(d))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val reference = SortedNeighborhood
+          .pairs(rows, "id", "key", "content", w, 200)
+          .filter(org.apache.spark.sql.functions.col("dist") <= d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(bounded == reference, s"trial $trial w=$w d=$d")
+      }
+    }
+  }
+
+  test("multiPass with maxDist equals unbounded multiPass + threshold filter") {
+    import spark.implicits._
+    val rnd = new Random(947)
+    val rows = (0 until 24).map { i =>
+      val c = Seq.fill(2 + rnd.nextInt(6))(
+        ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(3)))
+        .mkString(" ")
+      (i.toLong, s"p${rnd.nextInt(4)}", s"q${rnd.nextInt(4)}", c)
+    }.toDF("id", "k1", "k2", "content")
+    for (d <- Seq(1L, 4L)) {
+      val bounded = SortedNeighborhood
+        .multiPass(rows, "id", Seq("k1", "k2"), "content", 2,
+          maxDist = Some(d))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val reference = SortedNeighborhood
+        .multiPass(rows, "id", Seq("k1", "k2"), "content", 2)
+        .filter(org.apache.spark.sql.functions.col("dist") <= d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bounded == reference, s"d=$d")
+    }
+  }
+
   test("no θ-join: candidates come from an equi-join on position buckets") {
     import spark.implicits._
     // inspect the pre-checkpoint join stage (pairs() returns a

@@ -341,4 +341,46 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n <= 4 * 500,
       s"run read $n records for a 500-doc corpus — per-partition rescans are back")
   }
+
+  test("commitKeyed ≡ the commitPartition loop: keys, order, stats, data") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L until 200L).map(i => (i, i * 7 % 31)).toDF("id", "v")
+    val keyCol = concat(lit("k"), pmod(col("id"), lit(4L)))
+
+    val rootA = Files.createTempDirectory("graft_ck_a").toString
+    val catA = new CorpusCatalog(rootA, spark)
+    (0 until 4).foreach { k =>
+      catA.commitPartition("t", s"k$k",
+        docs.filter(pmod(col("id"), lit(4L)) === k), Seq("id", "v"))
+    }
+
+    val rootB = Files.createTempDirectory("graft_ck_b").toString
+    val catB = new CorpusCatalog(rootB, spark)
+    val committed = catB.commitKeyed("t", docs, keyCol, Seq("id", "v"))
+    assert(committed == Seq("k0", "k1", "k2", "k3"))
+
+    // same snapshot keys in the same (ascending) order
+    assert(catB.snapshots("t").map(_.key) == catA.snapshots("t").map(_.key))
+    // same per-key rows and identical marker stats (min/max/nulls)
+    val snapA = catA.snapshots("t").map(s => s.key -> s).toMap
+    catB.snapshots("t").foreach { sb =>
+      val sa = snapA(sb.key)
+      assert(sb.rows == sa.rows, sb.key)
+      assert(sb.stats == sa.stats, s"${sb.key}: ${sb.stats} != ${sa.stats}")
+    }
+    // identical table contents
+    assert(catB.readTable("t").orderBy("id").collect().toSeq ==
+      catA.readTable("t").orderBy("id").collect().toSeq)
+    // resume semantics: a second commitKeyed is a no-op on committed keys
+    assert(catB.commitKeyed("t", docs, keyCol, Seq("id", "v")).isEmpty)
+    assert(catB.readTable("t").count() == 200L)
+    // NULL keys are rejected loudly, never dropped
+    val withNull = docs.withColumn("k",
+      when(col("id") === 5L, lit(null)).otherwise(lit("x")))
+    intercept[IllegalArgumentException] {
+      catB.commitKeyed("t2", withNull, col("k"), Nil)
+    }
+  }
 }
