@@ -132,6 +132,107 @@ object BenchExtra {
                 files, "repo", "path", "content"))
             }
           }
+        case "sess" =>
+          // q92 stage isolation: setup writes vs the 4-batch stream, and
+          // the stream at different state-partition counts
+          import org.apache.spark.sql.streaming.Trigger
+          def runOnce(parts: Int): Unit = {
+            val tmp = java.nio.file.Files.createTempDirectory("probe_sess")
+            val srcDir = java.nio.file.Files.createDirectory(tmp.resolve("src"))
+            val sink = tmp.resolve("sink").toString
+            val ckpt = tmp.resolve("ckpt").toString
+            val oldTz = spark.conf.get("spark.sql.session.timeZone")
+            val oldSp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            try {
+              val ev = spark.read.parquet(s"$sfDir/events.parquet")
+                .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+              val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+              val (minT, maxT) = (mm.getTimestamp(0), mm.getTimestamp(1))
+              val midTs = new java.sql.Timestamp((minT.getTime + maxT.getTime) / 2)
+              def sentinel(offsetDays: Int) = {
+                import spark.implicits._
+                Seq((-1L, new java.sql.Timestamp(
+                  maxT.getTime + offsetDays * 86400000L))).toDF("user_id", "ts")
+              }
+              def stage(df: DataFrame, name: String, seq: Int): Unit = {
+                val st = tmp.resolve(s"st_$name")
+                df.coalesce(1).write.parquet(st.toString)
+                import scala.jdk.CollectionConverters._
+                val part = java.nio.file.Files.list(st).iterator().asScala
+                  .find(_.getFileName.toString.endsWith(".parquet")).get
+                val dst = srcDir.resolve(s"$name.parquet")
+                java.nio.file.Files.move(part, dst)
+                dst.toFile.setLastModified(1700000000000L + seq * 60000L)
+              }
+              time(s"sess[$parts] setup writes") {
+                stage(ev.filter(col("ts") < lit(midTs)), "a_early", 0)
+                stage(ev.filter(col("ts") >= lit(midTs)), "b_late", 1)
+                stage(sentinel(1), "c_flush1", 2)
+                stage(sentinel(2), "d_flush2", 3)
+              }
+              spark.conf.set("spark.sql.shuffle.partitions", parts)
+              time(s"sess[$parts] stream") {
+                val src = spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+                graft.streaming.SessionWindows
+                  .sessions(src, "user_id", "ts", "30 minutes", "10 minutes")
+                  .writeStream.format("parquet")
+                  .option("path", sink).option("checkpointLocation", ckpt)
+                  .outputMode("append").trigger(Trigger.AvailableNow())
+                  .start().awaitTermination()
+              }
+              time(s"sess[$parts] readback") {
+                spark.read.parquet(sink).filter(col("user_id") >= 0).count()
+              }
+            } finally {
+              spark.conf.set("spark.sql.session.timeZone", oldTz)
+              spark.conf.set("spark.sql.shuffle.partitions", oldSp)
+            }
+          }
+          Seq(32, 8, 32).foreach(runOnce)
+        case "stageplans" =>
+          // the declared SNM/SimHash queries localCheckpoint (their
+          // outer plans are LogicalRDDs) — dump the INNER stage plans
+          // the optimization claims are about, in both forms
+          val outDir = java.nio.file.Paths.get("plans/r06")
+          java.nio.file.Files.createDirectories(outDir)
+          def dump(name: String, df: DataFrame): Unit = {
+            java.nio.file.Files.writeString(outDir.resolve(name),
+              df.queryExecution.explainString(
+                org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            println(s"[extra] wrote plans/r06/$name")
+          }
+          import spark.implicits._
+          val ranked = (0L to 99L).map(i => (i, s"text $i", i))
+            .toDF("id", "vc", "pos")
+          dump("q129_pairs_stage_before.txt",
+            graft.dedupe.SortedNeighborhood.pairsFromPositions(ranked, 3, 200))
+          dump("q129_pairs_stage_after.txt",
+            graft.dedupe.SortedNeighborhood.pairsFromPositions(
+              ranked, 3, 200, Some(5L)))
+          val fps = (0L to 99L).map(i => (i, i * 7L)).toDF("id", "fp")
+          dump("q103_simhash_stage_lazy.txt",
+            graft.dedupe.SimHash.nearDuplicatesFromFingerprints(
+              fps, 3, eager = false))
+        case "q33" =>
+          val rootPath = java.nio.file.Files.createTempDirectory("probe_q33")
+          val catalog = new graft.pipeline.CorpusCatalog(rootPath.toString, spark)
+          time("checkpointed run") {
+            graft.pipeline.CheckpointedRun.run(spark, sfDir, catalog)
+          }
+          time("readMetrics rollup") {
+            catalog.readMetrics("filtered")
+              .withColumn("repo",
+                regexp_extract(col("partition"), "^(.*)_\\d+$", 1))
+              .groupBy("repo").agg(sum("n_files")).collect()
+          }
+          time("sweep walk") {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(rootPath).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          }
         case other => sys.error(s"unknown probe '$other'")
       }
       case other => sys.error(s"unknown mode '$other'")

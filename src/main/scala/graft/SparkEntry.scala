@@ -1183,8 +1183,11 @@ object SparkEntry {
           .select("digest"))
       val rows =
         try {
-          IncrementalFilter.writeTo(unique, sink, ckpt).start()
-            .awaitTermination()
+          // stateful dropDuplicates: state partitions sized by StreamConf
+          graft.streaming.StreamConf.withStatePartitions(s) {
+            IncrementalFilter.writeTo(unique, sink, ckpt).start()
+              .awaitTermination()
+          }
           s.read.parquet(sink)
             .groupBy("digest").agg(count(lit(1)).as("n_rows"))
             .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -1505,8 +1508,12 @@ object SparkEntry {
       val hasher = new graft.dedupe.MinHasher(128, 13, 42L)
       val survivors =
         try {
-          graft.streaming.StreamingLshDedup.start(words, hasher, 0.7,
-            idxDir, sinkDir, ckpt).awaitTermination()
+          // per-batch join/CC jobs run at state-partition width — the
+          // micro-batch volume, not the batch session's core count
+          graft.streaming.StreamConf.withStatePartitions(s) {
+            graft.streaming.StreamingLshDedup.start(words, hasher, 0.7,
+              idxDir, sinkDir, ckpt).awaitTermination()
+          }
           graft.streaming.StreamingLshDedup.readAdmitted(s, sinkDir)
             .collect().map(_.getLong(0)).toSeq.sorted
         } finally sweepDir(tmp)
@@ -2083,12 +2090,16 @@ object SparkEntry {
         val src = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(srcDir.toString)
-        graft.streaming.SessionWindows
-          .sessions(src, "user_id", "ts", "30 minutes", "10 minutes")
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+        // state partitions sized by StreamConf (results are partition-
+        // independent; 32 stores × 4 batches was pure fixed overhead)
+        graft.streaming.StreamConf.withStatePartitions(s) {
+          graft.streaming.SessionWindows
+            .sessions(src, "user_id", "ts", "30 minutes", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
         s.read.parquet(sink).filter(col("user_id") >= 0)
           .select(col("user_id"),
             col("session_start").cast("timestamp_ntz"),
@@ -2166,12 +2177,10 @@ object SparkEntry {
           val cat = new graft.pipeline.CorpusCatalog(tmp.toString, s)
           val docs = s.read.parquet(s"$dir/documents.parquet")
             .select(col("doc_id"), (col("doc_id") % 100L).as("cls"))
-          (0 until 5).foreach { k =>
-            cat.commitPartition("c", s"k$k",
-              docs.filter(col("doc_id") % 5 === k), Seq("doc_id", "cls"),
-              ndvCols = Seq("doc_id", "cls"),
-              ndvConf = graft.operators.Kmv.Conf(64, "knuth31"))
-          }
+          cat.commitKeyed("c", docs,
+            concat(lit("k"), col("doc_id") % 5), Seq("doc_id", "cls"),
+            ndvCols = Seq("doc_id", "cls"),
+            ndvConf = graft.operators.Kmv.Conf(64, "knuth31"))
           require(cat.compactPartition("c", "k2"),
             "compaction must succeed — sketches survive the rewrite")
           def row(c: String) = {

@@ -108,7 +108,7 @@ object SortedNeighborhood {
     * public [[pairs]] localCheckpoints, which hides its plan behind a
     * LogicalRDD).
     */
-  private[dedupe] def pairsFromPositions(ranked: DataFrame, window: Int,
+  private[graft] def pairsFromPositions(ranked: DataFrame, window: Int,
                                          maxVerifyChars: Int,
                                          maxDist: Option[Long] = None): DataFrame = {
     require(window >= 1, s"window $window must be >= 1")

@@ -105,6 +105,39 @@ object Kmv {
     }.toMap
   }
 
+  /** Per-group [[sketchAll]] — the batch-commit path: ONE window job
+    * over a `partitionBy`-staged write sketches every partition's
+    * columns at once, instead of one sketch job per partition. The
+    * per-group result is definitionally identical to running
+    * [[sketchAll]] on that group alone (the k smallest distinct hashes
+    * of a column are a property of the data, not of the job shape).
+    */
+  def sketchAllGrouped(df: DataFrame, groupCol: String, cols: Seq[String],
+                       conf: Conf): Map[String, Map[String, Sketch]] = {
+    require(cols.nonEmpty, "no columns to sketch")
+    require(cols.distinct == cols, s"duplicate columns in $cols")
+    val (h, _) = hashFor(conf.hash)
+    val hashes = array(cols.map(c =>
+      when(col(c).isNotNull, h(col(c)))): _*)
+    val rows = df
+      .select(col(groupCol).cast("string").as("__kmv_g"),
+        posexplode(hashes).as(Seq("__kmv_ci", "__kmv_h")))
+      .where(col("__kmv_h").isNotNull)
+      .distinct()
+      .withColumn("__kmv_r", row_number().over(
+        Window.partitionBy("__kmv_g", "__kmv_ci").orderBy("__kmv_h")))
+      .where(col("__kmv_r") <= lit(conf.k))
+      .select(col("__kmv_g"), col("__kmv_ci"), col("__kmv_h"))
+      .collect()
+    rows.groupBy(_.getString(0)).view.mapValues { grp =>
+      val byCol = grp.groupBy(_.getInt(1))
+      cols.zipWithIndex.map { case (c, i) =>
+        c -> Sketch(conf.k, conf.hash,
+          byCol.getOrElse(i, Array.empty).map(_.getLong(2)).sorted.toVector)
+      }.toMap
+    }.toMap
+  }
+
   /** Lossless sketch union. Mixed hash labels are a hard error (their
     * mins live in different spaces); mixed k degrades to the smaller k
     * (still an exact KMV at that k).

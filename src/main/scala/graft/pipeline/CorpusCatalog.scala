@@ -1746,8 +1746,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         s"mergeReplace over $table: ${candidates.size}/${snaps.size} " +
           "partitions in the updates' key range")
       val mor = morDeletes(table)
-      var rewrittenKeys = List.empty[String]
-      var rewrittenDirs = List.empty[String]
+      var pending = List.empty[(CorpusCatalog.Snapshot, DataFrame, Long)]
       candidates.foreach { snap =>
         // LIVE read: a raw-dir COW rewrite would resurrect MOR-deleted
         // rows (and a matched UPDATE of a deleted key must not revive
@@ -1768,13 +1767,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
           // conservation holds ONLY when the target's matched keys are
           // unique (one row out per row in); a duplicate-keyed target
           // would silently collapse — abort loudly instead
-          val newDir = rewriteCommitted(table, snap, merged,
-            expectedRows = liveRows,
-            what = "merge (duplicate keys in the TARGET partition?)")
-          rewrittenKeys ::= snap.key
-          rewrittenDirs ::= newDir
+          pending ::= ((snap, merged, liveRows))
         }
       }
+      // every matched partition rewrites through ONE staged write + ONE
+      // grouped stats job (rewriteCommittedBatch; marker semantics
+      // unchanged, conservation checked for every key before any swap)
+      val rewritten = rewriteCommittedBatch(table, pending.reverse,
+        "merge (duplicate keys in the TARGET partition?)")
+      val rewrittenKeys = rewritten.map(_._1)
+      val rewrittenDirs = rewritten.map(_._2)
       if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
         checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
       // every matched key now lives in a REWRITTEN partition — one
@@ -1854,7 +1856,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       val (existingRoutes, newRoutes) = routeCounts.partition {
         case (routeOpt, _) => snapsNow.exists(_.key == routeOpt.get)
       }
-      existingRoutes.foreach { case (routeOpt, cnt) =>
+      val pendingRewrites = existingRoutes.map { case (routeOpt, cnt) =>
         val k = routeOpt.get
         val ins = routed.filter(col(rcol) === k).drop(rcol)
         // LIVE read — the insert-half rewrite must not resurrect
@@ -1865,14 +1867,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         require(sameColumns(cur.schema, ins.schema),
           s"mergeUpsert: insert schema ${ins.schema.simpleString} does " +
             s"not match $table/$k's ${cur.schema.simpleString}")
-        rewriteCommitted(table, snap,
-          cur.unionByName(ins.select(cur.columns.map(col): _*)),
-          expectedRows = liveRows + cnt,
-          what = "upsert insert (concurrent writer?)")
-        rewrittenKeys ::= k
         inserted += cnt
         insertParts += 1
+        (snap, cur.unionByName(ins.select(cur.columns.map(col): _*)),
+          liveRows + cnt)
       }
+      // all touched existing partitions rewrite through ONE staged write
+      // + ONE grouped stats job (rewriteCommittedBatch)
+      rewrittenKeys = rewriteCommittedBatch(table, pendingRewrites,
+        "upsert insert (concurrent writer?)").map(_._1).toList
       if (newRoutes.nonEmpty) {
         // ALL brand-new partitions land in ONE partitionBy staged write +
         // ONE grouped stats job (the commitPartitioned / CheckpointedRun
@@ -1948,7 +1951,7 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
       s"deleteWhere over $table: ${candidates.size}/${snaps.size} " +
         "partitions might match")
     val mor = morDeletes(table)
-    var rewrittenKeys = List.empty[String]
+    var pending = List.empty[(CorpusCatalog.Snapshot, DataFrame, Long)]
     var deleted = 0L
     candidates.foreach { snap =>
       // a COW rewrite must start from the LIVE partition or it would
@@ -1961,14 +1964,16 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         // matching DELETE's TRUE-only semantics. survivors + hits must
         // re-add to the marker's row count, or the predicate was
         // non-deterministic between the count and the write — abort
-        rewriteCommitted(table, snap,
-          cur.where(!coalesce(predicate, lit(false))),
-          expectedRows = liveRows - hits,
-          what = "delete (non-deterministic predicate?)")
-        rewrittenKeys ::= snap.key
+        pending ::= ((snap, cur.where(!coalesce(predicate, lit(false))),
+          liveRows - hits))
         deleted += hits
       }
     }
+    // all surviving candidates rewrite through ONE staged write + ONE
+    // grouped stats job (marker swaps sequential, conservation checked
+    // for every key before any swap)
+    val rewrittenKeys = rewriteCommittedBatch(table, pending.reverse,
+      "delete (non-deterministic predicate?)").map(_._1)
     if (rewrittenKeys.nonEmpty && fs.exists(manifestFile(table)))
       checkpointSnapshotLog(table, forceReread = rewrittenKeys.toSet)
     (rewrittenKeys.size, deleted)
@@ -1983,6 +1988,86 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     * (batched across a multi-partition rewrite). Returns the new dir
     * name.
     */
+  /** Batch form of [[rewriteCommitted]] for multi-partition DML (merge,
+    * delete, upsert-into-existing): ONE `partitionBy` staged write + ONE
+    * grouped stats job for every rewritten partition, instead of a write
+    * job + a stats job per partition — the [[commitKeyed]] discipline
+    * applied to the REPLACE path. Per-partition semantics are
+    * [[rewriteCommitted]]'s: same fresh unique dir, same translated stat
+    * columns in the marker, same version lineage, same marker-swap
+    * atomicity (markers swap sequentially in `items` order, exactly as
+    * the per-partition loop did). The row-conservation check is
+    * all-or-nothing and runs BEFORE any marker swaps — a mismatch aborts
+    * the WHOLE batch with every original partition untouched (strictly
+    * stronger than the loop, which had already swapped earlier keys).
+    *
+    * Partitions that need per-dir work fall back to the single path:
+    * KMV-carrying stats (sketch re-derivation reads one dir), and
+    * `expectedRows == 0` rewrites (a `partitionBy` write emits no dir
+    * for an empty group, but an emptied partition must stay committed
+    * with rows = 0). Returns key → new dir name.
+    */
+  private def rewriteCommittedBatch(table: String,
+      items: Seq[(CorpusCatalog.Snapshot, DataFrame, Long)],
+      what: String): Seq[(String, String)] = {
+    if (items.isEmpty) return Nil
+    val allOps = schemaOps(table)
+    val tstatsByKey = items.map { case (s, _, _) =>
+      s.key -> translatedStats(s, allOps) }.toMap
+    val (specialItems, plainItems) = items.partition { case (s, _, er) =>
+      er == 0L || tstatsByKey(s.key).values.exists(_.kmv.isDefined) }
+    val specialDirs = specialItems.map { case (s, df, er) =>
+      s.key -> rewriteCommitted(table, s, df, er, what) }
+    if (plainItems.size <= 1) {
+      return specialDirs ++ plainItems.map { case (s, df, er) =>
+        s.key -> rewriteCommitted(table, s, df, er, what) }
+    }
+    val pk = "__graft_rk"
+    plainItems.foreach { case (s, df, _) =>
+      require(!df.columns.contains(pk),
+        s"$what: rewrite input for $table/${s.key} already has a '$pk' column")
+    }
+    val staging = newStagingDir(table)
+    val batchDirs =
+      try {
+        plainItems.map { case (s, df, _) => df.withColumn(pk, lit(s.key)) }
+          .reduce(_ unionByName _)
+          .write.partitionBy(pk).mode(SaveMode.Overwrite)
+          .parquet(staging.toString)
+        val statCols = plainItems
+          .flatMap { case (s, _, _) => tstatsByKey(s.key).keys }
+          .distinct.sorted
+        val grouped = PartitionStats.collectGrouped(
+          spark, staging.toString, pk, statCols)
+        val childByKey = listChildNames(staging).filter(_.startsWith(s"$pk="))
+          .map(c => java.net.URLDecoder.decode(
+            c.stripPrefix(s"$pk="), "UTF-8") -> c).toMap
+        // conservation for EVERY key before ANY marker swap
+        plainItems.foreach { case (s, _, expected) =>
+          val rows = grouped.get(s.key).map(_._1).getOrElse(0L)
+          if (rows != expected)
+            throw new java.io.IOException(
+              s"$what: rewrite of $table/${s.key} wrote $rows rows, " +
+                s"expected $expected — aborted, original data untouched")
+        }
+        plainItems.map { case (s, _, _) =>
+          val (rows, allStats) = grouped(s.key)
+          val stats = allStats.view
+            .filterKeys(tstatsByKey(s.key).keySet).toMap
+          val dirName = newDataDirName(s.key)
+          val target = new HPath(tableDir(table), dirName)
+          if (!fs.rename(new HPath(staging, childByKey(s.key)), target))
+            throw new java.io.IOException(
+              s"$what: commit rename failed for $table/${s.key}")
+          replaceMarker(table, s.key, rows, dirName, stats,
+            history = s.history :+ CorpusCatalog.Version(
+              s.dir, s.rows, s.committedAtMs, s.seq))
+          s.key -> dirName
+        }
+      } finally deleteIfPresent(staging)
+    specialDirs ++ batchDirs
+  }
+
   private def rewriteCommitted(table: String, snap: CorpusCatalog.Snapshot,
                                df: DataFrame, expectedRows: Long,
                                what: String,
@@ -2695,10 +2780,15 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
     */
   def commitKeyed(table: String, df: DataFrame,
                   keyExpr: org.apache.spark.sql.Column,
-                  statsCols: Seq[String] = Nil): Seq[String] = {
+                  statsCols: Seq[String] = Nil,
+                  ndvCols: Seq[String] = Nil,
+                  ndvConf: Kmv.Conf = Kmv.Conf()): Seq[String] = {
     val pk = "__graft_pk"
     require(!df.columns.contains(pk),
       s"commitKeyed: the input already has a '$pk' column")
+    require(ndvCols.toSet.subsetOf(statsCols.toSet),
+      s"ndvCols must be a subset of statsCols: " +
+        s"${ndvCols.filterNot(statsCols.contains)} are not")
     val staging = newStagingDir(table)
     try {
       df.withColumn(pk, keyExpr.cast("string"))
@@ -2714,9 +2804,23 @@ final class CorpusCatalog(val root: String, spark: SparkSession) {
         .sortBy(_._1)
       val grouped = PartitionStats.collectGrouped(
         spark, staging.toString, pk, statsCols)
+      // per-partition KMV sketches from ONE grouped window job (the
+      // per-group k-smallest set is identical to a per-dir sketchAll);
+      // like attachSketches, a column whose base stats were dropped
+      // gets no sketch
+      val sketches: Map[String, Map[String, Kmv.Sketch]] =
+        if (ndvCols.isEmpty) Map.empty
+        else Kmv.sketchAllGrouped(
+          spark.read.parquet(staging.toString)
+            .select((ndvCols :+ pk).map(col): _*),
+          pk, ndvCols, ndvConf)
       byKey.flatMap { case (key, child) =>
-        val (rows, stats) = grouped.getOrElse(key,
+        val (rows, stats0) = grouped.getOrElse(key,
           (0L, Map.empty[String, PartitionStats.ColStats]))
+        val sk = sketches.getOrElse(key, Map.empty)
+        val stats = stats0.map { case (c, cs) =>
+          c -> sk.get(c).map(s => cs.copy(kmv = Some(s))).getOrElse(cs)
+        }
         if (commitStaged(table, key, new HPath(staging, child), rows,
             stats)) Some(key)
         else None

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Streaming state-partition sizing (guide §2.2/§9 discipline applied to
+  * stateful streams): a streaming aggregation/dedup pins its STATE
+  * partition count from `spark.sql.shuffle.partitions` at the first
+  * micro-batch and keeps it for the checkpoint's lifetime — AQE cannot
+  * coalesce stateful exchanges, so an oversized default (e.g. a batch
+  * session's core count) pays per-batch state-store open/commit/snapshot
+  * on every partition forever. Measured on the q92 session stream
+  * (4 micro-batches, sf0.1): 32 state partitions 5.1-7.3 s vs 8
+  * partitions 2.9 s — pure fixed overhead, the state fits in one.
+  *
+  * The count is a SCALE knob, not a constant: size it to peak concurrent
+  * state (keys × bytes/key / target-partition-size), independent of the
+  * driver-host core count. `spark.graft.stream.statePartitions` sets it
+  * (a production deployment sizes it like any state-store capacity
+  * parameter); the default 8 covers the micro-batch regime benchmarked
+  * here while staying parallel enough to not serialize state commits.
+  */
+object StreamConf {
+
+  final val ConfKey = "spark.graft.stream.statePartitions"
+  final val Default = 8
+
+  /** Run `f` (which must START the stream — the first batch pins state
+    * partitioning) with `spark.sql.shuffle.partitions` set to the
+    * configured state-partition count, restoring the session value
+    * after. Batch queries planned outside `f` are unaffected.
+    */
+  def withStatePartitions[A](spark: SparkSession)(f: => A): A = {
+    val target = spark.conf.getOption(ConfKey).getOrElse(Default.toString)
+    val old = spark.conf.getOption("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", target)
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set("spark.sql.shuffle.partitions", v)
+      case None => spark.conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+}
