@@ -76,6 +76,83 @@ object BenchExtra {
             }
           }
         }
+      case "jobs" =>
+        // deterministic profile: jobs / stages / tasks / summed task time
+        // per query — storm-proof evidence of where the FIXED costs are
+        // (wall clock on this host swings 2-3x between identical runs).
+        import org.apache.spark.scheduler._
+        import scala.collection.mutable
+        names.foreach { prefix =>
+          SparkEntry.queries.keys.toSeq.sorted
+            .filter(_.startsWith(prefix)).foreach { q =>
+            val jobs = new java.util.concurrent.atomic.AtomicInteger
+            val stages = new java.util.concurrent.atomic.AtomicInteger
+            val tasks = new java.util.concurrent.atomic.AtomicInteger
+            val taskMs = new java.util.concurrent.atomic.AtomicLong
+            // stageId -> job description, filled at job start; task time
+            // attributed per description so the heavy job GROUP is visible
+            val stageDesc = new java.util.concurrent.ConcurrentHashMap[
+              Int, String]()
+            val descJobs = new java.util.concurrent.ConcurrentHashMap[
+              String, java.util.concurrent.atomic.AtomicInteger]()
+            val descMs = new java.util.concurrent.ConcurrentHashMap[
+              String, java.util.concurrent.atomic.AtomicLong]()
+            val descTasks = new java.util.concurrent.ConcurrentHashMap[
+              String, java.util.concurrent.atomic.AtomicInteger]()
+            val listener = new SparkListener {
+              override def onJobStart(j: SparkListenerJobStart): Unit = {
+                jobs.incrementAndGet()
+                // attribute task time by each stage's OWN call site
+                j.stageInfos.foreach { si =>
+                  val d = si.name.takeWhile(_ != '\n')
+                  descJobs.computeIfAbsent(d, _ =>
+                    new java.util.concurrent.atomic.AtomicInteger)
+                    .incrementAndGet()
+                  stageDesc.put(si.stageId, d)
+                }
+              }
+              override def onStageCompleted(
+                  s: SparkListenerStageCompleted): Unit =
+                stages.incrementAndGet()
+              override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+                tasks.incrementAndGet()
+                val d = Option(stageDesc.get(t.stageId))
+                  .getOrElse("(unlabeled)")
+                Option(t.taskInfo).foreach { i =>
+                  taskMs.addAndGet(i.duration)
+                  descMs.computeIfAbsent(d, _ =>
+                    new java.util.concurrent.atomic.AtomicLong)
+                    .addAndGet(i.duration)
+                  descTasks.computeIfAbsent(d, _ =>
+                    new java.util.concurrent.atomic.AtomicInteger)
+                    .incrementAndGet()
+                }
+              }
+            }
+            spark.sparkContext.addSparkListener(listener)
+            val t0 = System.nanoTime()
+            try {
+              SparkEntry.queries(q)(spark, sfDir).count()
+            } finally {
+              Thread.sleep(1500) // let the listener bus drain
+              spark.sparkContext.removeSparkListener(listener)
+            }
+            val wall = (System.nanoTime() - t0) / 1e9
+            println(f"[jobs] $q%-26s jobs=${jobs.get}%4d " +
+              f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +
+              f"taskTime=${taskMs.get / 1000.0}%8.1f s wall=$wall%7.2f s")
+            import scala.jdk.CollectionConverters._
+            descMs.asScala.toSeq.sortBy(-_._2.get).take(15)
+              .foreach { case (d, ms) =>
+                val nj = Option(descJobs.get(d)).map(_.get).getOrElse(0)
+                val nt = Option(descTasks.get(d)).map(_.get).getOrElse(0)
+                println(f"[jobs]   ${ms.get / 1000.0}%8.1f s " +
+                  f"$nj%4d jobs $nt%5d tasks : " + d.take(80))
+              }
+            spark.catalog.clearCache()
+            System.gc()
+          }
+        }
       case "probe" => names.foreach {
         case "mm" =>
           // multimodal stage isolation: synthesis vs fingerprint vs pairs

@@ -57,32 +57,56 @@ object FileRank {
             pattern: String = TopoPack.DefaultImportPattern,
             rounds: Int = DefaultRounds): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
+    // localCheckpoint (not persist): a cached plan's output partitioning
+    // is frozen at the session's shuffle-partition count (AQE may not
+    // re-coalesce it — canChangeCachedPlanOutputPartitioning is off by
+    // default), so every one of the K rounds would run a full width of
+    // near-empty tasks over these scalar tables. The checkpoint
+    // materializes at the AQE-COALESCED width — sized by the data, the
+    // scale-adaptive choice at any corpus size (guide §2.2) — and the
+    // iteration's per-round stages inherit it. Measured at sf0.1:
+    // 1,403 -> 355 tasks / 70 -> 38 jobs for the whole q125 query.
     val nodes = files.select(col(repoCol).as("repo"),
         coalesce(col(pathCol), lit("")).as("path"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the edge join reuses the persisted node set (one fewer content
+      .localCheckpoint()
+    // the edge join reuses the materialized node set (one fewer content
     // scan than importEdges rebuilding it internally)
     val edges = TopoPack.importEdgesAgainst(files, repoCol, pathCol,
         contentCol, pattern,
         nodes.select(col("repo"), col("path").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deg = edges.groupBy("repo", "src").agg(count(lit(1)).as("d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    // loop-invariant: every round joins edges to out-degrees the same
+    // way — hoist it once (re-measured after the checkpoint change:
+    // with the skinny AQE-coalesced tables the hoist removes one join
+    // and its AQE materialization jobs from each of the K rounds)
+    val edgesDeg = edges.join(deg, Seq("repo", "src"))
+      .select(col("repo"), col("src"), col("dst"), col("d"))
+      .localCheckpoint()
+    // each round localCheckpoints its scalar (repo, path, rank) rows
+    // and drops the previous round's blocks (the Lsh pointer-jump
+    // discipline): the per-round job graph stays constant-size no
+    // matter how many rounds, and Catalyst never sees a K-deep plan.
+    // The loop itself runs WITHOUT AQE at the width the materialized
+    // graph tables actually have (AQE already sized them to the data,
+    // any corpus size): AQE inside the loop contributes nothing — every
+    // exchange is already at the data's width — but costs 4-6 stage-
+    // materialization JOBS per round, and the K-round job sequencing is
+    // exactly what the loop's wall clock is made of (measured at sf0.1:
+    // 75 jobs with AQE in the loop, 24 without; identical results).
+    val spark = files.sparkSession
+    val parts = math.max(1, math.max(nodes.rdd.getNumPartitions,
+      edgesDeg.rdd.getNumPartitions)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // each round localCheckpoints its scalar (repo, path, rank) rows
-      // and drops the previous round's blocks (the Lsh pointer-jump
-      // discipline): the per-round job graph stays constant-size no
-      // matter how many rounds, and Catalyst never sees a K-deep plan.
-      // (r06 measured the alternatives on the q125 shape and kept this:
-      // checkpointing every 2/4/8 rounds and pre-joining edges⋈deg both
-      // land within noise of this form — the per-round exchange IS the
-      // propagation cost — while the extra persists they need add their
-      // own barriers.)
       var r = nodes.withColumn("rank", lit(Scale)).localCheckpoint()
       for (_ <- 0 until rounds) {
-        val contrib = edges
-          .join(deg, Seq("repo", "src"))
+        val contrib = edgesDeg
           .join(r.select(col("repo"), col("path").as("src"),
             col("rank").as("rs")), Seq("repo", "src"))
           .groupBy(col("repo"), col("dst").as("path"))
@@ -102,13 +126,12 @@ object FileRank {
         .join(r, Seq("repo", "path"))
         .select(col("repo"), col("path"),
           coalesce(col("d"), lit(0L)).as("out_deg"), col("rank"))
-        .localCheckpoint() // materialize before the unpersists below
+        .localCheckpoint()
       r.unpersist(blocking = false)
       out
     } finally {
-      nodes.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 

@@ -96,22 +96,26 @@ object TopoPack {
   def layers(files: DataFrame, repoCol: String, pathCol: String,
              contentCol: String, pattern: String = DefaultImportPattern,
              rounds: Int = DefaultRounds): DataFrame = {
+    // localCheckpoint (not persist): a cached plan's output partitioning
+    // is frozen at the session's shuffle-partition count (AQE may not
+    // re-coalesce it — canChangeCachedPlanOutputPartitioning is off by
+    // default), so each of the K relaxation rounds would run a full
+    // width of near-empty tasks over these scalar tables. The checkpoint
+    // materializes at the AQE-COALESCED width — sized by the data, the
+    // scale-adaptive choice at any corpus size (guide §2.2) — and every
+    // round's stages inherit it (q123: 748 -> ~210 tasks at sf0.1).
     val nodes = files.select(col(repoCol).as("repo"),
         coalesce(col(pathCol), lit("")).as("path"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the edge join reuses the persisted node set (one fewer content
+      .localCheckpoint()
+    // the edge join reuses the materialized node set (one fewer content
     // scan than rebuilding it inside importEdges; locally within noise,
     // a full scan saved at corpus scale)
     val edges = importEdgesAgainst(files, repoCol, pathCol, contentCol,
         pattern, nodes.select(col("repo"), col("path").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try layersFromGraph(nodes, edges, rounds)
-      .localCheckpoint() // materialize before nodes/edges unpersist
-    finally {
-      nodes.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
-    }
+      .localCheckpoint()
+    layersFromGraph(nodes, edges, rounds)
+      .localCheckpoint()
   }
 
   /** One packed document per repo in (layer, path) order under the
