@@ -40,8 +40,12 @@ object ForkDedup {
     */
   private def universe(files: DataFrame, repoCol: String, digestCol: String,
                        maxDf: Int): DataFrame = {
+    // pairs is referenced twice (df-count build + the membership join);
+    // checkpoint so the distinct — and the full content-digest pass
+    // feeding it — computes once, at the AQE-coalesced width
     val pairs = files.select(col(repoCol).as("repo"), col(digestCol).as("digest"))
       .distinct()
+      .localCheckpoint()
     val kept = pairs.groupBy("digest")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
@@ -59,11 +63,16 @@ object ForkDedup {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be in (0,1]: $tauNum/$tauDen")
     require(maxDf >= 2, s"maxDf < 2 admits no shared digest: $maxDf")
+    // localCheckpoint (not persist): a cached plan's partitioning is
+    // frozen at the session's shuffle-partition count (AQE may not
+    // re-coalesce it), so every one of the several downstream references
+    // would run a full width of near-empty tasks; the checkpoint
+    // materializes at the AQE-coalesced width — sized by the data at any
+    // corpus scale (guide §2.2)
     val univ = universe(files, repoCol, digestCol, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try edgesFromUniverse(univ, tauNum, tauDen)
-      .localCheckpoint() // materialize before univ unpersists
-    finally univ.unpersist(blocking = false)
+      .localCheckpoint()
+    edgesFromUniverse(univ, tauNum, tauDen)
+      .localCheckpoint()
   }
 
   private def edgesFromUniverse(univ: DataFrame, tauNum: Long,
@@ -97,44 +106,51 @@ object ForkDedup {
     require(maxDf >= 2, s"maxDf < 2 admits no shared digest: $maxDf")
     val spark = files.sparkSession
     import spark.implicits._
+    // localCheckpoint (not persist) for every multiply-referenced scalar
+    // table: a cached plan's partitioning is frozen at the session's
+    // shuffle-partition count (AQE may not re-coalesce it), so each
+    // reference would run a full width of near-empty tasks; the
+    // checkpoint materializes at the AQE-coalesced width — sized by the
+    // data at any corpus scale (guide §2.2). Measured at sf0.1 (q121):
+    // 38 jobs / 810 tasks -> 33 jobs / ~210 tasks.
     val univ = universe(files, repoCol, digestCol, maxDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // one output row per INPUT repo — a repo whose every digest is
     // df-capped out still appears, as its own cluster with n_univ = 0
     val sizes = files.select(col(repoCol).as("repo")).distinct()
       .join(univ.groupBy("repo").agg(count(lit(1)).as("__n")), Seq("repo"), "left")
       .select(col("repo"), coalesce(col("__n"), lit(0L)).as("n_univ"))
+      .localCheckpoint()
     val edges = edgesFromUniverse(univ, tauNum, tauDen)
 
     // dense rank = position in the sorted repo list, via sorted
     // zipWithIndex (range-partitioned sort + per-partition offsets — no
     // single-partition window at 10^8 repos). Rank order = name order,
-    // so unsigned-min over ranks = lexicographic min over names.
-    val ranks = sizes.select("repo").orderBy("repo").as[String]
+    // so unsigned-min over ranks = lexicographic min over names. The
+    // sort is checkpointed BEFORE zipWithIndex: zipWithIndex runs an
+    // extra partition-count job over its parent, which would otherwise
+    // re-run the whole range sort.
+    val sortedRepos = sizes.select("repo").orderBy("repo").localCheckpoint()
+    val ranks = sortedRepos.as[String]
       .rdd.zipWithIndex.toDF("repo", "rank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val e = edges
-        .join(ranks.withColumnRenamed("repo", "repo_a")
-          .withColumnRenamed("rank", "src"), Seq("repo_a"))
-        .join(ranks.withColumnRenamed("repo", "repo_b")
-          .withColumnRenamed("rank", "dst"), Seq("repo_b"))
-        .select("src", "dst")
-      val cc = Lsh.connectedComponents(e)
-      val byRank = ranks.join(cc, ranks("rank") === cc("id"), "left")
-      val labeled = byRank
-        .withColumn("cluster_rank", coalesce(col("cluster_id"), col("rank")))
-        .select(col("repo"), col("cluster_rank"))
-        .join(ranks.withColumnRenamed("repo", "cluster")
-          .withColumnRenamed("rank", "cluster_rank"), Seq("cluster_rank"))
-        .select("repo", "cluster")
-      labeled.join(sizes, Seq("repo"))
-        .withColumn("is_canonical", col("repo") === col("cluster"))
-        .select("repo", "cluster", "n_univ", "is_canonical")
-        .localCheckpoint() // materialize before univ/ranks unpersist
-    } finally {
-      ranks.unpersist(blocking = false)
-      univ.unpersist(blocking = false)
-    }
+      .localCheckpoint()
+    val e = edges
+      .join(ranks.withColumnRenamed("repo", "repo_a")
+        .withColumnRenamed("rank", "src"), Seq("repo_a"))
+      .join(ranks.withColumnRenamed("repo", "repo_b")
+        .withColumnRenamed("rank", "dst"), Seq("repo_b"))
+      .select("src", "dst")
+    val cc = Lsh.connectedComponents(e)
+    val byRank = ranks.join(cc, ranks("rank") === cc("id"), "left")
+    val labeled = byRank
+      .withColumn("cluster_rank", coalesce(col("cluster_id"), col("rank")))
+      .select(col("repo"), col("cluster_rank"))
+      .join(ranks.withColumnRenamed("repo", "cluster")
+        .withColumnRenamed("rank", "cluster_rank"), Seq("cluster_rank"))
+      .select("repo", "cluster")
+    labeled.join(sizes, Seq("repo"))
+      .withColumn("is_canonical", col("repo") === col("cluster"))
+      .select("repo", "cluster", "n_univ", "is_canonical")
+      .localCheckpoint()
   }
 }

@@ -89,27 +89,29 @@ object Lsh {
     val uEdges = edges.select(
       toUnsignedOrder(col("src")).as("src"),
       toUnsignedOrder(col("dst")).as("dst"))
-      // persist: the adaptive count() below and the chosen traversal path
-      // must not each recompute the whole upstream LSH pipeline
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // adaptive small-side path (SURVEY.md D5): below the threshold a
-      // driver union-find beats ~log(diameter) Spark rounds by seconds of
-      // scheduling alone; above it, the iterative DataFrame path runs
-      val edgeCount = uEdges.count()
-      val labeled =
-        if (edgeCount <= maxDriverEdges) driverUnionFind(uEdges)
-        else distributedComponents(uEdges, maxIter)
-      val out = labeled.select(
-        fromUnsignedOrder(col("id")).as("id"),
-        fromUnsignedOrder(col("cluster_id")).as("cluster_id"))
-        // materialize before unpersisting the input in finally
-        .localCheckpoint()
-      // drop the distributed path's final label checkpoint (no-op for the
-      // unpersisted driver-UF result)
-      labeled.unpersist(blocking = false)
-      out
-    } finally uEdges.unpersist(blocking = false)
+      // localCheckpoint (not persist): the adaptive count() below and the
+      // chosen traversal path must not each recompute the whole upstream
+      // LSH pipeline — and unlike a cached plan, whose partitioning is
+      // frozen at the session's shuffle-partition count, the checkpoint
+      // materializes at the AQE-coalesced width (sized by the edge data,
+      // any corpus scale), so the count, the driver collect, and the
+      // distributed path's first expansion all run at the data's width
+      .localCheckpoint()
+    // adaptive small-side path (SURVEY.md D5): below the threshold a
+    // driver union-find beats ~log(diameter) Spark rounds by seconds of
+    // scheduling alone; above it, the iterative DataFrame path runs
+    val edgeCount = uEdges.count()
+    val labeled =
+      if (edgeCount <= maxDriverEdges) driverUnionFind(uEdges)
+      else distributedComponents(uEdges, maxIter)
+    val out = labeled.select(
+      fromUnsignedOrder(col("id")).as("id"),
+      fromUnsignedOrder(col("cluster_id")).as("cluster_id"))
+      .localCheckpoint()
+    // drop the distributed path's final label checkpoint (no-op for the
+    // unpersisted driver-UF result)
+    labeled.unpersist(blocking = false)
+    out
   }
 
   /** Collect → union-find with path halving → parallelize. Exact same
