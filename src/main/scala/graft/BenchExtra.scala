@@ -154,6 +154,79 @@ object BenchExtra {
           }
         }
       case "probe" => names.foreach {
+        case "ppj" =>
+          // q06 phase isolation: shingling vs prefix/candidates vs
+          // verification (same construction as the query)
+          import spark.implicits._
+          val cf = graft.pipeline.CodeFiles(spark, sfDir)
+            .select(col("doc_id").as("id"), col("content"))
+          val withVariants = cf.unionAll(
+            cf.filter(col("id") % 10 === 7)
+              .select((col("id") + 100000).as("id"),
+                concat(col("content"), lit(" extra trailing token"))
+                  .as("content")))
+          val words = withVariants.as[(Long, String)].map { case (id, c) =>
+            (id, graft.text.PyCompat.split(
+              graft.text.Normalizer.normalize(c)))
+          }
+          val sh = words.repartition(spark.sparkContext.defaultParallelism)
+            .flatMap { case (id, ws) =>
+              val set = graft.text.NGrams.shingleSet(ws, 3)
+              val sz = set.size
+              set.iterator.map(s => (id, s, sz))
+            }.toDF("id", "shingle", "sz")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time("ppj shingling (sh count)") { sh.count() }
+          val tau = 0.5
+          val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
+          val p = sh.join(freq, "shingle")
+            .withColumn("pos", row_number().over(w))
+            .filter(col("pos") <= col("sz") - ceil(col("sz") * tau) + 1)
+            .select("id", "shingle", "sz", "pos")
+          val candidates = p
+            .select(col("shingle"), col("id").as("id_a"),
+              col("sz").as("sz_a"), col("pos").as("pos_a"))
+            .join(p.select(col("shingle"), col("id").as("id_b"),
+              col("sz").as("sz_b"), col("pos").as("pos_b")), "shingle")
+            .filter(col("id_a") < col("id_b"))
+            .filter(col("sz_a") >= col("sz_b") * tau &&
+              col("sz_b") >= col("sz_a") * tau)
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(max(least(col("sz_a") - col("pos_a"),
+              col("sz_b") - col("pos_b"))).as("ub"))
+            .filter((col("ub") + 1) * (1 + tau) >=
+              (col("sz_a") + col("sz_b")) * tau)
+            .select("id_a", "id_b", "sz_a", "sz_b")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          time("ppj candidates (count)") { println(candidates.count()) }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("/tmp/ppj_candidates_plan.txt"),
+            candidates.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+          time("ppj verify join") {
+            noop(sh.select(col("id").as("id_a"), col("shingle"))
+              .join(candidates, "id_a")
+              .join(sh.select(col("id").as("id_b"), col("shingle")),
+                Seq("id_b", "shingle"))
+              .groupBy("id_a", "id_b", "sz_a", "sz_b")
+              .agg(count(lit(1)).as("inter")))
+          }
+          time("ppj verify arrays") {
+            val arrs = sh.groupBy("id")
+              .agg(collect_list(col("shingle")).as("shs"))
+            noop(candidates
+              .join(arrs.select(col("id").as("id_a"),
+                col("shs").as("shs_a")), "id_a")
+              .join(arrs.select(col("id").as("id_b"),
+                col("shs").as("shs_b")), "id_b")
+              .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+                size(array_intersect(col("shs_a"), col("shs_b")))
+                  .as("inter")))
+          }
+          sh.unpersist(); candidates.unpersist()
         case "mm" =>
           // multimodal stage isolation: synthesis vs fingerprint vs pairs
           val wav = time("wav synth") {

@@ -72,10 +72,17 @@ object NGramJaccard {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("shingle").asc)
-    val p = sh.join(freq, "shingle")
+    val pLazy = sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(col("sz") * tau) + 1)
       .select("id", "shingle", "sz", "pos")
+    // the self-join below references p from BOTH sides and Catalyst does
+    // not reuse the exchange across them (the df join + per-doc window
+    // chain would run twice — measured as the dominant candidate-phase
+    // cost at sf0.1). Eager mode materializes the prefix table once, at
+    // the AQE-coalesced width; lazy mode keeps the pure plan for the
+    // plan-contract tests.
+    val p = if (eager) pLazy.localCheckpoint() else pLazy
     val candidates = p
       .select(col("shingle"), col("id").as("id_a"), col("sz").as("sz_a"),
         col("pos").as("pos_a"))
