@@ -52,7 +52,11 @@ object WinnowPairs {
     val keptFp = fps.groupBy("fp").count()
       .filter(col("count") <= maxDf)
       .select("fp")
-    val kept = fps.join(keptFp, Seq("fp"))
+    // three consumers read the capped table (sizes + both pair-join
+    // sides) and Catalyst reuses nothing across them — materialize the
+    // df-cap join once in eager mode, at the AQE-coalesced width
+    val keptLazy = fps.join(keptFp, Seq("fp"))
+    val kept = if (eager) keptLazy.localCheckpoint() else keptLazy
     // per-doc kept-fingerprint counts (the Jaccard denominators)
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     // candidate pairs: equi-join on fp, every bucket ≤ maxDf wide;
