@@ -57,14 +57,12 @@ object VideoDedup {
     val fps0 = frameFingerprints(media, idCol, payloadCol, stride)
       .select(col("id"), col("fp")).distinct()
     // the demux+dHash map is the expensive stage and this plan reads it
-    // three times (stop-frame count, df table, pair join) — materialize
-    // it so payloads decode ONCE (the SimHash eager discipline).
-    // localCheckpoint, not persist: the distinct's exchange pins a
-    // cached plan at the session's shuffle-partition count, while the
-    // checkpoint lands at the AQE-coalesced width, sized by the data at
-    // any corpus scale; eager = false keeps the lazy plan for
-    // plan-contract tests
-    val fps = if (eager) fps0.localCheckpoint() else fps0
+    // three times (stop-frame count, df table, pair join) — persist it so
+    // payloads decode ONCE (the SimHash eager discipline); eager = false
+    // keeps the lazy plan for plan-contract tests
+    val fps = if (eager)
+      fps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else fps0
     val byDf = fps.groupBy("fp").agg(count(lit(1)).as("df"))
     val hot = byDf.filter(col("df") > maxDf)
     val nHot = hot.count()
@@ -73,11 +71,8 @@ object VideoDedup {
         s"video near-dup: $nHot stop-frame fingerprints above df=$maxDf " +
           "excluded from pairing (ubiquitous frames pair everything " +
           "with everything — raise maxDf only with a pair budget)")
-    // both sides of the pair join read the df-capped table — materialize
-    // it once in eager mode (Catalyst reuses nothing across the sides)
-    val keptLazy = fps.join(byDf.filter(col("df") <= maxDf), Seq("fp"))
+    val kept = fps.join(byDf.filter(col("df") <= maxDf), Seq("fp"))
       .select("id", "fp")
-    val kept = if (eager) keptLazy.localCheckpoint() else keptLazy
     val a = kept.select(col("fp"), col("id").as("id_a"))
     val b = kept.select(col("fp"), col("id").as("id_b"))
     val result = a.join(b, Seq("fp"))
@@ -85,7 +80,11 @@ object VideoDedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    if (eager) result.localCheckpoint() else result
+    if (eager) {
+      val out = result.localCheckpoint() // materializes before unpersist
+      fps.unpersist(blocking = false)
+      out
+    } else result
   }
 
   /** Near-dup cluster ids (unsigned-min member over the shared-frame
