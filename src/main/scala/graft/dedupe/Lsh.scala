@@ -399,22 +399,16 @@ object SimHash {
   def nearDuplicatesFromFingerprints(fps0: DataFrame, maxHamming: Int,
                                      hotBucketCap: Int = 256,
                                      eager: Boolean = true): DataFrame = {
-    // in eager mode every multiply-referenced intermediate materializes
-    // ONCE via localCheckpoint: the final union references withDf /
-    // fpGroups / repsWithDf from up to four subtrees each, and without
-    // the materialization every reference re-runs the whole upstream
-    // chain of shuffled aggregations (measured on the q103/q107 shape:
-    // ~10 s of which ~1 s is the actual fingerprint+pair work — guide
-    // §2.4, one exchange computed once instead of N times). Checkpoint
-    // rather than persist: a cached plan's partitioning is frozen at the
-    // session's shuffle-partition count, so every downstream reference
-    // ran a full width of near-empty tasks (q26: 743 tasks at sf0.1 —
-    // ~230 after); the checkpoint materializes at the AQE-coalesced
-    // width, sized by the data at any corpus scale. Blocks are reclaimed
-    // when the RDDs are GC'd; lazy mode keeps the raw plan for
-    // plan-contract tests.
-    def keep(df: DataFrame): DataFrame =
-      if (eager) df.localCheckpoint() else df
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // in eager mode every multiply-referenced intermediate persists for
+    // the duration of the call: the final union references withDf /
+    // fpGroups / repsWithDf from up to four subtrees each, and WITHOUT
+    // the persists every reference re-runs the whole upstream chain of
+    // shuffled aggregations (measured on the q103/q107 shape: ~10 s of
+    // which ~1 s is the actual fingerprint+pair work — guide §2.4, one
+    // exchange computed once instead of N times). All blocks drop before
+    // returning; lazy mode keeps the raw plan for plan-contract tests.
+    def keep(df: DataFrame): DataFrame = if (eager) df.persist(lvl) else df
     val fps = keep(fps0)
     val banded = fps.select(col("id"), col("fp"),
       posexplode(array((0 until 4).map(i =>
@@ -474,7 +468,14 @@ object SimHash {
       // shuffle — dedup only the pairs that survive
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    if (eager) result.localCheckpoint() else result
+    if (eager) {
+      val out = result.localCheckpoint() // materializes before unpersist
+      fps.unpersist(blocking = false)
+      withDf.unpersist(blocking = false)
+      fpGroups.unpersist(blocking = false)
+      repsWithDf.unpersist(blocking = false)
+      out
+    } else result
   }
 
   /** Exact all-pairs inside (band, key) buckets of a
