@@ -301,8 +301,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("winnow pairs: df cap bounds every fingerprint bucket, aggs are partial") {
     // the hot-key discipline: the pair join's input passes through the
     // df filter (count <= maxDf), and the per-pair intersection count is
-    // a partial+final aggregate — no window, no cartesian
-    val p = plan(SparkEntry.queries("q46_winnow_pairs")(spark, sfDir))
+    // a partial+final aggregate — no window, no cartesian. Pinned on the
+    // LAZY operator plan: the eager path localCheckpoints its df-capped
+    // table (r06), which would hide the cap filter behind a LogicalRDD
+    // and make the assertion vacuous (the SortedNeighborhood pin's
+    // pairsFromPositions discipline).
+    val cf = CodeFiles(spark, sfDir)
+      .select(col("doc_id").as("id"), col("content"))
+    val p = plan(graft.similarity.WinnowPairs
+      .pairs(cf, tau = 0.999, eager = false))
     assert(!p.contains("Window"), s"q46 regressed to a window:\n$p")
     val aggs = "HashAggregate".r.findAllIn(p).length
     assert(aggs >= 4, s"expected partial+final aggs for df and inter:\n$p")
