@@ -121,8 +121,13 @@ class LogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select(col("id"), col("x1").cast("double"), col("x2"), col("x3"),
           col("y")))
     val m2 = LogReg.train(withNull, feats, "y", iters = 10, l2 = 1e-4)
+    // 1e-9, not 1e-12: the two trainings run separate treeAggregates
+    // whose partition-sum order is scheduler-dependent, and ten IRLS
+    // iterations amplify the reassociation to ~1e-12 — observed riding
+    // the old bound (1.24e-12) on a loaded host. The invariant under
+    // test is "NULL rows drop", not bit-identical float summation.
     for (i <- 0 to 3)
-      assert(math.abs(m2.weights(i) - m.weights(i)) < 1e-12)
+      assert(math.abs(m2.weights(i) - m.weights(i)) < 1e-9)
     // x3 duplicated as x4: singular at l2=0, fine at l2>0
     val dup = df.withColumn("x4", col("x3"))
     val e = intercept[IllegalArgumentException] {
