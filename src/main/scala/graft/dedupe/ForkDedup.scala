@@ -112,7 +112,8 @@ object ForkDedup {
     // reference would run a full width of near-empty tasks; the
     // checkpoint materializes at the AQE-coalesced width — sized by the
     // data at any corpus scale (guide §2.2). Measured at sf0.1 (q121):
-    // 38 jobs / 810 tasks -> 33 jobs / ~210 tasks.
+    // 38 jobs / 810 tasks -> 35 jobs / 301 tasks (with the Lsh edge-input
+    // checkpoint; summed task time 222 -> 65 s).
     val univ = universe(files, repoCol, digestCol, maxDf)
       .localCheckpoint()
     // one output row per INPUT repo — a repo whose every digest is

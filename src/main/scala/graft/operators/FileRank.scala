@@ -64,8 +64,9 @@ object FileRank {
     // near-empty tasks over these scalar tables. The checkpoint
     // materializes at the AQE-COALESCED width — sized by the data, the
     // scale-adaptive choice at any corpus size (guide §2.2) — and the
-    // iteration's per-round stages inherit it. Measured at sf0.1:
-    // 1,403 -> 355 tasks / 70 -> 38 jobs for the whole q125 query.
+    // iteration's per-round stages inherit it. Measured at sf0.1
+    // (together with the hoist + AQE-off loop below): 70 jobs / 1,403
+    // tasks -> 24 jobs / 49 tasks for the whole q125 query.
     val nodes = files.select(col(repoCol).as("repo"),
         coalesce(col(pathCol), lit("")).as("path"))
       .distinct()
